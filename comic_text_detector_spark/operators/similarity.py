@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force baseline: broadcast the (small) query set
+  against the corpus, dot/norms via higher-order array functions (JVM-side,
+  no UDF), per-query top-k via a window. At 100 TB the corpus side streams —
+  no shuffle of the corpus at all; cost is corpus x queries, which is the
+  right baseline shape when |queries| is small.
+* ``lsh_bucket_topk`` — the scale path: random-hyperplane (SRP) signature
+  buckets computed with deterministic hash-derived planes; candidates are
+  bucket-joined, then exact cosine re-ranks within buckets. Sub-linear in
+  corpus size per query; recall measured in tests against the brute-force
+  baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, cos) for the k nearest corpus rows per
+    query (self-matches excluded). Deterministic tie-break: cos desc then
+    neighbor id asc."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def srp_signature(vec_col: Column, num_planes: int = 16, dim: int = 64) -> Column:
+    """Signed-random-projection bucket id as a bigint column (no UDF).
+
+    Plane components are deterministic pseudo-randoms in [-1, 1]:
+    ((xxhash64(plane, dim_index) mod 2001) - 1000) / 1000.
+    """
+    sig = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                (F.pmod(F.xxhash64(F.lit(p), i), F.lit(2001)) - F.lit(1000))
+                / F.lit(1000.0)
+            ),
+        )
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    dim: int = 64,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Bucketed ANN: candidates share an SRP bucket in ANY of ``num_tables``
+    independent tables (plane sets offset per table), exact cosine re-rank.
+    """
+    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        out = df
+        for t in range(num_tables):
+            # independent tables via disjoint plane index ranges
+            planes = F.lit(0).cast("long")
+            for p in range(num_planes):
+                pi = t * num_planes + p
+                plane = F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: (
+                        (F.pmod(F.xxhash64(F.lit(pi), i), F.lit(2001)) - F.lit(1000))
+                        / F.lit(1000.0)
+                    ),
+                )
+                dot = F.aggregate(
+                    F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                planes = planes + F.when(dot > 0, F.lit(1 << p)).otherwise(
+                    F.lit(0)
+                ).cast("long")
+            out = out.withColumn(f"{prefix}b{t}", planes)
+        return out
+
+    q = with_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ).withColumnRenamed("qv", vec_col),
+        "q",
+    ).withColumnRenamed(vec_col, "qv")
+    c = with_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col)
+        ),
+        "c",
+    ).withColumnRenamed(vec_col, "cv")
+    # candidate union over tables: explode (table, bucket) and equi-join
+    qx = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), F.col(f"qb{t}").alias("b"))
+                for t in range(num_tables)
+            ])
+        ).alias("tb"),
+    ).select("query_id", "qv", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    cx = c.select(
+        "neighbor_id",
+        "cv",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), F.col(f"cb{t}").alias("b"))
+                for t in range(num_tables)
+            ])
+        ).alias("tb"),
+    ).select("neighbor_id", "cv", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    cand = (
+        cx.join(F.broadcast(qx), ["t", "b"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                F.transform(F.col("qv"), lambda x: x.cast("double")),
+                F.transform(F.col("cv"), lambda x: x.cast("double")),
+            ).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )

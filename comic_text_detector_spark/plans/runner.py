@@ -1,0 +1,197 @@
+"""Checkpointed, resumable batch driver for the extraction job (north_rule).
+
+Reference analog: the epoch checkpoint dicts + resume path of the training
+drivers (reference train_db.py:97-106, :183-194) and the AverageMeter/FPS
+accounting (utils/db_utils.py:213-230). Engine recast:
+
+* every document is assigned a stable logical ``partition_id =
+  pmod(xxhash64(url), num_partitions)`` — deterministic across runs and
+  cluster sizes;
+* partitions are processed in ``num_chunks`` chunk jobs; each chunk's output
+  commit (Spark's all-or-nothing job commit protocol) IS the checkpoint:
+  completion is derived from the *data* (distinct partition_id present in the
+  output), so a crash mid-chunk leaves no committed files and the chunk
+  simply reruns — exactly-once per url without a two-phase protocol;
+* after each chunk commits, one ``metrics`` row per logical partition
+  (run_id, partition_id, docs_in, docs_out, bytes, wall_ms, ts) is appended —
+  pure lineage/observability (FIXTURES.md §4), never a correctness input.
+
+The per-document processing time (``proc_us``) is measured inside the Arrow
+stage and aggregated relationally, so ``wall_ms`` reflects actual extraction
+compute per logical partition (the skew evidence the north_rule asks for).
+
+In the sandbox the sinks are parquet directories; on a real deployment both
+appends target Iceberg tables (``df.writeTo(tbl).append()``) and nothing
+else changes.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import asof_dedup
+from .extract import _SPAN_PA, extract_document
+
+_COMBINED_FIELDS = [
+    ("url", pa.string()),
+    ("text", pa.string()),
+    ("spans", _SPAN_PA),
+    ("partition_id", pa.int32()),
+    ("in_bytes", pa.int64()),
+    ("proc_us", pa.int64()),
+]
+_COMBINED_DDL = (
+    "url string, text string, "
+    "spans array<struct<block_id:int,char_start:int,char_end:int>>, "
+    "partition_id int, in_bytes bigint, proc_us bigint"
+)
+
+
+def _extract_with_lineage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        pids = batch.column("partition_id").to_pylist()
+        texts, spans_col, in_bytes, proc_us = [], [], [], []
+        for h in htmls:
+            t0 = time.perf_counter_ns()
+            text, spans = extract_document(h)
+            dt = (time.perf_counter_ns() - t0) // 1000
+            texts.append(text)
+            spans_col.append(
+                [{"block_id": b, "char_start": s, "char_end": e} for b, s, e in spans]
+            )
+            in_bytes.append(len(h))
+            proc_us.append(dt)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(urls, type=pa.string()),
+                pa.array(texts, type=pa.string()),
+                pa.array(spans_col, type=_SPAN_PA),
+                pa.array(pids, type=pa.int32()),
+                pa.array(in_bytes, type=pa.int64()),
+                pa.array(proc_us, type=pa.int64()),
+            ],
+            names=[n for n, _ in _COMBINED_FIELDS],
+        )
+
+
+def completed_partitions(spark: SparkSession, data_dir: str) -> set[int]:
+    """Partitions whose output already committed (the checkpoint read)."""
+    if not os.path.exists(data_dir):
+        return set()
+    try:
+        rows = (
+            spark.read.parquet(data_dir)
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+    except Exception:
+        return set()
+    return {r.partition_id for r in rows}
+
+
+def run_extract(
+    spark: SparkSession,
+    documents: DataFrame,
+    output_dir: str,
+    run_id: str = "run0",
+    num_partitions: int = 64,
+    num_chunks: int = 4,
+    stop_after_chunks: int | None = None,
+) -> dict:
+    """Run (or resume) the extraction job.
+
+    ``stop_after_chunks`` is the fault-injection hook for the resumability
+    test: the driver stops after N chunk commits, simulating a crash.
+    Returns a summary dict.
+    """
+    data_dir = os.path.join(output_dir, "extracted")
+    metrics_dir = os.path.join(output_dir, "metrics")
+
+    docs = asof_dedup(documents).withColumn(
+        "partition_id",
+        F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("int"),
+    )
+    done = completed_partitions(spark, data_dir)
+    chunks_run = 0
+    for chunk in range(num_chunks):
+        chunk_pids = [
+            p for p in range(num_partitions) if p % num_chunks == chunk and p not in done
+        ]
+        if not chunk_pids:
+            continue
+        if stop_after_chunks is not None and chunks_run >= stop_after_chunks:
+            break
+        t0 = time.time()
+        part = (
+            docs.filter(F.col("partition_id").isin(chunk_pids))
+            .select("url", "html", "partition_id")
+            .repartition(max(1, len(chunk_pids)), "partition_id")
+        )
+        combined = part.mapInArrow(_extract_with_lineage, _COMBINED_DDL)
+        combined.write.mode("append").parquet(data_dir)
+        # Post-commit lineage append: derived from the committed data, plus
+        # driver-side wall clock for the chunk.
+        chunk_wall_ms = int((time.time() - t0) * 1000)
+        metrics = (
+            spark.read.parquet(data_dir)
+            .filter(F.col("partition_id").isin(chunk_pids))
+            .groupBy("partition_id")
+            .agg(
+                F.count("*").alias("docs_in"),
+                F.sum(F.when(F.col("text") != "", 1).otherwise(0)).alias("docs_out"),
+                F.sum("in_bytes").alias("bytes"),
+                (F.sum("proc_us") / 1000).cast("long").alias("wall_ms"),
+            )
+            .select(
+                F.lit(run_id).alias("run_id"),
+                "partition_id",
+                "docs_in",
+                "docs_out",
+                "bytes",
+                "wall_ms",
+                F.current_timestamp().alias("ts"),
+            )
+        )
+        metrics.write.mode("append").parquet(metrics_dir)
+        chunks_run += 1
+        _ = chunk_wall_ms
+    return {
+        "run_id": run_id,
+        "chunks_run": chunks_run,
+        "resumed_partitions_skipped": len(done),
+    }
+
+
+def read_extracted(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_dir, "extracted")).select(
+        "url", "text", "spans"
+    )
+
+
+def read_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(output_dir, "metrics"))
+
+
+def metrics_report(metrics: DataFrame) -> DataFrame:
+    """GROUPING SETS rollup over the lineage table (SURVEY.md §2.4 note)."""
+    metrics.createOrReplaceTempView("__metrics")
+    return metrics.sparkSession.sql(
+        """
+        SELECT run_id, partition_id,
+               sum(docs_in)  AS docs_in,
+               sum(docs_out) AS docs_out,
+               sum(bytes)    AS bytes,
+               sum(wall_ms)  AS wall_ms
+        FROM __metrics
+        GROUP BY GROUPING SETS ((run_id, partition_id), (run_id), ())
+        """
+    )

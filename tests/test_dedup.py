@@ -1,0 +1,64 @@
+"""Dedup family: exact, minhash-LSH, simhash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from comic_text_detector_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+
+
+def _docs(spark):
+    rng = random.Random(7)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(40):
+        rows.append((f"d{i:03d}", " ".join(rng.choice(words) for _ in range(60))))
+    # planted exact dup
+    rows.append(("dup1", rows[0][1]))
+    # planted near dup: one word changed out of 60
+    w = rows[1][1].split()
+    w[30] = "CHANGED"
+    rows.append(("near1", " ".join(w)))
+    return spark.createDataFrame(rows, "id string, text string")
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark)
+    groups = exact_dedup(docs, "text", "id")
+    assert groups.count() == docs.count() - 1  # one exact dup collapses
+    dup = groups.filter(F.col("dup_count") == 2).collect()
+    assert len(dup) == 1 and dup[0].representative == "d000"
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    docs = _docs(spark)
+    pairs = minhash_lsh_pairs(docs, "id", "text", num_hashes=64, bands=16)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert ("d000", "dup1") in found
+    assert ("d001", "near1") in found
+    # verification stage: exact jaccard on the candidates
+    verified = ngram_jaccard_pairs(pairs, docs, "id", "text", n=3)
+    vmap = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert vmap[("d000", "dup1")] == 1.0
+    assert 0.7 < vmap[("d001", "near1")] < 1.0
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    docs = _docs(spark).withColumn("sig", simhash64(F.col("text")))
+    sig = {r.id: r.sig for r in docs.collect()}
+    ham_dup = bin((sig["d000"] ^ sig["dup1"]) & ((1 << 64) - 1)).count("1")
+    ham_near = bin((sig["d001"] ^ sig["near1"]) & ((1 << 64) - 1)).count("1")
+    rng_pairs = [("d002", "d003"), ("d004", "d005"), ("d006", "d007")]
+    ham_rand = min(
+        bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1") for a, b in rng_pairs
+    )
+    assert ham_dup == 0
+    assert ham_near <= 8
+    assert ham_rand > 8

@@ -1,0 +1,67 @@
+"""Resumability: kill after k chunks, restart, exactly-once per url
+(SURVEY.md §5.2 item 4; north_rule checkpointed-batch requirement)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from comic_text_detector_spark.fixtures import corpus_df
+from comic_text_detector_spark.operators.dedup import asof_dedup
+from comic_text_detector_spark.plans.runner import (
+    completed_partitions,
+    metrics_report,
+    read_extracted,
+    read_metrics,
+    run_extract,
+)
+
+
+def test_resume_exactly_once(spark, tmp_path):
+    out = str(tmp_path / "job")
+    corpus = corpus_df(spark, 80)
+    expected = asof_dedup(corpus)
+    n_urls = expected.count()
+
+    # first run "crashes" after 2 of 4 chunks
+    r1 = run_extract(
+        spark, corpus, out, run_id="r1", num_partitions=16, num_chunks=4,
+        stop_after_chunks=2,
+    )
+    assert r1["chunks_run"] == 2
+    partial = completed_partitions(spark, out + "/extracted")
+    n_partial = read_extracted(spark, out).count()
+    assert 0 < n_partial < n_urls
+    assert len(partial) > 0
+
+    # resume completes only the remaining partitions
+    r2 = run_extract(
+        spark, corpus, out, run_id="r2", num_partitions=16, num_chunks=4
+    )
+    assert r2["resumed_partitions_skipped"] == len(partial)
+
+    extracted = read_extracted(spark, out)
+    assert extracted.count() == n_urls
+    assert extracted.select("url").distinct().count() == n_urls  # exactly once
+
+    # byte identity end-to-end through the runner
+    bad = (
+        extracted.withColumnRenamed("text", "etext")
+        .join(expected.select("url", "text"), "url")
+        .filter(F.col("etext") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+    # lineage consistency: sum(docs_in) over metrics == dedup'd url count,
+    # no duplicated partition_id across the two runs
+    metrics = read_metrics(spark, out)
+    agg = metrics.agg(F.sum("docs_in").alias("di")).collect()[0]
+    assert agg.di == n_urls
+    assert (
+        metrics.groupBy("partition_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    # grouping-sets report runs and contains the grand total
+    rep = metrics_report(metrics)
+    grand = rep.filter(F.col("run_id").isNull()).collect()
+    assert len(grand) == 1 and grand[0].docs_in == n_urls
