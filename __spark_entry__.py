@@ -275,7 +275,9 @@ def _q_token_counts(spark, sf_dir):
 def _q_fingerprint_kgram(spark, sf_dir):
     from comic_text_detector_spark.functions.textstats import kgram_fingerprints
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return kgram_fingerprints(docs, "doc_id", "text", k=8)
 
 
@@ -291,13 +293,19 @@ def _q_ann_cosine_topk(spark, sf_dir):
 
 
 def _q_minhash_lsh_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # single-file inputs arrive as one partition; spread BEFORE the explode
+    # so the hash+partial-agg stage parallelizes
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16)
 
 
 def _q_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return simhash64(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
 
 
 def _q_ann_lsh_topk(spark, sf_dir):

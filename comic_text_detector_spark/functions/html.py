@@ -90,6 +90,19 @@ class Node(NamedTuple):
     text: str  # whitespace-normalized, entity-decoded
 
 
+# One master scanner: comments, whole rawtext elements, tags, and junk
+# constructs are each a branch, so the inner loop does one C-level regex
+# step per markup construct instead of several find/startswith calls.
+_SCAN = re.compile(
+    r"<!--.*?(?:-->|$)"                                    # comment
+    r"|<(script|style|textarea|title|noscript)\b[^>]*>"    # rawtext element
+    r".*?(?:</\1[^>]*>|$)"
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)[^>]*?(/?)>"            # normal tag
+    r"|<[^>]*(?:>|$)",                                     # doctype/PI/junk
+    re.S | re.I,
+)
+
+
 def tokenize(html_bytes: bytes) -> list[Node]:
     """One linear scan: html bytes → ordered list of normalized text nodes.
 
@@ -97,7 +110,6 @@ def tokenize(html_bytes: bytes) -> list[Node]:
     matching open; unknown/doctype/comment constructs are skipped.
     """
     s = html_bytes.decode("utf-8", errors="replace")
-    s_lower = None  # lazily lowered copy for rawtext close-tag search
     nodes: list[Node] = []
     stack: list[str] = []
     boiler_depth = 0
@@ -105,7 +117,7 @@ def tokenize(html_bytes: bytes) -> list[Node]:
     next_block = 1
     block_stack: list[tuple[int, str]] = [(0, "body")]
     char_pos = 0
-    i, n = 0, len(s)
+    last = 0
 
     def emit(raw_text: str) -> None:
         nonlocal char_pos
@@ -130,48 +142,16 @@ def tokenize(html_bytes: bytes) -> list[Node]:
         )
         char_pos = start + len(norm)
 
-    while i < n:
-        lt = s.find("<", i)
-        if lt == -1:
-            emit(s[i:])
-            break
-        if lt > i:
-            emit(s[i:lt])
-        if s.startswith("<!--", lt):
-            end = s.find("-->", lt + 4)
-            i = n if end == -1 else end + 3
+    for m in _SCAN.finditer(s):
+        if m.start() > last:
+            emit(s[last : m.start()])
+        last = m.end()
+        name = m.group(3)
+        if name is None:  # comment / rawtext / junk branch
             continue
-        gt = s.find(">", lt)
-        if gt == -1:
-            break  # truncated tag at EOF
-        raw_tag = s[lt + 1 : gt]
-        i = gt + 1
-        m = _NAME_RE.match(raw_tag)
-        if m is None:  # <!doctype>, <?xml?>, stray '<'
-            continue
-        name = m.group(1).lower()
-        closing = raw_tag.startswith("/")
-        if not closing:
-            if name in RAWTEXT_TAGS:
-                if s_lower is None:
-                    s_lower = s.lower()
-                close = s_lower.find("</" + name, i)
-                if close == -1:
-                    break
-                cgt = s.find(">", close)
-                i = n if cgt == -1 else cgt + 1
-                continue
-            if name in VOID_TAGS or raw_tag.endswith("/"):
-                continue
-            stack.append(name)
-            if name in BOILER_TAGS:
-                boiler_depth += 1
-            if name == "a":
-                link_depth += 1
-            if name in BLOCK_TAGS:
-                block_stack.append((next_block, name))
-                next_block += 1
-        else:
+        if not name.islower():
+            name = name.lower()
+        if m.group(2):  # closing tag
             if name in stack:
                 while stack:
                     t = stack.pop()
@@ -183,4 +163,17 @@ def tokenize(html_bytes: bytes) -> list[Node]:
                         block_stack.pop()
                     if t == name:
                         break
+        else:
+            if name in VOID_TAGS or m.group(4):
+                continue
+            stack.append(name)
+            if name in BOILER_TAGS:
+                boiler_depth += 1
+            elif name == "a":
+                link_depth += 1
+            if name in BLOCK_TAGS:
+                block_stack.append((next_block, name))
+                next_block += 1
+    if last < len(s):
+        emit(s[last:])
     return nodes

@@ -81,27 +81,47 @@ def shingles(text_col, n: int = 3):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(shingle_col, num_hashes: int = 64):
-    """num_hashes minhash values as an array<bigint> column.
+def _mh_consts(i: int) -> tuple[int, int]:
+    """(a_i, b_i) for the i-th permutation of h_i(s) = (a_i*h32 + b_i) mod M.
 
-    h_i(s) = (a_i * h32(s) + b_i) mod M over the Mersenne prime M, where
-    h32 = xxhash64 folded to 31 bits so a_i * h32 + b_i stays well inside a
+    h32 is xxhash64 folded to 31 bits so a_i*h32 + b_i stays well inside a
     signed 64-bit long (Spark 4 runs ANSI mode: overflow would throw).
-    (a_i, b_i) are fixed odd constants derived from i. Entirely JVM-side:
-    one xxhash64 per shingle, then transform/aggregate array exprs.
     """
-    base = F.transform(
-        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31))
-    )
+    a = 2 * i + 1  # < 2^8 for num_hashes <= 128 → a*h32 < 2^39
+    b = ((0x9E3779B97F4A7C15 + i * 0x2545F4914F6CDD1D) & ((1 << 61) - 1)) % _MERSENNE
+    return a, b
 
-    def one_hash(i: int):
-        a = 2 * i + 1  # < 2^8 for num_hashes <= 128 → a*h32 < 2^39
-        b = ((0x9E3779B97F4A7C15 + i * 0x2545F4914F6CDD1D) & ((1 << 61) - 1)) % _MERSENNE
-        return F.array_min(
-            F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)))
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh0..mh{n-1}) minhash signature columns.
+
+    Physical shape matters here: explode shingles → ONE xxhash64 per shingle
+    → groupBy(id) with num_hashes min() aggregates. The partial (map-side)
+    aggregation reduces each partition to one row per doc before the
+    shuffle, and whole-stage codegen fuses the hash + 64 mins into one pass.
+    (A naive array-expression formulation re-evaluates the shingle tree per
+    hash function — 64x the work — because Catalyst does not CSE nested
+    lambda trees.)
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
+    ).select("id", F.pmod(F.xxhash64("s"), F.lit(1 << 31)).alias("h"))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _mh_consts(i)
+        aggs.append(
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
+                f"mh{i}"
+            )
         )
-
-    return F.array(*[one_hash(i) for i in range(num_hashes)])
+    return ex.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -121,29 +141,19 @@ def minhash_lsh_pairs(
     -identical pages) are exactly the skew AQE's skew-join splitting handles.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias(
-            "sig"
-        ),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
     banded = sig.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band_id", "band_hash"),
-    )
+        "id", F.explode(F.array(*band_structs)).alias("tb")
+    ).select("id", F.col("tb.band_id").alias("band_id"), F.col("tb.band_hash").alias("band_hash"))
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -158,30 +168,35 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text_col, shingle_n: int = 2):
-    """64-bit simhash as a bigint column expression (no UDF).
+def simhash64(
+    df: DataFrame, id_col: str = "url", text_col: str = "text", shingle_n: int = 2
+) -> DataFrame:
+    """(id, simhash) 64-bit simhash fingerprints.
 
-    Sign-sum per bit over shingle hashes: bit_j(sig) = 1 iff
-    sum_s(sign of bit j of xxhash64(s)) > 0. Expressed as 64 aggregate
-    expressions over the shingle array via higher-order functions.
+    Sign-sum per bit over shingle hashes: bit_j = 1 iff
+    sum_s(sign of bit j of xxhash64(s)) > 0. Same physical shape as
+    minhash_signatures: explode → one xxhash per shingle → groupBy with 64
+    sum() aggregates (map-side combined), then one projection packs the
+    bits into a bigint.
     """
-    hashes = F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
-
-    def bit(j: int):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        return F.when(votes > 0, F.lit(1 << j if j < 63 else -(1 << 63))).otherwise(
-            F.lit(0)
-        )
-
-    out = F.lit(0).cast("long")
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).select("id", F.xxhash64("s").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    votes = ex.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
     for j in range(64):
-        out = out + bit(j).cast("long")
-    return out
+        bit = F.when(
+            F.col(f"v{j}") > 0, F.lit(1 << j if j < 63 else -(1 << 63))
+        ).otherwise(F.lit(0)).cast("long")
+        sig = sig + bit
+    return votes.select("id", sig.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

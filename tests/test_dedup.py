@@ -51,8 +51,8 @@ def test_minhash_lsh_finds_planted_dups(spark):
 
 
 def test_simhash_near_dup_small_hamming(spark):
-    docs = _docs(spark).withColumn("sig", simhash64(F.col("text")))
-    sig = {r.id: r.sig for r in docs.collect()}
+    out = simhash64(_docs(spark), "id", "text")
+    sig = {r.id: r.simhash for r in out.collect()}
     ham_dup = bin((sig["d000"] ^ sig["dup1"]) & ((1 << 64) - 1)).count("1")
     ham_near = bin((sig["d001"] ^ sig["near1"]) & ((1 << 64) - 1)).count("1")
     rng_pairs = [("d002", "d003"), ("d004", "d005"), ("d006", "d007")]
