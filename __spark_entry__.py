@@ -289,7 +289,228 @@ def _q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+# --- geometry / spans / refinement / sinks / grouping sets ---
+
+
+def _boxes(spark, sf_dir):
+    """Deterministic boxes derived from orders (ints → exact doubles)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 20).alias("page_id"),
+        (F.col("o_orderkey") % 97).cast("double").alias("x1"),
+        (F.col("o_custkey") % 89).cast("double").alias("y1"),
+        ((F.col("o_orderkey") % 97) + 1 + F.col("o_orderkey") % 53)
+        .cast("double")
+        .alias("x2"),
+        ((F.col("o_custkey") % 89) + 1 + F.col("o_custkey") % 41)
+        .cast("double")
+        .alias("y2"),
+    )
+
+
+def _q_f_geometry_boxes(spark, sf_dir):
+    from comic_text_detector_spark.functions.geometry import iou, union_area, xyxy2yolo
+
+    b = _boxes(spark, sf_dir)
+    qx1, qy1, qx2, qy2 = (F.lit(20.0), F.lit(20.0), F.lit(60.0), F.lit(60.0))
+    yolo = xyxy2yolo(
+        F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"), F.lit(128.0), F.lit(128.0)
+    )
+    return b.select(
+        "o_orderkey",
+        union_area(
+            F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"), qx1, qy1, qx2, qy2
+        ).alias("ua"),
+        iou(
+            F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"), qx1, qy1, qx2, qy2
+        ).alias("iou"),
+        yolo[0].alias("ycx"),
+        yolo[3].alias("yh"),
+    )
+
+
+def _q_w1_reading_order(spark, sf_dir):
+    from comic_text_detector_spark.functions.textstats import reading_order_weight
+
+    b = _boxes(spark, sf_dir).withColumn(
+        "weight",
+        reading_order_weight(
+            F.col("x1"), F.col("y1"), F.lit(128.0), F.lit(128.0)
+        ),
+    )
+    w = Window.partitionBy("page_id").orderBy(
+        F.col("weight").asc(), F.col("o_orderkey").asc()
+    )
+    return b.select(
+        "page_id",
+        "o_orderkey",
+        F.row_number().over(w).cast("int").alias("ro_rank"),
+    )
+
+
+def _q_x1_coalesce_spans(spark, sf_dir):
+    from comic_text_detector_spark.operators.spans import coalesce_spans
+
+    iv = _intervals(spark, sf_dir, "click", 5.0, "line_id").select(
+        "user_id",
+        F.col("line_id_start").alias("char_start"),
+        F.col("line_id_end").alias("char_end"),
+    )
+    return coalesce_spans(iv, ["user_id"])
+
+
+def _q_x2_interval_xor(spark, sf_dir):
+    from comic_text_detector_spark.operators.spans import interval_xor_len
+
+    a = _intervals(spark, sf_dir, "click", 5.0, "i").select(
+        "user_id", F.col("i_start").alias("char_start"), F.col("i_end").alias("char_end")
+    )
+    b = _intervals(spark, sf_dir, "view", 20.0, "i").select(
+        "user_id", F.col("i_start").alias("char_start"), F.col("i_end").alias("char_end")
+    )
+    return interval_xor_len(a, b, ["user_id"])
+
+
+def _q_a6_min_xor_candidate(spark, sf_dir):
+    from comic_text_detector_spark.operators.spans import min_xor_candidate
+
+    cands = _intervals(spark, sf_dir, "click", 5.0, "i").select(
+        "user_id",
+        (F.col("i") % 3).cast("int").alias("candidate_id"),
+        F.col("i_start").alias("char_start"),
+        F.col("i_end").alias("char_end"),
+    )
+    target = _intervals(spark, sf_dir, "view", 20.0, "i").select(
+        "user_id", F.col("i_start").alias("char_start"), F.col("i_end").alias("char_end")
+    )
+    return min_xor_candidate(cands, target, ["user_id"])
+
+
+def _q_u4_refine_hysteresis(spark, sf_dir):
+    from comic_text_detector_spark.operators.refine import refine_blocks_hysteresis
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nodes = ev.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("node_id"),
+        (F.col("value") / 500.0).alias("score"),
+    )
+    blocks = ev.select("user_id").distinct().select(
+        "user_id",
+        F.lit(0).alias("block_id"),
+        F.lit(3).alias("node_start"),
+        F.lit(12).alias("node_end"),
+    )
+    out = refine_blocks_hysteresis(nodes, blocks, group_col="user_id")
+    return out.select(
+        "user_id",
+        "block_id",
+        F.col("node_start").cast("int").alias("node_start"),
+        F.col("node_end").cast("int").alias("node_end"),
+    )
+
+
+def _q_j4_merge_spans_gap(spark, sf_dir):
+    from comic_text_detector_spark.operators.merge import merge_spans_by_gap
+
+    iv = _intervals(spark, sf_dir, "error", 10.0, "i").select(
+        "user_id", F.col("i_start").alias("char_start"), F.col("i_end").alias("char_end")
+    )
+    return merge_spans_by_gap(iv, "user_id", gap_expr=F.lit(50.0))
+
+
+def _q_s4_yolo_labels(spark, sf_dir):
+    from comic_text_detector_spark.sources.sinks import yolo_label_lines
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        yolo_label_lines(
+            (F.col("o_orderkey") % 3).cast("int"),
+            (F.col("o_orderkey") % 64) / 64.0,
+            (F.col("o_custkey") % 64) / 64.0,
+            (1 + F.col("o_orderkey") % 32) / 64.0,
+            (1 + F.col("o_custkey") % 32) / 64.0,
+        ).alias("label"),
+    )
+
+
+def _q_s5_line_poly(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    x1 = F.col("o_orderkey") % 97
+    y1 = F.col("o_custkey") % 89
+    x2 = x1 + 10
+    y2 = y1 + 5
+    flat = F.array(x1, y1, x2, y1, x2, y2, x1, y2)
+    return o.select(
+        "o_orderkey",
+        F.array_join(
+            F.transform(flat, lambda v: v.cast("int").cast("string")), " "
+        ).alias("poly"),
+    )
+
+
+def _q_grouping_sets_report(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 10 AS ubucket, count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sumv
+        FROM events_v
+        GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())
+        """
+    )
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    from comic_text_detector_spark.multimodal.binary_ops import sniff_mime
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    return docs.select(
+        "doc_id",
+        F.length("media").cast("bigint").alias("n_bytes"),
+        F.sha2("media", 256).alias("sha256"),
+        sniff_mime(F.col("media")).alias("sniffed_mime"),
+    )
+
+
 # --- rows-only checked (approximate / engine-hash-seeded) ---
+
+
+def _q_j2_nms_spans(spark, sf_dir):
+    from comic_text_detector_spark.operators.nms import nms_spans
+
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("span_id"),
+        F.col("value").cast("int").alias("char_start"),
+        (F.col("value") + 30).cast("int").alias("char_end"),
+        ((F.col("event_id") % 100) / 100.0 + 0.001).alias("conf"),
+        F.lit(0).alias("cls"),
+    )
+    return nms_spans(iv, group_col="user_id", conf_thres=0.4)
+
+
+def _q_j4_merge_blocks(spark, sf_dir):
+    from comic_text_detector_spark.operators.merge import merge_blocks
+
+    ev = _t(spark, sf_dir, "events")
+    blocks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("block_id"),
+        (10.0 + (F.col("event_id") % 4)).alias("font_size"),
+        F.lit(1.0).alias("vec_x"),
+        F.lit(0.0).alias("vec_y"),
+        F.col("value").alias("cx"),
+        F.lit(0.0).alias("cy"),
+    )
+    return merge_blocks(blocks, group_col="user_id").select(
+        "user_id", "block_id", "merged_id"
+    )
 
 
 def _q_minhash_lsh_pairs(spark, sf_dir):
@@ -337,9 +558,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "fingerprint_kgram": _q_fingerprint_kgram,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "f_geometry_boxes": _q_f_geometry_boxes,
+        "w1_reading_order": _q_w1_reading_order,
+        "x1_coalesce_spans": _q_x1_coalesce_spans,
+        "x2_interval_xor": _q_x2_interval_xor,
+        "a6_min_xor_candidate": _q_a6_min_xor_candidate,
+        "u4_refine_hysteresis": _q_u4_refine_hysteresis,
+        "j4_merge_spans_gap": _q_j4_merge_spans_gap,
+        "s4_yolo_labels": _q_s4_yolo_labels,
+        "s5_line_poly": _q_s5_line_poly,
+        "grouping_sets_report": _q_grouping_sets_report,
+        "multimodal_meta": _q_multimodal_meta,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "j2_nms_spans": _q_j2_nms_spans,
+        "j4_merge_blocks": _q_j4_merge_blocks,
     }
 
 
@@ -484,6 +718,144 @@ def oracle_sql() -> dict[str, str]:
             " unnest(generate_series(1, greatest(length(text) - 7, 1))) t(i))"
             " SELECT doc_id, count(DISTINCT gh) n_fingerprints, min(gh) min_fingerprint"
             " FROM grams WHERE gh LIKE '%0' GROUP BY doc_id"
+        ),
+        "f_geometry_boxes": (
+            "WITH b AS (SELECT o_orderkey,"
+            " CAST(o_orderkey % 97 AS DOUBLE) x1, CAST(o_custkey % 89 AS DOUBLE) y1,"
+            " CAST((o_orderkey % 97) + 1 + o_orderkey % 53 AS DOUBLE) x2,"
+            " CAST((o_custkey % 89) + 1 + o_custkey % 41 AS DOUBLE) y2"
+            " FROM orders)"
+            " SELECT o_orderkey,"
+            " CASE WHEN least(x2,60.0)-greatest(x1,20.0) > 0 AND least(y2,60.0)-greatest(y1,20.0) > 0"
+            "  THEN (least(x2,60.0)-greatest(x1,20.0))*(least(y2,60.0)-greatest(y1,20.0))"
+            "  ELSE -1.0 END ua,"
+            " (greatest(least(x2,60.0)-greatest(x1,20.0),0.0)*greatest(least(y2,60.0)-greatest(y1,20.0),0.0))"
+            " / ((x2-x1)*(y2-y1) + 1600.0"
+            "   - greatest(least(x2,60.0)-greatest(x1,20.0),0.0)*greatest(least(y2,60.0)-greatest(y1,20.0),0.0)) iou,"
+            " ((x1+x2)/2)/128.0 ycx, (y2-y1)/128.0 yh"
+            " FROM b"
+        ),
+        "w1_reading_order": (
+            "WITH b AS (SELECT o_orderkey, o_custkey % 20 page_id,"
+            " CAST(o_orderkey % 97 AS DOUBLE) x1, CAST(o_custkey % 89 AS DOUBLE) y1"
+            " FROM orders),"
+            " w AS (SELECT *,"
+            "  CAST(least(2, CAST(floor(y1*3/128.0) AS INT))*4"
+            "   + least(3, CAST(floor(x1*4/128.0) AS INT)) AS DOUBLE)"
+            "   * 16384.0 + 1.2*x1 + y1 AS weight FROM b)"
+            " SELECT page_id, o_orderkey, CAST(row_number() OVER ("
+            "  PARTITION BY page_id ORDER BY weight ASC, o_orderkey ASC) AS INT) ro_rank"
+            " FROM w"
+        ),
+        "x1_coalesce_spans": (
+            "WITH iv AS (SELECT user_id, value cs, value + 5.0 ce FROM events"
+            "  WHERE event_type = 'click'),"
+            " f AS (SELECT user_id, cs, ce,"
+            "  CASE WHEN max(ce) OVER (PARTITION BY user_id ORDER BY cs, ce"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL"
+            "   OR cs > max(ce) OVER (PARTITION BY user_id ORDER BY cs, ce"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END flg"
+            "  FROM iv),"
+            " g AS (SELECT *, sum(flg) OVER (PARTITION BY user_id ORDER BY cs, ce"
+            "  ROWS UNBOUNDED PRECEDING) island FROM f)"
+            " SELECT user_id, min(cs) char_start, max(ce) char_end"
+            " FROM g GROUP BY user_id, island"
+        ),
+        "x2_interval_xor": (
+            "WITH a AS (SELECT user_id, value s, value+5.0 e FROM events WHERE event_type='click'),"
+            " b AS (SELECT user_id, value s, value+20.0 e FROM events WHERE event_type='view'),"
+            " ev AS (SELECT user_id, s pos, 1 da, 0 db FROM a"
+            "  UNION ALL SELECT user_id, e, -1, 0 FROM a"
+            "  UNION ALL SELECT user_id, s, 0, 1 FROM b"
+            "  UNION ALL SELECT user_id, e, 0, -1 FROM b),"
+            " m AS (SELECT user_id, pos, sum(da) da, sum(db) db FROM ev GROUP BY 1, 2),"
+            " r AS (SELECT user_id, pos,"
+            "  sum(da) OVER (PARTITION BY user_id ORDER BY pos ROWS UNBOUNDED PRECEDING) cov_a,"
+            "  sum(db) OVER (PARTITION BY user_id ORDER BY pos ROWS UNBOUNDED PRECEDING) cov_b,"
+            "  lead(pos) OVER (PARTITION BY user_id ORDER BY pos) next_pos FROM m)"
+            " SELECT user_id, CAST(round(sum(CASE WHEN next_pos IS NOT NULL"
+            "  AND ((cov_a > 0) <> (cov_b > 0)) THEN next_pos - pos ELSE 0 END)) AS BIGINT) xor_len"
+            " FROM r GROUP BY user_id"
+        ),
+        "a6_min_xor_candidate": (
+            "WITH cands AS (SELECT user_id, CAST(event_id % 3 AS INT) candidate_id,"
+            "  value s, value+5.0 e FROM events WHERE event_type='click'),"
+            " cand_ids AS (SELECT DISTINCT user_id, candidate_id FROM cands),"
+            " tgt AS (SELECT ci.user_id, ci.candidate_id, v.value s, v.value+20.0 e"
+            "  FROM (SELECT user_id, value FROM events WHERE event_type='view') v"
+            "  JOIN cand_ids ci ON v.user_id = ci.user_id),"
+            " ev AS (SELECT user_id, candidate_id, s pos, 1 da, 0 db FROM cands"
+            "  UNION ALL SELECT user_id, candidate_id, e, -1, 0 FROM cands"
+            "  UNION ALL SELECT user_id, candidate_id, s, 0, 1 FROM tgt"
+            "  UNION ALL SELECT user_id, candidate_id, e, 0, -1 FROM tgt),"
+            " m AS (SELECT user_id, candidate_id, pos, sum(da) da, sum(db) db FROM ev GROUP BY 1,2,3),"
+            " r AS (SELECT user_id, candidate_id, pos,"
+            "  sum(da) OVER (PARTITION BY user_id, candidate_id ORDER BY pos ROWS UNBOUNDED PRECEDING) cov_a,"
+            "  sum(db) OVER (PARTITION BY user_id, candidate_id ORDER BY pos ROWS UNBOUNDED PRECEDING) cov_b,"
+            "  lead(pos) OVER (PARTITION BY user_id, candidate_id ORDER BY pos) next_pos FROM m),"
+            " x AS (SELECT user_id, candidate_id, CAST(round(sum(CASE WHEN next_pos IS NOT NULL"
+            "  AND ((cov_a > 0) <> (cov_b > 0)) THEN next_pos - pos ELSE 0 END)) AS BIGINT) xor_len"
+            "  FROM r GROUP BY 1, 2),"
+            " best AS (SELECT *, row_number() OVER (PARTITION BY user_id"
+            "  ORDER BY xor_len ASC, candidate_id ASC) rn FROM x)"
+            " SELECT user_id, candidate_id, xor_len FROM best WHERE rn = 1"
+        ),
+        "u4_refine_hysteresis": (
+            "WITH nodes AS (SELECT user_id, CAST(row_number() OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id) AS INT) node_id,"
+            "  value/500.0 score FROM events),"
+            " blocks AS (SELECT DISTINCT user_id, 0 block_id, 3 node_start, 12 node_end FROM events),"
+            " near AS (SELECT n.user_id, n.node_id, n.score, b.block_id, b.node_start, b.node_end"
+            "  FROM nodes n JOIN blocks b ON n.user_id = b.user_id"
+            "  WHERE n.node_id >= b.node_start - 1 AND n.node_id <= b.node_end + 1),"
+            " q AS (SELECT *, (node_id BETWEEN node_start AND node_end) inside FROM near"
+            "  WHERE ((node_id BETWEEN node_start AND node_end) AND score >= 0.3)"
+            "   OR (NOT (node_id BETWEEN node_start AND node_end) AND score >= 0.7)),"
+            " runs AS (SELECT *, CASE WHEN node_id - lag(node_id) OVER ("
+            "  PARTITION BY user_id, block_id ORDER BY node_id) > 1 THEN 1 ELSE 0 END flg FROM q),"
+            " runs2 AS (SELECT *, sum(flg) OVER (PARTITION BY user_id, block_id"
+            "  ORDER BY node_id ROWS UNBOUNDED PRECEDING) run FROM runs),"
+            " core AS (SELECT user_id, block_id, run, min(node_id) rs, max(node_id) re"
+            "  FROM runs2 GROUP BY 1, 2, 3"
+            "  HAVING max(CASE WHEN inside THEN 1 ELSE 0 END) = 1)"
+            " SELECT user_id, block_id, CAST(min(rs) AS INT) node_start,"
+            "  CAST(max(re) AS INT) node_end FROM core GROUP BY 1, 2"
+        ),
+        "j4_merge_spans_gap": (
+            "WITH iv AS (SELECT user_id, value cs, value+10.0 ce FROM events"
+            "  WHERE event_type = 'error'),"
+            " f AS (SELECT user_id, cs, ce, CASE WHEN cs - lag(ce) OVER ("
+            "  PARTITION BY user_id ORDER BY cs, ce) > 50.0 THEN 1 ELSE 0 END flg FROM iv),"
+            " g AS (SELECT *, sum(flg) OVER (PARTITION BY user_id ORDER BY cs, ce"
+            "  ROWS UNBOUNDED PRECEDING) sess FROM f)"
+            " SELECT user_id, min(cs) char_start, max(ce) char_end"
+            " FROM g GROUP BY user_id, sess"
+        ),
+        "s4_yolo_labels": (
+            "SELECT o_orderkey, printf('%d %.6f %.6f %.6f %.6f',"
+            " CAST(o_orderkey % 3 AS INT),"
+            " (o_orderkey % 64)/64.0, (o_custkey % 64)/64.0,"
+            " (1 + o_orderkey % 32)/64.0, (1 + o_custkey % 32)/64.0) AS \"label\""
+            " FROM orders"
+        ),
+        "s5_line_poly": (
+            "SELECT o_orderkey, array_to_string(["
+            " CAST(o_orderkey % 97 AS INT), CAST(o_custkey % 89 AS INT),"
+            " CAST(o_orderkey % 97 + 10 AS INT), CAST(o_custkey % 89 AS INT),"
+            " CAST(o_orderkey % 97 + 10 AS INT), CAST(o_custkey % 89 + 5 AS INT),"
+            " CAST(o_orderkey % 97 AS INT), CAST(o_custkey % 89 + 5 AS INT)], ' ') poly"
+            " FROM orders"
+        ),
+        "grouping_sets_report": (
+            "SELECT event_type, user_id % 10 AS ubucket, count(*) AS cnt,"
+            " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sumv"
+            " FROM events"
+            " GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id, octet_length(encode(text)) n_bytes,"
+            " sha256(text) sha256,"
+            " 'application/octet-stream' sniffed_mime FROM documents"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT vec_id query_id, embedding qv FROM embeddings WHERE vec_id < 10),"

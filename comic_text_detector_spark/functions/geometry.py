@@ -1,0 +1,101 @@
+"""Box/polygon geometry as pure column expressions (SURVEY.md §2.8 F-group).
+
+Every function here mirrors a reference scalar function; all are
+whole-stage-codegen'd arithmetic — no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def union_area(
+    ax1: Column, ay1: Column, ax2: Column, ay2: Column,
+    bx1: Column, by1: Column, bx2: Column, by2: Column,
+) -> Column:
+    """F1 rect intersection area, -1 when disjoint (reference
+    utils/imgproc_utils.py:13-20 returns -1 for non-overlapping boxes)."""
+    iw = F.least(ax2, bx2) - F.greatest(ax1, bx1)
+    ih = F.least(ay2, by2) - F.greatest(ay1, by1)
+    return F.when((iw > 0) & (ih > 0), iw * ih).otherwise(F.lit(-1.0))
+
+
+def iou(
+    ax1, ay1, ax2, ay2, bx1, by1, bx2, by2,
+) -> Column:
+    """Box IoU (reference utils/yolov5_utils.py:100-122)."""
+    iw = F.greatest(F.least(ax2, bx2) - F.greatest(ax1, bx1), F.lit(0.0))
+    ih = F.greatest(F.least(ay2, by2) - F.greatest(ay1, by1), F.lit(0.0))
+    inter = iw * ih
+    ua = (ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) - inter
+    return inter / ua
+
+
+def xywh2xyxy(cx: Column, cy: Column, w: Column, h: Column) -> list[Column]:
+    """F3 center-format → corner-format (utils/yolov5_utils.py:220-227)."""
+    return [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2]
+
+
+def xyxy2xywh(x1: Column, y1: Column, x2: Column, y2: Column) -> list[Column]:
+    return [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1]
+
+
+def xyxy2yolo(
+    x1: Column, y1: Column, x2: Column, y2: Column, page_w: Column, page_h: Column
+) -> list[Column]:
+    """F3 normalize to yolo (cx, cy, w, h) in [0,1]
+    (utils/imgproc_utils.py:39-51)."""
+    cx, cy, w, h = xyxy2xywh(x1, y1, x2, y2)
+    return [cx / page_w, cy / page_h, w / page_w, h / page_h]
+
+
+def yolo2xyxy(
+    cx: Column, cy: Column, w: Column, h: Column, page_w: Column, page_h: Column
+) -> list[Column]:
+    """F3 denormalize (utils/imgproc_utils.py:53-66)."""
+    return xywh2xyxy(cx * page_w, cy * page_h, w * page_w, h * page_h)
+
+
+def clip_box(
+    x1: Column, y1: Column, x2: Column, y2: Column, page_w: Column, page_h: Column
+) -> list[Column]:
+    """P9 clip-to-page (inference.py:163-172 semantics)."""
+    z = F.lit(0.0)
+    return [
+        F.greatest(z, F.least(x1, page_w)),
+        F.greatest(z, F.least(y1, page_h)),
+        F.greatest(z, F.least(x2, page_w)),
+        F.greatest(z, F.least(y2, page_h)),
+    ]
+
+
+def expand_window(
+    x1: Column, y1: Column, x2: Column, y2: Column, page_w: Column, page_h: Column
+) -> list[Column]:
+    """F7 expand_textwindow (utils/imgproc_utils.py:151-161): pad the box by
+    (max(h,w)*0.25 + min(h,w)*0.75) / 16, clipped to the page."""
+    w = x2 - x1
+    h = y2 - y1
+    pad = (F.greatest(h, w) * 0.25 + F.least(h, w) * 0.75) / 16.0
+    return clip_box(x1 - pad, y1 - pad, x2 + pad, y2 + pad, page_w, page_h)
+
+
+def rotate_polygon(pts: Column, cx: Column, cy: Column, angle_rad: Column) -> Column:
+    """F4 rotate_polygons (utils/imgproc_utils.py:68-84): rotate an
+    array<array<double>> of [x, y] points about (cx, cy)."""
+    cos, sin = F.cos(angle_rad), F.sin(angle_rad)
+    return F.transform(
+        pts,
+        lambda p: F.array(
+            cx + (p[0] - cx) * cos - (p[1] - cy) * sin,
+            cy + (p[0] - cx) * sin + (p[1] - cy) * cos,
+        ),
+    )
+
+
+def block_angle(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """F12 block geometry (utils/textblock.py:302-342): atan2 edge angle in
+    degrees, snapped to 0 when |angle| < 3."""
+    deg = F.degrees(F.atan2(y2 - y1, x2 - x1))
+    return F.when(F.abs(deg) < 3, F.lit(0.0)).otherwise(deg)

@@ -1,0 +1,72 @@
+"""Structured Streaming analogs (SURVEY.md §2.10).
+
+The north_rule asks for checkpointed BATCH (plans/runner.py is the primary
+path); these exist for completeness of the operator inventory:
+
+* ``extract_stream`` — documents arriving as files → watermarked dedup of
+  repeat captures → the same fused extraction via foreachBatch → parquet
+  sink with a checkpoint (exactly-once via the streaming commit log).
+* ``session_counts_stream`` — the streaming form of W3 gap sessionization:
+  ``session_window`` event-time aggregation with a watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.extract import extract_fused
+from ..schemas import DOCUMENTS_SCHEMA
+
+
+def extract_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """File-stream extraction.
+
+    Duplicate captures of one url are resolved WITHIN each micro-batch by
+    the same as-of rule as the batch path (latest warc_ts wins) — streaming
+    dropDuplicates would keep an arbitrary capture. Cross-batch duplicates
+    are a documented streaming caveat (exactly-once per url across the whole
+    table is the batch runner's job); the watermark bounds replay state.
+    """
+    from ..operators.dedup import asof_dedup
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .parquet(input_dir)
+        .withWatermark("warc_ts", watermark)
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        extract_fused(asof_dedup(batch_df)).write.mode("append").parquet(output_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def session_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """W3's streaming form: session_window over event time per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

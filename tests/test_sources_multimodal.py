@@ -1,0 +1,153 @@
+"""Sources/sinks (S-group), multimodal binary plumbing, streaming analogs."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from comic_text_detector_spark.multimodal.binary_ops import (
+    decode_image_meta,
+    media_stats,
+    sample_frames,
+)
+from comic_text_detector_spark.sources.readers import (
+    paired_scan,
+    parse_blocks_json,
+    read_raw_pages,
+)
+from comic_text_detector_spark.sources.sinks import (
+    blocks_json,
+    line_poly_rows,
+    yolo_label_lines,
+)
+
+
+def test_raw_page_source_binaryfile(spark, tmp_path):
+    p = tmp_path / "pages"
+    p.mkdir()
+    (p / "a.html").write_bytes(b"<p>hello page one content here</p>")
+    (p / "b.html").write_bytes(b"<p>second page content</p>")
+    df = read_raw_pages(spark, str(p))
+    rows = {r.url.split("/")[-1]: bytes(r.html) for r in df.collect()}
+    assert rows["a.html"].startswith(b"<p>hello")
+    assert len(rows) == 2
+
+
+def test_blocks_json_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("u1", [(0, 0, 10, 0.9, "eng", False, 12.0, 0, ["hello"])])],
+        "url string, blocks array<struct<block_id:int,char_start:int,char_end:int,"
+        "conf:double,language:string,vertical:boolean,font_size:double,angle:int,"
+        "text:array<string>>>",
+    )
+    js = df.select("url", blocks_json(F.col("blocks")).alias("j"))
+    back = js.select("url", parse_blocks_json(F.col("j")).alias("blocks"))
+    row = back.collect()[0]
+    assert row.blocks[0].language == "eng" and row.blocks[0].text == ["hello"]
+    # tolerant re-read: unknown fields ignored (the **kwargs analog)
+    extra = spark.createDataFrame(
+        [('[{"block_id":1,"char_start":2,"char_end":3,"UNKNOWN_FIELD":42}]',)],
+        "j string",
+    )
+    got = extra.select(parse_blocks_json(F.col("j")).alias("b")).collect()[0]
+    assert got.b[0].block_id == 1 and got.b[0].conf is None
+
+
+def test_yolo_label_and_poly_sinks(spark):
+    df = spark.createDataFrame([(0, 0.5, 0.25, 0.1, 0.2)], "cls int, cx double, cy double, w double, h double")
+    line = df.select(
+        yolo_label_lines(F.col("cls"), F.col("cx"), F.col("cy"), F.col("w"), F.col("h")).alias("l")
+    ).collect()[0].l
+    assert line == "0 0.500000 0.250000 0.100000 0.200000"
+    poly = spark.createDataFrame(
+        [([[0.0, 1.0], [2.0, 3.0], [4.0, 5.0], [6.0, 7.0]],)],
+        "pts array<array<double>>",
+    )
+    row = poly.select(line_poly_rows(F.col("pts")).alias("r")).collect()[0].r
+    assert row == "0 1 2 3 4 5 6 7"
+
+
+def test_paired_scan_join(spark):
+    imgs = spark.createDataFrame([("x.jpg", 1), ("y.jpg", 2)], "path string, v int")
+    masks = spark.createDataFrame(
+        [("mask-x.png", 10), ("mask-y.png", 20)], "mpath string, mv int"
+    )
+    out = paired_scan(
+        imgs,
+        masks,
+        F.regexp_replace("path", r"\.jpg$", ""),
+        F.regexp_replace(F.regexp_replace("mpath", r"^mask-", ""), r"\.png$", ""),
+    )
+    got = {(r.path, r.mpath) for r in out.collect()}
+    assert got == {("x.jpg", "mask-x.png"), ("y.jpg", "mask-y.png")}
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        ("m1", b"\x89PNG\r\n" + b"z" * 300, "image/png"),
+        ("m2", b"\xff\xd8\xff\xe0" + b"q" * 100, "image/jpeg"),
+        ("m3", b"garbage", "application/octet-stream"),
+    ]
+    return spark.createDataFrame(rows, "media_id string, media binary, mime string")
+
+
+def test_media_stats_and_sniff(spark, media_df):
+    out = {r.media_id: r for r in media_stats(media_df).collect()}
+    assert out["m1"].sniffed_mime == "image/png"
+    assert out["m2"].sniffed_mime == "image/jpeg"
+    assert out["m3"].sniffed_mime == "application/octet-stream"
+    assert out["m1"].n_bytes == 306
+    assert len(out["m1"].sha256) == 64
+
+
+def test_decode_stub_plumbing(spark, media_df, monkeypatch):
+    monkeypatch.setenv("CTD_FAKE_DECODE", "1")
+    out = {r.media_id: r for r in decode_image_meta(media_df).collect()}
+    assert set(out) == {"m1", "m2", "m3"}
+    assert all(r.ok for r in out.values())
+    assert out["m1"].width >= 64 and out["m1"].channels == 3
+    frames = sample_frames(media_df, every_n=1).collect()
+    assert {f.media_id for f in frames} == {"m1", "m2", "m3"}
+    m1_frames = [f for f in frames if f.media_id == "m1"]
+    assert m1_frames[0].frame_idx == 0 and len(bytes(m1_frames[0].frame)) > 0
+
+
+def test_streaming_extract_matches_batch(spark, tmp_path):
+    from comic_text_detector_spark.fixtures import corpus_df
+    from comic_text_detector_spark.operators.dedup import asof_dedup
+    from comic_text_detector_spark.plans.extract import extract_fused
+    from comic_text_detector_spark.streaming.stream_extract import extract_stream
+
+    docs = corpus_df(spark, 30)
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    docs.write.parquet(in_dir)
+    q = extract_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    expected = extract_fused(asof_dedup(docs))
+    assert got.count() == expected.count()
+    diff = (
+        got.withColumnRenamed("text", "t1")
+        .join(expected.withColumnRenamed("text", "t2"), "url")
+        .filter(F.col("t1") != F.col("t2"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_session_window_stream_shape(spark):
+    from comic_text_detector_spark.streaming.stream_extract import (
+        session_counts_stream,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00"), (1, "2026-01-01 00:10:00"), (1, "2026-01-01 02:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = session_counts_stream(ev).collect()  # batch DF: runs eagerly
+    assert sorted(r.n_events for r in out) == [1, 2]
