@@ -478,7 +478,88 @@ def _q_multimodal_meta(spark, sf_dir):
     )
 
 
+def _q_asof_join_events(spark, sf_dir):
+    """Each click joined to the latest at-or-before view per user."""
+    from comic_text_detector_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("value").alias("cv")
+    )
+    # tie-break duplicate (user, value) pairs deterministically: a sub-cent
+    # offset keeps the as-of order total without touching real ordering
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        (F.col("value") + F.col("event_id") / 1e12).alias("vv"),
+    )
+    out = asof_join(clicks, views, "user_id", "cv", "vv", ["view_id"])
+    return out.select("user_id", "click_id", "right_view_id")
+
+
+def _q_tpch_q3(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(
+        _dec_sum("l_extendedprice", "revenue"), F.count("*").alias("n_items")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("l_orderkey", "o_orderdate", "revenue", "n_items",
+                F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _q_tpch_q5ish(spark, sf_dir):
+    """Multi-join through the dimension chain (join-reorder exercise):
+    lineitem⋈orders⋈customer⋈nation⋈region, revenue per nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        _dec_sum("l_extendedprice", "revenue"), F.count("*").alias("n_items")
+    )
+
+
+def _q_approx_distinct_urls(spark, sf_dir):
+    """Dedup accounting: approx vs exact distinct (approx is rows-only
+    checked — HLL sketches differ across engines by design)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.approx_count_distinct("text").alias("approx_distinct"),
+        F.count_distinct("text").alias("exact_distinct"),
+    )
+
+
 # --- rows-only checked (approximate / engine-hash-seeded) ---
+
+
+def _q_a4_topk_separated(spark, sf_dir):
+    from comic_text_detector_spark.operators.topk_apart import topk_separated
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.col("value") / 10).cast("double").alias("bucket")
+    )
+    return topk_separated(ev, "user_id", "bucket", k=3, min_gap=3.0)
 
 
 def _q_j2_nms_spans(spark, sf_dir):
@@ -574,6 +655,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "j2_nms_spans": _q_j2_nms_spans,
         "j4_merge_blocks": _q_j4_merge_blocks,
+        "asof_join_events": _q_asof_join_events,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5ish": _q_tpch_q5ish,
+        "approx_distinct_urls": _q_approx_distinct_urls,
+        "a4_topk_separated": _q_a4_topk_separated,
     }
 
 
@@ -856,6 +942,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, octet_length(encode(text)) n_bytes,"
             " sha256(text) sha256,"
             " 'application/octet-stream' sniffed_mime FROM documents"
+        ),
+        "asof_join_events": (
+            "WITH clicks AS (SELECT user_id, event_id click_id, value cv"
+            "  FROM events WHERE event_type = 'click'),"
+            " views AS (SELECT user_id, event_id view_id,"
+            "  value + event_id / 1e12 vv FROM events WHERE event_type = 'view')"
+            " SELECT c.user_id, c.click_id, v.view_id AS right_view_id"
+            " FROM clicks c ASOF LEFT JOIN views v"
+            "  ON c.user_id = v.user_id AND c.cv >= v.vv"
+        ),
+        "tpch_q3": (
+            "WITH agg AS (SELECT l_orderkey, o_orderdate,"
+            "  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) revenue,"
+            "  count(*) n_items"
+            "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            "  JOIN customer ON o_custkey = c_custkey"
+            "  WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'"
+            "  GROUP BY l_orderkey, o_orderdate)"
+            " SELECT l_orderkey, o_orderdate, revenue, n_items, CAST(rk AS INT) rk"
+            " FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC,"
+            "  l_orderkey ASC) rk FROM agg) WHERE rk <= 10"
+        ),
+        "tpch_q5ish": (
+            "SELECT r_name, n_name,"
+            " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) revenue,"
+            " count(*) n_items"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " GROUP BY r_name, n_name"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT vec_id query_id, embedding qv FROM embeddings WHERE vec_id < 10),"

@@ -97,9 +97,17 @@ _SCAN = re.compile(
     r"<!--.*?(?:-->|$)"                                    # comment
     r"|<(script|style|textarea|title|noscript)\b[^>]*>"    # rawtext element
     r".*?(?:</\1[^>]*>|$)"
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)[^>]*?(/?)>"            # normal tag
+    # normal tag (fast path: body ends at the first '>'; the rare tag whose
+    # QUOTED attribute value contains '>' is detected by unbalanced quotes
+    # in the body and re-matched with _TAG_SLOW below)
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)([^>]*?)>"
     r"|<[^>]*(?:>|$)",                                     # doctype/PI/junk
     re.S | re.I,
+)
+
+# quote-aware single-tag matcher for the slow path
+_TAG_SLOW = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']+|\"[^\"]*\"|'[^']*')*)>", re.S
 )
 
 
@@ -142,16 +150,32 @@ def tokenize(html_bytes: bytes) -> list[Node]:
         )
         char_pos = start + len(norm)
 
+    skip_until = 0
     for m in _SCAN.finditer(s):
+        if m.start() < skip_until:
+            continue  # inside a slow-path tag's quoted attribute
         if m.start() > last:
             emit(s[last : m.start()])
         last = m.end()
         name = m.group(3)
         if name is None:  # comment / rawtext / junk branch
             continue
+        closing = bool(m.group(2))
+        body = m.group(4)
+        if ('"' in body or "'" in body) and (
+            body.count('"') % 2 or body.count("'") % 2
+        ):
+            # a quoted attribute value containing '>' truncated the fast
+            # match; re-match quote-aware from the same position
+            sm = _TAG_SLOW.match(s, m.start())
+            if sm is not None:
+                skip_until = last = sm.end()
+                closing = bool(sm.group(1))
+                name = sm.group(2)
+                body = sm.group(3)
         if not name.islower():
             name = name.lower()
-        if m.group(2):  # closing tag
+        if closing:  # closing tag
             if name in stack:
                 while stack:
                     t = stack.pop()
@@ -164,7 +188,7 @@ def tokenize(html_bytes: bytes) -> list[Node]:
                     if t == name:
                         break
         else:
-            if name in VOID_TAGS or m.group(4):
+            if name in VOID_TAGS or body.endswith("/"):
                 continue
             stack.append(name)
             if name in BOILER_TAGS:

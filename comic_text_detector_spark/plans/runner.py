@@ -106,20 +106,40 @@ def run_extract(
     num_partitions: int = 64,
     num_chunks: int = 4,
     stop_after_chunks: int | None = None,
+    salt_hot_hosts: bool = False,
+    hot_row_threshold: int = 10_000,
 ) -> dict:
     """Run (or resume) the extraction job.
 
     ``stop_after_chunks`` is the fault-injection hook for the resumability
     test: the driver stops after N chunk commits, simulating a crash.
+
+    ``salt_hot_hosts``: partition on the salted host key instead of raw url
+    hash. Raw xxhash64(url) already spreads rows uniformly; the salted mode
+    matters when byte-skew concentrates in a host (many huge pages from one
+    site) or when downstream wants host-affinity — hot hosts then spread
+    over n_salts partitions while cold hosts stay co-located.
     Returns a summary dict.
     """
     data_dir = os.path.join(output_dir, "extracted")
     metrics_dir = os.path.join(output_dir, "metrics")
 
-    docs = asof_dedup(documents).withColumn(
-        "partition_id",
-        F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("int"),
-    )
+    docs = asof_dedup(documents)
+    if salt_hot_hosts:
+        from ..operators.salting import salted_partition_key
+
+        docs = salted_partition_key(
+            docs, n_salts=max(2, num_partitions // 4),
+            row_threshold=hot_row_threshold,
+        ).withColumn(
+            "partition_id",
+            F.pmod(F.xxhash64("salt_key"), F.lit(num_partitions)).cast("int"),
+        ).drop("host", "salt_key")
+    else:
+        docs = docs.withColumn(
+            "partition_id",
+            F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("int"),
+        )
     done = completed_partitions(spark, data_dir)
     chunks_run = 0
     for chunk in range(num_chunks):
