@@ -550,6 +550,88 @@ def _q_approx_distinct_urls(spark, sf_dir):
     )
 
 
+def _q_a2_masked_mean(spark, sf_dir):
+    """A2 conditional (masked) mean: avg restricted to a predicate."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    s = F.sum(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.col("value").cast("decimal(18,2)"),
+        )
+    ).cast("double")
+    return ev.groupBy("user_id").agg(
+        (s / F.nullif(cnt, F.lit(0))).alias("masked_mean"),
+        cnt.cast("bigint").alias("n_masked"),
+    )
+
+
+def _q_a7_orientation(spark, sf_dir):
+    """A7 vector-sum orientation: vertical iff sum|dy| > 2 * sum|dx|."""
+    ev = _t(spark, sf_dir, "events")
+    sdx = F.sum(F.abs(F.col("value").cast("decimal(18,2)")))
+    sdy = F.sum(F.abs((F.col("event_id") % 7).cast("decimal(18,2)")))
+    return ev.groupBy("user_id").agg(
+        (sdy > sdx * 2).alias("vertical"),
+        sdx.cast("double").alias("sum_dx"),
+    )
+
+
+def _q_f11_hex2rgb(spark, sf_dir):
+    from comic_text_detector_spark.functions.geometry import hex2rgb
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        hex2rgb((F.col("o_orderkey") * 2654435761 % 16777216)).alias("rgb"),
+    )
+
+
+def _q_f15_alignment(spark, sf_dir):
+    from comic_text_detector_spark.functions.textstats import infer_alignment
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("value").alias("left_x"),
+        (F.col("value") + (F.col("event_id") % 5).cast("double")).alias("center_x"),
+    )
+    return infer_alignment(ev, "user_id", "left_x", "center_x")
+
+
+def _q_s11_parse_ann(spark, sf_dir):
+    from comic_text_detector_spark.sources.readers import parse_ann_line
+
+    o = _t(spark, sf_dir, "orders")
+    x1 = F.col("o_orderkey") % 97
+    y1 = F.col("o_custkey") % 89
+    line = F.concat_ws(
+        " ",
+        x1, y1, x1 + 10, y1, x1 + 10, y1 + 5, x1, y1 + 5,
+    )
+    return o.select(
+        "o_orderkey", parse_ann_line(line, F.lit(128.0), F.lit(128.0)).alias("pts")
+    )
+
+
+def _q_j6_eval_prf(spark, sf_dir):
+    """J6/A11 evaluator over planted spans: predictions = golden shifted for
+    half the users (IoU ~0.82 → still matched) and dropped for id%7==0."""
+    from comic_text_detector_spark.plans.eval import evaluate_extraction
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    golden = ev.select(
+        F.col("user_id").cast("string").alias("url"),
+        F.col("value").cast("int").alias("char_start"),
+        (F.col("value").cast("int") + 100).alias("char_end"),
+    )
+    predicted = ev.filter(F.col("event_id") % 7 != 0).select(
+        F.col("user_id").cast("string").alias("url"),
+        (F.col("value").cast("int") + F.when(F.col("event_id") % 2 == 0, 10).otherwise(0)).alias("char_start"),
+        (F.col("value").cast("int") + 100 + F.when(F.col("event_id") % 2 == 0, 10).otherwise(0)).alias("char_end"),
+    )
+    return evaluate_extraction(golden, predicted)
+
+
 # --- rows-only checked (approximate / engine-hash-seeded) ---
 
 
@@ -658,6 +740,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _q_asof_join_events,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5ish": _q_tpch_q5ish,
+        "a2_masked_mean": _q_a2_masked_mean,
+        "a7_orientation": _q_a7_orientation,
+        "f11_hex2rgb": _q_f11_hex2rgb,
+        "f15_alignment": _q_f15_alignment,
+        "s11_parse_ann": _q_s11_parse_ann,
+        "j6_eval_prf": _q_j6_eval_prf,
         "approx_distinct_urls": _q_approx_distinct_urls,
         "a4_topk_separated": _q_a4_topk_separated,
     }
@@ -942,6 +1030,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, octet_length(encode(text)) n_bytes,"
             " sha256(text) sha256,"
             " 'application/octet-stream' sniffed_mime FROM documents"
+        ),
+        "a2_masked_mean": (
+            "SELECT user_id,"
+            " CAST(sum(CASE WHEN event_type = 'purchase'"
+            "  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)"
+            "  / nullif(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0)"
+            "  AS masked_mean,"
+            " CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_masked"
+            " FROM events GROUP BY user_id"
+        ),
+        "a7_orientation": (
+            "SELECT user_id,"
+            " sum(abs(CAST(event_id % 7 AS DECIMAL(18,2))))"
+            "  > sum(abs(CAST(value AS DECIMAL(18,2)))) * 2 AS vertical,"
+            " CAST(sum(abs(CAST(value AS DECIMAL(18,2)))) AS DOUBLE) AS sum_dx"
+            " FROM events GROUP BY user_id"
+        ),
+        "f11_hex2rgb": (
+            "SELECT o_orderkey, ["
+            " (o_orderkey * 2654435761 % 16777216) >> 16 & 255,"
+            " (o_orderkey * 2654435761 % 16777216) >> 8 & 255,"
+            " (o_orderkey * 2654435761 % 16777216) & 255] rgb"
+            " FROM orders"
+        ),
+        "f15_alignment": (
+            "WITH s AS (SELECT user_id, stddev_samp(value) sl,"
+            " stddev_samp(value + CAST(event_id % 5 AS DOUBLE)) sc"
+            " FROM events GROUP BY user_id)"
+            " SELECT user_id, CASE WHEN sl <= sc THEN 'left' ELSE 'center' END alignment"
+            " FROM s"
+        ),
+        "s11_parse_ann": (
+            "SELECT o_orderkey, ["
+            " [CAST(o_orderkey % 97 AS DOUBLE)/128.0, CAST(o_custkey % 89 AS DOUBLE)/128.0],"
+            " [CAST(o_orderkey % 97 + 10 AS DOUBLE)/128.0, CAST(o_custkey % 89 AS DOUBLE)/128.0],"
+            " [CAST(o_orderkey % 97 + 10 AS DOUBLE)/128.0, CAST(o_custkey % 89 + 5 AS DOUBLE)/128.0],"
+            " [CAST(o_orderkey % 97 AS DOUBLE)/128.0, CAST(o_custkey % 89 + 5 AS DOUBLE)/128.0]] pts"
+            " FROM orders"
         ),
         "asof_join_events": (
             "WITH clicks AS (SELECT user_id, event_id click_id, value cv"

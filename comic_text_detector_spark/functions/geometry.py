@@ -94,6 +94,16 @@ def rotate_polygon(pts: Column, cx: Column, cy: Column, angle_rad: Column) -> Co
     )
 
 
+def hex2rgb(color: Column) -> Column:
+    """F11 hex color bit-unpack (reference utils/imgproc_utils.py:5-11):
+    int color → [r, g, b] via shift/mask exprs."""
+    return F.array(
+        F.shiftright(color, 16).bitwiseAND(F.lit(255)),
+        F.shiftright(color, 8).bitwiseAND(F.lit(255)),
+        color.bitwiseAND(F.lit(255)),
+    )
+
+
 def block_angle(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     """F12 block geometry (utils/textblock.py:302-342): atan2 edge angle in
     degrees, snapped to 0 when |angle| < 3."""

@@ -107,6 +107,24 @@ def kgram_fingerprints(
     )
 
 
+def infer_alignment(
+    df: DataFrame, group_col: str, left_x: str, center_x: str
+) -> DataFrame:
+    """F15 alignment inference (reference utils/textblock.py:233-253): per
+    group, compare the sample stddev of line left-x vs center-x; the steadier
+    one wins ('left' when std(left) <= std(center), else 'center')."""
+    agg = df.groupBy(group_col).agg(
+        F.stddev_samp(left_x).alias("std_left"),
+        F.stddev_samp(center_x).alias("std_center"),
+    )
+    return agg.select(
+        group_col,
+        F.when(F.col("std_left") <= F.col("std_center"), F.lit("left"))
+        .otherwise(F.lit("center"))
+        .alias("alignment"),
+    )
+
+
 def reading_order_weight(
     x1: Column, y1: Column, page_w: Column, page_h: Column, right_to_left: bool = False
 ) -> Column:

@@ -1,0 +1,112 @@
+"""J6/A11 evaluation harness: golden↔predicted greedy matching + global PRF.
+
+The reference's DetectionIoUEvaluator matches ground-truth to detections by
+IoU >= 0.5, first-come-first-served in index order (utils/db_utils.py:347-378)
+and combines per-image counters into precision/recall/hmean
+(``combine_results``, :415-435; pixel P/R/F1 at train_seg.py:38-55). The
+engine recast is span-IoU over (url, char_start, char_end): it is the
+diagnostic when byte-identity fails (SURVEY.md §5.2 item 3).
+
+Greedy first-come matching is sequential per url → grouped pandas UDF on
+tiny per-url sets; the global counters are one agg (A11's shape is exactly
+``sum()`` + scalar projections).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IOU_THRES = 0.5  # reference utils/db_utils.py:356
+
+
+def _span_iou(a_s: int, a_e: int, b_s: int, b_e: int) -> float:
+    inter = max(0, min(a_e, b_e) - max(a_s, b_s))
+    union = (a_e - a_s) + (b_e - b_s) - inter
+    return inter / union if union > 0 else 0.0
+
+
+def match_counts(
+    golden: DataFrame,
+    predicted: DataFrame,
+    group_col: str = "url",
+    start: str = "char_start",
+    end: str = "char_end",
+    iou_thres: float = IOU_THRES,
+) -> DataFrame:
+    """(url, tp, n_gt, n_pred) via per-url greedy first-come matching."""
+    g = golden.select(
+        F.col(group_col).alias("g"),
+        F.col(start).alias("gs"),
+        F.col(end).alias("ge"),
+        F.lit(1).alias("is_gt"),
+    )
+    p = predicted.select(
+        F.col(group_col).alias("g"),
+        F.col(start).alias("gs"),
+        F.col(end).alias("ge"),
+        F.lit(0).alias("is_gt"),
+    )
+    both = g.unionByName(p)
+
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        gts = pdf[pdf["is_gt"] == 1].sort_values(["gs", "ge"]).to_numpy()
+        preds = pdf[pdf["is_gt"] == 0].sort_values(["gs", "ge"]).to_numpy()
+        used = [False] * len(preds)
+        tp = 0
+        for grow in gts:
+            for j, prow in enumerate(preds):
+                if used[j]:
+                    continue
+                if _span_iou(grow[1], grow[2], prow[1], prow[2]) >= iou_thres:
+                    used[j] = True
+                    tp += 1
+                    break
+        return pd.DataFrame(
+            {
+                "url": [pdf["g"].iloc[0]],
+                "tp": [tp],
+                "n_gt": [len(gts)],
+                "n_pred": [len(preds)],
+            }
+        )
+
+    return both.groupBy("g").applyInPandas(
+        match_group, "url string, tp long, n_gt long, n_pred long"
+    )
+
+
+def prf(counts: DataFrame) -> DataFrame:
+    """Global precision/recall/hmean from per-url counters (A11)."""
+    agg = counts.agg(
+        F.sum("tp").alias("tp"),
+        F.sum("n_gt").alias("n_gt"),
+        F.sum("n_pred").alias("n_pred"),
+    )
+    precision = F.when(
+        F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    recall = F.when(F.col("n_gt") > 0, F.col("tp") / F.col("n_gt")).otherwise(
+        F.lit(0.0)
+    )
+    return agg.select(
+        "tp",
+        "n_gt",
+        "n_pred",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        F.when(
+            precision + recall > 0,
+            2 * precision * recall / (precision + recall),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("hmean"),
+    )
+
+
+def evaluate_extraction(
+    golden_spans: DataFrame, predicted_spans: DataFrame
+) -> DataFrame:
+    """One-call wrapper: the QuadMetric.measure analog."""
+    return prf(match_counts(golden_spans, predicted_spans))

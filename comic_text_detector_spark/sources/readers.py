@@ -68,6 +68,24 @@ def parse_blocks_json(col) -> F.Column:
     return F.from_json(col, T.ArrayType(BLOCK_JSON_SCHEMA))
 
 
+def parse_ann_line(line_col, page_w=None, page_h=None):
+    """S11 annotation-line parse (reference db_dataset.py:224-230):
+    'x1 y1 x2 y2 x3 y3 x4 y4' text → array of 4 [x, y] pairs, optionally
+    normalized to relative coordinates. split + cast + transform — no UDF."""
+    flat = F.transform(F.split(line_col, " "), lambda v: v.cast("double"))
+    pts = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda i: F.array(
+            F.element_at(flat, i * 2 + 1), F.element_at(flat, i * 2 + 2)
+        ),
+    )
+    if page_w is not None:
+        pts = F.transform(
+            pts, lambda p: F.array(p[0] / page_w, p[1] / page_h)
+        )
+    return pts
+
+
 def paired_scan(
     left: DataFrame, right: DataFrame, derive_left, derive_right,
 ) -> DataFrame:
