@@ -110,6 +110,18 @@ _TAG_SLOW = re.compile(
     r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']+|\"[^\"]*\"|'[^']*')*)>", re.S
 )
 
+# one-lookup tag classification for the hot loop:
+# name -> (is_void, boiler_delta, is_link, is_block)
+_TAG_INFO: dict[str, tuple[bool, int, bool, bool]] = {}
+for _t in VOID_TAGS | BOILER_TAGS | BLOCK_TAGS | {"a"}:
+    _TAG_INFO[_t] = (
+        _t in VOID_TAGS,
+        1 if _t in BOILER_TAGS else 0,
+        _t == "a",
+        _t in BLOCK_TAGS,
+    )
+_TAG_DEFAULT = (False, 0, False, False)
+
 
 def tokenize(html_bytes: bytes) -> list[Node]:
     """One linear scan: html bytes → ordered list of normalized text nodes.
@@ -129,6 +141,8 @@ def tokenize(html_bytes: bytes) -> list[Node]:
 
     def emit(raw_text: str) -> None:
         nonlocal char_pos
+        if raw_text.isspace():
+            return
         norm = unescape(raw_text)
         norm = " ".join(norm.split())
         if not norm:
@@ -151,51 +165,51 @@ def tokenize(html_bytes: bytes) -> list[Node]:
         char_pos = start + len(norm)
 
     skip_until = 0
+    tag_info = _TAG_INFO
+    default = _TAG_DEFAULT
     for m in _SCAN.finditer(s):
-        if m.start() < skip_until:
+        start = m.start()
+        if start < skip_until:
             continue  # inside a slow-path tag's quoted attribute
-        if m.start() > last:
-            emit(s[last : m.start()])
+        if start > last:
+            emit(s[last:start])
         last = m.end()
-        name = m.group(3)
+        closing, name, body = m.group(2, 3, 4)
         if name is None:  # comment / rawtext / junk branch
             continue
-        closing = bool(m.group(2))
-        body = m.group(4)
         if ('"' in body or "'" in body) and (
             body.count('"') % 2 or body.count("'") % 2
         ):
             # a quoted attribute value containing '>' truncated the fast
             # match; re-match quote-aware from the same position
-            sm = _TAG_SLOW.match(s, m.start())
+            sm = _TAG_SLOW.match(s, start)
             if sm is not None:
                 skip_until = last = sm.end()
-                closing = bool(sm.group(1))
-                name = sm.group(2)
-                body = sm.group(3)
+                closing, name, body = sm.group(1, 2, 3)
         if not name.islower():
             name = name.lower()
         if closing:  # closing tag
             if name in stack:
                 while stack:
                     t = stack.pop()
-                    if t in BOILER_TAGS:
-                        boiler_depth -= 1
-                    if t == "a":
+                    info = tag_info.get(t, default)
+                    boiler_depth -= info[1]
+                    if info[2]:
                         link_depth -= 1
-                    if t in BLOCK_TAGS and len(block_stack) > 1:
+                    if info[3] and len(block_stack) > 1:
                         block_stack.pop()
                     if t == name:
                         break
         else:
-            if name in VOID_TAGS or body.endswith("/"):
+            info = tag_info.get(name, default)
+            if info[0] or body.endswith("/"):  # void / self-closing
                 continue
             stack.append(name)
-            if name in BOILER_TAGS:
+            if info[1]:
                 boiler_depth += 1
-            elif name == "a":
+            elif info[2]:
                 link_depth += 1
-            if name in BLOCK_TAGS:
+            if info[3]:
                 block_stack.append((next_block, name))
                 next_block += 1
     if last < len(s):
