@@ -478,6 +478,28 @@ def _q_multimodal_meta(spark, sf_dir):
     )
 
 
+def _q_extract_blocks(spark, sf_dir):
+    """End-to-end block surface: extraction → exploded spans → per-block
+    text slice + language tag (the TextBlock record analog, F22/W1/W2).
+    With the oracle wrap every doc yields exactly one block whose text is
+    the original document text."""
+    out = extract_fused(_wrapped_docs(spark, sf_dir, two_p=True))
+    ex = out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "text",
+        F.explode("spans").alias("s"),
+    )
+    block_text = F.substring(
+        F.col("text"), F.col("s.char_start") + 1, F.col("s.char_end") - F.col("s.char_start")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("s.block_id").alias("block_id"),
+        block_text.alias("block_text"),
+        TS.lang_id(block_text).alias("block_lang"),
+    )
+
+
 def _q_asof_join_events(spark, sf_dir):
     """Each click joined to the latest at-or-before view per user."""
     from comic_text_detector_spark.operators.asof import asof_join
@@ -742,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "j2_nms_spans": _q_j2_nms_spans,
         "j4_merge_blocks": _q_j4_merge_blocks,
+        "extract_blocks": _q_extract_blocks,
         "asof_join_events": _q_asof_join_events,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5ish": _q_tpch_q5ish,
@@ -1035,6 +1058,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, octet_length(encode(text)) n_bytes,"
             " sha256(text) sha256,"
             " 'application/octet-stream' sniffed_mime FROM documents"
+        ),
+        "extract_blocks": (
+            "SELECT doc_id, 0 AS block_id, text AS block_text, CASE"
+            " WHEN len(list_filter(string_split(text,' '), w -> list_contains(['the','a','of','and','is'], w)))"
+            "  > len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','y','es'], w)))"
+            "  AND len(list_filter(string_split(text,' '), w -> list_contains(['the','a','of','and','is'], w))) > 0"
+            "  THEN 'en'"
+            " WHEN len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','y','es'], w)))"
+            "  > len(list_filter(string_split(text,' '), w -> list_contains(['the','a','of','and','is'], w)))"
+            "  AND len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','y','es'], w))) > 0"
+            "  THEN 'es' ELSE 'unknown' END AS block_lang"
+            " FROM documents"
         ),
         "a2_masked_mean": (
             "SELECT user_id,"
