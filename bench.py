@@ -119,39 +119,48 @@ def main() -> None:
     scaling_levels = [8, CPUS] if (RUN_SCALING and CPUS != 8) else [CPUS]
     docs_per_sec: dict[int, float] = {}
     n_docs = 0
-    for cores in scaling_levels:
-        spark = get_session(cores)
-        ensure_corpus(spark)
-        # warm-up: spin up ALL python workers + JIT/codegen before timing
-        from comic_text_detector_spark.plans.extract import extract_fused
+    # Interleave the parallelism levels across rounds: this host shows
+    # ~20-25% hypervisor noise on multi-minute timescales, so measuring
+    # 8-core and 32-core minutes apart confounds scaling with noise.
+    # Best-of per level across alternating rounds cancels it.
+    rounds = 2 if len(scaling_levels) == 2 else 1
+    suite_done = False
+    for rnd in range(rounds):
+        for cores in scaling_levels:
+            spark = get_session(cores)
+            ensure_corpus(spark)
+            # warm-up: spin up ALL python workers + JIT/codegen before timing
+            from comic_text_detector_spark.plans.extract import extract_fused
 
-        warm = (
-            spark.read.parquet(CORPUS_PATH)
-            .sample(0.03, seed=1)
-            .repartition(cores)
-        )
-        extract_fused(warm).count()
-        sec, n_docs = time_extract(spark, trials=3 if cores == CPUS else 2)
-        docs_per_sec[cores] = n_docs / sec
-        if cores == CPUS:
-            results["extract_fused"] = round(sec, 3)
-            # representative operator suite at full parallelism
-            suite = [
-                "tpch_q1",
-                "asof_latest_event",
-                "w3_sessionize_events",
-                "minhash_lsh_pairs",
-                "dedup_exact",
-                "ann_cosine_topk",
-                "fingerprint_kgram",
-            ]
-            qs = entry.queries()
-            for name in suite:
-                t0 = time.time()
-                df = qs[name](spark, SF_DIR)
-                df.selectExpr("count(*)").collect()
-                results[name] = round(time.time() - t0, 3)
-        spark.stop()
+            warm = (
+                spark.read.parquet(CORPUS_PATH)
+                .sample(0.03, seed=1)
+                .repartition(cores)
+            )
+            extract_fused(warm).count()
+            sec, n_docs = time_extract(spark, trials=2)
+            rate = n_docs / sec
+            docs_per_sec[cores] = max(docs_per_sec.get(cores, 0.0), rate)
+            if cores == CPUS and not suite_done:
+                results["extract_fused"] = round(sec, 3)
+                suite = [
+                    "tpch_q1",
+                    "asof_latest_event",
+                    "w3_sessionize_events",
+                    "minhash_lsh_pairs",
+                    "dedup_exact",
+                    "ann_cosine_topk",
+                    "fingerprint_kgram",
+                ]
+                qs = entry.queries()
+                for name in suite:
+                    t0 = time.time()
+                    df = qs[name](spark, SF_DIR)
+                    df.selectExpr("count(*)").collect()
+                    results[name] = round(time.time() - t0, 3)
+                suite_done = True
+            spark.stop()
+    results["extract_fused"] = round(n_docs / docs_per_sec[CPUS], 3)
 
     if len(scaling_levels) == 2:
         lo, hi = scaling_levels
