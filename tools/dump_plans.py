@@ -1,0 +1,104 @@
+"""Regenerate PLANS.md: physical-plan audits of the headline queries.
+
+Keeps each plan's operator tree plus the load-bearing detail lines
+(ReadSchema / PushedFilters / Exchange / Join / Aggregate modes) and elides
+the rest — the full output of the 64-aggregate minhash plan alone is ~50 KB.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+KEY = re.compile(
+    r"ReadSchema|PushedFilters|Location|hashpartitioning|REPARTITION|"
+    r"BroadcastHashJoin|SortMergeJoin|BuildRight|BuildLeft|MapInArrow|"
+    r"ArrowEvalPython|FlatMapGroupsInPandas|Keys|Functions \[|partial"
+)
+
+
+def trim(plan: str, max_tree_lines: int = 30, max_detail: int = 24) -> str:
+    lines = plan.strip().splitlines()
+    split = next(
+        (i for i, ln in enumerate(lines) if ln.startswith("(1)")), len(lines)
+    )
+    tree = lines[:split][:max_tree_lines]
+    detail = [ln for ln in lines[split:] if KEY.search(ln)][:max_detail]
+    return "\n".join(tree + ["", "-- key details --"] + detail)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from comic_text_detector_spark.fixtures import wrap_html_expr
+    from comic_text_detector_spark.plans.extract import extract_fused
+    from comic_text_detector_spark.session import get_spark
+
+    spark = get_spark(master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    fmt = lambda df: df._jdf.queryExecution().explainString(  # noqa: E731
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    wrapped = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        wrap_html_expr(F.col("text")).alias("html"),
+    )
+    sections = [
+        (
+            "Flagship: extract_fused",
+            extract_fused(wrapped, 64),
+            "ONE exchange (explicit xxhash64(url) repartition), column-pruned "
+            "scan (url, html only), single MapInArrow stage. Nothing "
+            "node-granular ever shuffles.",
+        ),
+        (
+            "tpch_q1",
+            e._q_tpch_q1(spark, sf),
+            "Filter pushed to the parquet scan (PushedFilters on l_shipdate), "
+            "pruned ReadSchema, map-side partial HashAggregate before the "
+            "exchange, WholeStageCodegen spans scan→partial-agg.",
+        ),
+        (
+            "j5_revenue_by_segment",
+            e._q_j5_revenue_by_segment(spark, sf),
+            "Small dimension broadcast (BroadcastHashJoin BuildRight) — zero "
+            "shuffle of the fact side before partial aggregation.",
+        ),
+        (
+            "minhash_lsh_pairs (signature stage)",
+            e._q_minhash_lsh_pairs(spark, sf).limit(1),
+            "Explode → one xxhash64 per shingle → 64 min() aggregates with "
+            "map-side partial aggregation: the shuffle carries one row per "
+            "doc, not one per shingle. (A naive array-expression form is 64x "
+            "slower: Catalyst does not CSE nested lambda trees.)",
+        ),
+        (
+            "w3_sessionize_events",
+            e._q_w3_sessionize_events(spark, sf),
+            "One exchange on the window partition key; lag + running sum + "
+            "final agg all reuse the same partitioning (no second shuffle).",
+        ),
+    ]
+    out = [
+        "# PLANS — physical-plan audits (explain-and-iterate evidence)\n",
+        "Generated from live `.explain('formatted')` at sf0.01; regenerate "
+        "with `python tools/dump_plans.py`. Each plan is trimmed to its "
+        "operator tree + load-bearing detail lines.\n",
+    ]
+    for title, df, note in sections:
+        out.append(f"## {title}\n\n{note}\n\n```\n{trim(fmt(df))}\n```\n")
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
