@@ -55,6 +55,7 @@ def _shell(
     nesting: int = 0,
     blockless: bool = False,
     link_heavy_content: bool = False,
+    content_markup: str = "p",
 ) -> str:
     """Compose the boilerplate shell around known content paragraphs."""
     nav = "".join(
@@ -85,12 +86,17 @@ def _shell(
         if blockless:
             body_paras.append(f"{esc}")
         else:
-            body_paras.append(f"{open_n}<p>{esc}</p>{close_n}")
+            t = content_markup
+            body_paras.append(f"{open_n}<{t}>{esc}</{t}>{close_n}")
         if i == 0 and traps_between:
             body_paras.append(traps_between)
         elif i < len(paragraphs) - 1:
             body_paras.append(related)
     article = "".join(body_paras)
+    if content_markup == "li":
+        article = f"<ul>{article}</ul>"
+    elif content_markup == "td":
+        article = f"<table><tr>{article}</tr></table>"
     if not blockless:
         article = f"<main><article>{article}</article></main>"
     footer = (
@@ -207,6 +213,22 @@ def gen_documents(n: int = 200, seed: int = SEED) -> list[dict]:
     # words around it are rejected with their block and are too short to
     # recover).
     rows[rows_before]["text"] = rec
+    # list-: content as <ul><li> items (block-per-item, merged by gap rule)
+    add(
+        "https://list-host.example/a",
+        11,
+        [_para(rng, 8) for _ in range(5)],
+        1,
+        content_markup="li",
+    )
+    # table-: content in table cells
+    add(
+        "https://table-host.example/a",
+        12,
+        [_para(rng, 8) for _ in range(4)],
+        1,
+        content_markup="td",
+    )
     # badenc-: invalid utf-8 bytes; decode policy errors='replace'
     bad_head = "the head of this paragraph survives the bad bytes"
     bad_para = "decoded tail paragraph survives intact after the bad byte"
