@@ -500,6 +500,30 @@ def _q_extract_blocks(spark, sf_dir):
     )
 
 
+def _q_pipeline_e2e(spark, sf_dir):
+    """The full training-data pipeline in one plan: wrap → extract (byte-
+    identical) → quality/language/token stats → exact-dedup accounting.
+    Because extraction is a byte-identical roundtrip, the oracle computes the
+    same stats directly over documents.text."""
+    out = extract_fused(_wrapped_docs(spark, sf_dir, two_p=True))
+    enriched = out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "text",
+        TS.lang_id(F.col("text")).alias("lang_pred"),
+        TS.quality_score(F.col("text")).alias("quality"),
+        TS.token_count_ws(F.col("text")).alias("n_tokens"),
+        F.md5(F.col("text")).alias("content_hash"),
+    )
+    kept = enriched.filter(
+        (F.col("quality") > 0.2) & (F.col("n_tokens") >= 10)
+    )
+    return kept.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("content_hash").alias("n_distinct"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 def _q_asof_join_events(spark, sf_dir):
     """Each click joined to the latest at-or-before view per user."""
     from comic_text_detector_spark.operators.asof import asof_join
@@ -765,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_nms_spans": _q_j2_nms_spans,
         "j4_merge_blocks": _q_j4_merge_blocks,
         "extract_blocks": _q_extract_blocks,
+        "pipeline_e2e": _q_pipeline_e2e,
         "asof_join_events": _q_asof_join_events,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5ish": _q_tpch_q5ish,
@@ -1070,6 +1095,31 @@ def oracle_sql() -> dict[str, str]:
             "  AND len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','y','es'], w))) > 0"
             "  THEN 'es' ELSE 'unknown' END AS block_lang"
             " FROM documents"
+        ),
+        "pipeline_e2e": (
+            "WITH s AS (SELECT doc_id, text,"
+            " CASE"
+            "  WHEN len(list_filter(string_split(text,' '), w -> list_contains(['the','a','of','and','is'], w)))"
+            "   > len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','y','es'], w)))"
+            "   AND len(list_filter(string_split(text,' '), w -> list_contains(['the','a','of','and','is'], w))) > 0"
+            "   THEN 'en'"
+            "  WHEN len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','y','es'], w)))"
+            "   > len(list_filter(string_split(text,' '), w -> list_contains(['the','a','of','and','is'], w)))"
+            "   AND len(list_filter(string_split(text,' '), w -> list_contains(['el','la','de','y','es'], w))) > 0"
+            "   THEN 'es' ELSE 'unknown' END lang_pred,"
+            " least(1.0, len(string_split(text,' ')) / 100.0)"
+            "  * (1.0 - CAST(len(list_filter(string_split(text,' '), w -> list_contains(['the','a','of','and','is'], w))) AS DOUBLE) / len(string_split(text,' ')))"
+            "  * (CASE WHEN CAST(length(replace(text,' ','')) AS DOUBLE)/len(string_split(text,' ')) >= 2.0"
+            "     AND CAST(length(replace(text,' ','')) AS DOUBLE)/len(string_split(text,' ')) <= 12.0"
+            "     THEN 1.0 ELSE 0.5 END) quality,"
+            " CAST(len(string_split(text,' ')) AS BIGINT) n_tokens,"
+            " md5(text) content_hash"
+            " FROM documents)"
+            " SELECT lang_pred, count(*) n_docs,"
+            "  count(DISTINCT content_hash) n_distinct,"
+            "  CAST(sum(n_tokens) AS BIGINT) total_tokens"
+            " FROM s WHERE quality > 0.2 AND n_tokens >= 10"
+            " GROUP BY lang_pred"
         ),
         "a2_masked_mean": (
             "SELECT user_id,"

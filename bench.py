@@ -144,6 +144,7 @@ def main() -> None:
             if cores == CPUS and not suite_done:
                 results["extract_fused"] = round(sec, 3)
                 suite = [
+                    "pipeline_e2e",
                     "tpch_q1",
                     "asof_latest_event",
                     "w3_sessionize_events",

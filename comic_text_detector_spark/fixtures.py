@@ -213,6 +213,23 @@ def gen_documents(n: int = 200, seed: int = SEED) -> list[dict]:
     # words around it are rejected with their block and are too short to
     # recover).
     rows[rows_before]["text"] = rec
+    # inline-: inline markup (<em>/<strong>/<a>) inside one paragraph; the
+    # inline tags are NOT block tags so the nodes share a block and join
+    # back with single spaces
+    inline_words = [_para(rng, 6), _para(rng, 6), _para(rng, 6)]
+    inline_html = _shell(
+        13,
+        ["PLACEHOLDER"],
+    ).replace(
+        "<p>PLACEHOLDER</p>",
+        f"<p>{inline_words[0]} <em>{inline_words[1]}</em> "
+        f'<a href="#x">{inline_words[2]}</a> tail words here</p>',
+    )
+    rows_before = len(rows)
+    add("https://inline-host.example/a", 13, ["x"], 1, html=inline_html)
+    rows[rows_before]["text"] = (
+        f"{inline_words[0]} {inline_words[1]} {inline_words[2]} tail words here"
+    )
     # list-: content as <ul><li> items (block-per-item, merged by gap rule)
     add(
         "https://list-host.example/a",

@@ -53,6 +53,9 @@ def get_spark(
         # html: binary values can exceed the 2 GiB offset space of 32-bit
         # Arrow var-width types when a batch holds many huge pages.
         .config("spark.sql.execution.arrow.useLargeVarTypes", "true")
+        # output compression: zstd ~30-40% smaller than snappy at similar
+        # decode speed — at 100 TB that is tens of TB of storage/IO saved
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
