@@ -35,6 +35,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICAS = int(os.environ.get("CTD_BENCH_REPLICAS", "320"))
 RUN_SCALING = os.environ.get("CTD_BENCH_SCALING", "1") != "0"
 CORPUS_PATH = f"/tmp/ctd_bench_corpus_{os.path.basename(SF_DIR)}_{REPLICAS}.parquet"
+SKEW_PATH = f"/tmp/ctd_bench_skewed_{os.path.basename(SF_DIR)}.parquet"
 
 
 def get_session(cores: int):
@@ -60,6 +61,44 @@ def ensure_corpus(spark) -> None:
         wrap_html_expr(F.col("text"), two_paragraphs=True).alias("html"),
     )
     corpus.repartition(64).write.mode("overwrite").parquet(CORPUS_PATH)
+
+
+def ensure_skewed_corpus(spark) -> None:
+    """Heavy-tailed corpus: 2% of docs are ~50x median size (the 'huge-'
+    skew tier at bench scale) — proves the plan tolerates byte skew."""
+    if os.path.exists(SKEW_PATH):
+        return
+    from comic_text_detector_spark.fixtures import wrap_html_expr
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    reps = spark.range(40).withColumnRenamed("id", "rep")
+    body = F.when(
+        (F.col("doc_id") + F.col("rep")) % 50 == 0,
+        F.trim(F.repeat(F.concat(F.col("text"), F.lit(" ")), 50)),
+    ).otherwise(F.col("text"))
+    corpus = docs.crossJoin(reps).select(
+        F.concat_ws("/", F.lit("https://skew.example"), "rep", "doc_id").alias("url"),
+        wrap_html_expr(body).alias("html"),
+    )
+    corpus.repartition(64).write.mode("overwrite").parquet(SKEW_PATH)
+
+
+def time_skewed(spark) -> dict:
+    from comic_text_detector_spark.plans.extract import extract_fused
+
+    corpus = spark.read.parquet(SKEW_PATH)
+    t0 = time.time()
+    row = (
+        extract_fused(corpus)
+        .agg(F.count("*").alias("n"), F.sum(F.length("text")).alias("chars"))
+        .collect()[0]
+    )
+    sec = time.time() - t0
+    return {
+        "skewed_docs_per_sec": round(row.n / sec, 1),
+        "skewed_mb_per_sec": round(row.chars / sec / 1e6, 1),
+        "skewed_docs": row.n,
+    }
 
 
 def time_extract(spark, trials: int = 3) -> tuple[float, int]:
@@ -110,6 +149,53 @@ def cpu_ceiling(lo: int, hi: int) -> float:
     return rates[hi] / ((hi / lo) * rates[lo])
 
 
+_KERNEL_DOCS: list[bytes] = []
+
+
+def _kernel_work(n_loops: int) -> int:
+    from comic_text_detector_spark.plans.extract import extract_document
+
+    c = 0
+    for _ in range(n_loops):
+        for h in _KERNEL_DOCS:
+            extract_document(h)
+            c += 1
+    return c
+
+
+def kernel_ceiling(lo: int, hi: int) -> tuple[float, float, float]:
+    """Raw-multiprocessing ceiling of the extraction kernel itself (no Spark
+    at all): the same per-doc function, warm forked pools, lo vs hi workers.
+    Spark's scaling divided by this isolates orchestration overhead from the
+    Python workload's own single-host memory contention."""
+    import multiprocessing as mp
+
+    import duckdb
+
+    global _KERNEL_DOCS
+    from comic_text_detector_spark.fixtures import _shell
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"select text from '{SF_DIR}/documents.parquet' limit 2000"
+        ).fetchall()
+    ]
+    _KERNEL_DOCS = [_shell(i % 7, [t]).encode() for i, t in enumerate(texts)]
+    rates = {}
+    for p in (lo, hi):
+        with mp.Pool(p) as pool:
+            pool.map(_kernel_work, [1] * p)
+            best = 0.0
+            for _ in range(2):
+                t0 = time.time()
+                done = sum(pool.map(_kernel_work, [3] * p))
+                best = max(best, done / (time.time() - t0))
+        rates[p] = best
+    eff = rates[hi] / ((hi / lo) * rates[lo])
+    return eff, rates[lo], rates[hi]
+
+
 def main() -> None:
     import __spark_entry__ as entry
 
@@ -125,7 +211,12 @@ def main() -> None:
     # Best-of per level across alternating rounds cancels it.
     rounds = 2 if len(scaling_levels) == 2 else 1
     suite_done = False
+    round_rates: list[dict[int, float]] = []
+    round_ceilings: list[float] = []
     for rnd in range(rounds):
+        round_rates.append({})
+        if len(scaling_levels) == 2:
+            round_ceilings.append(cpu_ceiling(*scaling_levels))
         for cores in scaling_levels:
             spark = get_session(cores)
             ensure_corpus(spark)
@@ -140,6 +231,7 @@ def main() -> None:
             extract_fused(warm).count()
             sec, n_docs = time_extract(spark, trials=2)
             rate = n_docs / sec
+            round_rates[rnd][cores] = rate
             docs_per_sec[cores] = max(docs_per_sec.get(cores, 0.0), rate)
             if cores == CPUS and not suite_done:
                 results["extract_fused"] = round(sec, 3)
@@ -159,15 +251,30 @@ def main() -> None:
                     df = qs[name](spark, SF_DIR)
                     df.selectExpr("count(*)").collect()
                     results[name] = round(time.time() - t0, 3)
+                ensure_skewed_corpus(spark)
+                extras.update(time_skewed(spark))
                 suite_done = True
             spark.stop()
     results["extract_fused"] = round(n_docs / docs_per_sec[CPUS], 3)
 
     if len(scaling_levels) == 2:
         lo, hi = scaling_levels
-        eff = docs_per_sec[hi] / ((hi / lo) * docs_per_sec[lo])
-        ceiling = cpu_ceiling(lo, hi)
+        # pair each round's lo/hi measurements (taken minutes apart at most)
+        # so slowly-varying hypervisor noise cancels; report the best round
+        per_round = [
+            (rr[hi] / ((hi / lo) * rr[lo]), c)
+            for rr, c in zip(round_rates, round_ceilings)
+            if lo in rr and hi in rr
+        ]
+        eff, ceiling = max(per_round) if per_round else (0.0, 1.0)
+        k_eff, k_lo, k_hi = kernel_ceiling(lo, hi)
         extras["scaling"] = {
+            # the kernel's own no-Spark multiprocessing scaling on this host:
+            # Spark efficiency / kernel efficiency ≈ orchestration overhead
+            "kernel_mp_efficiency": round(k_eff, 3),
+            f"kernel_mp_docs_per_sec@{lo}": round(k_lo, 1),
+            f"kernel_mp_docs_per_sec@{hi}": round(k_hi, 1),
+            "spark_vs_kernel": round(eff / k_eff, 3) if k_eff else None,
             f"docs_per_sec@{lo}": round(docs_per_sec[lo], 1),
             f"docs_per_sec@{hi}": round(docs_per_sec[hi], 1),
             "efficiency": round(eff, 3),
@@ -175,6 +282,10 @@ def main() -> None:
             # (few-core turbo / hypervisor steal); see BASELINE.md
             f"host_cpu_ceiling_{lo}_to_{hi}": round(ceiling, 3),
             "efficiency_vs_host_ceiling": round(eff / ceiling, 3),
+            "per_round": [
+                {"efficiency": round(e, 3), "ceiling": round(c, 3)}
+                for e, c in per_round
+            ],
         }
     extras["docs_per_sec"] = round(docs_per_sec[CPUS], 1)
     extras["bench_docs"] = n_docs
