@@ -524,6 +524,35 @@ def _q_pipeline_e2e(spark, sf_dir):
     )
 
 
+def _q_u2_density_spans(spark, sf_dir):
+    """U2 SegDetectorRepresenter recast: density stream → binarize (P5,
+    thresh 0.3) → island grouping → spans with per-span score (A1 gate)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nodes = ev.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("node_id"),
+        (F.col("value") / 500.0).alias("score"),
+    )
+    kept = nodes.filter(F.col("score") > 0.3)
+    w2 = Window.partitionBy("user_id").orderBy("node_id")
+    gap = F.col("node_id") - F.lag("node_id").over(w2)
+    sess = kept.withColumn(
+        "flg", F.when(gap > 2, 1).otherwise(0)
+    ).withColumn(
+        "span_id",
+        F.sum("flg").over(w2.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return sess.groupBy("user_id", "span_id").agg(
+        F.min("node_id").alias("node_start"),
+        F.max("node_id").alias("node_end"),
+        F.count("*").alias("n_nodes"),
+        (
+            F.sum(F.col("score").cast("decimal(18,6)")).cast("double") / F.count("*")
+        ).alias("avg_score"),
+    )
+
+
 def _q_asof_join_events(spark, sf_dir):
     """Each click joined to the latest at-or-before view per user."""
     from comic_text_detector_spark.operators.asof import asof_join
@@ -790,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_merge_blocks": _q_j4_merge_blocks,
         "extract_blocks": _q_extract_blocks,
         "pipeline_e2e": _q_pipeline_e2e,
+        "u2_density_spans": _q_u2_density_spans,
         "asof_join_events": _q_asof_join_events,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5ish": _q_tpch_q5ish,
@@ -1120,6 +1150,20 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(sum(n_tokens) AS BIGINT) total_tokens"
             " FROM s WHERE quality > 0.2 AND n_tokens >= 10"
             " GROUP BY lang_pred"
+        ),
+        "u2_density_spans": (
+            "WITH nodes AS (SELECT user_id, CAST(row_number() OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id) AS INT) node_id,"
+            "  value/500.0 score FROM events),"
+            " kept AS (SELECT * FROM nodes WHERE score > 0.3),"
+            " f AS (SELECT *, CASE WHEN node_id - lag(node_id) OVER ("
+            "  PARTITION BY user_id ORDER BY node_id) > 2 THEN 1 ELSE 0 END flg FROM kept),"
+            " g AS (SELECT *, CAST(sum(flg) OVER (PARTITION BY user_id ORDER BY node_id"
+            "  ROWS UNBOUNDED PRECEDING) AS INT) span_id FROM f)"
+            " SELECT user_id, span_id, min(node_id) node_start, max(node_id) node_end,"
+            "  count(*) n_nodes,"
+            "  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*) avg_score"
+            " FROM g GROUP BY user_id, span_id"
         ),
         "a2_masked_mean": (
             "SELECT user_id,"

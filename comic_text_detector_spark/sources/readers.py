@@ -39,6 +39,20 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(DOCUMENTS_SCHEMA).parquet(path)
 
 
+def read_table(spark: SparkSession, source: str) -> DataFrame:
+    """Production scan: an Iceberg table identifier (``catalog.db.table``)
+    when an Iceberg catalog is configured, else a parquet path. Iceberg
+    gives partition pruning on bucket(url) plus snapshot isolation for the
+    resumable runner; the sandbox has no Iceberg runtime, so parquet paths
+    exercise the same code path."""
+    if "/" not in source:
+        try:
+            return spark.read.format("iceberg").load(source)
+        except Exception:
+            return spark.table(source)
+    return spark.read.parquet(source)
+
+
 def read_raw_pages(spark: SparkSession, glob: str) -> DataFrame:
     """S2: raw file ingestion — one row per file with the bytes as
     ``html: binary`` (the imread analog, utils/io_utils.py:42). The path
