@@ -524,6 +524,50 @@ def _q_pipeline_e2e(spark, sf_dir):
     )
 
 
+def _q_j_semi_anti(spark, sf_dir):
+    """Existence joins: per nation, customers WITH orders (left_semi) and
+    WITHOUT (left_anti) — the J7 existence-join pattern made explicit."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    with_o = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    without_o = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        with_o.groupBy("c_nationkey").agg(F.count("*").alias("n_with"))
+        .join(
+            without_o.groupBy("c_nationkey").agg(F.count("*").alias("n_without")),
+            "c_nationkey",
+            "full",
+        )
+        .select(
+            "c_nationkey",
+            F.coalesce("n_with", F.lit(0)).alias("n_with"),
+            F.coalesce("n_without", F.lit(0)).alias("n_without"),
+        )
+    )
+
+
+def _q_w_range_rolling(spark, sf_dir):
+    """RANGE-frame window: per user, count+sum of events in the trailing
+    hour (event-time range frame, not row frame)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_trailing_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing_hour"),
+    )
+
+
 def _q_u2_density_spans(spark, sf_dir):
     """U2 SegDetectorRepresenter recast: density stream → binarize (P5,
     thresh 0.3) → island grouping → spans with per-span score (A1 gate)."""
@@ -820,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_blocks": _q_extract_blocks,
         "pipeline_e2e": _q_pipeline_e2e,
         "u2_density_spans": _q_u2_density_spans,
+        "j_semi_anti": _q_j_semi_anti,
+        "w_range_rolling": _q_w_range_rolling,
         "asof_join_events": _q_asof_join_events,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5ish": _q_tpch_q5ish,
@@ -1150,6 +1196,26 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(sum(n_tokens) AS BIGINT) total_tokens"
             " FROM s WHERE quality > 0.2 AND n_tokens >= 10"
             " GROUP BY lang_pred"
+        ),
+        "j_semi_anti": (
+            "WITH w AS (SELECT c_nationkey, count(*) n_with FROM customer c"
+            "  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+            "  GROUP BY c_nationkey),"
+            " wo AS (SELECT c_nationkey, count(*) n_without FROM customer c"
+            "  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+            "  GROUP BY c_nationkey)"
+            " SELECT coalesce(w.c_nationkey, wo.c_nationkey) c_nationkey,"
+            "  coalesce(n_with, 0) n_with, coalesce(n_without, 0) n_without"
+            " FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey"
+        ),
+        "w_range_rolling": (
+            "SELECT user_id, event_id,"
+            " count(*) OVER w AS n_trailing_hour,"
+            " CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)"
+            "  AS sum_trailing_hour"
+            " FROM (SELECT user_id, event_id, epoch_us(ts) ts_us, value FROM events)"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts_us"
+            "  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
         ),
         "u2_density_spans": (
             "WITH nodes AS (SELECT user_id, CAST(row_number() OVER ("

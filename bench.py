@@ -210,10 +210,14 @@ def main() -> None:
     # 8-core and 32-core minutes apart confounds scaling with noise.
     # Best-of per level across alternating rounds cancels it.
     rounds = 2 if len(scaling_levels) == 2 else 1
+    budget_s = float(os.environ.get("CTD_BENCH_BUDGET_S", "540"))
+    t_start = time.time()
     suite_done = False
     round_rates: list[dict[int, float]] = []
     round_ceilings: list[float] = []
     for rnd in range(rounds):
+        if rnd > 0 and time.time() - t_start > budget_s * 0.6:
+            break  # keep one full round rather than risk the caller's timeout
         round_rates.append({})
         if len(scaling_levels) == 2:
             round_ceilings.append(cpu_ceiling(*scaling_levels))
