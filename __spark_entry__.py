@@ -811,6 +811,15 @@ def _q_simhash(spark, sf_dir):
     return simhash64(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
 
 
+def _q_dedup_embedding_pairs(spark, sf_dir):
+    from comic_text_detector_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     # 4 planes x 16 tables: recall@5 ~0.93 vs brute force even on this
     # near-random corpus (mean top-5 cosine only ~0.33); more planes for
@@ -859,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "j2_nms_spans": _q_j2_nms_spans,
         "j4_merge_blocks": _q_j4_merge_blocks,
         "extract_blocks": _q_extract_blocks,

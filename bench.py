@@ -187,7 +187,7 @@ def kernel_ceiling(lo: int, hi: int) -> tuple[float, float, float]:
         with mp.Pool(p) as pool:
             pool.map(_kernel_work, [1] * p)
             best = 0.0
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 done = sum(pool.map(_kernel_work, [3] * p))
                 best = max(best, done / (time.time() - t0))

@@ -70,6 +70,77 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    Scale path: SRP bucket candidates (same bucket in ANY table) → exact
+    cosine verify. Near-dups (cos >= 0.9) agree on a random hyperplane with
+    p = 1 - arccos(0.9)/pi ≈ 0.86 → same 8-plane bucket with p ≈ 0.3 per
+    table → ≥1 of 8 tables with p ≈ 0.94. The bucket join is an equi-join;
+    no quadratic pass ever happens.
+    """
+    sig_cols = []
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for t in range(num_tables):
+        planes = F.lit(0).cast("long")
+        for p in range(num_planes):
+            pi = t * num_planes + p + 1_000_000  # disjoint from ANN plane ids
+            plane = F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    (F.pmod(F.xxhash64(F.lit(pi), i), F.lit(2001)) - F.lit(1000))
+                    / F.lit(1000.0)
+                ),
+            )
+            dot = F.aggregate(
+                F.zip_with(F.col("v"), plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            planes = planes + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast(
+                "long"
+            )
+        sig_cols.append(planes.alias(f"b{t}"))
+    sig = c.select("id", "v", *sig_cols)
+    banded = sig.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("b"))
+                for t in range(num_tables)
+            ])
+        ).alias("tb"),
+    ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.b") == F.col("r.b"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            cosine(
+                F.transform(F.col("l.v"), lambda x: x.cast("double")),
+                F.transform(F.col("r.v"), lambda x: x.cast("double")),
+            ).alias("cos"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("cos") >= threshold)
+
+
 def srp_signature(vec_col: Column, num_planes: int = 16, dim: int = 64) -> Column:
     """Signed-random-projection bucket id as a bigint column (no UDF).
 

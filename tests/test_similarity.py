@@ -26,6 +26,30 @@ def test_cosine_topk_exact(spark):
     assert abs(cos12 - expect) < 1e-9
 
 
+def test_embedding_near_dup_pairs_planted(spark):
+    import random
+
+    from comic_text_detector_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)]))
+    # planted near-dups: tiny perturbations of vectors 0 and 1
+    for j, base in ((100, 0), (101, 1)):
+        v = [x + rng.gauss(0, 0.01) for x in rows[base][1]]
+        rows.append((j, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.95, dim=64).collect()
+    }
+    assert (0, 100) in pairs and (1, 101) in pairs
+    assert all(a in (0, 1) and b in (100, 101) for a, b in pairs)
+
+
 def test_lsh_recall_against_bruteforce(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     q = emb.filter(F.col("vec_id") < 15)
