@@ -568,6 +568,43 @@ def _q_w_range_rolling(spark, sf_dir):
     )
 
 
+def _q_quality_filters(spark, sf_dir):
+    """CCNet/RefinedWeb-style rule filters as pure column predicates:
+    per-doc booleans + the keep decision."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    digit_chars = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    total = F.length(F.col("text"))
+    too_short = n_words < 20
+    low_alpha = (alpha_chars.cast("double") / total) < 0.6
+    high_digit = (digit_chars.cast("double") / total) > 0.2
+    max_word = F.array_max(F.transform(words, lambda w: F.length(w)))
+    long_word = max_word > 30
+    return docs.select(
+        "doc_id",
+        too_short.alias("too_short"),
+        low_alpha.alias("low_alpha"),
+        high_digit.alias("high_digit"),
+        long_word.alias("long_word"),
+        (~too_short & ~low_alpha & ~high_digit & ~long_word).alias("keep"),
+    )
+
+
+def _q_vocab_stats(spark, sf_dir):
+    """Corpus token statistics: distinct vocabulary + token totals per lang
+    (explode → agg; the pattern that builds tokenizer vocabularies at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    return ex.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("w").alias("vocab"),
+        F.min("w").alias("first_word"),
+        F.max(F.length("w")).alias("max_word_len"),
+    )
+
+
 def _q_u2_density_spans(spark, sf_dir):
     """U2 SegDetectorRepresenter recast: density stream → binarize (P5,
     thresh 0.3) → island grouping → spans with per-span score (A1 gate)."""
@@ -874,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_blocks": _q_extract_blocks,
         "pipeline_e2e": _q_pipeline_e2e,
         "u2_density_spans": _q_u2_density_spans,
+        "quality_filters": _q_quality_filters,
+        "vocab_stats": _q_vocab_stats,
         "j_semi_anti": _q_j_semi_anti,
         "w_range_rolling": _q_w_range_rolling,
         "asof_join_events": _q_asof_join_events,
@@ -1206,6 +1245,27 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(sum(n_tokens) AS BIGINT) total_tokens"
             " FROM s WHERE quality > 0.2 AND n_tokens >= 10"
             " GROUP BY lang_pred"
+        ),
+        "quality_filters": (
+            "WITH s AS (SELECT doc_id, text, len(string_split(text,' ')) nw,"
+            " length(regexp_replace(text, '[^A-Za-z]', '', 'g')) ac,"
+            " length(regexp_replace(text, '[^0-9]', '', 'g')) dc,"
+            " length(text) total,"
+            " list_max(list_transform(string_split(text,' '), w -> length(w))) mw"
+            " FROM documents)"
+            " SELECT doc_id, nw < 20 too_short,"
+            "  CAST(ac AS DOUBLE)/total < 0.6 low_alpha,"
+            "  CAST(dc AS DOUBLE)/total > 0.2 high_digit,"
+            "  mw > 30 long_word,"
+            "  NOT (nw < 20) AND NOT (CAST(ac AS DOUBLE)/total < 0.6)"
+            "   AND NOT (CAST(dc AS DOUBLE)/total > 0.2) AND NOT (mw > 30) keep"
+            " FROM s"
+        ),
+        "vocab_stats": (
+            "SELECT lang, count(*) n_tokens, count(DISTINCT w) vocab,"
+            " min(w) first_word, CAST(max(length(w)) AS INT) max_word_len"
+            " FROM (SELECT lang, unnest(string_split(text,' ')) w FROM documents)"
+            " GROUP BY lang"
         ),
         "j_semi_anti": (
             "WITH w AS (SELECT c_nationkey, count(*) n_with FROM customer c"

@@ -2,27 +2,33 @@
 
 Reference analog: the epoch checkpoint dicts + resume path of the training
 drivers (reference train_db.py:97-106, :183-194) and the AverageMeter/FPS
-accounting (utils/db_utils.py:213-230). Engine recast:
+accounting (utils/db_utils.py:213-230).
 
-* every document is assigned a stable logical ``partition_id =
-  pmod(xxhash64(url), num_partitions)`` — deterministic across runs and
-  cluster sizes;
-* partitions are processed in ``num_chunks`` chunk jobs; each chunk's output
-  commit (Spark's all-or-nothing job commit protocol) IS the checkpoint:
-  completion is derived from the *data* (distinct partition_id present in the
-  output), so a crash mid-chunk leaves no committed files and the chunk
-  simply reruns — exactly-once per url without a two-phase protocol;
-* after each chunk commits, one ``metrics`` row per logical partition
-  (run_id, partition_id, docs_in, docs_out, bytes, wall_ms, ts) is appended —
-  pure lineage/observability (FIXTURES.md §4), never a correctness input.
+Physical design (two passes, both scale-shaped):
 
-The per-document processing time (``proc_us``) is measured inside the Arrow
-stage and aggregated relationally, so ``wall_ms`` reflects actual extraction
-compute per logical partition (the skew evidence the north_rule asks for).
+1. **Staging pass (once per run id, job-atomic).** As-of dedup (the ONE
+   window shuffle) + stable ``partition_id = pmod(xxhash64(url), P)`` +
+   ``chunk_id = partition_id % num_chunks``, written as parquet partitioned
+   BY chunk_id. This is the engine's "one exchange": after it, all state is
+   directory-addressed.
+2. **Chunk jobs.** Each chunk reads ONLY its ``chunk_id=K`` directory
+   (partition-pruned scan — no filter over the full input, no recompute of
+   the dedup lineage, no shuffle at all inside the chunk), runs the fused
+   Arrow extraction, and appends its output partitioned by chunk_id. The
+   output commit IS the checkpoint: completion is derived from the data
+   (distinct partition_id present in committed output), so a crash mid-chunk
+   leaves no committed files and the chunk reruns — exactly-once per url
+   without a two-phase protocol.
 
-In the sandbox the sinks are parquet directories; on a real deployment both
-appends target Iceberg tables (``df.writeTo(tbl).append()``) and nothing
-else changes.
+After each chunk commits, one ``metrics`` row per logical partition
+(run_id, partition_id, docs_in, docs_out, bytes, wall_ms, ts) is appended —
+pure lineage/observability (FIXTURES.md §4), never a correctness input.
+``wall_ms`` sums the per-document kernel time measured inside the Arrow
+stage (the skew evidence the north_rule asks for).
+
+In the sandbox the sinks are parquet directories; on a real deployment
+staging/output/metrics are Iceberg tables (``writeTo(...).append()``,
+partitioned by the same keys) and nothing else changes.
 """
 
 from __future__ import annotations
@@ -83,7 +89,8 @@ def _extract_with_lineage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Reco
 
 
 def completed_partitions(spark: SparkSession, data_dir: str) -> set[int]:
-    """Partitions whose output already committed (the checkpoint read)."""
+    """Partitions whose output already committed (the checkpoint read) —
+    a single-column scan of the committed output."""
     if not os.path.exists(data_dir):
         return set()
     try:
@@ -98,38 +105,25 @@ def completed_partitions(spark: SparkSession, data_dir: str) -> set[int]:
     return {r.partition_id for r in rows}
 
 
-def run_extract(
+def _ensure_staging(
     spark: SparkSession,
     documents: DataFrame,
-    output_dir: str,
-    run_id: str = "run0",
-    num_partitions: int = 64,
-    num_chunks: int = 4,
-    stop_after_chunks: int | None = None,
-    salt_hot_hosts: bool = False,
-    hot_row_threshold: int = 10_000,
-) -> dict:
-    """Run (or resume) the extraction job.
-
-    ``stop_after_chunks`` is the fault-injection hook for the resumability
-    test: the driver stops after N chunk commits, simulating a crash.
-
-    ``salt_hot_hosts``: partition on the salted host key instead of raw url
-    hash. Raw xxhash64(url) already spreads rows uniformly; the salted mode
-    matters when byte-skew concentrates in a host (many huge pages from one
-    site) or when downstream wants host-affinity — hot hosts then spread
-    over n_salts partitions while cold hosts stay co-located.
-    Returns a summary dict.
-    """
-    data_dir = os.path.join(output_dir, "extracted")
-    metrics_dir = os.path.join(output_dir, "metrics")
-
-    docs = asof_dedup(documents)
+    staging_dir: str,
+    num_partitions: int,
+    num_chunks: int,
+    salt_hot_hosts: bool,
+    hot_row_threshold: int,
+    dedup: bool = True,
+) -> None:
+    if os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
+        return
+    docs = asof_dedup(documents) if dedup else documents
     if salt_hot_hosts:
         from ..operators.salting import salted_partition_key
 
         docs = salted_partition_key(
-            docs, n_salts=max(2, num_partitions // 4),
+            docs,
+            n_salts=max(2, num_partitions // 4),
             row_threshold=hot_row_threshold,
         ).withColumn(
             "partition_id",
@@ -140,30 +134,72 @@ def run_extract(
             "partition_id",
             F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("int"),
         )
+    docs = docs.withColumn(
+        "chunk_id", (F.col("partition_id") % num_chunks).cast("int")
+    )
+    (
+        docs.select("url", "html", "partition_id", "chunk_id")
+        .write.mode("overwrite")
+        .partitionBy("chunk_id")
+        .parquet(staging_dir)
+    )
+
+
+def run_extract(
+    spark: SparkSession,
+    documents: DataFrame,
+    output_dir: str,
+    run_id: str = "run0",
+    num_partitions: int = 64,
+    num_chunks: int = 4,
+    stop_after_chunks: int | None = None,
+    salt_hot_hosts: bool = False,
+    hot_row_threshold: int = 10_000,
+    dedup: bool = True,
+) -> dict:
+    """Run (or resume) the extraction job.
+
+    ``stop_after_chunks`` is the fault-injection hook for the resumability
+    test: the driver stops after N chunk commits, simulating a crash.
+    ``dedup=False`` skips the as-of window for inputs already known to hold
+    one capture per url (the common production case with a dedup-maintained
+    table) — the staging pass then shuffles nothing.
+    Returns a summary dict.
+    """
+    staging_dir = os.path.join(output_dir, "staging")
+    data_dir = os.path.join(output_dir, "extracted")
+    metrics_dir = os.path.join(output_dir, "metrics")
+
+    _ensure_staging(
+        spark, documents, staging_dir, num_partitions, num_chunks,
+        salt_hot_hosts, hot_row_threshold, dedup,
+    )
     done = completed_partitions(spark, data_dir)
+    done_chunks = {p % num_chunks for p in done}
     chunks_run = 0
     for chunk in range(num_chunks):
-        chunk_pids = [
-            p for p in range(num_partitions) if p % num_chunks == chunk and p not in done
-        ]
-        if not chunk_pids:
+        if chunk in done_chunks:
             continue
         if stop_after_chunks is not None and chunks_run >= stop_after_chunks:
             break
-        t0 = time.time()
-        part = (
-            docs.filter(F.col("partition_id").isin(chunk_pids))
-            .select("url", "html", "partition_id")
-            .repartition(max(1, len(chunk_pids)), "partition_id")
+        chunk_src = os.path.join(staging_dir, f"chunk_id={chunk}")
+        if not os.path.exists(chunk_src):
+            continue  # chunk holds zero rows
+        # directory-pruned scan: only this chunk's files are read
+        part = spark.read.parquet(chunk_src).select(
+            "url", "html", "partition_id"
         )
         combined = part.mapInArrow(_extract_with_lineage, _COMBINED_DDL)
-        combined.write.mode("append").parquet(data_dir)
-        # Post-commit lineage append: derived from the committed data, plus
-        # driver-side wall clock for the chunk.
-        chunk_wall_ms = int((time.time() - t0) * 1000)
+        combined.withColumn("chunk_id", F.lit(chunk)).write.mode(
+            "append"
+        ).partitionBy("chunk_id").parquet(data_dir)
+        # Post-commit lineage append, pruned to the chunk's directory.
+        chunk_out = os.path.join(data_dir, f"chunk_id={chunk}")
+        if not os.path.exists(chunk_out):
+            chunks_run += 1
+            continue
         metrics = (
-            spark.read.parquet(data_dir)
-            .filter(F.col("partition_id").isin(chunk_pids))
+            spark.read.parquet(chunk_out)
             .groupBy("partition_id")
             .agg(
                 F.count("*").alias("docs_in"),
@@ -183,7 +219,6 @@ def run_extract(
         )
         metrics.write.mode("append").parquet(metrics_dir)
         chunks_run += 1
-        _ = chunk_wall_ms
     return {
         "run_id": run_id,
         "chunks_run": chunks_run,
