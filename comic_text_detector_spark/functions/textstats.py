@@ -12,7 +12,7 @@ the DuckDB oracles replicate them exactly without rounding fudge.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EN_MARKERS = ("the", "a", "of", "and", "is")

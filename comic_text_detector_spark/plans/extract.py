@@ -38,7 +38,6 @@ Scoring model (the two-head analog):
 
 from __future__ import annotations
 
-import time
 from collections.abc import Iterator
 
 import pyarrow as pa
