@@ -283,6 +283,64 @@ def write_corpus(spark: SparkSession, path: str, n: int = 200, seed: int = SEED)
     corpus_df(spark, n, seed).write.mode("overwrite").parquet(path)
 
 
+def gen_hard_documents(n: int = 100, seed: int = SEED + 1) -> list[dict]:
+    """Adversarial tier: pages where heuristics are ALLOWED to be imperfect.
+
+    Unlike ``gen_documents`` (byte-identity by construction), these rows
+    stress the decision boundaries — content near the confidence edge,
+    moderate link densities, decoy boilerplate in neutral containers — and
+    are scored with the span-PRF evaluator (plans/eval.py) against a quality
+    floor rather than byte equality. Golden text remains known by
+    construction.
+    """
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    for i in range(n):
+        host = rng.randint(0, 20)
+        kind = i % 4
+        paras: list[str] = []
+        if kind == 0:
+            # borderline-short content paragraphs (just above the conf edge)
+            paras = [_para(rng, rng.randint(5, 8)) for _ in range(3)]
+        elif kind == 1:
+            # content with moderate inline-link share (~25% of chars)
+            core = [_para(rng, 30) for _ in range(2)]
+            paras = core
+        elif kind == 2:
+            # long content next to a long decoy in a neutral div (decoy is
+            # link-free and long: the classifier WILL keep it — golden
+            # includes it, mirroring real extractors' over-inclusion)
+            paras = [_para(rng, 40), "decoy " + _para(rng, 30)]
+        else:
+            paras = [_para(rng, rng.randint(10, 50))]
+        html = _shell(host, paras)
+        if kind == 1:
+            # splice inline links into the first paragraph at word bounds
+            words = paras[0].split()
+            k = len(words) // 4
+            linked = " ".join(
+                f'<a href="#{j}">{w}</a>' if j < k else w
+                for j, w in enumerate(words)
+            )
+            html = html.replace(f"<p>{escape(paras[0])}</p>", f"<p>{linked}</p>", 1)
+        rows.append(
+            {
+                "url": f"https://hard{host}.example/{i}",
+                "warc_ts": _BASE_TS + dt.timedelta(seconds=i),
+                "html": html.encode("utf-8"),
+                "text": " ".join(paras).strip(),
+                "lang": "eng",
+            }
+        )
+    return rows
+
+
+def hard_corpus_df(spark: SparkSession, n: int = 100, seed: int = SEED + 1) -> DataFrame:
+    rows = gen_hard_documents(n, seed)
+    data = [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows]
+    return spark.createDataFrame(data, DOCUMENTS_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Spark-expression wrap for the driver's documents table (oracle round trip)
 # ---------------------------------------------------------------------------
