@@ -524,6 +524,61 @@ def _q_pipeline_e2e(spark, sf_dir):
     )
 
 
+def _q_w2_order_by_distance(spark, sf_dir):
+    """W2 within-block line ordering by distance-to-origin (reference
+    sort_lines, utils/textblock.py:100-105)."""
+    ev = _t(spark, sf_dir, "events")
+    dist = F.sqrt(
+        F.col("value") * F.col("value")
+        + (F.col("event_id") % 50) * (F.col("event_id") % 50)
+    )
+    w = Window.partitionBy("user_id").orderBy(dist.asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id", "event_id", F.row_number().over(w).cast("int").alias("line_rank")
+    )
+
+
+def _q_w1_reading_order_rtl(spark, sf_dir):
+    """W1 with the right-to-left flip (ja-majority pages, reference
+    utils/textblock.py:283-291)."""
+    from comic_text_detector_spark.functions.textstats import reading_order_weight
+
+    b = _boxes(spark, sf_dir).withColumn(
+        "weight",
+        reading_order_weight(
+            F.col("x1"), F.col("y1"), F.lit(128.0), F.lit(128.0), right_to_left=True
+        ),
+    )
+    w = Window.partitionBy("page_id").orderBy(
+        F.col("weight").asc(), F.col("o_orderkey").asc()
+    )
+    return b.select(
+        "page_id", "o_orderkey", F.row_number().over(w).cast("int").alias("ro_rank")
+    )
+
+
+def _q_f22_json_roundtrip(spark, sf_dir):
+    """F22 serialization surface: struct → to_json → from_json → fields
+    (reference TextBlock.to_dict / TextBlock(**d), textblock.py:158-160)."""
+    o = _t(spark, sf_dir, "orders")
+    blk = F.struct(
+        (F.col("o_orderkey") % 100).cast("int").alias("block_id"),
+        F.col("o_orderpriority").alias("language"),
+        (F.col("o_totalprice") > 100000).alias("vertical"),
+    )
+    js = F.to_json(blk)
+    back = F.from_json(
+        js, "block_id int, language string, vertical boolean"
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("language_in"),
+        back["block_id"].alias("block_id"),
+        back["language"].alias("language_out"),
+        back["vertical"].alias("vertical"),
+    )
+
+
 def _q_j_semi_anti(spark, sf_dir):
     """Existence joins: per nation, customers WITH orders (left_semi) and
     WITHOUT (left_anti) — the J7 existence-join pattern made explicit."""
@@ -915,6 +970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": _q_vocab_stats,
         "j_semi_anti": _q_j_semi_anti,
         "w_range_rolling": _q_w_range_rolling,
+        "w2_order_by_distance": _q_w2_order_by_distance,
+        "w1_reading_order_rtl": _q_w1_reading_order_rtl,
+        "f22_json_roundtrip": _q_f22_json_roundtrip,
         "asof_join_events": _q_asof_join_events,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5ish": _q_tpch_q5ish,
@@ -1266,6 +1324,32 @@ def oracle_sql() -> dict[str, str]:
             " min(w) first_word, CAST(max(length(w)) AS INT) max_word_len"
             " FROM (SELECT lang, unnest(string_split(text,' ')) w FROM documents)"
             " GROUP BY lang"
+        ),
+        "w2_order_by_distance": (
+            "SELECT user_id, event_id, CAST(row_number() OVER ("
+            " PARTITION BY user_id ORDER BY"
+            " sqrt(value*value + (event_id % 50)*(event_id % 50)) ASC,"
+            " event_id ASC) AS INT) line_rank"
+            " FROM events"
+        ),
+        "w1_reading_order_rtl": (
+            "WITH b AS (SELECT o_orderkey, o_custkey % 20 page_id,"
+            " CAST(o_orderkey % 97 AS DOUBLE) x1, CAST(o_custkey % 89 AS DOUBLE) y1"
+            " FROM orders),"
+            " w AS (SELECT *,"
+            "  CAST(least(2, CAST(floor(y1*3/128.0) AS INT))*4"
+            "   + (3 - least(3, CAST(floor(x1*4/128.0) AS INT))) AS DOUBLE)"
+            "   * 16384.0 + 1.2*(128.0 - x1) + y1 AS weight FROM b)"
+            " SELECT page_id, o_orderkey, CAST(row_number() OVER ("
+            "  PARTITION BY page_id ORDER BY weight ASC, o_orderkey ASC) AS INT) ro_rank"
+            " FROM w"
+        ),
+        "f22_json_roundtrip": (
+            "SELECT o_orderkey, o_orderpriority language_in,"
+            " CAST(o_orderkey % 100 AS INT) block_id,"
+            " o_orderpriority language_out,"
+            " o_totalprice > 100000 vertical"
+            " FROM orders"
         ),
         "j_semi_anti": (
             "WITH w AS (SELECT c_nationkey, count(*) n_with FROM customer c"
