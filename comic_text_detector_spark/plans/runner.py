@@ -170,6 +170,27 @@ def run_extract(
     data_dir = os.path.join(output_dir, "extracted")
     metrics_dir = os.path.join(output_dir, "metrics")
 
+    # Partitioning parameters are part of the checkpoint's identity:
+    # resuming with a different num_partitions/num_chunks would mis-map
+    # completed work and duplicate documents. Persist and enforce.
+    import json
+
+    meta_path = os.path.join(output_dir, "_run_meta.json")
+    meta = {"num_partitions": num_partitions, "num_chunks": num_chunks}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if prev != meta:
+            raise ValueError(
+                f"resume parameter mismatch: output at {output_dir} was "
+                f"written with {prev}, got {meta}; use the original values "
+                "or a fresh output dir"
+            )
+    else:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+
     _ensure_staging(
         spark, documents, staging_dir, num_partitions, num_chunks,
         salt_hot_hosts, hot_row_threshold, dedup,

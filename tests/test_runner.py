@@ -65,3 +65,10 @@ def test_resume_exactly_once(spark, tmp_path):
     rep = metrics_report(metrics)
     grand = rep.filter(F.col("run_id").isNull()).collect()
     assert len(grand) == 1 and grand[0].docs_in == n_urls
+
+    # resuming with different partitioning parameters must refuse (would
+    # mis-map completed work and duplicate documents)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="resume parameter mismatch"):
+        run_extract(spark, corpus, out, num_partitions=32, num_chunks=4)
