@@ -1,0 +1,61 @@
+"""WARC ingestion: synthesize warc / warc.gz files, read → extract."""
+
+from __future__ import annotations
+
+import gzip
+
+from comic_text_detector_spark.fixtures import gen_documents
+from comic_text_detector_spark.plans.extract import extract_fused
+from comic_text_detector_spark.sources.warc import parse_warc, read_warc
+
+
+def _warc_record(url: str, ts: str, html: bytes, wtype: bytes = b"response") -> bytes:
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + wtype + b"\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"WARC-Date: " + ts.encode() + b"\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+    )
+    return hdr + b"\r\n" + http + b"\r\n\r\n"
+
+
+def _build_warc(rows) -> bytes:
+    parts = [
+        _warc_record("urn:warcinfo", "2026-01-01T00:00:00Z", b"", b"warcinfo")
+    ]
+    for r in rows:
+        parts.append(
+            _warc_record(r["url"], "2026-02-03T04:05:06Z", r["html"])
+        )
+    return b"".join(parts)
+
+
+def test_parse_warc_pure():
+    rows = gen_documents(5)[:5]
+    data = _build_warc(rows)
+    got = parse_warc(data)
+    assert [u for u, _, _ in got] == [r["url"] for r in rows]
+    assert all(ts == "2026-02-03T04:05:06Z" for _, ts, _ in got)
+    assert got[0][2] == rows[0]["html"]
+    # gz variant (concatenated members like CC)
+    gz = b"".join(gzip.compress(_warc_record(r["url"], "2026-02-03T04:05:06Z", r["html"])) for r in rows)
+    got_gz = parse_warc(gz)
+    assert [u for u, _, _ in got_gz] == [r["url"] for r in rows]
+
+
+def test_read_warc_to_extraction(spark, tmp_path):
+    rows = gen_documents(10)[:10]
+    (tmp_path / "seg-0.warc").write_bytes(_build_warc(rows[:5]))
+    (tmp_path / "seg-1.warc.gz").write_bytes(gzip.compress(_build_warc(rows[5:])))
+    docs = read_warc(spark, str(tmp_path))
+    collected = {r.url: bytes(r.html) for r in docs.collect()}
+    assert len(collected) == 10
+    assert collected[rows[0]["url"]] == rows[0]["html"]
+    ts = docs.select("warc_ts").first().warc_ts
+    assert ts is not None and ts.year == 2026
+    # straight into the flagship pipeline: byte-identical extraction
+    out = {r.url: r.text for r in extract_fused(docs).collect()}
+    for r in rows:
+        assert out[r["url"]] == r["text"]
