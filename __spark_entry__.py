@@ -579,6 +579,23 @@ def _q_f22_json_roundtrip(spark, sf_dir):
     )
 
 
+def _q_cc_clusters(spark, sf_dir):
+    """Distributed connected components over a deterministic event graph —
+    the near-dup clustering step; oracle = DuckDB recursive CTE."""
+    from comic_text_detector_spark.operators.graph import connected_components
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = (
+        ev.select(
+            (F.col("event_id") % 200).alias("id_a"),
+            ((F.col("event_id") * 7 + 3) % 200).alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    return connected_components(pairs)
+
+
 def _q_j_semi_anti(spark, sf_dir):
     """Existence joins: per nation, customers WITH orders (left_semi) and
     WITHOUT (left_anti) — the J7 existence-join pattern made explicit."""
@@ -971,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_semi_anti": _q_j_semi_anti,
         "w_range_rolling": _q_w_range_rolling,
         "w2_order_by_distance": _q_w2_order_by_distance,
+        "cc_clusters": _q_cc_clusters,
         "w1_reading_order_rtl": _q_w1_reading_order_rtl,
         "f22_json_roundtrip": _q_f22_json_roundtrip,
         "asof_join_events": _q_asof_join_events,
@@ -1324,6 +1342,19 @@ def oracle_sql() -> dict[str, str]:
             " min(w) first_word, CAST(max(length(w)) AS INT) max_word_len"
             " FROM (SELECT lang, unnest(string_split(text,' ')) w FROM documents)"
             " GROUP BY lang"
+        ),
+        "cc_clusters": (
+            "WITH RECURSIVE pairs AS ("
+            " SELECT DISTINCT event_id % 200 a, (event_id * 7 + 3) % 200 b"
+            " FROM events WHERE event_id % 200 < (event_id * 7 + 3) % 200),"
+            " edges AS (SELECT a src, b dst FROM pairs"
+            "  UNION SELECT b, a FROM pairs),"
+            " nodes AS (SELECT DISTINCT src id FROM edges),"
+            " reach AS ("
+            "  SELECT id, id comp FROM nodes"
+            "  UNION"
+            "  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)"
+            " SELECT id, min(comp) cluster_rep FROM reach GROUP BY id"
         ),
         "w2_order_by_distance": (
             "SELECT user_id, event_id, CAST(row_number() OVER ("
