@@ -913,6 +913,15 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16)
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    from comic_text_detector_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=6)
+
+
 def _q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -976,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "j2_nms_spans": _q_j2_nms_spans,

@@ -199,6 +199,58 @@ def simhash64(
     return votes.select("id", sig.alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by simhash: band the 64-bit signature into 4 x 16-bit
+    bands (pigeonhole: any pair within hamming distance 3 agrees exactly on
+    at least one band), equi-join per band, verify with bit_count(xor).
+    The same banded-equi-join shape as minhash LSH — linear at corpus scale.
+    """
+    sig = simhash64(df, id_col, text_col, shingle_n)
+    bands = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftrightunsigned("simhash", b * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("band_val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("tb"),
+    ).select(
+        "id", "simhash",
+        F.col("tb.band_id").alias("band_id"),
+        F.col("tb.band_val").alias("band_val"),
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
 def ngram_jaccard_pairs(
     pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

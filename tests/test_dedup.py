@@ -50,6 +50,17 @@ def test_minhash_lsh_finds_planted_dups(spark):
     assert 0.7 < vmap[("d001", "near1")] < 1.0
 
 
+def test_simhash_pairs_banded(spark):
+    from comic_text_detector_spark.operators.dedup import simhash_pairs
+
+    docs = _docs(spark)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, "id", "text", max_hamming=8).collect()}
+    assert pairs[("d000", "dup1")] == 0
+    assert ("d001", "near1") in pairs and pairs[("d001", "near1")] <= 8
+    # random pairs don't appear
+    assert all(a in ("d000", "d001") for a, b in pairs)
+
+
 def test_simhash_near_dup_small_hamming(spark):
     out = simhash64(_docs(spark), "id", "text")
     sig = {r.id: r.simhash for r in out.collect()}
