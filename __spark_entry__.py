@@ -579,6 +579,29 @@ def _q_f22_json_roundtrip(spark, sf_dir):
     )
 
 
+def _q_x_set_ops(spark, sf_dir):
+    """Native set operators (X-group as SQL set algebra): (user, day) cells
+    with clicks AND views but NO errors."""
+    ev = _t(spark, sf_dir, "events")
+    u = lambda t: (  # noqa: E731
+        ev.filter(F.col("event_type") == t).select(
+            "user_id", F.to_date("ts").alias("day")
+        )
+    )
+    both = u("click").intersect(u("view"))
+    return both.exceptAll(u("error").distinct()).distinct()
+
+
+def _q_a_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event_type (median + p90)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
 def _q_cc_clusters(spark, sf_dir):
     """Distributed connected components over a deterministic event graph —
     the near-dup clustering step; oracle = DuckDB recursive CTE."""
@@ -999,6 +1022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_range_rolling": _q_w_range_rolling,
         "w2_order_by_distance": _q_w2_order_by_distance,
         "cc_clusters": _q_cc_clusters,
+        "x_set_ops": _q_x_set_ops,
+        "a_percentiles": _q_a_percentiles,
         "w1_reading_order_rtl": _q_w1_reading_order_rtl,
         "f22_json_roundtrip": _q_f22_json_roundtrip,
         "asof_join_events": _q_asof_join_events,
@@ -1352,6 +1377,19 @@ def oracle_sql() -> dict[str, str]:
             " min(w) first_word, CAST(max(length(w)) AS INT) max_word_len"
             " FROM (SELECT lang, unnest(string_split(text,' ')) w FROM documents)"
             " GROUP BY lang"
+        ),
+        "x_set_ops": (
+            "SELECT DISTINCT user_id, day FROM ("
+            " SELECT user_id, CAST(ts AS DATE) day FROM events WHERE event_type = 'click'"
+            " INTERSECT"
+            " SELECT user_id, CAST(ts AS DATE) day FROM events WHERE event_type = 'view'"
+            " EXCEPT"
+            " SELECT user_id, CAST(ts AS DATE) day FROM events WHERE event_type = 'error')"
+        ),
+        "a_percentiles": (
+            "SELECT event_type, quantile_cont(value, 0.5) p50,"
+            " quantile_cont(value, 0.9) p90, count(*) n"
+            " FROM events GROUP BY event_type"
         ),
         "cc_clusters": (
             "WITH RECURSIVE pairs AS ("
