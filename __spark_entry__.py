@@ -1379,12 +1379,12 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY lang"
         ),
         "x_set_ops": (
-            "SELECT DISTINCT user_id, day FROM ("
-            " SELECT user_id, CAST(ts AS DATE) day FROM events WHERE event_type = 'click'"
+            'SELECT DISTINCT user_id, "day" FROM ('
+            ' SELECT user_id, CAST(ts AS DATE) "day" FROM events WHERE event_type = \'click\''
             " INTERSECT"
-            " SELECT user_id, CAST(ts AS DATE) day FROM events WHERE event_type = 'view'"
+            ' SELECT user_id, CAST(ts AS DATE) "day" FROM events WHERE event_type = \'view\''
             " EXCEPT"
-            " SELECT user_id, CAST(ts AS DATE) day FROM events WHERE event_type = 'error')"
+            ' SELECT user_id, CAST(ts AS DATE) "day" FROM events WHERE event_type = \'error\')'
         ),
         "a_percentiles": (
             "SELECT event_type, quantile_cont(value, 0.5) p50,"
