@@ -85,6 +85,13 @@ def main() -> None:
             "One exchange on the window partition key; lag + running sum + "
             "final agg all reuse the same partitioning (no second shuffle).",
         ),
+        (
+            "pipeline_e2e",
+            e._q_pipeline_e2e(spark, sf),
+            "Full training-data pipeline in one plan: the Arrow extraction "
+            "stage feeds JVM-side quality/lang/token exprs and the dedup "
+            "aggregate; the only exchange is the final groupBy key.",
+        ),
     ]
     out = [
         "# PLANS — physical-plan audits (explain-and-iterate evidence)\n",
