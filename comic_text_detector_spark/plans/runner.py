@@ -15,10 +15,12 @@ Physical design (two passes, both scale-shaped):
    (partition-pruned scan — no filter over the full input, no recompute of
    the dedup lineage, no shuffle at all inside the chunk), runs the fused
    Arrow extraction, and appends its output partitioned by chunk_id. The
-   output commit IS the checkpoint: completion is derived from the data
-   (distinct partition_id present in committed output), so a crash mid-chunk
-   leaves no committed files and the chunk reruns — exactly-once per url
-   without a two-phase protocol.
+   output commit IS the checkpoint: completion is derived from the data at
+   partition_id granularity (staged partition set minus committed partition
+   set), so a crash mid-chunk reruns exactly the partitions whose output is
+   not visible — exactly-once per url without a two-phase protocol, even
+   under committers that expose task output early (fileoutputcommitter v2,
+   direct-write cloud committers, speculative commits).
 
 After each chunk commits, one ``metrics`` row per logical partition
 (run_id, partition_id, docs_in, docs_out, bytes, wall_ms, ts) is appended —
@@ -90,9 +92,17 @@ def _extract_with_lineage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Reco
 
 def completed_partitions(spark: SparkSession, data_dir: str) -> set[int]:
     """Partitions whose output already committed (the checkpoint read) —
-    a single-column scan of the committed output."""
+    a single-column scan of the committed output.
+
+    Only a missing/empty directory means "nothing committed"; any other
+    read failure (permissions, corrupt footer, transient FS error) must
+    propagate — silently returning an empty set here would make resume
+    re-run and append already-committed chunks, duplicating documents.
+    """
     if not os.path.exists(data_dir):
         return set()
+    from pyspark.errors import AnalysisException
+
     try:
         rows = (
             spark.read.parquet(data_dir)
@@ -100,7 +110,9 @@ def completed_partitions(spark: SparkSession, data_dir: str) -> set[int]:
             .distinct()
             .collect()
         )
-    except Exception:
+    except AnalysisException:
+        # exists but holds no readable parquet yet (e.g. only an aborted
+        # job's temporary dirs): schema inference fails → nothing committed.
         return set()
     return {r.partition_id for r in rows}
 
@@ -196,31 +208,50 @@ def run_extract(
         salt_hot_hosts, hot_row_threshold, dedup,
     )
     done = completed_partitions(spark, data_dir)
-    done_chunks = {p % num_chunks for p in done}
     chunks_run = 0
     for chunk in range(num_chunks):
-        if chunk in done_chunks:
-            continue
         if stop_after_chunks is not None and chunks_run >= stop_after_chunks:
             break
         chunk_src = os.path.join(staging_dir, f"chunk_id={chunk}")
         if not os.path.exists(chunk_src):
             continue  # chunk holds zero rows
+        # Completion is derived PER partition_id, not per chunk: with
+        # task-visible commit protocols (fileoutputcommitter v2, S3A/direct
+        # committers, speculative commits) a mid-job crash can leave SOME of
+        # a chunk's partitions visible; inferring the whole chunk done from
+        # any one of them would silently drop the rest. Compare the staged
+        # partition set against the committed set and reprocess the missing
+        # ones only. (A bounded single-column distinct: ≤ num_partitions.)
+        staged = {
+            r.partition_id
+            for r in spark.read.parquet(chunk_src)
+            .select("partition_id")
+            .distinct()
+            .collect()
+        }
+        todo = sorted(staged - done)
+        if not todo:
+            continue
         # directory-pruned scan: only this chunk's files are read
         part = spark.read.parquet(chunk_src).select(
             "url", "html", "partition_id"
         )
+        if len(todo) < len(staged):
+            part = part.filter(F.col("partition_id").isin(todo))
         combined = part.mapInArrow(_extract_with_lineage, _COMBINED_DDL)
         combined.withColumn("chunk_id", F.lit(chunk)).write.mode(
             "append"
         ).partitionBy("chunk_id").parquet(data_dir)
-        # Post-commit lineage append, pruned to the chunk's directory.
+        # Post-commit lineage append, pruned to the chunk's directory and to
+        # the partitions processed THIS run (a partial re-run must not
+        # re-count the previously committed partitions' rows).
         chunk_out = os.path.join(data_dir, f"chunk_id={chunk}")
         if not os.path.exists(chunk_out):
             chunks_run += 1
             continue
         metrics = (
             spark.read.parquet(chunk_out)
+            .filter(F.col("partition_id").isin(todo))
             .groupBy("partition_id")
             .agg(
                 F.count("*").alias("docs_in"),

@@ -45,9 +45,11 @@ def _unescape_pdf_string(s: bytes) -> bytes:
                 out += _PDF_ESCAPES[two]
                 i += 2
                 continue
-            if s[i + 1 : i + 2].isdigit():  # octal \ddd
+            if s[i + 1] in b"01234567":  # octal \ooo — digits 8/9 are NOT
+                # octal; \8 or \9 falls through to the drop-backslash branch
+                # below instead of raising from int(..., 8).
                 j = i + 1
-                while j < min(i + 4, len(s)) and s[j : j + 1].isdigit():
+                while j < min(i + 4, len(s)) and s[j] in b"01234567":
                     j += 1
                 out.append(int(s[i + 1 : j], 8) & 0xFF)
                 i = j
@@ -63,6 +65,8 @@ def extract_pdf_text(data: bytes) -> str:
     """PDF bytes → extracted text (text-showing ops in stream order,
     strings joined with single spaces, like the HTML assembly contract)."""
     pieces: list[str] = []
+    if not isinstance(data, (bytes, bytearray)):
+        return ""
     for m in _STREAM_RE.finditer(data):
         hdr, body = m.group(1), m.group(2)
         if body.endswith(b"\r\n"):
@@ -124,6 +128,15 @@ def synthesize_simple_pdf(lines: list[str], compress: bool = False) -> bytes:
     return bytes(out)
 
 
+def _extract_or_empty(data: bytes) -> str:
+    """Tolerant-input wrapper for crawl data: one malformed PDF must not
+    fail the Spark task — it extracts as '' (same contract as empty HTML)."""
+    try:
+        return extract_pdf_text(data)
+    except Exception:
+        return ""
+
+
 def read_pdfs(spark: SparkSession, glob: str) -> DataFrame:
     """PDF files → (url, text) rows via binaryFile + Arrow stage."""
     bf = spark.read.format("binaryFile").load(glob).select("path", "content")
@@ -136,7 +149,7 @@ def read_pdfs(spark: SparkSession, glob: str) -> DataFrame:
                 [
                     pa.array(paths, type=pa.string()),
                     pa.array(
-                        [extract_pdf_text(b) for b in blobs], type=pa.string()
+                        [_extract_or_empty(b) for b in blobs], type=pa.string()
                     ),
                 ],
                 names=["url", "text"],

@@ -27,13 +27,19 @@ STATE_DDL = "seen boolean"
 def _dedup_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    # "First-seen" = the EARLIEST warc_ts among the captures in the first
+    # micro-batch where the url appears. Append mode cannot retract an
+    # emitted row, so a capture with a smaller warc_ts arriving in a LATER
+    # micro-batch does not replace the survivor — that boundary effect is
+    # inherent to streaming append semantics (the batch path's asof_dedup is
+    # the global latest-wins operator; this one is its streaming complement).
     seen = state.get[0] if state.exists else False
     best: pd.DataFrame | None = None
     for pdf in pdfs:
         if pdf.empty:
             continue
-        top = pdf.sort_values("warc_ts", ascending=False).head(1)
-        if best is None or top["warc_ts"].iloc[0] > best["warc_ts"].iloc[0]:
+        top = pdf.sort_values("warc_ts", ascending=True).head(1)
+        if best is None or top["warc_ts"].iloc[0] < best["warc_ts"].iloc[0]:
             best = top
     state.update((True,))
     if not seen and best is not None:
@@ -41,7 +47,10 @@ def _dedup_fn(
 
 
 def stateful_dedup_stream(documents_stream: DataFrame) -> DataFrame:
-    """streaming documents → first-seen capture per url across ALL batches."""
+    """streaming documents → first-seen capture per url across ALL batches
+    (earliest warc_ts within the first micro-batch the url appears in; later
+    batches are suppressed — see ``_dedup_fn`` for the append-mode caveat).
+    """
     return documents_stream.groupBy("url").applyInPandasWithState(
         _dedup_fn,
         outputStructType=OUTPUT_DDL,

@@ -36,3 +36,14 @@ def test_read_pdfs_spark(spark, tmp_path):
     )
     out = {r.url.split("/")[-1]: r.text for r in read_pdfs(spark, str(tmp_path)).collect()}
     assert out == {"a.pdf": "doc a body text", "b.pdf": "doc b body text"}
+
+
+def test_octal_escape_rejects_digits_8_9():
+    """\\8 and \\9 are not octal (ADVICE r1): the backslash is dropped, the
+    digit kept, and extraction never raises on a malformed escape."""
+    from comic_text_detector_spark.sources.pdf import _unescape_pdf_string
+
+    assert _unescape_pdf_string(rb"a\8b\9c") == b"a8b9c"
+    assert _unescape_pdf_string(rb"a\101\12z") == b"aA\nz"  # real octal intact
+    doc = b"<< /Length 24 >>\nstream\nBT (ok\\8fine\\9) Tj ET\nendstream"
+    assert extract_pdf_text(doc) == "ok8fine9"

@@ -72,3 +72,52 @@ def test_resume_exactly_once(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="resume parameter mismatch"):
         run_extract(spark, corpus, out, num_partitions=32, num_chunks=4)
+
+
+def test_resume_partial_partition_visibility(spark, tmp_path):
+    """A committer that exposed only SOME of a chunk's partitions before a
+    crash (fileoutputcommitter v2 / direct-write / speculative commits) must
+    not make resume skip the chunk's remaining partitions (ADVICE r1)."""
+    import os
+
+    from comic_text_detector_spark.plans.runner import (
+        _COMBINED_DDL,
+        _extract_with_lineage,
+    )
+
+    out = str(tmp_path / "job")
+    corpus = corpus_df(spark, 60)
+    expected = asof_dedup(corpus)
+    n_urls = expected.count()
+
+    # run chunk 0 only ("crash" before chunk 1)
+    run_extract(
+        spark, corpus, out, run_id="r1", num_partitions=8, num_chunks=2,
+        stop_after_chunks=1,
+    )
+
+    # simulate a task-visible partial commit of chunk 1: extract exactly ONE
+    # of its staged partitions and append it to the committed output
+    staged = spark.read.parquet(os.path.join(out, "staging", "chunk_id=1"))
+    pids = sorted(
+        r.partition_id
+        for r in staged.select("partition_id").distinct().collect()
+    )
+    assert len(pids) >= 2  # the scenario needs a partially visible chunk
+    partial = staged.filter(F.col("partition_id") == pids[0]).select(
+        "url", "html", "partition_id"
+    )
+    (
+        partial.mapInArrow(_extract_with_lineage, _COMBINED_DDL)
+        .withColumn("chunk_id", F.lit(1))
+        .write.mode("append")
+        .partitionBy("chunk_id")
+        .parquet(os.path.join(out, "extracted"))
+    )
+
+    # resume: chunk-level inference would skip chunk 1 entirely (silent data
+    # loss); per-partition completion processes the missing partitions only
+    run_extract(spark, corpus, out, run_id="r2", num_partitions=8, num_chunks=2)
+    extracted = read_extracted(spark, out)
+    assert extracted.count() == n_urls
+    assert extracted.select("url").distinct().count() == n_urls
