@@ -84,8 +84,10 @@ def embedding_near_dup_pairs(
     Scale path: SRP bucket candidates (same bucket in ANY table) → exact
     cosine verify. Near-dups (cos >= 0.9) agree on a random hyperplane with
     p = 1 - arccos(0.9)/pi ≈ 0.86 → same 8-plane bucket with p ≈ 0.3 per
-    table → ≥1 of 8 tables with p ≈ 0.94. The bucket join is an equi-join;
-    no quadratic pass ever happens.
+    table → ≥1 of 8 tables with p ≈ 0.94. Pair emission goes through
+    ``operators.dedup.bucket_pairs``: the SRP signature pipeline executes
+    once (window + persist, no self-join) and buckets beyond the size cap
+    emit the linear star instead of C(k,2) pairs.
     """
     sig_cols = []
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -120,25 +122,17 @@ def embedding_near_dup_pairs(
             ])
         ).alias("tb"),
     ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.t") == F.col("r.t"))
-            & (F.col("l.b") == F.col("r.b"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            cosine(
-                F.transform(F.col("l.v"), lambda x: x.cast("double")),
-                F.transform(F.col("r.v"), lambda x: x.cast("double")),
-            ).alias("cos"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return cand.filter(F.col("cos") >= threshold)
+    from .dedup import bucket_pairs
+
+    cand = bucket_pairs(banded, ["t", "b"], ["v"])
+    return cand.select(
+        "id_a",
+        "id_b",
+        cosine(
+            F.transform(F.col("v_a"), lambda x: x.cast("double")),
+            F.transform(F.col("v_b"), lambda x: x.cast("double")),
+        ).alias("cos"),
+    ).filter(F.col("cos") >= threshold)
 
 
 def srp_signature(vec_col: Column, num_planes: int = 16, dim: int = 64) -> Column:

@@ -73,3 +73,37 @@ def test_simhash_near_dup_small_hamming(spark):
     assert ham_dup == 0
     assert ham_near <= 8
     assert ham_rand > 8
+
+
+def test_bucket_pairs_small_all_pairs_and_star_cap(spark):
+    """bucket_pairs: all C(k,2) pairs below the cap, star above it."""
+    from comic_text_detector_spark.operators.dedup import bucket_pairs
+
+    banded = spark.createDataFrame(
+        [("a", 0, 1), ("b", 0, 1), ("c", 0, 1),
+         ("x", 1, 2), ("y", 1, 2), ("solo", 2, 3)],
+        "id string, band_id int, band_hash bigint",
+    )
+    out = bucket_pairs(banded, ["band_id", "band_hash"]).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {
+        ("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")
+    }
+    assert {r.bucket_size for r in out} == {2, 3}
+    # cap=2: the 3-doc bucket exceeds it and emits the star to its min id
+    star = bucket_pairs(banded, ["band_id", "band_hash"], max_bucket_size=2)
+    assert {(r.id_a, r.id_b) for r in star.collect()} == {
+        ("a", "b"), ("a", "c"), ("x", "y")
+    }
+
+
+def test_lsh_hot_bucket_star_emission_is_linear(spark):
+    """A 1000-identical-doc template cluster (the common crawl skew case)
+    emits 999 star pairs — O(k), same connected components — instead of
+    C(1000,2) ≈ 500k all-pairs rows."""
+    text = " ".join(f"w{i % 17}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(f"d{i:04d}", text) for i in range(1000)], "id string, text string"
+    )
+    rows = minhash_lsh_pairs(docs, "id", "text", num_hashes=64, bands=16).collect()
+    assert len(rows) == 999
+    assert all(r.id_a == "d0000" for r in rows)  # star anchored at bucket min

@@ -15,7 +15,8 @@ sys.path.insert(0, "/root/repo")
 KEY = re.compile(
     r"ReadSchema|PushedFilters|Location|hashpartitioning|REPARTITION|"
     r"BroadcastHashJoin|SortMergeJoin|BuildRight|BuildLeft|MapInArrow|"
-    r"ArrowEvalPython|FlatMapGroupsInPandas|Keys|Functions \[|partial"
+    r"ArrowEvalPython|FlatMapGroupsInPandas|Keys|Functions \[|partial|"
+    r"InMemoryTableScan|InMemoryRelation|PartitionFilters"
 )
 
 
@@ -77,7 +78,13 @@ def main() -> None:
             "Explode → one xxhash64 per shingle → 64 min() aggregates with "
             "map-side partial aggregation: the shuffle carries one row per "
             "doc, not one per shingle. (A naive array-expression form is 64x "
-            "slower: Catalyst does not CSE nested lambda trees.)",
+            "slower: Catalyst does not CSE nested lambda trees.) Pair "
+            "emission is bucket_pairs: the banded signature frame is "
+            "window-annotated and PERSISTED, so both union branches (star "
+            "for capped hot buckets, all-pairs for small ones) read "
+            "InMemoryTableScan — the signature pipeline appears ONCE, where "
+            "the round-1 self-join ran it twice. Hot buckets emit O(k) star "
+            "rows, never C(k,2).",
         ),
         (
             "w3_sessionize_events",
