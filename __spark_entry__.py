@@ -478,6 +478,46 @@ def _q_multimodal_meta(spark, sf_dir):
     )
 
 
+def _q_multimodal_decode(spark, sf_dir):
+    """Real image metadata decode over real synthesized bytes: each doc_id
+    deterministically becomes a valid PNG / JPEG / GIF (dimensions derived
+    from doc_id), decode_image_meta parses the actual headers, and the
+    oracle predicts the metadata from the same arithmetic — a golden round
+    trip through genuine image bytes (multimodal/binary_ops.py)."""
+    import pandas as pd
+
+    from comic_text_detector_spark.multimodal.binary_ops import (
+        decode_image_meta,
+        synthesize_gif,
+        synthesize_jpeg,
+        synthesize_png,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            media = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 1 + i % 64, 1 + i % 48
+                k = i % 3
+                media.append(
+                    synthesize_png(w, h) if k == 0
+                    else synthesize_jpeg(w, h) if k == 1
+                    else synthesize_gif(w, h)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "media": media}
+            )
+
+    m = docs.mapInPandas(synth, "media_id string, media binary")
+    return decode_image_meta(m).select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "mime", "width", "height", "channels", "ok",
+    )
+
+
 def _q_extract_blocks(spark, sf_dir):
     """End-to-end block surface: extraction → exploded spans → per-block
     text slice + language tag (the TextBlock record analog, F22/W1/W2).
@@ -1006,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_line_poly": _q_s5_line_poly,
         "grouping_sets_report": _q_grouping_sets_report,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_decode": _q_multimodal_decode,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1319,6 +1360,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, octet_length(encode(text)) n_bytes,"
             " sha256(text) sha256,"
             " 'application/octet-stream' sniffed_mime FROM documents"
+        ),
+        "multimodal_decode": (
+            "SELECT doc_id,"
+            " CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'"
+            "  WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END AS mime,"
+            " CAST(1 + doc_id % 64 AS INTEGER) AS width,"
+            " CAST(1 + doc_id % 48 AS INTEGER) AS height,"
+            " 3 AS channels, TRUE AS ok FROM documents"
         ),
         "extract_blocks": (
             "SELECT doc_id, 0 AS block_id, text AS block_text, CASE"

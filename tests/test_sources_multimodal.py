@@ -101,12 +101,41 @@ def test_media_stats_and_sniff(spark, media_df):
     assert len(out["m1"].sha256) == 64
 
 
-def test_decode_stub_plumbing(spark, media_df, monkeypatch):
+def test_decode_image_meta_real_headers(spark, media_df, monkeypatch):
+    from comic_text_detector_spark.multimodal.binary_ops import (
+        parse_image_meta,
+        synthesize_gif,
+        synthesize_jpeg,
+        synthesize_png,
+    )
+
+    rows = [
+        ("png", synthesize_png(33, 21)),
+        ("jpg", synthesize_jpeg(640, 480)),
+        ("gif", synthesize_gif(12, 7)),
+        ("bad", b"garbage bytes here"),
+        ("trunc", b"\x89PNG\r\n\x1a\n\x00\x00"),  # signature but no IHDR
+    ]
+    df = spark.createDataFrame(rows, "media_id string, media binary")
+    out = {r.media_id: r for r in decode_image_meta(df).collect()}
+    png = out["png"]
+    assert (png.mime, png.width, png.height, png.channels, png.ok) == (
+        "image/png", 33, 21, 3, True,
+    )
+    assert (out["jpg"].mime, out["jpg"].width, out["jpg"].height, out["jpg"].ok) == (
+        "image/jpeg", 640, 480, True,
+    )
+    assert (out["gif"].width, out["gif"].height, out["gif"].channels) == (12, 7, 3)
+    assert not out["bad"].ok and not out["trunc"].ok
+    # direct parser check, plus BMP which has no synthesizer
+    assert parse_image_meta(synthesize_png(5, 4)) == ("image/png", 5, 4, 3)
+    import struct as _s
+
+    bmp = b"BM" + b"\x00" * 16 + _s.pack("<ii", 17, -9) + b"\x00" * 8
+    assert parse_image_meta(bmp) == ("image/bmp", 17, 9, 3)
+
+    # frame-sampling plumbing keeps its documented fake (video needs ffmpeg)
     monkeypatch.setenv("CTD_FAKE_DECODE", "1")
-    out = {r.media_id: r for r in decode_image_meta(media_df).collect()}
-    assert set(out) == {"m1", "m2", "m3"}
-    assert all(r.ok for r in out.values())
-    assert out["m1"].width >= 64 and out["m1"].channels == 3
     frames = sample_frames(media_df, every_n=1).collect()
     assert {f.media_id for f in frames} == {"m1", "m2", "m3"}
     m1_frames = [f for f in frames if f.media_id == "m1"]
