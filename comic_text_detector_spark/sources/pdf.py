@@ -2,13 +2,27 @@
 
 Pure stdlib (zlib IS the FlateDecode codec): scan ``stream…endstream``
 objects, inflate when Flate-compressed, and pull text-showing operators
-(``(…) Tj`` and ``[…] TJ``) out of ``BT…ET`` text blocks in layout order.
-This covers machine-generated single-font PDFs — the dominant kind in web
-crawls — and is honest about its limits: no CMap/ToUnicode handling, so
-PDFs with subsetted/CID fonts need a real parser (documented, not faked).
+(``(…) Tj``, ``<hex> Tj`` and ``[…] TJ``) out of ``BT…ET`` text blocks in
+layout order.
 
-A matching synthesizer emits valid single-page PDFs (plain or Flate) so the
-round trip is golden-tested by construction, like the HTML fixtures.
+Two font regimes are supported:
+
+* **Simple fonts** — string bytes decode directly (UTF-8 with replacement),
+  the machine-generated single-font case.
+* **Type0 / Identity-H CID fonts** (the dominant real-world crawl case) —
+  the object graph is walked: ``/Font`` resource dicts map resource names
+  to font objects; a Type0 font's ``/ToUnicode N 0 R`` stream is inflated
+  and its ``bfchar``/``bfrange`` sections parsed into a CID→Unicode map;
+  ``Tf`` operators are tracked through each content stream so every shown
+  string decodes through the font that is actually selected. 2-byte CIDs
+  (Identity-H) are mapped; unmapped CIDs are dropped, not faked.
+
+Out of scope (documented, not faked): non-Identity CMap encodings,
+predictor-coded xref streams, encryption.
+
+Matching synthesizers emit valid single-page PDFs — simple (plain or
+Flate) and Type0 with a real ToUnicode CMap (bfchar + bfrange) — so both
+round trips are golden-tested by construction, like the HTML fixtures.
 
 ``read_pdfs`` is the Spark surface: binaryFile → Arrow stage → (url, text)
 rows that feed the same downstream pipeline (quality, dedup, tokens).
@@ -25,9 +39,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
 _TEXT_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.S)
-# (string) Tj  |  [ (s1) -250 (s2) ] TJ
-_TJ_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*Tj|\[(?:[^\]\\]|\\.)*\]\s*TJ", re.S)
-_STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)", re.S)
+# /F1 12 Tf | (string) Tj | <hex> Tj | [ (s1) -250 <hex> ] TJ
+_OP_RE = re.compile(
+    rb"/(\w+)\s+[-\d.]+\s+Tf"
+    rb"|(?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)\s*Tj"
+    rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ",
+    re.S,
+)
+_STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>", re.S)
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
+_FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONTREF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFRANGE_ITEM_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)*)\s*\])",
+    re.S,
+)
 
 _PDF_ESCAPES = {
     b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t", b"\\b": b"\b",
@@ -61,12 +93,115 @@ def _unescape_pdf_string(s: bytes) -> bytes:
     return bytes(out)
 
 
+def _inflate_stream(obj: bytes) -> bytes | None:
+    """stream body of one ``N 0 obj … endobj`` slice (Flate-inflated), or
+    None if the object carries no (readable) stream."""
+    m = _STREAM_RE.search(obj)
+    if not m:
+        return None
+    hdr, body = m.group(1), m.group(2)
+    if body.endswith(b"\r\n"):
+        body = body[:-2]
+    elif body.endswith(b"\n"):
+        body = body[:-1]
+    if b"FlateDecode" in hdr:
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            return None
+    return body
+
+
+def _parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """ToUnicode CMap stream → {CID: unicode string}. Handles ``bfchar``
+    pairs and ``bfrange`` with either a destination start (incremented per
+    code) or an explicit destination array; destinations are UTF-16BE."""
+    out: dict[int, str] = {}
+
+    def _dst(hexs: bytes) -> str:
+        try:
+            return bytes.fromhex(hexs.decode()).decode("utf-16-be", "replace")
+        except ValueError:
+            return ""
+
+    for sec in _BFCHAR_RE.finditer(cmap):
+        toks = _HEXTOK_RE.findall(sec.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            out[int(src, 16)] = _dst(dst)
+    for sec in _BFRANGE_RE.finditer(cmap):
+        for item in _BFRANGE_ITEM_RE.finditer(sec.group(1)):
+            lo, hi = int(item.group(1), 16), int(item.group(2), 16)
+            if hi < lo or hi - lo > 0xFFFF:
+                continue
+            if item.group(3) is not None:
+                dsthex = item.group(3)
+                width = max(2, len(dsthex) // 2)
+                base = int(dsthex, 16)
+                for i in range(hi - lo + 1):
+                    try:
+                        out[lo + i] = (base + i).to_bytes(width, "big").decode(
+                            "utf-16-be", "replace"
+                        )
+                    except OverflowError:
+                        break
+            else:
+                dsts = _HEXTOK_RE.findall(item.group(4))
+                for i, d in enumerate(dsts[: hi - lo + 1]):
+                    out[lo + i] = _dst(d)
+    return out
+
+
+def _font_cmaps(data: bytes) -> dict[bytes, dict[int, str]]:
+    """{font resource name: CID→Unicode map} for every Type0 font whose
+    ``/ToUnicode`` stream resolves. Non-Type0 fonts are absent (their
+    strings decode as plain bytes)."""
+    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    cmaps: dict[bytes, dict[int, str]] = {}
+    for fonts in _FONTDICT_RE.finditer(data):
+        for name, num in _FONTREF_RE.findall(fonts.group(1)):
+            font_obj = objs.get(int(num))
+            if font_obj is None or b"/Type0" not in font_obj:
+                continue
+            tu = _TOUNICODE_RE.search(font_obj)
+            if not tu:
+                continue
+            stream = _inflate_stream(objs.get(int(tu.group(1)), b""))
+            if stream:
+                cmaps[name] = _parse_tounicode(stream)
+    return cmaps
+
+
+def _decode_shown_string(tok: bytes, cmap: dict[int, str] | None) -> str:
+    """One literal ``(…)`` or hex ``<…>`` string → text, through the active
+    font's CID map when one exists (2-byte Identity-H codes), else bytes."""
+    if tok[:1] == b"<":
+        hexs = re.sub(rb"\s", b"", tok[1:-1])
+        if len(hexs) % 2:
+            hexs += b"0"
+        try:
+            raw = bytes.fromhex(hexs.decode())
+        except ValueError:
+            return ""
+    else:
+        raw = _unescape_pdf_string(tok[1:-1])
+    if cmap is not None:
+        return "".join(
+            cmap.get((raw[k] << 8) | raw[k + 1], "")
+            for k in range(0, len(raw) - 1, 2)
+        )
+    return raw.decode("utf-8", errors="replace")
+
+
 def extract_pdf_text(data: bytes) -> str:
     """PDF bytes → extracted text (text-showing ops in stream order,
-    strings joined with single spaces, like the HTML assembly contract)."""
-    pieces: list[str] = []
+    strings joined with single spaces, like the HTML assembly contract).
+    ``Tf`` operators select the active font per content stream, so Type0 /
+    Identity-H strings decode through their ToUnicode CMap."""
     if not isinstance(data, (bytes, bytearray)):
         return ""
+    data = bytes(data)
+    cmaps = _font_cmaps(data)
+    pieces: list[str] = []
     for m in _STREAM_RE.finditer(data):
         hdr, body = m.group(1), m.group(2)
         if body.endswith(b"\r\n"):
@@ -78,11 +213,14 @@ def extract_pdf_text(data: bytes) -> str:
                 body = zlib.decompress(body)
             except zlib.error:
                 continue
+        cmap: dict[int, str] | None = None
         for block in _TEXT_BLOCK_RE.finditer(body):
-            for op in _TJ_RE.finditer(block.group(1)):
+            for op in _OP_RE.finditer(block.group(1)):
+                if op.group(1) is not None:  # Tf: font selection
+                    cmap = cmaps.get(op.group(1))
+                    continue
                 for lit in _STR_RE.finditer(op.group(0)):
-                    raw = _unescape_pdf_string(lit.group(0)[1:-1])
-                    txt = raw.decode("utf-8", errors="replace")
+                    txt = _decode_shown_string(lit.group(0), cmap)
                     norm = " ".join(txt.split())
                     if norm:
                         pieces.append(norm)
@@ -110,6 +248,83 @@ def synthesize_simple_pdf(lines: list[str], compress: bool = False) -> bytes:
         b"<< " + filt + b"/Length " + str(len(body)).encode() + b" >>\n"
         b"stream\n" + body + b"\nendstream",
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, o in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode() + b" /Root 1 0 R >>\n"
+        b"startxref\n" + str(xref).encode() + b"\n%%EOF"
+    )
+    return bytes(out)
+
+
+def synthesize_type0_pdf(lines: list[str], compress: bool = False) -> bytes:
+    """A valid single-page Type0/Identity-H PDF. Text is shown as 2-byte
+    CID hex strings under a synthetic CID assignment (deliberately NOT the
+    Unicode code points, so decoding must go through the CMap): lowercase
+    a–z map via one ``bfrange`` (CID 0x0100+i → 'a'+i) and every other
+    character via ``bfchar`` entries (CIDs from 0x0200 in first-appearance
+    order). The ToUnicode stream is a real CMap; round-trip golden like
+    ``synthesize_simple_pdf``."""
+    cid_of: dict[str, int] = {}
+    bfchars: list[tuple[int, str]] = []
+    nxt = 0x0200
+    for ch in "".join(lines):
+        if ch in cid_of:
+            continue
+        if "a" <= ch <= "z":
+            cid_of[ch] = 0x0100 + ord(ch) - ord("a")
+        else:
+            cid_of[ch] = nxt
+            bfchars.append((nxt, ch))
+            nxt += 1
+
+    def hexstr(s: str) -> str:
+        return "<" + "".join(f"{cid_of[c]:04X}" for c in s) + ">"
+
+    content = "BT /F1 12 Tf 72 760 Td " + " ".join(
+        f"{hexstr(ln)} Tj 0 -14 Td" for ln in lines
+    ) + " ET"
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        "1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        f"{max(1, len(bfchars))} beginbfchar\n"
+        + "".join(f"<{cid:04X}> <{ord(ch):04X}>\n" for cid, ch in bfchars)
+        + "endbfchar\n"
+        "1 beginbfrange\n<0100> <0119> <0061>\nendbfrange\n"
+        "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    )
+
+    def stream_obj(body: bytes) -> bytes:
+        filt = b""
+        if compress:
+            body = zlib.compress(body)
+            filt = b"/Filter /FlateDecode "
+        return (
+            b"<< " + filt + b"/Length " + str(len(body)).encode() + b" >>\n"
+            b"stream\n" + body + b"\nendstream"
+        )
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        stream_obj(content.encode("utf-8")),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+        b"/Encoding /Identity-H /DescendantFonts [6 0 R] /ToUnicode 7 0 R >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /CIDToGIDMap /Identity >>",
+        stream_obj(cmap.encode("utf-8")),
     ]
     out = bytearray(b"%PDF-1.4\n")
     offsets = []

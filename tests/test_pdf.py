@@ -47,3 +47,30 @@ def test_octal_escape_rejects_digits_8_9():
     assert _unescape_pdf_string(rb"a\101\12z") == b"aA\nz"  # real octal intact
     doc = b"<< /Length 24 >>\nstream\nBT (ok\\8fine\\9) Tj ET\nendstream"
     assert extract_pdf_text(doc) == "ok8fine9"
+
+
+def test_type0_identity_h_roundtrip():
+    """Type0/Identity-H with a real ToUnicode CMap: CIDs are deliberately
+    not Unicode code points, so extraction must resolve the font object
+    graph and CMap (bfchar + bfrange paths both exercised)."""
+    from comic_text_detector_spark.sources.pdf import synthesize_type0_pdf
+
+    lines = ["hello cid world", "MIXED Case + punct: 42!", "zzz aaa"]
+    for compress in (False, True):
+        pdf = synthesize_type0_pdf(lines, compress=compress)
+        assert b"/Type0" in pdf and b"/Identity-H" in pdf
+        assert extract_pdf_text(pdf) == " ".join(lines)
+    # the raw hex CIDs are NOT the text (decode really went through the CMap)
+    assert b"hello" not in synthesize_type0_pdf(["hello"])
+
+
+def test_type0_without_tounicode_extracts_nothing_fake():
+    """A Type0 font with no ToUnicode map must not hallucinate text from
+    raw CID bytes — unmapped 2-byte codes decode as latin garbage only in
+    the no-cmap fallback, which applies to simple fonts, not here."""
+    from comic_text_detector_spark.sources.pdf import synthesize_type0_pdf
+
+    pdf = synthesize_type0_pdf(["some text"])
+    broken = pdf.replace(b"/ToUnicode 7 0 R", b"/NoToUnicode 7 0 R")
+    out = extract_pdf_text(broken)
+    assert "some text" not in out
