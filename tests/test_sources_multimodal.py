@@ -180,3 +180,41 @@ def test_session_window_stream_shape(spark):
     ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
     out = session_counts_stream(ev).collect()  # batch DF: runs eagerly
     assert sorted(r.n_events for r in out) == [1, 2]
+
+
+def test_bucketed_table_write_read_prune(spark, tmp_path):
+    """Iceberg-style bucketed layout: snapshot appends accumulate, point
+    lookups partition-prune to one url_bucket directory, and a mismatched
+    bucket count refuses (it would prune to the wrong directory)."""
+    import pytest as _pytest
+
+    from comic_text_detector_spark.fixtures import corpus_df
+    from comic_text_detector_spark.operators.dedup import asof_dedup
+    from comic_text_detector_spark.sources.sinks import (
+        read_extracted_table,
+        read_url,
+        write_extracted_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    docs = asof_dedup(corpus_df(spark, 40)).select("url", "html")
+    write_extracted_table(docs, path, buckets=8)
+    n1 = read_extracted_table(spark, path).count()
+    assert n1 == docs.count()
+
+    # snapshot append: second batch lands alongside the first
+    more = docs.limit(5).select(
+        F.concat(F.lit("snap2-"), F.col("url")).alias("url"), "html"
+    )
+    write_extracted_table(more, path, buckets=8)
+    assert read_extracted_table(spark, path).count() == n1 + 5
+
+    # point lookup returns exactly the row and PRUNES the scan
+    target = docs.select("url").first().url
+    got = read_url(spark, path, target)
+    assert got.count() == 1 and got.first().url == target
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "url_bucket" in plan
+
+    with _pytest.raises(ValueError, match="buckets=8"):
+        write_extracted_table(more, path, buckets=16)

@@ -30,6 +30,22 @@ def trim(plan: str, max_tree_lines: int = 30, max_detail: int = 24) -> str:
     return "\n".join(tree + ["", "-- key details --"] + detail)
 
 
+def _bucketed_lookup(spark, wrapped):
+    import shutil
+    import tempfile
+
+    from comic_text_detector_spark.sources.sinks import (
+        read_url,
+        write_extracted_table,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="ctd_plans_tbl_")
+    shutil.rmtree(tbl)
+    write_extracted_table(wrapped.limit(200), tbl, buckets=16)
+    target = wrapped.select("url").first().url
+    return read_url(spark, tbl, target)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -91,6 +107,15 @@ def main() -> None:
             e._q_w3_sessionize_events(spark, sf),
             "One exchange on the window partition key; lag + running sum + "
             "final agg all reuse the same partitioning (no second shuffle).",
+        ),
+        (
+            "bucketed table point lookup (read_url)",
+            _bucketed_lookup(spark, wrapped),
+            "Iceberg-style layout: write_extracted_table partitions by "
+            "url_bucket = pmod(xxhash64(url), N); read_url filters on the "
+            "LITERAL bucket value, so the scan shows PartitionFilters on "
+            "url_bucket and reads one directory — a 1/N-th scan at any "
+            "table size, plus the url predicate pushed to parquet.",
         ),
         (
             "pipeline_e2e",
