@@ -330,6 +330,74 @@ def _q_f_geometry_boxes(spark, sf_dir):
     )
 
 
+def _q_f13_f14_min_rect_aspect(spark, sf_dir):
+    """F13+F14: rotate each box by a per-row angle, then min_rect
+    (de-rotate → axis-aligned bbox) must recover the ORIGINAL box exactly
+    (trig round trip, checked to 4dp), and the midpoint-norm aspect ratio
+    equals height/width. Oracle is pure integer arithmetic — no trig."""
+    from comic_text_detector_spark.functions.geometry import (
+        aspect_ratio,
+        min_rect,
+        rotate_polygon,
+    )
+
+    b = _boxes(spark, sf_dir)
+    cx = (F.col("x1") + F.col("x2")) / 2
+    cy = (F.col("y1") + F.col("y2")) / 2
+    angle = F.radians((F.col("o_orderkey") % 60).cast("double") - 30.0)
+    pts = F.array(
+        F.array(F.col("x1"), F.col("y1")),
+        F.array(F.col("x2"), F.col("y1")),
+        F.array(F.col("x2"), F.col("y2")),
+        F.array(F.col("x1"), F.col("y2")),
+    )
+    rect = min_rect(rotate_polygon(pts, cx, cy, angle), cx, cy, angle, rotate_back=False)
+    # aspect over the 4dp-rounded (exact-integer) corners: the midpoint
+    # norms then reduce to exact h and w, so the single IEEE division
+    # matches DuckDB bit-for-bit — rounding a trig-perturbed ratio at a
+    # representable boundary (e.g. 1/32) would not.
+    rounded = F.transform(
+        rect, lambda p: F.array(F.round(p[0], 4), F.round(p[1], 4))
+    )
+    return b.select(
+        "o_orderkey",
+        F.round(rect[0][0], 4).alias("rx1"),
+        F.round(rect[0][1], 4).alias("ry1"),
+        F.round(rect[2][0], 4).alias("rx2"),
+        F.round(rect[2][1], 4).alias("ry2"),
+        aspect_ratio(rounded).alias("aspect"),
+    )
+
+
+def _q_f18_shrink_unclip(spark, sf_dir):
+    """F18 interval shrink/unclip (DBNet offset-distance analog)."""
+    from comic_text_detector_spark.functions.geometry import shrink_span, unclip_span
+
+    b = _boxes(spark, sf_dir)
+    ss, se = shrink_span(F.col("x1"), F.col("x2"), 0.4)
+    us, ue = unclip_span(F.col("x1"), F.col("x2"), 1.5)
+    return b.select(
+        "o_orderkey",
+        F.round(ss, 6).alias("ss"),
+        F.round(se, 6).alias("se"),
+        F.round(us, 6).alias("us"),
+        F.round(ue, 6).alias("ue"),
+    )
+
+
+def _q_dedup_exact_survivors(spark, sf_dir):
+    """Survivors API for exact dedup: duplicate the corpus under shifted
+    ids, keep the min-id row per distinct text — output is exactly the
+    original rows."""
+    from comic_text_detector_spark.operators.dedup import exact_dedup_survivors
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    u = d.unionByName(
+        d.select((F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text")
+    )
+    return exact_dedup_survivors(u, "text", "doc_id").select("doc_id", "text")
+
+
 def _q_w1_reading_order(spark, sf_dir):
     from comic_text_detector_spark.functions.textstats import reading_order_weight
 
@@ -1036,6 +1104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_kgram": _q_fingerprint_kgram,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "f_geometry_boxes": _q_f_geometry_boxes,
+        "f13_f14_min_rect_aspect": _q_f13_f14_min_rect_aspect,
+        "f18_shrink_unclip": _q_f18_shrink_unclip,
+        "dedup_exact_survivors": _q_dedup_exact_survivors,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -1238,6 +1309,33 @@ def oracle_sql() -> dict[str, str]:
             "   - greatest(least(x2,60.0)-greatest(x1,20.0),0.0)*greatest(least(y2,60.0)-greatest(y1,20.0),0.0)) iou,"
             " ((x1+x2)/2)/128.0 ycx, (y2-y1)/128.0 yh"
             " FROM b"
+        ),
+        "f13_f14_min_rect_aspect": (
+            "WITH b AS (SELECT o_orderkey,"
+            " CAST(o_orderkey % 97 AS DOUBLE) x1, CAST(o_custkey % 89 AS DOUBLE) y1,"
+            " CAST((o_orderkey % 97) + 1 + o_orderkey % 53 AS DOUBLE) x2,"
+            " CAST((o_custkey % 89) + 1 + o_custkey % 41 AS DOUBLE) y2"
+            " FROM orders)"
+            " SELECT o_orderkey, round(x1, 4) rx1, round(y1, 4) ry1,"
+            " round(x2, 4) rx2, round(y2, 4) ry2,"
+            " (y2 - y1) / (x2 - x1) aspect FROM b"
+        ),
+        "f18_shrink_unclip": (
+            "WITH b AS (SELECT o_orderkey,"
+            " CAST(o_orderkey % 97 AS DOUBLE) x1,"
+            " CAST((o_orderkey % 97) + 1 + o_orderkey % 53 AS DOUBLE) x2"
+            " FROM orders)"
+            " SELECT o_orderkey,"
+            " round(least(x1 + (x2-x1)*(1 - 0.4*0.4)/2, (x1+x2)/2), 6) ss,"
+            " round(greatest(x2 - (x2-x1)*(1 - 0.4*0.4)/2, (x1+x2)/2), 6) se,"
+            " round(x1 - (x2-x1)*1.5/2, 6) us,"
+            " round(x2 + (x2-x1)*1.5/2, 6) ue FROM b"
+        ),
+        "dedup_exact_survivors": (
+            "WITH u AS (SELECT doc_id, text FROM documents"
+            " UNION ALL SELECT doc_id + 1000000, text FROM documents)"
+            " SELECT doc_id, text FROM u"
+            " QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"
         ),
         "w1_reading_order": (
             "WITH b AS (SELECT o_orderkey, o_custkey % 20 page_id,"

@@ -94,6 +94,66 @@ def rotate_polygon(pts: Column, cx: Column, cy: Column, angle_rad: Column) -> Co
     )
 
 
+def min_rect(
+    pts: Column,
+    cx: Column,
+    cy: Column,
+    angle_rad: Column,
+    rotate_back: bool = True,
+) -> Column:
+    """F14 min_rect (reference utils/textblock.py:121-134): rotate the
+    polygon by −angle about the center, take the axis-aligned bbox, and
+    (optionally) rotate its corners back into the page frame. Corners are
+    returned [tl, tr, br, bl] as array<array<double>> — all higher-order
+    array exprs, JVM-side."""
+    rot = rotate_polygon(pts, cx, cy, -angle_rad)
+    xs = F.transform(rot, lambda p: p[0])
+    ys = F.transform(rot, lambda p: p[1])
+    mnx, mxx = F.array_min(xs), F.array_max(xs)
+    mny, mxy = F.array_min(ys), F.array_max(ys)
+    bbox = F.array(
+        F.array(mnx, mny),
+        F.array(mxx, mny),
+        F.array(mxx, mxy),
+        F.array(mnx, mxy),
+    )
+    return rotate_polygon(bbox, cx, cy, angle_rad) if rotate_back else bbox
+
+
+def aspect_ratio(rect: Column) -> Column:
+    """F13 aspect ratio via midpoint norms (reference utils/textblock.py:
+    110-115): edge midpoints mid_i = (rect[(i+1)%4] + rect[i]) / 2, then
+    ‖mid2 − mid0‖ / ‖mid1 − mid3‖ (vertical over horizontal extent)."""
+
+    def mid(i: int, j: int) -> tuple[Column, Column]:
+        return (rect[i][0] + rect[j][0]) / 2, (rect[i][1] + rect[j][1]) / 2
+
+    m0x, m0y = mid(0, 1)
+    m1x, m1y = mid(1, 2)
+    m2x, m2y = mid(2, 3)
+    m3x, m3y = mid(3, 0)
+    norm_v = F.sqrt((m2x - m0x) ** 2 + (m2y - m0y) ** 2)
+    norm_h = F.sqrt((m1x - m3x) ** 2 + (m1y - m3y) ** 2)
+    return norm_v / norm_h
+
+
+def shrink_span(start: Column, end: Column, ratio: float) -> list[Column]:
+    """F18 shrink, interval analog (reference utils/db_utils.py:501-525:
+    polygon offset distance = area·(1−r²)/perimeter). A 1-D span of length
+    L has 'area' L and two endpoints, so δ = L·(1−r²)/2 and the span
+    becomes [s+δ, e−δ], collapsing to the midpoint rather than inverting."""
+    d = (end - start) * (1.0 - ratio * ratio) / 2.0
+    mid = (start + end) / 2.0
+    return [F.least(start + d, mid), F.greatest(end - d, mid)]
+
+
+def unclip_span(start: Column, end: Column, ratio: float = 1.5) -> list[Column]:
+    """F18 unclip, interval analog (reference utils/db_utils.py:168-174:
+    distance = area·r/perimeter): δ = L·r/2, span grows to [s−δ, e+δ]."""
+    d = (end - start) * ratio / 2.0
+    return [start - d, end + d]
+
+
 def hex2rgb(color: Column) -> Column:
     """F11 hex color bit-unpack (reference utils/imgproc_utils.py:5-11):
     int color → [r, g, b] via shift/mask exprs."""

@@ -199,3 +199,28 @@ def test_geometry_exprs(spark):
     ew = expand_window(F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"), F.lit(100.0), F.lit(200.0))
     v = df4.select(*[e.alias(f"e{i}") for i, e in enumerate(ew)]).collect()[0]
     assert [v.e0, v.e1, v.e2, v.e3] == [0.0, 0.0, 100.0, 200.0]
+
+
+def test_shrink_span_collapses_to_midpoint(spark):
+    from comic_text_detector_spark.functions.geometry import shrink_span, unclip_span
+
+    df = spark.createDataFrame([(10.0, 12.0), (0.0, 100.0)], "s double, e double")
+    ss, se = shrink_span(F.col("s"), F.col("e"), 0.0)  # r=0: full shrink
+    rows = df.select(ss.alias("a"), se.alias("b")).collect()
+    assert rows[0].a == rows[0].b == 11.0  # collapsed, never inverted
+    us, ue = unclip_span(F.col("s"), F.col("e"), 1.5)
+    r = df.select(us.alias("a"), ue.alias("b")).collect()[1]
+    assert (r.a, r.b) == (-75.0, 175.0)
+
+
+def test_visualize_spans_renderer(spark):
+    from comic_text_detector_spark.debug import visualize_spans
+
+    df = spark.createDataFrame(
+        [("u1", "hello world", [(0, 0, 5), (1, 6, 11)])],
+        "url string, text string,"
+        " spans array<struct<block_id:int,char_start:int,char_end:int>>",
+    )
+    out = visualize_spans(df)
+    assert "u1" in out and "|hello world|" in out
+    assert "|^^^^^ ^^^^^| 2 spans" in out
