@@ -1331,6 +1331,93 @@ def oracle_sql() -> dict[str, str]:
             " round(x1 - (x2-x1)*1.5/2, 6) us,"
             " round(x2 + (x2-x1)*1.5/2, 6) ue FROM b"
         ),
+        # Greedy NMS as a recursive CTE: each iteration keeps the top
+        # conf-ordered survivor per group (window over the recursive set)
+        # and carries forward only candidates with IoU <= thres against it —
+        # an independent sequential-greedy oracle, not a Spark re-run.
+        "j2_nms_spans": (
+            "WITH RECURSIVE cand AS ("
+            " SELECT user_id, event_id AS span_id,"
+            "  CAST(trunc(value) AS INT) AS char_start,"
+            "  CAST(trunc(value) + 30 AS INT) AS char_end,"
+            "  (event_id % 100) / 100.0 + 0.001 AS conf, 0 AS cls"
+            " FROM events WHERE (event_id % 100) / 100.0 + 0.001 > 0.4),"
+            " nms AS ("
+            "  SELECT *, FALSE AS kept FROM cand"
+            "  UNION ALL"
+            "  SELECT user_id, span_id, char_start, char_end, conf, cls,"
+            "         new_kept AS kept"
+            "  FROM ("
+            "   SELECT *,"
+            "    first_value(char_start) OVER w AS ts,"
+            "    first_value(char_end)   OVER w AS te,"
+            "    (span_id = first_value(span_id) OVER w) AS new_kept"
+            "   FROM nms WHERE NOT kept"
+            "   WINDOW w AS (PARTITION BY user_id"
+            "                ORDER BY conf DESC, span_id ASC"
+            "                ROWS BETWEEN UNBOUNDED PRECEDING"
+            "                AND UNBOUNDED FOLLOWING))"
+            "  WHERE new_kept"
+            "   OR (CAST(greatest(least(char_end, te) - greatest(char_start, ts), 0) AS DOUBLE)"
+            "       / ((char_end - char_start) + (te - ts)"
+            "          - greatest(least(char_end, te) - greatest(char_start, ts), 0))) <= 0.35)"
+            " SELECT user_id, span_id, char_start, char_end, conf, cls"
+            " FROM nms WHERE kept"
+        ),
+        # Greedy first-come gt<->pred matching as a recursive CTE: each
+        # iteration consumes the first remaining gt per group and its first
+        # eligible (IoU >= 0.5) unused pred, emitting a 'tp' marker row.
+        "j6_eval_prf": (
+            "WITH RECURSIVE base AS ("
+            " SELECT user_id, event_id, CAST(trunc(value) AS INT) AS v"
+            " FROM events WHERE event_type = 'view'),"
+            " golden AS (SELECT CAST(user_id AS VARCHAR) g, v AS s,"
+            "            v + 100 AS e FROM base),"
+            " preds AS (SELECT CAST(user_id AS VARCHAR) g,"
+            "  v + CASE WHEN event_id % 2 = 0 THEN 10 ELSE 0 END AS s,"
+            "  v + 100 + CASE WHEN event_id % 2 = 0 THEN 10 ELSE 0 END AS e"
+            "  FROM base WHERE event_id % 7 <> 0),"
+            " m AS ("
+            "  SELECT g, 'gt' AS kind, s, e FROM golden"
+            "  UNION ALL SELECT g, 'pred', s, e FROM preds"
+            "  UNION ALL"
+            "  SELECT g, CASE WHEN kind = 'pred' AND eligible AND rn2 = 1"
+            "            THEN 'tp' ELSE kind END AS kind, s, e"
+            "  FROM ("
+            "   SELECT *, row_number() OVER (PARTITION BY g"
+            "            ORDER BY eligible DESC, s, e) AS rn2"
+            "   FROM ("
+            "    SELECT *, (kind = 'pred' AND has_gt AND"
+            "     CAST(greatest(least(e, gt_e) - greatest(s, gt_s), 0) AS DOUBLE)"
+            "     / ((e - s) + (gt_e - gt_s)"
+            "        - greatest(least(e, gt_e) - greatest(s, gt_s), 0)) >= 0.5"
+            "    ) AS eligible"
+            "    FROM ("
+            "     SELECT *, row_number() OVER w1 AS rn1,"
+            "      (first_value(kind) OVER w1 = 'gt') AS has_gt,"
+            "      first_value(s) OVER w1 AS gt_s,"
+            "      first_value(e) OVER w1 AS gt_e"
+            "     FROM m WHERE kind <> 'tp'"
+            "     WINDOW w1 AS (PARTITION BY g"
+            "      ORDER BY CASE kind WHEN 'gt' THEN 0 ELSE 1 END, s, e"
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))))"
+            "  WHERE has_gt AND NOT (kind = 'gt' AND rn1 = 1))"
+            " SELECT tp, n_gt, n_pred,"
+            "  CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred"
+            "       ELSE 0.0 END AS precision,"
+            "  CASE WHEN n_gt > 0 THEN CAST(tp AS DOUBLE) / n_gt"
+            "       ELSE 0.0 END AS recall,"
+            "  CASE WHEN (CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END"
+            "           + CASE WHEN n_gt > 0 THEN CAST(tp AS DOUBLE) / n_gt ELSE 0.0 END) > 0"
+            "   THEN 2 * (CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END)"
+            "          * (CASE WHEN n_gt > 0 THEN CAST(tp AS DOUBLE) / n_gt ELSE 0.0 END)"
+            "          / ((CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END)"
+            "           + (CASE WHEN n_gt > 0 THEN CAST(tp AS DOUBLE) / n_gt ELSE 0.0 END))"
+            "   ELSE 0.0 END AS hmean"
+            " FROM (SELECT (SELECT count(*) FROM m WHERE kind = 'tp') AS tp,"
+            "       (SELECT count(*) FROM golden) AS n_gt,"
+            "       (SELECT count(*) FROM preds) AS n_pred)"
+        ),
         "dedup_exact_survivors": (
             "WITH u AS (SELECT doc_id, text FROM documents"
             " UNION ALL SELECT doc_id + 1000000, text FROM documents)"
