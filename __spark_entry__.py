@@ -1331,6 +1331,60 @@ def oracle_sql() -> dict[str, str]:
             " round(x1 - (x2-x1)*1.5/2, 6) us,"
             " round(x2 + (x2-x1)*1.5/2, 6) ue FROM b"
         ),
+        # A4 greedy separated top-k as a recursive CTE: each iteration keeps
+        # the (cnt desc, value asc) top candidate per group and carries only
+        # candidates >= min_gap away from it; skipped candidates can never
+        # become eligible again (picks only grow), so dropping them at the
+        # iteration that excludes them is exact.
+        "a4_topk_separated": (
+            "WITH RECURSIVE hist AS ("
+            " SELECT user_id, CAST(floor(value / 10) AS DOUBLE) AS value,"
+            "        count(*) AS cnt FROM events GROUP BY 1, 2),"
+            " cand AS ("
+            "  SELECT user_id, value, cnt FROM ("
+            "   SELECT *, row_number() OVER (PARTITION BY user_id"
+            "            ORDER BY cnt DESC, value ASC) AS rn,"
+            "          sum(cnt) OVER (PARTITION BY user_id) AS total"
+            "   FROM hist)"
+            "  WHERE rn <= 64 AND cnt >= total * 0.001),"
+            " pick AS ("
+            "  SELECT user_id, value, cnt, 0 AS pr, FALSE AS kept FROM cand"
+            "  UNION ALL"
+            "  SELECT user_id, value, cnt, pr + 1 AS pr, new_kept AS kept"
+            "  FROM ("
+            "   SELECT *, (value = first_value(value) OVER w) AS new_kept,"
+            "          first_value(value) OVER w AS tv"
+            "   FROM pick WHERE NOT kept AND pr < 3"
+            "   WINDOW w AS (PARTITION BY user_id ORDER BY cnt DESC, value ASC"
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))"
+            "  WHERE new_kept OR abs(value - tv) >= 3.0)"
+            " SELECT user_id, value, cnt, CAST(pr AS INT) AS pick_rank"
+            " FROM pick WHERE kept"
+        ),
+        # J4 scattered-block merge = connected components over the mergeable
+        # predicate, min block id per component (the DSU's smaller-root-wins
+        # invariant). The cos-direction test is omitted: every block in this
+        # query has vec = (1, 0), so cos = 1 >= cos(30 deg) always.
+        "j4_merge_blocks": (
+            "WITH RECURSIVE blocks AS ("
+            " SELECT user_id, event_id AS block_id,"
+            "        10.0 + (event_id % 4) AS font_size, value AS cx"
+            " FROM events WHERE event_type = 'click'),"
+            " edges AS ("
+            "  SELECT a.user_id, a.block_id AS src, b.block_id AS dst"
+            "  FROM blocks a JOIN blocks b"
+            "   ON a.user_id = b.user_id AND a.block_id <> b.block_id"
+            "  WHERE greatest(a.font_size, b.font_size)"
+            "        / least(a.font_size, b.font_size) <= 1.3"
+            "   AND abs(a.cx - b.cx) <= 2.0 * greatest(a.font_size, b.font_size)),"
+            " reach AS ("
+            "  SELECT user_id, block_id AS id, block_id AS comp FROM blocks"
+            "  UNION"
+            "  SELECT e.user_id, e.src, r.comp FROM edges e"
+            "  JOIN reach r ON e.user_id = r.user_id AND e.dst = r.id)"
+            " SELECT user_id, id AS block_id, min(comp) AS merged_id"
+            " FROM reach GROUP BY user_id, id"
+        ),
         # Greedy NMS as a recursive CTE: each iteration keeps the top
         # conf-ordered survivor per group (window over the recursive set)
         # and carries forward only candidates with IoU <= thres against it —
