@@ -385,6 +385,29 @@ def _q_f18_shrink_unclip(spark, sf_dir):
     )
 
 
+def _q_f16_stroke_width(spark, sf_dir):
+    """F16 stroke-width-from-variance recast: population std of event
+    values per user from exact decimal sums (order-independent)."""
+    from comic_text_detector_spark.functions.textstats import stroke_width_proxy
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    return stroke_width_proxy(ev, "user_id", "value")
+
+
+def _q_f17_expand_eng(spark, sf_dir):
+    """F17 eng-block expansion: grow each span by max(fontsize*0.1, 2),
+    clipped to the page."""
+    from comic_text_detector_spark.functions.geometry import expand_eng_span
+
+    b = _boxes(spark, sf_dir).withColumn(
+        "font_size", (10.0 + (F.col("o_orderkey") % 7)).cast("double")
+    )
+    s, e = expand_eng_span(
+        F.col("x1"), F.col("x2"), F.col("font_size"), F.lit(128.0)
+    )
+    return b.select("o_orderkey", s.alias("es"), e.alias("ee"))
+
+
 def _q_dedup_exact_survivors(spark, sf_dir):
     """Survivors API for exact dedup: duplicate the corpus under shifted
     ids, keep the min-id row per distinct text — output is exactly the
@@ -1106,6 +1129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_geometry_boxes": _q_f_geometry_boxes,
         "f13_f14_min_rect_aspect": _q_f13_f14_min_rect_aspect,
         "f18_shrink_unclip": _q_f18_shrink_unclip,
+        "f16_stroke_width": _q_f16_stroke_width,
+        "f17_expand_eng": _q_f17_expand_eng,
         "dedup_exact_survivors": _q_dedup_exact_survivors,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
@@ -1471,6 +1496,24 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT (SELECT count(*) FROM m WHERE kind = 'tp') AS tp,"
             "       (SELECT count(*) FROM golden) AS n_gt,"
             "       (SELECT count(*) FROM preds) AS n_pred)"
+        ),
+        "f16_stroke_width": (
+            "WITH a AS (SELECT user_id, count(*) n,"
+            " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) s,"
+            " CAST(sum(CAST(value AS DECIMAL(18,2))"
+            "          * CAST(value AS DECIMAL(18,2))) AS DOUBLE) ss"
+            " FROM events GROUP BY user_id)"
+            " SELECT user_id, n,"
+            " sqrt(greatest(0.0, (ss - s*s/n)/n)) AS stroke_width FROM a"
+        ),
+        "f17_expand_eng": (
+            "WITH b AS (SELECT o_orderkey,"
+            " CAST(o_orderkey % 97 AS DOUBLE) x1,"
+            " CAST((o_orderkey % 97) + 1 + o_orderkey % 53 AS DOUBLE) x2,"
+            " CAST(10 + (o_orderkey % 7) AS DOUBLE) font_size FROM orders)"
+            " SELECT o_orderkey,"
+            " greatest(0.0, x1 - greatest(font_size*0.1, 2.0)) es,"
+            " least(128.0, x2 + greatest(font_size*0.1, 2.0)) ee FROM b"
         ),
         "dedup_exact_survivors": (
             "WITH u AS (SELECT doc_id, text FROM documents"

@@ -154,6 +154,20 @@ def unclip_span(start: Column, end: Column, ratio: float = 1.5) -> list[Column]:
     return [start - d, end + d]
 
 
+def expand_eng_span(
+    start: Column, end: Column, font_size: Column, page_len: Column
+) -> list[Column]:
+    """F17 eng-block expansion (reference utils/textblock.py:492-506: grow
+    the block by max(fontsize*0.1, 2) along its direction, clipped to the
+    page): interval recast [s−δ, e+δ] with δ = greatest(font_size*0.1, 2),
+    clipped to [0, page_len]."""
+    d = F.greatest(font_size * 0.1, F.lit(2.0))
+    return [
+        F.greatest(F.lit(0.0), start - d),
+        F.least(page_len, end + d),
+    ]
+
+
 def hex2rgb(color: Column) -> Column:
     """F11 hex color bit-unpack (reference utils/imgproc_utils.py:5-11):
     int color → [r, g, b] via shift/mask exprs."""

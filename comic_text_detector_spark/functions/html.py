@@ -127,8 +127,12 @@ def tokenize(html_bytes: bytes) -> list[Node]:
     """One linear scan: html bytes → ordered list of normalized text nodes.
 
     Tolerant of unbalanced markup: a close tag pops up to its nearest
-    matching open; unknown/doctype/comment constructs are skipped.
+    matching open; unknown/doctype/comment constructs are skipped. A null
+    cell (nullable html:binary column in crawl tables) tokenizes as empty —
+    one bad row must never fail a task.
     """
+    if html_bytes is None:
+        return []
     s = html_bytes.decode("utf-8", errors="replace")
     nodes: list[Node] = []
     stack: list[str] = []

@@ -125,6 +125,27 @@ def infer_alignment(
     )
 
 
+def stroke_width_proxy(df: DataFrame, group_col: str, x_col: str) -> DataFrame:
+    """F16 stroke width from variance (reference utils/textblock.py:258-265
+    takes np.std over sampled pixel colors; the webtext recast is the
+    population std of a per-line numeric feature). Computed from EXACT
+    decimal sums (sum, sum-of-squares) so the reduction is independent of
+    partition/accumulation order and engine-exact — a raw float stddev agg
+    would differ across engines in the last bits."""
+    d = F.col(x_col).cast("decimal(18,2)")
+    agg = df.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(d).cast("double").alias("s"),
+        F.sum(d * d).cast("double").alias("ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    return agg.select(
+        group_col,
+        "n",
+        F.sqrt(F.greatest(F.lit(0.0), var)).alias("stroke_width"),
+    )
+
+
 def reading_order_weight(
     x1: Column, y1: Column, page_w: Column, page_h: Column, right_to_left: bool = False
 ) -> Column:

@@ -75,7 +75,7 @@ def _extract_with_lineage(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Reco
             spans_col.append(
                 [{"block_id": b, "char_start": s, "char_end": e} for b, s, e in spans]
             )
-            in_bytes.append(len(h))
+            in_bytes.append(len(h) if h is not None else 0)
             proc_us.append(dt)
         yield pa.RecordBatch.from_arrays(
             [

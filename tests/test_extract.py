@@ -105,3 +105,17 @@ def test_driver_documents_roundtrip(spark):
             .count()
         )
         assert bad == 0
+
+
+def test_null_html_extracts_empty(spark):
+    """Nullable html:binary cells (real crawl tables) extract as '' rows,
+    never a task failure."""
+    from comic_text_detector_spark.plans.extract import extract_fused
+
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", b"<p>real content here</p>")],
+        "url string, html binary",
+    )
+    out = {r.url: r.text for r in extract_fused(df).collect()}
+    assert out["u1"] == ""
+    assert "real content" in out["u2"]
