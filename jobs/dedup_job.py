@@ -1,0 +1,87 @@
+"""The corpus-deduplication job: exact + near-dup → cluster → survivors.
+
+The training-data pipeline's second pass (after jobs/extract_job.py):
+
+1. exact dedup groups (md5 groupBy, map-side combined);
+2. minhash-LSH candidate pairs via the one-pass star-capped ``bucket_pairs``
+   (a boilerplate-identical template cluster emits O(k) rows, never C(k,2));
+3. exact n-gram Jaccard verify on the candidates;
+4. distributed connected components over verified pairs;
+5. survivors table (cluster representative rows) + a cluster map, both
+   written as parquet (Iceberg ``writeTo(...).append()`` in prod).
+
+Usage:
+  spark-submit --py-files dist/ctd_spark.zip jobs/dedup_job.py \
+      --input <documents parquet with (url, text)> --output /tmp/dedup_out \
+      [--jaccard 0.8] [--id-col url] [--text-col text]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--id-col", default="url")
+    p.add_argument("--text-col", default="text")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.operators.dedup import (
+        exact_dedup_survivors,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from comic_text_detector_spark.operators.graph import (
+        connected_components,
+        dedup_keep_representatives,
+    )
+    from comic_text_detector_spark.session import get_spark
+
+    spark = get_spark(app_name="ctd-dedup")
+    spark.sparkContext.setLogLevel("WARN")
+    docs = spark.read.parquet(args.input).select(args.id_col, args.text_col)
+    n_in = docs.count()
+
+    # pass 1: exact — one window, keeps the min-id row per distinct text
+    exact = exact_dedup_survivors(docs, args.text_col, args.id_col)
+    exact.write.mode("overwrite").parquet(f"{args.output}/exact_survivors")
+    exact = spark.read.parquet(f"{args.output}/exact_survivors")
+    n_exact = exact.count()
+
+    # pass 2: near-dup candidates → verify (materialized — the pair table is
+    # both an output and the input to two downstream reads) → clusters →
+    # representatives
+    cand = minhash_lsh_pairs(exact, args.id_col, args.text_col)
+    verified = ngram_jaccard_pairs(
+        cand, exact, args.id_col, args.text_col
+    ).filter(F.col("jaccard") >= args.jaccard)
+    verified.write.mode("overwrite").parquet(f"{args.output}/near_dup_pairs")
+    pairs = spark.read.parquet(f"{args.output}/near_dup_pairs")
+    connected_components(pairs).write.mode("overwrite").parquet(
+        f"{args.output}/clusters"
+    )
+    survivors = dedup_keep_representatives(exact, pairs, args.id_col)
+    survivors.write.mode("overwrite").parquet(f"{args.output}/survivors")
+
+    n_out = spark.read.parquet(f"{args.output}/survivors").count()
+    summary = {
+        "docs_in": n_in,
+        "after_exact": n_exact,
+        "after_near_dup": n_out,
+        "near_dup_removed": n_exact - n_out,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
