@@ -107,3 +107,14 @@ def test_lsh_hot_bucket_star_emission_is_linear(spark):
     rows = minhash_lsh_pairs(docs, "id", "text", num_hashes=64, bands=16).collect()
     assert len(rows) == 999
     assert all(r.id_a == "d0000" for r in rows)  # star anchored at bucket min
+
+
+def test_bucket_pairs_degenerate_inputs(spark):
+    from comic_text_detector_spark.operators.dedup import bucket_pairs
+
+    empty = spark.createDataFrame([], "id string, band_id int, band_hash bigint")
+    assert bucket_pairs(empty, ["band_id", "band_hash"]).count() == 0
+    solo = spark.createDataFrame(
+        [("only", 0, 1)], "id string, band_id int, band_hash bigint"
+    )
+    assert bucket_pairs(solo, ["band_id", "band_hash"]).count() == 0

@@ -81,3 +81,63 @@ def test_single_paragraph_roundtrip(t):
     text, spans = extract_document(html)
     assert text == norm
     assert len(spans) == 1
+
+
+# --- round-2 surfaces: Type0 PDF CMap and image header synthesizers ---
+
+_PDF_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+    min_size=1,
+    max_size=60,
+).map(lambda s: " ".join(s.split())).filter(bool)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_PDF_TEXT, min_size=1, max_size=5), st.booleans())
+def test_type0_pdf_roundtrip_property(lines, compress):
+    """Any BMP text round-trips through the Type0/Identity-H CMap path."""
+    from comic_text_detector_spark.sources.pdf import (
+        extract_pdf_text,
+        synthesize_type0_pdf,
+    )
+
+    pdf = synthesize_type0_pdf(lines, compress=compress)
+    assert extract_pdf_text(pdf) == " ".join(lines)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=256))
+def test_pdf_extract_never_raises_on_junk(junk):
+    from comic_text_detector_spark.sources.pdf import extract_pdf_text
+
+    assert isinstance(extract_pdf_text(junk), str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=1, max_value=4096),
+)
+def test_image_header_roundtrip_property(w, h):
+    from comic_text_detector_spark.multimodal.binary_ops import (
+        parse_image_meta,
+        synthesize_gif,
+        synthesize_jpeg,
+        synthesize_png,
+    )
+
+    assert parse_image_meta(synthesize_png(min(w, 64), min(h, 64))) == (
+        "image/png", min(w, 64), min(h, 64), 3,
+    )
+    assert parse_image_meta(synthesize_jpeg(w, h)) == ("image/jpeg", w, h, 3)
+    if w <= 0xFFFF and h <= 0xFFFF:
+        assert parse_image_meta(synthesize_gif(w, h)) == ("image/gif", w, h, 3)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=128))
+def test_image_parse_never_raises_on_junk(junk):
+    from comic_text_detector_spark.multimodal.binary_ops import parse_image_meta
+
+    r = parse_image_meta(junk)
+    assert r is None or (isinstance(r, tuple) and len(r) == 4)
