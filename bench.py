@@ -94,13 +94,15 @@ def time_skewed(spark) -> dict:
     from comic_text_detector_spark.plans.extract import extract_fused
 
     corpus = spark.read.parquet(SKEW_PATH)
-    t0 = time.time()
-    row = (
-        extract_fused(corpus)
-        .agg(F.count("*").alias("n"), F.sum(F.length("text")).alias("chars"))
-        .collect()[0]
-    )
-    sec = time.time() - t0
+    sec = float("inf")
+    for _ in range(2):  # best-of-2, same policy as the flagship timing
+        t0 = time.time()
+        row = (
+            extract_fused(corpus)
+            .agg(F.count("*").alias("n"), F.sum(F.length("text")).alias("chars"))
+            .collect()[0]
+        )
+        sec = min(sec, time.time() - t0)
     return {
         "skewed_docs_per_sec": round(row.n / sec, 1),
         "skewed_mb_per_sec": round(row.chars / sec / 1e6, 1),

@@ -222,6 +222,51 @@ def synthesize_gif(width: int, height: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x70\x00\x00" + b"\x3b"
 
 
+def grayscale_png(pixels: bytes, width: int) -> bytes:
+    """Fully valid 8-bit grayscale PNG from raw pixel bytes (row-major,
+    ``len(pixels)`` must be a multiple of ``width``). Same chunk machinery
+    as ``synthesize_png``; used by the span-mask sink (S7)."""
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    height = max(1, len(pixels) // max(1, width))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    scanlines = b"".join(
+        b"\x00" + pixels[r * width : (r + 1) * width] for r in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_grayscale_png(data: bytes) -> bytes:
+    """Inverse of ``grayscale_png`` for golden tests: inflate IDAT and strip
+    the per-row filter byte (filter 0 only — what the encoder emits)."""
+    meta = parse_image_meta(data)
+    if meta is None or meta[0] != "image/png":
+        raise ValueError("not a PNG")
+    _, width, height, _ = meta
+    idat = b""
+    i = 8
+    while i + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        if tag == b"IDAT":
+            idat += data[i + 8 : i + 8 + ln]
+        i += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    return b"".join(raw[r * stride + 1 : (r + 1) * stride] for r in range(height))
+
+
 def sample_frames(
     df: DataFrame, every_n: int = 10, media_col: str = "media"
 ) -> DataFrame:

@@ -218,3 +218,37 @@ def test_bucketed_table_write_read_prune(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="buckets=8"):
         write_extracted_table(more, path, buckets=16)
+
+
+def test_span_mask_png_sink(spark):
+    """S7 made real: the span-coverage mask is a valid grayscale PNG whose
+    pixels round-trip exactly."""
+    from comic_text_detector_spark.multimodal.binary_ops import (
+        decode_grayscale_png,
+        parse_image_meta,
+    )
+    from comic_text_detector_spark.sources.sinks import span_mask_png
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "hello world", [(0, 0, 5), (1, 6, 11)]),
+            ("u2", "", []),
+        ],
+        "url string, text string,"
+        " spans array<struct<block_id:int,char_start:int,char_end:int>>",
+    )
+    rows = {r.url: r for r in span_mask_png(df).collect()}
+    m1 = bytes(rows["u1"].mask_png)
+    assert parse_image_meta(m1) == ("image/png", 11, 1, 1)
+    assert decode_grayscale_png(m1) == b"\xff" * 5 + b"\x00" + b"\xff" * 5
+    assert not rows["u1"].truncated
+    # empty document still yields a valid 1x1 PNG
+    assert parse_image_meta(bytes(rows["u2"].mask_png))[0] == "image/png"
+    # truncation cap bounds the row
+    long = spark.createDataFrame(
+        [("u3", "x" * 100, [(0, 0, 100)])],
+        "url string, text string,"
+        " spans array<struct<block_id:int,char_start:int,char_end:int>>",
+    )
+    r3 = span_mask_png(long, max_width=10).collect()[0]
+    assert r3.truncated and parse_image_meta(bytes(r3.mask_png))[1] == 10
