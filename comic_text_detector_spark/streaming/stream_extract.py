@@ -8,6 +8,11 @@ path); these exist for completeness of the operator inventory:
   sink with a checkpoint (exactly-once via the streaming commit log).
 * ``session_counts_stream`` — the streaming form of W3 gap sessionization:
   ``session_window`` event-time aggregation with a watermark.
+* ``windowed_counts_stream`` — tumbling event-time windows with a
+  watermark: late rows (older than watermark) are DROPPED, finalized
+  windows emit exactly once in append mode — the late-data contract a
+  100-TB ingest stream relies on (tested across two triggers in
+  ``test_watermark_drops_late_data``).
 """
 
 from __future__ import annotations
@@ -53,6 +58,23 @@ def extract_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_counts_stream(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "5 minutes"
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data eviction: in append
+    mode a window emits only once its end passes the watermark, and rows
+    arriving later than the watermark never resurrect it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "n_events",
+        )
+    )
 
 
 def session_counts_stream(

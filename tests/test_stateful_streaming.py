@@ -64,3 +64,59 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == n_urls + 2
     assert out.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Across two availableNow triggers sharing a checkpoint: a finalized
+    window emits exactly once, and a row older than the advanced watermark
+    is dropped instead of resurrecting the window."""
+    from comic_text_detector_spark.streaming.stream_extract import (
+        windowed_counts_stream,
+    )
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+
+    def run_once():
+        stream = spark.readStream.schema("ts timestamp").parquet(in_dir)
+        q = (
+            windowed_counts_stream(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def ev(*ts):
+        return spark.createDataFrame([(t,) for t in ts], "ts string").select(
+            F.col("ts").cast("timestamp").alias("ts")
+        )
+
+    # trigger 1: two rows in the 00:00 window + one at 01:00 that advances
+    # the watermark to 00:55, finalizing (and emitting) the 00:00 window
+    ev("2026-01-01 00:00:30", "2026-01-01 00:02:00", "2026-01-01 01:00:00").write.parquet(in_dir)
+    run_once()
+    out1 = {
+        str(r.win_start): r.n_events for r in spark.read.parquet(out_dir).collect()
+    }
+    assert out1.get("2026-01-01 00:00:00") == 2
+
+    # trigger 2: one LATE row for the already-finalized window (dropped) and
+    # one at 02:00 that finalizes the 01:00 window
+    ev("2026-01-01 00:03:00", "2026-01-01 02:00:00").write.mode("append").parquet(in_dir)
+    run_once()
+    out2 = [
+        (str(r.win_start), r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    ]
+    counts = {}
+    for k, n in out2:
+        counts.setdefault(k, []).append(n)
+    # the 00:00 window was emitted ONCE, still with count 2 (late row dropped)
+    assert counts["2026-01-01 00:00:00"] == [2]
+    # the 01:00 window finalized in trigger 2 with exactly its on-time row
+    assert counts["2026-01-01 01:00:00"] == [1]
