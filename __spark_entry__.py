@@ -1420,18 +1420,22 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(trunc(value) AS INT) AS char_start,"
             "  CAST(trunc(value) + 30 AS INT) AS char_end,"
             "  (event_id % 100) / 100.0 + 0.001 AS conf, 0 AS cls"
-            " FROM events WHERE (event_id % 100) / 100.0 + 0.001 > 0.4),"
+            " FROM events WHERE (event_id % 100) / 100.0 + 0.001 > 0.4"
+            # the engine's max_nms pre-cap (reference yolov5_utils.py:143-146)
+            " QUALIFY row_number() OVER (PARTITION BY user_id"
+            "  ORDER BY conf DESC, span_id ASC) <= 30000),"
             " nms AS ("
-            "  SELECT *, FALSE AS kept FROM cand"
+            "  SELECT *, 0 AS pr, FALSE AS kept FROM cand"
             "  UNION ALL"
             "  SELECT user_id, span_id, char_start, char_end, conf, cls,"
-            "         new_kept AS kept"
+            "         pr + 1 AS pr, new_kept AS kept"
             "  FROM ("
             "   SELECT *,"
             "    first_value(char_start) OVER w AS ts,"
             "    first_value(char_end)   OVER w AS te,"
             "    (span_id = first_value(span_id) OVER w) AS new_kept"
-            "   FROM nms WHERE NOT kept"
+            # pr counts picks made so far per group: stop at max_det=300
+            "   FROM nms WHERE NOT kept AND pr < 300"
             "   WINDOW w AS (PARTITION BY user_id"
             "                ORDER BY conf DESC, span_id ASC"
             "                ROWS BETWEEN UNBOUNDED PRECEDING"

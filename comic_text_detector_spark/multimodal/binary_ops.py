@@ -234,7 +234,11 @@ def grayscale_png(pixels: bytes, width: int) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload))
         )
 
-    height = max(1, len(pixels) // max(1, width))
+    if not pixels:  # empty input → a real 1x1 black pixel, never a
+        pixels = b"\x00"  # truncated IDAT (IHDR must match the data)
+        width = 1
+    width = max(1, width)
+    height = max(1, len(pixels) // width)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     scanlines = b"".join(
         b"\x00" + pixels[r * width : (r + 1) * width] for r in range(height)

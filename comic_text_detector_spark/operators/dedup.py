@@ -157,23 +157,41 @@ def bucket_pairs(
       annotated frame is persisted — both emission branches read the cache,
       so the plan has ONE scan→explode→aggregate branch (the old
       self-equi-join evaluated it twice).
-    * **Hot buckets emit the star, not all pairs.** Buckets of size
-      ≤ ``max_bucket_size`` emit all C(k,2) pairs (exact candidate set for
-      the verify stage). Larger buckets — boilerplate-identical template
-      clusters, the common 100-TB skew — emit each member paired with the
-      bucket-min anchor: O(k) rows with identical connected components, so a
-      10^6-doc template cluster emits 10^6 pairs instead of 5*10^11.
-      Downstream dedup clustering (``operators.graph.connected_components``)
-      is unaffected; a verify filter (hamming/cosine) sees anchor-centred
-      pairs for capped buckets. Same discipline as the reference's bounded
-      candidate stage (reference utils/yolov5_utils.py:143-146: cap work
-      before the expensive pass).
+    * **Hot buckets emit star + signature-ordered chain, not all pairs.**
+      Buckets of size ≤ ``max_bucket_size`` emit all C(k,2) pairs (exact
+      candidate set for the verify stage). Larger buckets — boilerplate-
+      identical template clusters, the common 100-TB skew — emit each
+      member paired with the bucket-min anchor PLUS each member paired
+      with its predecessor in (payload, id) sort order: ≤ 2k rows instead
+      of C(k,2), so a 10^6-doc template cluster emits ~2*10^6 pairs
+      instead of 5*10^11. Connectivity of the raw candidate graph is
+      identical to all-pairs. When a verify filter (hamming/cosine/
+      jaccard) runs AFTER emission, capped buckets are where exactness
+      can soften: the chain leg exists precisely for that case — sorting
+      by the payload signature puts near-identical members adjacent, so
+      verified edges still connect the cluster even when the anchor is an
+      outlier; only member-member near-dup pairs that are BOTH far from
+      the anchor AND non-adjacent in signature order can be missed, and
+      only in buckets beyond the cap (raise ``max_bucket_size`` to
+      recover exact semantics). Same discipline as the reference's
+      bounded candidate stage (reference utils/yolov5_utils.py:143-146:
+      cap work before the expensive pass).
 
     ``bucket_size`` is carried on every emitted pair so callers can count
-    and log how many came from capped (star-emitted) buckets.
+    and log how many came from capped (star/chain-emitted) buckets.
+
+    The annotated frame stays persisted (MEMORY_AND_DISK, LRU-evicted) so
+    both emission branches of the lazily returned plan read one
+    materialization; long-lived sessions issuing many LSH calls should
+    ``spark.catalog.clearCache()`` after consuming the result (see
+    jobs/dedup_job.py) — a DataFrame-returning operator cannot unpersist
+    before its caller evaluates it.
     """
     payload_cols = payload_cols or []
     w = Window.partitionBy(*bucket_cols)
+    w_ord = Window.partitionBy(*bucket_cols).orderBy(
+        *[F.col(c) for c in payload_cols], F.col("id")
+    )
     member = F.struct(F.col("id"), *[F.col(c) for c in payload_cols])
     ann = banded.select(
         "id",
@@ -181,6 +199,7 @@ def bucket_pairs(
         *payload_cols,
         F.count(F.lit(1)).over(w).alias("__k"),
         F.min(member).over(w).alias("__anchor"),
+        F.lag(member).over(w_ord).alias("__prev"),
     ).persist()
 
     def _emit(a_field, b_field):
@@ -196,6 +215,22 @@ def bucket_pairs(
         *_emit(lambda c: F.col(f"__anchor.{c}"), lambda c: F.col(c)),
         F.col("__k").alias("bucket_size"),
     )
+    # the chain leg: (predecessor-in-signature-order, member), id-ordered
+    chain_lo = F.when(F.col("__prev.id") < F.col("id"), F.col("__prev")).otherwise(
+        member
+    )
+    chain_hi = F.when(F.col("__prev.id") < F.col("id"), member).otherwise(
+        F.col("__prev")
+    )
+    chain = ann.filter(
+        (F.col("__k") > max_bucket_size) & F.col("__prev").isNotNull()
+    ).select(
+        *_emit(
+            lambda c, lo=chain_lo: lo[c], lambda c, hi=chain_hi: hi[c]
+        ),
+        F.col("__k").alias("bucket_size"),
+    )
+    star = star.unionByName(chain)
     small = (
         ann.filter(F.col("__k").between(2, max_bucket_size))
         .groupBy(*bucket_cols)
@@ -290,6 +325,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     shingle_n: int = 2,
+    max_bucket_size: int = 32,
 ) -> DataFrame:
     """Near-dup pairs by simhash: band the 64-bit signature into 4 x 16-bit
     bands (pigeonhole: any pair within hamming distance 3 agrees exactly on
@@ -316,7 +352,9 @@ def simhash_pairs(
         F.col("tb.band_id").alias("band_id"),
         F.col("tb.band_val").alias("band_val"),
     )
-    cand = bucket_pairs(bands, ["band_id", "band_val"], ["simhash"])
+    cand = bucket_pairs(
+        bands, ["band_id", "band_val"], ["simhash"], max_bucket_size
+    )
     return cand.select(
         "id_a",
         "id_b",

@@ -78,6 +78,7 @@ def embedding_near_dup_pairs(
     num_planes: int = 8,
     num_tables: int = 8,
     dim: int = 64,
+    max_bucket_size: int = 32,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
 
@@ -124,7 +125,7 @@ def embedding_near_dup_pairs(
     ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
     from .dedup import bucket_pairs
 
-    cand = bucket_pairs(banded, ["t", "b"], ["v"])
+    cand = bucket_pairs(banded, ["t", "b"], ["v"], max_bucket_size)
     return cand.select(
         "id_a",
         "id_b",

@@ -18,9 +18,18 @@ Physical design (two passes, both scale-shaped):
    output commit IS the checkpoint: completion is derived from the data at
    partition_id granularity (staged partition set minus committed partition
    set), so a crash mid-chunk reruns exactly the partitions whose output is
-   not visible — exactly-once per url without a two-phase protocol, even
-   under committers that expose task output early (fileoutputcommitter v2,
-   direct-write cloud committers, speculative commits).
+   not visible — exactly-once per url without a two-phase protocol.
+   Committer fine print: with a job-atomic committer (fileoutputcommitter
+   v1, the local/HDFS default) chunk output is all-or-nothing and the
+   inference is trivially safe. Under committers that expose TASK output
+   early (fileoutputcommitter v2, direct-write cloud committers,
+   speculative commits), per-partition inference additionally requires
+   that one partition_id's rows live in one task — pass
+   ``atomic_partition_writes=True`` to repartition each chunk by
+   partition_id (one extra chunk-local shuffle) so task visibility equals
+   partition visibility; without it, a partition split across input files
+   could commit half of itself before a crash and be wrongly skipped on
+   resume.
 
 After each chunk commits, one ``metrics`` row per logical partition
 (run_id, partition_id, docs_in, docs_out, bytes, wall_ms, ts) is appended —
@@ -168,6 +177,7 @@ def run_extract(
     salt_hot_hosts: bool = False,
     hot_row_threshold: int = 10_000,
     dedup: bool = True,
+    atomic_partition_writes: bool = False,
 ) -> dict:
     """Run (or resume) the extraction job.
 
@@ -176,7 +186,11 @@ def run_extract(
     ``dedup=False`` skips the as-of window for inputs already known to hold
     one capture per url (the common production case with a dedup-maintained
     table) — the staging pass then shuffles nothing.
-    Returns a summary dict.
+    ``atomic_partition_writes=True`` repartitions each chunk by
+    partition_id before extraction so ONE task owns each partition's
+    output — required for exactly-once resume under task-visible commit
+    protocols (v2/direct committers); leave False (shuffle-free chunks)
+    with a job-atomic committer. Returns a summary dict.
     """
     staging_dir = os.path.join(output_dir, "staging")
     data_dir = os.path.join(output_dir, "extracted")
@@ -238,6 +252,10 @@ def run_extract(
         )
         if len(todo) < len(staged):
             part = part.filter(F.col("partition_id").isin(todo))
+        if atomic_partition_writes:
+            # one task per partition_id → task-commit visibility is
+            # partition-atomic even under v2/direct committers
+            part = part.repartition(len(todo), "partition_id")
         combined = part.mapInArrow(_extract_with_lineage, _COMBINED_DDL)
         combined.withColumn("chunk_id", F.lit(chunk)).write.mode(
             "append"

@@ -38,12 +38,15 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
-_TEXT_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.S)
-# /F1 12 Tf | (string) Tj | <hex> Tj | [ (s1) -250 <hex> ] TJ
+# One pass over the whole content stream: BT/ET text-block markers, Tf font
+# selection (a TEXT-STATE operator that legally appears OUTSIDE BT..ET and
+# persists across blocks — PDF 32000-1 §9.3.1), and the show operators.
+# /F1 12 Tf | (string) Tj | <hex> Tj | [ (s1) -250 <hex> ] TJ | BT | ET
 _OP_RE = re.compile(
     rb"/(\w+)\s+[-\d.]+\s+Tf"
     rb"|(?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)\s*Tj"
-    rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ",
+    rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ"
+    rb"|\b(BT|ET)\b",
     re.S,
 )
 _STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>", re.S)
@@ -214,16 +217,21 @@ def extract_pdf_text(data: bytes) -> str:
             except zlib.error:
                 continue
         cmap: dict[int, str] | None = None
-        for block in _TEXT_BLOCK_RE.finditer(body):
-            for op in _OP_RE.finditer(block.group(1)):
-                if op.group(1) is not None:  # Tf: font selection
-                    cmap = cmaps.get(op.group(1))
-                    continue
-                for lit in _STR_RE.finditer(op.group(0)):
-                    txt = _decode_shown_string(lit.group(0), cmap)
-                    norm = " ".join(txt.split())
-                    if norm:
-                        pieces.append(norm)
+        in_text = False
+        for op in _OP_RE.finditer(body):
+            if op.group(2) is not None:  # BT / ET marker
+                in_text = op.group(2) == b"BT"
+                continue
+            if op.group(1) is not None:  # Tf: text state, valid anywhere,
+                cmap = cmaps.get(op.group(1))  # persists across BT blocks
+                continue
+            if not in_text:  # show operators only count inside BT..ET
+                continue
+            for lit in _STR_RE.finditer(op.group(0)):
+                txt = _decode_shown_string(lit.group(0), cmap)
+                norm = " ".join(txt.split())
+                if norm:
+                    pieces.append(norm)
     return " ".join(pieces).strip()
 
 

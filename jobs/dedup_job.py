@@ -39,10 +39,7 @@ def main(argv: list[str]) -> int:
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
     )
-    from comic_text_detector_spark.operators.graph import (
-        connected_components,
-        dedup_keep_representatives,
-    )
+    from comic_text_detector_spark.operators.graph import connected_components
     from comic_text_detector_spark.session import get_spark
 
     spark = get_spark(app_name="ctd-dedup")
@@ -68,8 +65,17 @@ def main(argv: list[str]) -> int:
     connected_components(pairs).write.mode("overwrite").parquet(
         f"{args.output}/clusters"
     )
-    survivors = dedup_keep_representatives(exact, pairs, args.id_col)
+    # survivors derive from the clusters ALREADY written — the iterative CC
+    # (the job's most expensive stage) runs exactly once
+    cc = spark.read.parquet(f"{args.output}/clusters")
+    losers = cc.filter(F.col("id") != F.col("cluster_rep")).select(
+        F.col("id").alias(args.id_col)
+    )
+    survivors = exact.join(losers, args.id_col, "left_anti")
     survivors.write.mode("overwrite").parquet(f"{args.output}/survivors")
+    # bucket_pairs persists its annotated signature frame for plan reuse;
+    # release it now that every downstream output is materialized
+    spark.catalog.clearCache()
 
     n_out = spark.read.parquet(f"{args.output}/survivors").count()
     summary = {

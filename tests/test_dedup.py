@@ -89,24 +89,31 @@ def test_bucket_pairs_small_all_pairs_and_star_cap(spark):
         ("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")
     }
     assert {r.bucket_size for r in out} == {2, 3}
-    # cap=2: the 3-doc bucket exceeds it and emits the star to its min id
+    # cap=2: the 3-doc bucket exceeds it and emits star (min-id anchor) +
+    # chain (consecutive in sort order) — for k=3 that happens to equal
+    # all pairs, but via the linear O(k) path
     star = bucket_pairs(banded, ["band_id", "band_hash"], max_bucket_size=2)
     assert {(r.id_a, r.id_b) for r in star.collect()} == {
-        ("a", "b"), ("a", "c"), ("x", "y")
+        ("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")
     }
 
 
 def test_lsh_hot_bucket_star_emission_is_linear(spark):
     """A 1000-identical-doc template cluster (the common crawl skew case)
-    emits 999 star pairs — O(k), same connected components — instead of
+    emits star + chain pairs — O(k), same connected components — instead of
     C(1000,2) ≈ 500k all-pairs rows."""
     text = " ".join(f"w{i % 17}" for i in range(80))
     docs = spark.createDataFrame(
         [(f"d{i:04d}", text) for i in range(1000)], "id string, text string"
     )
     rows = minhash_lsh_pairs(docs, "id", "text", num_hashes=64, bands=16).collect()
-    assert len(rows) == 999
-    assert all(r.id_a == "d0000" for r in rows)  # star anchored at bucket min
+    # 999 star pairs (anchored at the bucket min) ∪ 999 chain pairs
+    # (consecutive ids), overlapping on (d0000, d0001) → 1997, never 500k
+    assert len(rows) == 2 * 999 - 1
+    star = [r for r in rows if r.id_a == "d0000"]
+    assert len(star) == 999  # the anchor still reaches every member
+    chain = {(r.id_a, r.id_b) for r in rows if r.id_a != "d0000"}
+    assert ("d0500", "d0501") in chain  # consecutive members directly paired
 
 
 def test_bucket_pairs_degenerate_inputs(spark):

@@ -74,3 +74,15 @@ def test_type0_without_tounicode_extracts_nothing_fake():
     broken = pdf.replace(b"/ToUnicode 7 0 R", b"/NoToUnicode 7 0 R")
     out = extract_pdf_text(broken)
     assert "some text" not in out
+
+
+def test_tf_outside_bt_selects_font():
+    """Tf is a text-state operator that persists across BT/ET and legally
+    appears outside text blocks (PDF 32000-1 9.3.1): the CMap must still
+    apply to strings shown in later blocks."""
+    from comic_text_detector_spark.sources.pdf import synthesize_type0_pdf
+
+    pdf = synthesize_type0_pdf(["cmap works"])
+    moved = pdf.replace(b"BT /F1 12 Tf", b"/F1 12 Tf BT")
+    assert b"/F1 12 Tf BT" in moved  # the rearrangement really happened
+    assert extract_pdf_text(moved) == "cmap works"

@@ -116,8 +116,13 @@ def test_resume_partial_partition_visibility(spark, tmp_path):
     )
 
     # resume: chunk-level inference would skip chunk 1 entirely (silent data
-    # loss); per-partition completion processes the missing partitions only
-    run_extract(spark, corpus, out, run_id="r2", num_partitions=8, num_chunks=2)
+    # loss); per-partition completion processes the missing partitions only.
+    # atomic_partition_writes exercises the one-task-per-partition path
+    # (required under v2/direct committers for this inference to be sound).
+    run_extract(
+        spark, corpus, out, run_id="r2", num_partitions=8, num_chunks=2,
+        atomic_partition_writes=True,
+    )
     extracted = read_extracted(spark, out)
     assert extracted.count() == n_urls
     assert extracted.select("url").distinct().count() == n_urls

@@ -242,8 +242,11 @@ def test_span_mask_png_sink(spark):
     assert parse_image_meta(m1) == ("image/png", 11, 1, 1)
     assert decode_grayscale_png(m1) == b"\xff" * 5 + b"\x00" + b"\xff" * 5
     assert not rows["u1"].truncated
-    # empty document still yields a valid 1x1 PNG
-    assert parse_image_meta(bytes(rows["u2"].mask_png))[0] == "image/png"
+    # empty document still yields a valid 1x1 PNG with a real pixel (the
+    # IDAT must match the declared IHDR dims, not truncate)
+    m2 = bytes(rows["u2"].mask_png)
+    assert parse_image_meta(m2) == ("image/png", 1, 1, 1)
+    assert decode_grayscale_png(m2) == b"\x00"
     # truncation cap bounds the row
     long = spark.createDataFrame(
         [("u3", "x" * 100, [(0, 0, 100)])],
