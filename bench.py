@@ -218,7 +218,10 @@ def main() -> None:
     # ~20-25% hypervisor noise on multi-minute timescales, so measuring
     # 8-core and 32-core minutes apart confounds scaling with noise.
     # Best-of per level across alternating rounds cancels it.
-    rounds = 3 if len(scaling_levels) == 2 else 1
+    # opportunistic 4th round: the budget guard below skips rounds that
+    # would not fit, so this only runs when the host is fast enough — one
+    # more paired sample for the efficiency quotient costs nothing else
+    rounds = 4 if len(scaling_levels) == 2 else 1
     budget_s = float(os.environ.get("CTD_BENCH_BUDGET_S", "540"))
     t_start = time.time()
     suite_done = False

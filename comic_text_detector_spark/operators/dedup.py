@@ -188,17 +188,23 @@ def bucket_pairs(
     before its caller evaluates it.
     """
     payload_cols = payload_cols or []
-    w = Window.partitionBy(*bucket_cols)
+    # ONE ordered window spec serves all three functions (count and min are
+    # order-independent aggregates over the full frame), so the plan pays a
+    # single partition+sort instead of an unordered window plus a second
+    # sort for the lag.
     w_ord = Window.partitionBy(*bucket_cols).orderBy(
         *[F.col(c) for c in payload_cols], F.col("id")
+    )
+    w_full = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     member = F.struct(F.col("id"), *[F.col(c) for c in payload_cols])
     ann = banded.select(
         "id",
         *bucket_cols,
         *payload_cols,
-        F.count(F.lit(1)).over(w).alias("__k"),
-        F.min(member).over(w).alias("__anchor"),
+        F.count(F.lit(1)).over(w_full).alias("__k"),
+        F.min(member).over(w_full).alias("__anchor"),
         F.lag(member).over(w_ord).alias("__prev"),
     ).persist()
 
