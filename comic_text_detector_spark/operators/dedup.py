@@ -334,9 +334,15 @@ def simhash_pairs(
     max_bucket_size: int = 32,
 ) -> DataFrame:
     """Near-dup pairs by simhash: band the 64-bit signature into 4 x 16-bit
-    bands (pigeonhole: any pair within hamming distance 3 agrees exactly on
-    at least one band), ``bucket_pairs`` per band (one signature pass,
-    star-capped hot buckets), verify with bit_count(xor).
+    bands, ``bucket_pairs`` per band (one signature pass, star+chain-capped
+    hot buckets), verify with bit_count(xor).
+
+    Recall guarantee: the pigeonhole argument (any pair within hamming
+    distance d agrees exactly on some band) holds only for d < 4 bands,
+    i.e. ``max_hamming <= 3`` — AND only for pairs emitted exactly, i.e.
+    buckets within ``max_bucket_size``. With ``max_hamming > 3`` or capped
+    hot buckets the operator is a high-recall approximation (the usual
+    trade at corpus scale), not exhaustive.
     """
     sig = simhash64(df, id_col, text_col, shingle_n)
     bands = sig.select(
