@@ -408,6 +408,42 @@ def _q_f17_expand_eng(spark, sf_dir):
     return b.select("o_orderkey", s.alias("es"), e.alias("ee"))
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """Training-data hygiene: seed each document with a deterministic email
+    + phone, scrub both, count both — the oracle replays the seeding and
+    the (RE2 ∩ Java) regexes in DuckDB."""
+    from comic_text_detector_spark.functions.textstats import pii_counts, pii_scrub
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    ne, np_ = pii_counts(F.col("t"))
+    return seeded.select(
+        "doc_id",
+        pii_scrub(F.col("t")).alias("scrubbed"),
+        ne.alias("n_emails"),
+        np_.alias("n_phones"),
+    )
+
+
+def _q_rep_top_bigram(spark, sf_dir):
+    """Gopher-style repetition signal: most frequent word 2-gram per doc."""
+    from comic_text_detector_spark.functions.textstats import top_bigram_fraction
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return top_bigram_fraction(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "top_gram", "top_count", "top_fraction"
+    )
+
+
 def _q_dedup_exact_survivors(spark, sf_dir):
     """Survivors API for exact dedup: duplicate the corpus under shifted
     ids, keep the min-id row per distinct text — output is exactly the
@@ -1131,6 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f18_shrink_unclip": _q_f18_shrink_unclip,
         "f16_stroke_width": _q_f16_stroke_width,
         "f17_expand_eng": _q_f17_expand_eng,
+        "pii_scrub": _q_pii_scrub,
+        "rep_top_bigram": _q_rep_top_bigram,
         "dedup_exact_survivors": _q_dedup_exact_survivors,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
@@ -1500,6 +1538,34 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT (SELECT count(*) FROM m WHERE kind = 'tp') AS tp,"
             "       (SELECT count(*) FROM golden) AS n_gt,"
             "       (SELECT count(*) FROM preds) AS n_pred)"
+        ),
+        "pii_scrub": (
+            "WITH s AS (SELECT doc_id,"
+            " text || ' contact user' || CAST(doc_id AS VARCHAR)"
+            " || '@example.com or 555-'"
+            " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t"
+            " FROM documents)"
+            " SELECT doc_id,"
+            " regexp_replace(regexp_replace(t,"
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',"
+            "  'g'), '\\d{3}-\\d{4}', '<PHONE>', 'g') AS scrubbed,"
+            " len(regexp_extract_all(t,"
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,"
+            " len(regexp_extract_all(t, '\\d{3}-\\d{4}')) AS n_phones"
+            " FROM s"
+        ),
+        "rep_top_bigram": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws"
+            " FROM documents),"
+            " g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM w,"
+            "  unnest(generate_series(1, len(ws) - 1)) AS t(i)"
+            "  WHERE len(ws) >= 2),"
+            " c AS (SELECT doc_id, g, count(*) c FROM g GROUP BY 1, 2),"
+            " m AS (SELECT *, max(c) OVER (PARTITION BY doc_id) mx,"
+            "        sum(c) OVER (PARTITION BY doc_id) tot FROM c)"
+            " SELECT doc_id, min(g) AS top_gram, mx AS top_count,"
+            "  CAST(mx AS DOUBLE) / tot AS top_fraction"
+            " FROM m WHERE c = mx GROUP BY doc_id, mx, tot"
         ),
         "f16_stroke_width": (
             "WITH a AS (SELECT user_id, count(*) n,"

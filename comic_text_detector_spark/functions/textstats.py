@@ -12,7 +12,7 @@ the DuckDB oracles replicate them exactly without rounding fudge.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 EN_MARKERS = ("the", "a", "of", "and", "is")
@@ -122,6 +122,57 @@ def infer_alignment(
         F.when(F.col("std_left") <= F.col("std_center"), F.lit("left"))
         .otherwise(F.lit("center"))
         .alias("alignment"),
+    )
+
+
+# PII patterns restricted to the RE2 ∩ Java-regex common dialect so a
+# DuckDB oracle replays them byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{4}"
+
+
+def pii_scrub(text_col: Column) -> Column:
+    """Engine-added training-data hygiene: redact email addresses and
+    phone-like tokens. Pure JVM-side regexp_replace (global by default in
+    Spark; the oracle uses DuckDB's 'g' flag)."""
+    return F.regexp_replace(
+        F.regexp_replace(text_col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def pii_counts(text_col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) per document — audit counters for the scrub."""
+    return F.regexp_count(text_col, F.lit(EMAIL_RE)), F.regexp_count(
+        text_col, F.lit(PHONE_RE)
+    )
+
+
+def top_bigram_fraction(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition signal from the public Gopher/MassiveText quality rules
+    (Rae et al. 2021 §A1.1: 'fraction of characters in the most common
+    n-gram'): per document, occurrences of the most frequent word 2-gram
+    over total 2-grams. Relational shape: explode 2-grams → count → one
+    window max per doc — map-side partial agg, no UDF."""
+    from ..operators.dedup import shingles
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), 2)).alias("g"),
+    )
+    counts = grams.groupBy("id", "g").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("id")
+    return (
+        counts.withColumn("mx", F.max("c").over(w))
+        .withColumn("tot", F.sum("c").over(w))
+        .filter(F.col("c") == F.col("mx"))
+        .groupBy("id", "mx", "tot")
+        .agg(F.min("g").alias("top_gram"))  # deterministic tie-break
+        .select(
+            "id",
+            "top_gram",
+            F.col("mx").alias("top_count"),
+            (F.col("mx") / F.col("tot")).alias("top_fraction"),
+        )
     )
 
 
