@@ -120,3 +120,60 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert counts["2026-01-01 00:00:00"] == [2]
     # the 01:00 window finalized in trigger 2 with exactly its on-time row
     assert counts["2026-01-01 01:00:00"] == [1]
+
+
+def test_neardup_stream_across_batches(spark, tmp_path):
+    """A near-duplicate arriving in a LATER micro-batch is matched against
+    the remembered capture from the first batch — the cross-batch property
+    a per-batch join cannot provide."""
+    import random
+
+    from comic_text_detector_spark.streaming.stateful_neardup import (
+        neardup_stream,
+    )
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+
+    def run_once():
+        stream = spark.readStream.schema("url string, text string").parquet(in_dir)
+        q = (
+            neardup_stream(stream, max_hamming=8)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rng = random.Random(11)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base = " ".join(rng.choice(words) for _ in range(60))
+    others = [
+        (f"o{i}", " ".join(rng.choice(words) for _ in range(60)))
+        for i in range(6)
+    ]
+
+    # batch 1: the original + unrelated docs
+    spark.createDataFrame(
+        [("orig", base)] + others, "url string, text string"
+    ).write.parquet(in_dir)
+    run_once()
+
+    # batch 2: a near-dup of the batch-1 original (one word changed)
+    w = base.split(); w[30] = "CHANGED"
+    spark.createDataFrame(
+        [("near", " ".join(w))], "url string, text string"
+    ).write.mode("append").parquet(in_dir)
+    run_once()
+
+    matches = {
+        (r.url, r.matched_url)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert ("near", "orig") in matches  # cross-batch near-dup detected
+    # unrelated docs never match each other
+    assert all("o" != a[0] or "o" != b[0] for a, b in matches if a != "near")
