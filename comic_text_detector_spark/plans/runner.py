@@ -217,10 +217,12 @@ def run_extract(
         with open(meta_path, "w") as f:
             json.dump(meta, f)
 
+    t_start = time.monotonic()
     _ensure_staging(
         spark, documents, staging_dir, num_partitions, num_chunks,
         salt_hot_hosts, hot_row_threshold, dedup,
     )
+    staging_s = time.monotonic() - t_start
     done = completed_partitions(spark, data_dir)
     chunks_run = 0
     for chunk in range(num_chunks):
@@ -293,6 +295,8 @@ def run_extract(
         "run_id": run_id,
         "chunks_run": chunks_run,
         "resumed_partitions_skipped": len(done),
+        "staging_s": round(staging_s, 2),
+        "chunks_s": round(time.monotonic() - t_start - staging_s, 2),
     }
 
 

@@ -41,7 +41,10 @@ def main(argv: list[str]) -> int:
         from comic_text_detector_spark.fixtures import write_corpus
 
         write_corpus(spark, args.input, n=args.synthesize)
+    import time
+
     docs = read_documents(spark, args.input)
+    t0 = time.monotonic()
     summary = run_extract(
         spark,
         docs,
@@ -50,10 +53,13 @@ def main(argv: list[str]) -> int:
         num_partitions=args.num_partitions,
         num_chunks=args.num_chunks,
     )
+    wall_s = time.monotonic() - t0
     metrics = read_metrics(spark, args.output)
     agg = metrics.groupBy().sum("docs_in", "docs_out", "bytes").collect()[0]
     summary.update(
         docs_in=agg[0], docs_out=agg[1], bytes=agg[2],
+        wall_s=round(wall_s, 2),
+        docs_per_sec=round((agg[0] or 0) / wall_s, 1),
     )
     print(json.dumps(summary))
     spark.stop()

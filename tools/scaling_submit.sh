@@ -1,0 +1,62 @@
+#!/bin/bash
+# North-rule scaling evidence measured THROUGH the packaged job: the exact
+# spark-submit invocation the north_rule specifies, run at two cluster
+# sizes (local[8] vs local[32] in this sandbox — --master is the ONLY
+# difference), same input, fresh outputs. Prints both job summaries plus
+# the N->4N efficiency quotient. Complements bench.py, which measures the
+# flagship stage in-process with interleaved rounds and ceiling pairing.
+set -e
+cd "$(dirname "$0")/.."
+IN=/tmp/ctd_scale_in
+if [ ! -d "$IN" ]; then
+  python - <<'PY'
+import bench  # reuses the bench corpus generator (deterministic)
+from pyspark.sql import functions as F
+from comic_text_detector_spark.session import get_spark
+spark = get_spark(master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+bench.ensure_corpus(spark)
+# 4x the bench corpus (6.4M docs): the FULL job carries ~10s of fixed
+# machinery (staging shuffle, per-chunk job scheduling, metrics jobs)
+# that a 100-TB run amortizes to nothing; measuring at a size where the
+# scalable compute dominates is what transfers to a real cluster.
+reps = spark.range(4).withColumnRenamed("id", "rep")
+(
+    spark.read.parquet(bench.CORPUS_PATH)
+    .crossJoin(reps)
+    .select(
+        F.concat_ws("#", "url", "rep").alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        "html",
+        F.lit("").alias("text"),
+        F.lit("und").alias("lang"),
+    )
+    .write.mode("overwrite").parquet("/tmp/ctd_scale_in")
+)
+spark.stop()
+PY
+fi
+bash scripts/build_pyfiles.sh >/dev/null
+OUT8=""; OUT32=""
+for CORES in 8 32; do
+  rm -rf "/tmp/ctd_scale_out$CORES"
+  # local mode hosts all executor threads inside the driver JVM, so the
+  # 1g spark-submit default OOMs on the 1.6M-doc corpus; a real cluster
+  # sizes executors instead
+  LINE=$(spark-submit --master "local[$CORES]" --driver-memory 16g \
+    --py-files dist/ctd_spark.zip \
+    jobs/extract_job.py --input "$IN" --output "/tmp/ctd_scale_out$CORES" \
+    --num-partitions 128 --num-chunks 4 2>/dev/null | grep '"run_id"' | tail -1)
+  echo "local[$CORES]: $LINE"
+  if [ "$CORES" = "8" ]; then OUT8="$LINE"; else OUT32="$LINE"; fi
+done
+python - "$OUT8" "$OUT32" <<'PY'
+import json, sys
+lo, hi = json.loads(sys.argv[1]), json.loads(sys.argv[2])
+eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
+print(json.dumps({
+    "job_docs_per_sec@8": lo["docs_per_sec"],
+    "job_docs_per_sec@32": hi["docs_per_sec"],
+    "job_scaling_efficiency_8_to_32": round(eff, 3),
+}))
+PY
