@@ -148,11 +148,12 @@ def pii_counts(text_col: Column) -> tuple[Column, Column]:
 
 
 def top_bigram_fraction(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Repetition signal from the public Gopher/MassiveText quality rules
-    (Rae et al. 2021 §A1.1: 'fraction of characters in the most common
-    n-gram'): per document, occurrences of the most frequent word 2-gram
-    over total 2-grams. Relational shape: explode 2-grams → count → one
-    window max per doc — map-side partial agg, no UDF."""
+    """Gopher-style repetition signal: per document, OCCURRENCES of the
+    most frequent word 2-gram over total 2-grams. (Rae et al. 2021 §A1.1
+    uses the fraction of CHARACTERS covered by the top n-gram — a related
+    but different statistic; published Gopher thresholds do not transfer
+    to this column as-is.) Relational shape: explode 2-grams → count →
+    one window max per doc — map-side partial agg, no UDF."""
     from ..operators.dedup import shingles
 
     grams = df.select(

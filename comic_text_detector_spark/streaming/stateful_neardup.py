@@ -72,6 +72,12 @@ def banded_simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in batches:
             out = {"url": [], "simhash": [], "band_id": [], "band_val": []}
             for url, text in zip(pdf["url"], pdf[text_col]):
+                # shingle-less docs (<2 words, empty, null) emit NO band
+                # rows — the batch path's explode(shingles) drops them the
+                # same way; otherwise every such doc would share sig=0 and
+                # pair with every other one at hamming 0
+                if len((text or "").split()) < 2:
+                    continue
                 sig = _simhash64(text)
                 u = sig & ((1 << 64) - 1)
                 for b in range(4):
@@ -79,7 +85,8 @@ def banded_simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
                     out["simhash"].append(sig)
                     out["band_id"].append(b)
                     out["band_val"].append((u >> (b * 16)) & 0xFFFF)
-            yield pd.DataFrame(out)
+            if out["url"]:  # an all-skipped batch yields nothing (an empty
+                yield pd.DataFrame(out)  # pandas frame breaks Arrow dtypes)
 
     return documents.select("url", text_col).mapInPandas(kernel, BANDED_DDL)
 
@@ -106,12 +113,19 @@ def _match_fn_factory(max_hamming: int, max_members: int):
                         out["hamming"].append(d)
                         out["band_id"].append(int(key[0]))
                 # bounded state: drop the oldest member beyond the cap —
-                # the streaming twin of bucket_pairs' max_bucket_size
-                urls.append(url)
-                sigs.append(sig)
-                if len(urls) > max_members:
-                    urls.pop(0)
-                    sigs.pop(0)
+                # the streaming twin of bucket_pairs' max_bucket_size.
+                # A RECAPTURE of a remembered url refreshes its signature
+                # in place instead of appending — otherwise a hot url's
+                # recrawls would flood the FIFO and evict every other
+                # member.
+                if url in urls:
+                    sigs[urls.index(url)] = sig
+                else:
+                    urls.append(url)
+                    sigs.append(sig)
+                    if len(urls) > max_members:
+                        urls.pop(0)
+                        sigs.pop(0)
         state.update((urls, sigs))
         if out["url"]:
             yield pd.DataFrame(out)

@@ -175,5 +175,23 @@ def test_neardup_stream_across_batches(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert ("near", "orig") in matches  # cross-batch near-dup detected
-    # unrelated docs never match each other
-    assert all("o" != a[0] or "o" != b[0] for a, b in matches if a != "near")
+    # the unrelated oN docs never match anything, in either direction
+    unrelated = {f"o{i}" for i in range(6)}
+    assert not [
+        (a, b) for a, b in matches if a in unrelated or b in unrelated
+    ]
+
+
+def test_neardup_stream_ignores_shingleless_docs(spark, tmp_path):
+    """Empty/1-word docs must not pair with each other at sig=0 (the batch
+    path drops shingle-less docs; the stream does the same)."""
+    from comic_text_detector_spark.streaming.stateful_neardup import (
+        banded_simhash,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "hello"), ("b", ""), ("c", None), ("d", "two words here")],
+        "url string, text string",
+    )
+    rows = banded_simhash(df).collect()  # batch mode: same kernel
+    assert {r.url for r in rows} == {"d"}  # only the shingled doc banded

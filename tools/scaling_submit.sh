@@ -5,10 +5,12 @@
 # difference), same input, fresh outputs. Prints both job summaries plus
 # the N->4N efficiency quotient. Complements bench.py, which measures the
 # flagship stage in-process with interleaved rounds and ceiling pairing.
-set -e
+set -eo pipefail
 cd "$(dirname "$0")/.."
 IN=/tmp/ctd_scale_in
-if [ ! -d "$IN" ]; then
+# _SUCCESS, not the directory: a crashed generation must regenerate, not
+# silently benchmark a partial corpus
+if [ ! -f "$IN/_SUCCESS" ]; then
   python - <<'PY'
 import bench  # reuses the bench corpus generator (deterministic)
 from pyspark.sql import functions as F
@@ -43,10 +45,13 @@ for CORES in 8 32; do
   # local mode hosts all executor threads inside the driver JVM, so the
   # 1g spark-submit default OOMs on the 1.6M-doc corpus; a real cluster
   # sizes executors instead
+  # stderr goes to a log (not /dev/null) so a Spark failure is diagnosable;
+  # with pipefail a failed spark-submit aborts the script here
   LINE=$(spark-submit --master "local[$CORES]" --driver-memory 16g \
     --py-files dist/ctd_spark.zip \
     jobs/extract_job.py --input "$IN" --output "/tmp/ctd_scale_out$CORES" \
-    --num-partitions 128 --num-chunks 4 2>/dev/null | grep '"run_id"' | tail -1)
+    --run-id "scale$CORES" --num-partitions 128 --num-chunks 4 \
+    2>"/tmp/ctd_scale_submit_$CORES.err" | grep '"run_id"' | tail -1)
   echo "local[$CORES]: $LINE"
   if [ "$CORES" = "8" ]; then OUT8="$LINE"; else OUT32="$LINE"; fi
 done
