@@ -1128,6 +1128,22 @@ def _q_dedup_embedding_pairs(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse-quantizer inverted lists; rows-only — k-means float
+    means are reduction-order dependent in the last bits, like every LSH
+    family member; recall-vs-bruteforce covered in tests)."""
+    from comic_text_detector_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        n_centroids=8, nprobe=4, iters=3,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id"
+    )
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     # 4 planes x 16 tables: recall@5 ~0.93 vs brute force even on this
     # near-random corpus (mean top-5 cosine only ~0.33); more planes for
@@ -1185,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "j2_nms_spans": _q_j2_nms_spans,
         "j4_merge_blocks": _q_j4_merge_blocks,

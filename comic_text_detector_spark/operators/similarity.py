@@ -136,6 +136,137 @@ def embedding_near_dup_pairs(
     ).filter(F.col("cos") >= threshold)
 
 
+def _nearest_centroid(vec: Column, cents: Column) -> Column:
+    """Index of the nearest centroid (L2) in a literal array-of-arrays —
+    pure higher-order exprs: per-centroid distance via zip_with, argmin via
+    array_min over (dist, idx) structs."""
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(c, vec, lambda a, b: (a - b.cast("double")) ** 2),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+            i.alias("idx"),
+        ),
+    )
+    return F.array_min(scored)["idx"]
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Init = the k rows with smallest xxhash64(id) (seeded pseudo-random,
+    stable across runs); each iteration assigns via broadcast-literal
+    centroids (one corpus pass, no shuffle of vectors beyond the per-
+    centroid partial aggregation) and recomputes means element-wise
+    (posexplode → groupBy(cid, dim) avg). Only k x dim floats ever reach
+    the driver — the collect is the coarse-quantizer handoff, not a data
+    move. Float means are engine-order dependent in the last bits, so IVF
+    results are rows-only checked (recall-vs-bruteforce in tests), same as
+    the SRP path."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    init = (
+        c.orderBy(F.pmod(F.xxhash64("id"), F.lit(1 << 31)), F.col("id"))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r.v] for r in init]
+    for _ in range(iters):
+        cents = F.array(
+            *[F.array(*[F.lit(x) for x in cent]) for cent in centroids]
+        )
+        assigned = c.select(_nearest_centroid(F.col("v"), cents).alias("cid"), "v")
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("dm")
+            )
+            .select("cid", F.transform("dm", lambda s: s["m"]).alias("mean"))
+            .collect()
+        )
+        for r in means:  # empty clusters keep their previous centroid
+            centroids[r.cid] = [float(x) for x in r.mean]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN — the coarse-quantizer scale path next to ``lsh_bucket_topk``:
+    k-means centroids partition the corpus into inverted lists (one
+    assignment pass, broadcast-literal centroids); each query probes its
+    ``nprobe`` nearest lists and exact cosine re-ranks only those — the
+    corpus side is an equi-join on the list id, touching ~nprobe/n_centroids
+    of the data per query instead of all of it."""
+    cents_list = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents_list])
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    ).withColumn("cid", _nearest_centroid(F.col("cv"), cents))
+    scored_cents = F.transform(
+        cents,
+        lambda cc, i: F.struct(
+            F.aggregate(
+                F.zip_with(cc, F.col("qv"), lambda a, b: (a - b) ** 2),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+            i.alias("idx"),
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    ).withColumn(
+        "cid",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(scored_cents), 1, nprobe),
+                lambda s: s["idx"],
+            )
+        ),
+    )
+    cand = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def srp_signature(vec_col: Column, num_planes: int = 16, dim: int = 64) -> Column:
     """Signed-random-projection bucket id as a bigint column (no UDF).
 

@@ -60,3 +60,24 @@ def test_lsh_recall_against_bruteforce(spark):
     }
     recall = len(got & truth) / len(truth)
     assert recall >= 0.85, recall
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    """IVF coarse-quantizer path: probing nprobe of n_centroids inverted
+    lists recovers most of the exact top-k."""
+    from comic_text_detector_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    q = emb.filter(F.col("vec_id") < 15)
+    truth = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, k=5, n_centroids=8, nprobe=4, iters=3).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.7, recall
+    # ranks are contiguous from 1 per query
+    ranks = {}
+    for r in ivf_topk(emb, q.limit(3), k=3, n_centroids=8, nprobe=4, iters=2).collect():
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
