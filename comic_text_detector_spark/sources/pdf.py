@@ -37,7 +37,13 @@ from collections.abc import Iterator
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
-_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
+_OBJHDR_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
+# tolerant fallback for fragments with no object headers (truncated crawls)
+_RAWSTREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
+_STREAMKW_RE = re.compile(rb"stream\r?\n")
+# direct /Length only — an indirect "/Length N 0 R" falls back to the
+# endstream scan (the negative lookahead rejects the " 0 R" form)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\s\d]*R)")
 # One pass over the whole content stream: BT/ET text-block markers, Tf font
 # selection (a TEXT-STATE operator that legally appears OUTSIDE BT..ET and
 # persists across blocks — PDF 32000-1 §9.3.1), and the show operators.
@@ -51,7 +57,6 @@ _OP_RE = re.compile(
 )
 _STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>", re.S)
 
-_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
 _FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONTREF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
@@ -96,20 +101,64 @@ def _unescape_pdf_string(s: bytes) -> bytes:
     return bytes(out)
 
 
-def _inflate_stream(obj: bytes) -> bytes | None:
-    """stream body of one ``N 0 obj … endobj`` slice (Flate-inflated), or
-    None if the object carries no (readable) stream."""
-    m = _STREAM_RE.search(obj)
-    if not m:
-        return None
-    hdr, body = m.group(1), m.group(2)
-    if body.endswith(b"\r\n"):
-        body = body[:-2]
-    elif body.endswith(b"\n"):
-        body = body[:-1]
+def _scan_objects(data: bytes) -> list[tuple[int, bytes, bytes | None]]:
+    """Sequential ``N G obj`` walk → [(obj number, dict bytes, raw stream
+    body or None)].
+
+    A stream body is skipped via its direct ``/Length`` when the claimed
+    endpoint is actually followed by ``endstream`` — so compressed payloads
+    that happen to contain the literal bytes ``endobj``/``endstream`` can
+    never truncate the enclosing object (a one-regex non-greedy scan does
+    exactly that, and zlib output hits it in practice). Indirect or wrong
+    ``/Length`` falls back to the endstream search with EOL trim."""
+    out: list[tuple[int, bytes, bytes | None]] = []
+    n = len(data)
+    pos = 0
+    while True:
+        m = _OBJHDR_RE.search(data, pos)
+        if not m:
+            return out
+        start = m.end()
+        sm = _STREAMKW_RE.search(data, start)
+        eo = data.find(b"endobj", start)
+        if sm is not None and (eo == -1 or sm.start() < eo):
+            hdr = data[start : sm.start()]
+            body_start = sm.end()
+            body_end = -1
+            lm = _LENGTH_RE.search(hdr)
+            if lm:
+                cand = body_start + int(lm.group(1))
+                if cand <= n and data[cand : cand + 16].lstrip(
+                    b"\r\n \t"
+                ).startswith(b"endstream"):
+                    body_end = cand
+            if body_end >= 0:
+                body = data[body_start:body_end]
+            else:  # spec: one EOL precedes endstream but is not stream data
+                body_end = data.find(b"endstream", body_start)
+                if body_end == -1:
+                    body_end = n
+                body = data[body_start:body_end]
+                if body.endswith(b"\r\n"):
+                    body = body[:-2]
+                elif body.endswith(b"\n"):
+                    body = body[:-1]
+            out.append((int(m.group(1)), hdr, body))
+            eo = data.find(b"endobj", body_end)
+        else:
+            out.append(
+                (int(m.group(1)), data[start : eo if eo != -1 else n], None)
+            )
+        if eo == -1:
+            return out
+        pos = eo + len(b"endobj")
+
+
+def _inflate(hdr: bytes, body: bytes) -> bytes | None:
+    """Stream body through its filter chain (Flate or stored)."""
     if b"FlateDecode" in hdr:
         try:
-            body = zlib.decompress(body)
+            return zlib.decompress(body)
         except zlib.error:
             return None
     return body
@@ -154,23 +203,30 @@ def _parse_tounicode(cmap: bytes) -> dict[int, str]:
     return out
 
 
-def _font_cmaps(data: bytes) -> dict[bytes, dict[int, str]]:
+def _font_cmaps(
+    objs: list[tuple[int, bytes, bytes | None]],
+) -> dict[bytes, dict[int, str]]:
     """{font resource name: CID→Unicode map} for every Type0 font whose
     ``/ToUnicode`` stream resolves. Non-Type0 fonts are absent (their
-    strings decode as plain bytes)."""
-    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    strings decode as plain bytes). ``/Font`` resource dicts are searched
+    in object DICTS only — never inside stream bytes."""
+    by_num = {num: (hdr, body) for num, hdr, body in objs}
     cmaps: dict[bytes, dict[int, str]] = {}
-    for fonts in _FONTDICT_RE.finditer(data):
-        for name, num in _FONTREF_RE.findall(fonts.group(1)):
-            font_obj = objs.get(int(num))
-            if font_obj is None or b"/Type0" not in font_obj:
-                continue
-            tu = _TOUNICODE_RE.search(font_obj)
-            if not tu:
-                continue
-            stream = _inflate_stream(objs.get(int(tu.group(1)), b""))
-            if stream:
-                cmaps[name] = _parse_tounicode(stream)
+    for _num, hdr, _body in objs:
+        for fonts in _FONTDICT_RE.finditer(hdr):
+            for name, num in _FONTREF_RE.findall(fonts.group(1)):
+                font_hdr, _ = by_num.get(int(num), (None, None))
+                if font_hdr is None or b"/Type0" not in font_hdr:
+                    continue
+                tu = _TOUNICODE_RE.search(font_hdr)
+                if not tu:
+                    continue
+                tu_hdr, tu_body = by_num.get(int(tu.group(1)), (b"", None))
+                if tu_body is None:
+                    continue
+                stream = _inflate(tu_hdr, tu_body)
+                if stream:
+                    cmaps[name] = _parse_tounicode(stream)
     return cmaps
 
 
@@ -203,19 +259,24 @@ def extract_pdf_text(data: bytes) -> str:
     if not isinstance(data, (bytes, bytearray)):
         return ""
     data = bytes(data)
-    cmaps = _font_cmaps(data)
+    objs = _scan_objects(data)
+    if not objs:  # header-less fragment (truncated crawl): raw stream scan
+        for m in _RAWSTREAM_RE.finditer(data):
+            body = m.group(2)
+            if body.endswith(b"\r\n"):
+                body = body[:-2]
+            elif body.endswith(b"\n"):
+                body = body[:-1]
+            objs.append((0, m.group(1), body))
+    cmaps = _font_cmaps(objs)
     pieces: list[str] = []
-    for m in _STREAM_RE.finditer(data):
-        hdr, body = m.group(1), m.group(2)
-        if body.endswith(b"\r\n"):
-            body = body[:-2]
-        elif body.endswith(b"\n"):
-            body = body[:-1]
-        if b"FlateDecode" in hdr:
-            try:
-                body = zlib.decompress(body)
-            except zlib.error:
-                continue
+    for _num, hdr, raw in objs:
+        if raw is None:
+            continue
+        inflated = _inflate(hdr, raw)
+        if inflated is None:
+            continue
+        body = inflated
         cmap: dict[int, str] | None = None
         in_text = False
         for op in _OP_RE.finditer(body):

@@ -86,3 +86,33 @@ def test_tf_outside_bt_selects_font():
     moved = pdf.replace(b"BT /F1 12 Tf", b"/F1 12 Tf BT")
     assert b"/F1 12 Tf BT" in moved  # the rearrangement really happened
     assert extract_pdf_text(moved) == "cmap works"
+
+
+def test_stream_bytes_containing_delimiters_do_not_truncate():
+    """Compressed stream payloads can contain the literal bytes 'endobj' /
+    'endstream'; the /Length-aware object scan must not truncate there.
+    (Found by hypothesis: a 4-line Type0 doc whose zlib CMap output embeds
+    'endobj', silently dropping the font map and leaking raw CIDs.)"""
+    from comic_text_detector_spark.sources.pdf import (
+        extract_pdf_text,
+        synthesize_simple_pdf,
+        synthesize_type0_pdf,
+    )
+
+    lines = ["2\x80\x97", "0\x98±¸උ⦫", "R/.¥ªć", "T-öûೖ࿌"]
+    for compress in (False, True):
+        assert extract_pdf_text(
+            synthesize_type0_pdf(lines, compress=compress)
+        ) == " ".join(lines)
+
+    # plant the delimiters explicitly inside a correctly-Length'd stream
+    pdf = synthesize_simple_pdf(["after the trap"], compress=False)
+    trap = b"% endstream endobj junk"
+    patched = pdf.replace(
+        b"BT /F1 12 Tf", trap + b"\nBT /F1 12 Tf"
+    )
+    old_len = int(__import__("re").search(rb"/Length (\d+)", pdf).group(1))
+    patched = patched.replace(
+        b"/Length %d" % old_len, b"/Length %d" % (old_len + len(trap) + 1)
+    )
+    assert extract_pdf_text(patched) == "after the trap"
