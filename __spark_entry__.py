@@ -1119,6 +1119,53 @@ def _q_simhash(spark, sf_dir):
     return simhash64(docs, "doc_id", "text").withColumnRenamed("id", "doc_id")
 
 
+def _q_minhash_lsh_pairs_md5(spark, sf_dir):
+    """The SAME banded-LSH pipeline as minhash_lsh_pairs, in portable-hash
+    mode (md5 base + band hashes) with the bucket cap lifted, so the emitted
+    candidate-pair set is value-checked against an independent DuckDB
+    computation of the full shingle→64-minhash→band→bucket-join pipeline —
+    the oracle the xxhash64 fast path structurally cannot have."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=16,
+        max_bucket_size=1 << 20,  # exact all-pairs semantics for the oracle
+        hash_fn="md5",
+    ).withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+
+
+def _q_simhash_md5(spark, sf_dir):
+    """Portable 60-bit simhash fingerprints (md5 base hash) — bit-identical
+    to the DuckDB oracle's sign-sum computation."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return simhash64(docs, "doc_id", "text", hash_fn="md5").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def _q_simhash_pairs_md5(spark, sf_dir):
+    from comic_text_detector_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return simhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=6,
+        max_bucket_size=1 << 20,
+        hash_fn="md5",
+    ).withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+
+
 def _q_dedup_embedding_pairs(spark, sf_dir):
     from comic_text_detector_spark.operators.similarity import (
         embedding_near_dup_pairs,
@@ -1198,8 +1245,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_decode": _q_multimodal_decode,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "minhash_lsh_pairs_md5": _q_minhash_lsh_pairs_md5,
         "simhash": _q_simhash,
+        "simhash_md5": _q_simhash_md5,
         "simhash_pairs": _q_simhash_pairs,
+        "simhash_pairs_md5": _q_simhash_pairs_md5,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
@@ -1232,6 +1282,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _minhash_md5_oracle() -> str:
+    """DuckDB re-computation of the ENTIRE portable-hash minhash-LSH
+    pipeline: word 3-shingles → 31-bit md5-derived base hash → 64
+    permutation mins → 16 band md5s → bucket self-join. Constants come from
+    the same ``_mh_consts`` the Spark operator uses, so the two engines run
+    literally the same arithmetic."""
+    from comic_text_detector_spark.operators.dedup import _MERSENNE, _mh_consts
+
+    mins = []
+    for i in range(64):
+        a, b = _mh_consts(i)
+        mins.append(f"min((h*{a} + {b}) % {_MERSENNE}) AS mh{i}")
+    band_branches = []
+    for b in range(16):
+        cols = ", ".join(f"mh{b * 4 + j}::VARCHAR" for j in range(4))
+        band_branches.append(
+            f"SELECT doc_id, {b} AS band_id,"
+            f" md5(concat_ws(',', {cols})) AS bh FROM sig"
+        )
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
+        "sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3 THEN "
+        "list_transform(generate_series(1, len(w)-2),"
+        " i -> array_to_string(list_slice(w, i, i+2),' ')) "
+        "ELSE [] END)) AS s FROM w), "
+        "h AS (SELECT doc_id,"
+        " ('0x'||substr(md5(s),1,8))::BIGINT % 2147483648 AS h FROM sh), "
+        f"sig AS (SELECT doc_id, {', '.join(mins)} FROM h GROUP BY doc_id), "
+        "banded AS (" + " UNION ALL ".join(band_branches) + ") "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.bh = b.bh "
+        "AND a.doc_id < b.doc_id"
+    )
+
+
+def _simhash_md5_ctes() -> str:
+    """Shared CTE chain computing the portable 60-bit simhash in DuckDB:
+    word 2-shingles (NOT distinct — simhash weights repeats) → 60-bit
+    md5-derived hash → per-bit sign-sum votes → packed BIGINT."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(60)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60)
+    )
+    return (
+        "w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
+        "sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN "
+        "list_transform(generate_series(1, len(w)-1),"
+        " i -> array_to_string(list_slice(w, i, i+1),' ')) "
+        "ELSE [] END) AS s FROM w), "
+        "h AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT AS h FROM sh), "
+        f"votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     en = "['the','a','of','and','is']"
     jacc_sh = (
@@ -1240,6 +1348,21 @@ def oracle_sql() -> dict[str, str]:
         "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))"
     )
     return {
+        "minhash_lsh_pairs_md5": _minhash_md5_oracle(),
+        "simhash_md5": (
+            f"WITH {_simhash_md5_ctes()} SELECT doc_id, simhash FROM sig"
+        ),
+        "simhash_pairs_md5": (
+            f"WITH {_simhash_md5_ctes()}, "
+            "bands AS (SELECT doc_id, simhash, b AS band_id,"
+            " (simhash >> (b*15)) & 32767 AS bv"
+            " FROM sig, (SELECT unnest([0,1,2,3]) AS b)) "
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            " bit_count(xor(a.simhash, b.simhash)) AS hamming "
+            "FROM bands a JOIN bands b ON a.band_id = b.band_id"
+            " AND a.bv = b.bv AND a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"
+        ),
         "extract_roundtrip": "SELECT doc_id, text FROM documents",
         "extract_roundtrip_2p": "SELECT doc_id, text FROM documents",
         "nodes_content_chars": (

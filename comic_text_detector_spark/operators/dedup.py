@@ -97,6 +97,26 @@ def shingles(text_col, n: int = 3):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _hash31(col, hash_fn: str):
+    """Token → 31-bit non-negative hash, by portable-vs-fast mode.
+
+    * ``xxhash64`` — Spark's native seedless hash: the fast production path
+      (one JVM intrinsic per token), but engine-specific, so downstream
+      results can only be checked rows-only.
+    * ``md5`` — first 8 hex chars of md5 parsed base-16: ~= one extra digest
+      per token, but bit-identical in any engine (DuckDB:
+      ``('0x'||substr(md5(s),1,8))::BIGINT``), making the whole LSH
+      pipeline value-checkable against an independent SQL oracle.
+    """
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(col)
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    return F.pmod(h, F.lit(1 << 31))
+
+
 def _mh_consts(i: int) -> tuple[int, int]:
     """(a_i, b_i) for the i-th permutation of h_i(s) = (a_i*h32 + b_i) mod M.
 
@@ -114,21 +134,24 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, mh0..mh{n-1}) minhash signature columns.
 
-    Physical shape matters here: explode shingles → ONE xxhash64 per shingle
-    → groupBy(id) with num_hashes min() aggregates. The partial (map-side)
-    aggregation reduces each partition to one row per doc before the
-    shuffle, and whole-stage codegen fuses the hash + 64 mins into one pass.
-    (A naive array-expression formulation re-evaluates the shingle tree per
-    hash function — 64x the work — because Catalyst does not CSE nested
-    lambda trees.)
+    Physical shape matters here: explode shingles → ONE base hash per
+    shingle → groupBy(id) with num_hashes min() aggregates. The partial
+    (map-side) aggregation reduces each partition to one row per doc before
+    the shuffle, and whole-stage codegen fuses the hash + 64 mins into one
+    pass. (A naive array-expression formulation re-evaluates the shingle
+    tree per hash function — 64x the work — because Catalyst does not CSE
+    nested lambda trees.) ``hash_fn='md5'`` swaps the base hash for the
+    engine-portable digest (see ``_hash31``) so signatures are
+    oracle-checkable.
     """
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s"),
-    ).select("id", F.pmod(F.xxhash64("s"), F.lit(1 << 31)).alias("h"))
+    ).select("id", _hash31(F.col("s"), hash_fn).alias("h"))
     aggs = []
     for i in range(num_hashes):
         a, b = _mh_consts(i)
@@ -267,6 +290,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash LSH.
 
@@ -274,15 +298,25 @@ def minhash_lsh_pairs(
     ``bucket_pairs`` (one-pass window + star-capped emission; see its
     docstring for the scale contract). No self-join: the signature pipeline
     — the expensive scan→explode→64-min-aggregate stage — executes once.
+    ``hash_fn='md5'`` makes both the base hash and the band hash
+    engine-portable strings, so the emitted pair set is exactly
+    reproducible in an independent SQL engine (the oracle path); with the
+    default ``xxhash64`` the band hash is one JVM intrinsic over the band's
+    signature columns (the fast path).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
+
+    def _band_hash(b: int):
+        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols)
+
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.xxhash64(
-                *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
-            ).alias("band_hash"),
+            _band_hash(b).alias("band_hash"),
         )
         for b in range(bands)
     ]
@@ -294,30 +328,47 @@ def minhash_lsh_pairs(
     ).select("id_a", "id_b")
 
 
+# simhash fingerprint width per base-hash mode: xxhash64 provides 64
+# usable bits; the portable md5 mode parses 15 hex chars (60 bits) so the
+# value fits a signed BIGINT identically in every engine (16 chars would
+# need unsigned semantics, which SQL engines disagree on).
+SIMHASH_BITS = {"xxhash64": 64, "md5": 60}
+
+
 def simhash64(
-    df: DataFrame, id_col: str = "url", text_col: str = "text", shingle_n: int = 2
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash) 64-bit simhash fingerprints.
+    """(id, simhash) fingerprints — 64-bit (xxhash64) or portable 60-bit
+    (md5; bit-identical in DuckDB, see ``SIMHASH_BITS``).
 
     Sign-sum per bit over shingle hashes: bit_j = 1 iff
-    sum_s(sign of bit j of xxhash64(s)) > 0. Same physical shape as
-    minhash_signatures: explode → one xxhash per shingle → groupBy with 64
-    sum() aggregates (map-side combined), then one projection packs the
-    bits into a bigint.
+    sum_s(sign of bit j of hash(s)) > 0. Same physical shape as
+    minhash_signatures: explode → one hash per shingle → groupBy with one
+    sum() aggregate per bit (map-side combined), then one projection packs
+    the bits into a bigint.
     """
+    nbits = SIMHASH_BITS[hash_fn]
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("s")
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
-    ).select("id", F.xxhash64("s").alias("h"))
+    ).select("id", h.alias("h"))
     aggs = [
         F.sum(
             F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{j}")
-        for j in range(64)
+        for j in range(nbits)
     ]
     votes = ex.groupBy("id").agg(*aggs)
     sig = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(nbits):
         bit = F.when(
             F.col(f"v{j}") > 0, F.lit(1 << j if j < 63 else -(1 << 63))
         ).otherwise(F.lit(0)).cast("long")
@@ -332,10 +383,12 @@ def simhash_pairs(
     max_hamming: int = 3,
     shingle_n: int = 2,
     max_bucket_size: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by simhash: band the 64-bit signature into 4 x 16-bit
-    bands, ``bucket_pairs`` per band (one signature pass, star+chain-capped
-    hot buckets), verify with bit_count(xor).
+    """Near-dup pairs by simhash: band the signature into 4 equal bands
+    (16 bits each for xxhash64's 64-bit fingerprint, 15 each for the
+    portable md5 60-bit one), ``bucket_pairs`` per band (one signature
+    pass, star+chain-capped hot buckets), verify with bit_count(xor).
 
     Recall guarantee: the pigeonhole argument (any pair within hamming
     distance d agrees exactly on some band) holds only for d < 4 bands,
@@ -344,7 +397,9 @@ def simhash_pairs(
     hot buckets the operator is a high-recall approximation (the usual
     trade at corpus scale), not exhaustive.
     """
-    sig = simhash64(df, id_col, text_col, shingle_n)
+    band_bits = SIMHASH_BITS[hash_fn] // 4
+    band_mask = (1 << band_bits) - 1
+    sig = simhash64(df, id_col, text_col, shingle_n, hash_fn)
     bands = sig.select(
         "id",
         "simhash",
@@ -352,8 +407,8 @@ def simhash_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_id"),
-                    F.shiftrightunsigned("simhash", b * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned("simhash", b * band_bits)
+                    .bitwiseAND(F.lit(band_mask))
                     .alias("band_val"),
                 )
                 for b in range(4)

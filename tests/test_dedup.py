@@ -125,3 +125,28 @@ def test_bucket_pairs_degenerate_inputs(spark):
         [("only", 0, 1)], "id string, band_id int, band_hash bigint"
     )
     assert bucket_pairs(solo, ["band_id", "band_hash"]).count() == 0
+
+
+def test_portable_md5_mode_matches_planted_truth(spark):
+    """hash_fn='md5' (the oracle-checkable mode) finds the same planted
+    dups as the xxhash64 fast path and yields signatures within the 60-bit
+    range the portable packing promises."""
+    from comic_text_detector_spark.operators.dedup import simhash_pairs
+
+    docs = _docs(spark)
+    pairs = minhash_lsh_pairs(
+        docs, "id", "text", num_hashes=64, bands=16, hash_fn="md5"
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert ("d000", "dup1") in found
+    assert ("d001", "near1") in found
+
+    sig = {r.id: r.simhash for r in simhash64(docs, "id", "text", hash_fn="md5").collect()}
+    assert all(0 <= s < (1 << 60) for s in sig.values())
+    assert sig["d000"] == sig["dup1"]
+
+    sp = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(docs, "id", "text", max_hamming=8, hash_fn="md5").collect()
+    }
+    assert sp[("d000", "dup1")] == 0
