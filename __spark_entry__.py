@@ -1175,6 +1175,22 @@ def _q_dedup_embedding_pairs(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
 
 
+def _q_dedup_embedding_pairs_md5(spark, sf_dir):
+    """Portable-hash twin of dedup_embedding_pairs: md5-derived SRP plane
+    coefficients and the bucket cap lifted, so the emitted (pair, cosine)
+    set — including the full-precision cosine doubles — is value-checked
+    against DuckDB recomputing all 64 plane dot products and the verify
+    fold with the same sequential IEEE-double arithmetic."""
+    from comic_text_detector_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, threshold=0.4, max_bucket_size=1 << 20, hash_fn="md5"
+    ).withColumnsRenamed({"id_a": "vec_a", "id_b": "vec_b"})
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN (coarse-quantizer inverted lists; rows-only — k-means float
     means are reduction-order dependent in the last bits, like every LSH
@@ -1253,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
+        "dedup_embedding_pairs_md5": _q_dedup_embedding_pairs_md5,
         "j2_nms_spans": _q_j2_nms_spans,
         "j4_merge_blocks": _q_j4_merge_blocks,
         "extract_blocks": _q_extract_blocks,
@@ -1340,6 +1357,54 @@ def _simhash_md5_ctes() -> str:
     )
 
 
+def _emb_md5_oracle() -> str:
+    """DuckDB re-computation of the md5-mode SRP near-dup pipeline: 8 tables
+    x 8 planes of md5-derived coefficients, bucket self-join, exact cosine
+    verify — every dot product a sequential IEEE-double fold (list_reduce
+    with 0.0 prepended == Spark's aggregate with 0.0 init), so the cosine
+    doubles compare bit-identically at full precision."""
+
+    def dotp(t: int, p: int) -> str:
+        pi = t * 8 + p + 1_000_000
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65),"
+            f" i -> v[i]::DOUBLE * ((('0x'||substr(md5('{pi},'||(i-1)::VARCHAR)"
+            ",1,8))::BIGINT % 2001 - 1000)/1000.0))), (x,y) -> x+y)"
+        )
+
+    buckets = []
+    for t in range(8):
+        terms = " + ".join(
+            f"(CASE WHEN {dotp(t, p)} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(8)
+        )
+        buckets.append(f"({terms}) AS b{t}")
+    branches = " UNION ALL ".join(
+        f"SELECT id, {t} AS t, b{t} AS b FROM sig" for t in range(8)
+    )
+
+    def fold(prod: str) -> str:
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65),"
+            f" i -> {prod})), (x,y) -> x+y)"
+        )
+
+    dot_ab = fold("ea.v[i]::DOUBLE * eb.v[i]::DOUBLE")
+    na = f"sqrt({fold('ea.v[i]::DOUBLE * ea.v[i]::DOUBLE')})"
+    nb = f"sqrt({fold('eb.v[i]::DOUBLE * eb.v[i]::DOUBLE')})"
+    return (
+        "WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings), "
+        f"sig AS (SELECT id, v, {', '.join(buckets)} FROM e), "
+        f"banded AS ({branches}), "
+        "cand AS (SELECT DISTINCT a.id AS vec_a, b.id AS vec_b "
+        "FROM banded a JOIN banded b ON a.t = b.t AND a.b = b.b"
+        " AND a.id < b.id) "
+        f"SELECT vec_a, vec_b, {dot_ab}/({na}*{nb}) AS cos "
+        "FROM cand JOIN e ea ON ea.id = vec_a JOIN e eb ON eb.id = vec_b "
+        f"WHERE {dot_ab}/({na}*{nb}) >= 0.4"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     en = "['the','a','of','and','is']"
     jacc_sh = (
@@ -1349,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "minhash_lsh_pairs_md5": _minhash_md5_oracle(),
+        "dedup_embedding_pairs_md5": _emb_md5_oracle(),
         "simhash_md5": (
             f"WITH {_simhash_md5_ctes()} SELECT doc_id, simhash FROM sig"
         ),

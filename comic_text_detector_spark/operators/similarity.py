@@ -79,6 +79,7 @@ def embedding_near_dup_pairs(
     num_tables: int = 8,
     dim: int = 64,
     max_bucket_size: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
 
@@ -89,20 +90,42 @@ def embedding_near_dup_pairs(
     ``operators.dedup.bucket_pairs``: the SRP signature pipeline executes
     once (window + persist, no self-join) and buckets beyond the size cap
     emit the linear star instead of C(k,2) pairs.
+
+    ``hash_fn='md5'`` derives the plane coefficients from md5 digests
+    instead of xxhash64 — arithmetic an independent SQL engine reproduces
+    bit-for-bit (dot products are sequential IEEE-double folds on both
+    sides), which is what lets the whole SRP→verify pipeline be
+    oracle-checked rather than rows-only.
     """
+
+    def _coeff(pi: int, i):
+        if hash_fn == "md5":
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(",", F.lit(str(pi)), i.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+        else:
+            h = F.xxhash64(F.lit(pi), i)
+        return (F.pmod(h, F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)
+
+    def _plane(pi: int):
+        # NB: the transform lambda must take exactly ONE parameter — a
+        # two-parameter callable (even via a default arg) is called as
+        # (element, index) by PySpark, silently scrambling the closure.
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: _coeff(pi, i)
+        )
+
     sig_cols = []
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     for t in range(num_tables):
         planes = F.lit(0).cast("long")
         for p in range(num_planes):
             pi = t * num_planes + p + 1_000_000  # disjoint from ANN plane ids
-            plane = F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: (
-                    (F.pmod(F.xxhash64(F.lit(pi), i), F.lit(2001)) - F.lit(1000))
-                    / F.lit(1000.0)
-                ),
-            )
+            plane = _plane(pi)
             dot = F.aggregate(
                 F.zip_with(F.col("v"), plane, lambda x, y: x.cast("double") * y),
                 F.lit(0.0),
