@@ -1220,6 +1220,27 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_ann_lsh_topk_md5(spark, sf_dir):
+    """Portable-hash twin of ann_lsh_topk: md5-derived SRP planes, so every
+    bucket, candidate set, full-precision cosine and final rank is
+    value-checked against DuckDB recomputing the identical pipeline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_bucket_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        num_planes=4,
+        num_tables=16,
+        hash_fn="md5",
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        "cos",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -1267,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "simhash_pairs_md5": _q_simhash_pairs_md5,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_lsh_topk_md5": _q_ann_lsh_topk_md5,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_embedding_pairs_md5": _q_dedup_embedding_pairs_md5,
@@ -1405,6 +1427,57 @@ def _emb_md5_oracle() -> str:
     )
 
 
+def _ann_lsh_md5_oracle() -> str:
+    """DuckDB re-computation of the md5-mode bucketed ANN: 16 tables x 4
+    planes (plane ids t*4+p, matching lsh_bucket_topk), bucket equi-join of
+    the <10 query ids against the corpus, exact cosine re-rank with the
+    deterministic (cos DESC, neighbor ASC) tie-break."""
+
+    def dotp(t: int, p: int) -> str:
+        pi = t * 4 + p
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65),"
+            f" i -> v[i]::DOUBLE * ((('0x'||substr(md5('{pi},'||(i-1)::VARCHAR)"
+            ",1,8))::BIGINT % 2001 - 1000)/1000.0))), (x,y) -> x+y)"
+        )
+
+    buckets = []
+    for t in range(16):
+        terms = " + ".join(
+            f"(CASE WHEN {dotp(t, p)} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(4)
+        )
+        buckets.append(f"({terms}) AS b{t}")
+    branches = " UNION ALL ".join(
+        f"SELECT id, {t} AS t, b{t} AS b FROM sig" for t in range(16)
+    )
+
+    def fold(prod: str) -> str:
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65),"
+            f" i -> {prod})), (x,y) -> x+y)"
+        )
+
+    dot = fold("eq.v[i]::DOUBLE * ec.v[i]::DOUBLE")
+    nq = f"sqrt({fold('eq.v[i]::DOUBLE * eq.v[i]::DOUBLE')})"
+    nc = f"sqrt({fold('ec.v[i]::DOUBLE * ec.v[i]::DOUBLE')})"
+    return (
+        "WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings), "
+        f"sig AS (SELECT id, v, {', '.join(buckets)} FROM e), "
+        f"cx AS ({branches}), "
+        "cand AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id "
+        "FROM cx c JOIN cx q ON c.t = q.t AND c.b = q.b"
+        " AND q.id < 10 AND c.id != q.id), "
+        f"scored AS (SELECT query_id, neighbor_id, {dot}/({nq}*{nc}) AS cos "
+        "FROM cand JOIN e eq ON eq.id = query_id"
+        " JOIN e ec ON ec.id = neighbor_id), "
+        "r AS (SELECT query_id, neighbor_id, cos, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT)"
+        " AS rank FROM scored) "
+        "SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     en = "['the','a','of','and','is']"
     jacc_sh = (
@@ -1415,6 +1488,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "minhash_lsh_pairs_md5": _minhash_md5_oracle(),
         "dedup_embedding_pairs_md5": _emb_md5_oracle(),
+        "ann_lsh_topk_md5": _ann_lsh_md5_oracle(),
         "simhash_md5": (
             f"WITH {_simhash_md5_ctes()} SELECT doc_id, simhash FROM sig"
         ),

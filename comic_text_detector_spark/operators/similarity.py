@@ -38,6 +38,27 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _plane_coeff(pi: int, i: Column, hash_fn: str) -> Column:
+    """SRP plane coefficient in [-1, 1] for plane ``pi``, dimension ``i``.
+
+    ``xxhash64`` is the production default (one JVM intrinsic); ``md5``
+    derives the same-shaped coefficient from a digest DuckDB computes
+    bit-identically, making SRP-bucketed results oracle-checkable."""
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(",", F.lit(str(pi)), i.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(F.lit(pi), i)
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    return (F.pmod(h, F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -98,25 +119,13 @@ def embedding_near_dup_pairs(
     oracle-checked rather than rows-only.
     """
 
-    def _coeff(pi: int, i):
-        if hash_fn == "md5":
-            h = F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(",", F.lit(str(pi)), i.cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-        else:
-            h = F.xxhash64(F.lit(pi), i)
-        return (F.pmod(h, F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)
-
     def _plane(pi: int):
         # NB: the transform lambda must take exactly ONE parameter — a
         # two-parameter callable (even via a default arg) is called as
         # (element, index) by PySpark, silently scrambling the closure.
         return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: _coeff(pi, i)
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: _plane_coeff(pi, i, hash_fn),
         )
 
     sig_cols = []
@@ -323,10 +332,21 @@ def lsh_bucket_topk(
     num_planes: int = 12,
     dim: int = 64,
     num_tables: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Bucketed ANN: candidates share an SRP bucket in ANY of ``num_tables``
     independent tables (plane sets offset per table), exact cosine re-rank.
+    ``hash_fn='md5'`` makes the plane coefficients (and therefore every
+    bucket, candidate, cosine and rank) reproducible in DuckDB.
     """
+    def _plane(pi: int):
+        # one-parameter lambda only: see embedding_near_dup_pairs on the
+        # (element, index) arity trap
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: _plane_coeff(pi, i, hash_fn),
+        )
+
     def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
         out = df
         for t in range(num_tables):
@@ -334,13 +354,7 @@ def lsh_bucket_topk(
             planes = F.lit(0).cast("long")
             for p in range(num_planes):
                 pi = t * num_planes + p
-                plane = F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i: (
-                        (F.pmod(F.xxhash64(F.lit(pi), i), F.lit(2001)) - F.lit(1000))
-                        / F.lit(1000.0)
-                    ),
-                )
+                plane = _plane(pi)
                 dot = F.aggregate(
                     F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
                     F.lit(0.0),
