@@ -1220,6 +1220,35 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_topk_md5(spark, sf_dir):
+    """Oracle-checkable IVF: the coarse quantizer is the fixed hash-derived
+    one (hash_centroids) instead of k-means-trained — the standard
+    offline-quantizer shape at scale — so centroid assignment, inverted-list
+    probing, cosine re-rank and ranks are all recomputed in DuckDB. The
+    k-means-trained variant (ann_ivf_topk) stays rows-only because float
+    means are reduction-order dependent."""
+    from comic_text_detector_spark.operators.similarity import (
+        hash_centroids,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        centroids=hash_centroids(16, 64),
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "neighbor_id",
+        "cos",
+    )
+
+
 def _q_ann_lsh_topk_md5(spark, sf_dir):
     """Portable-hash twin of ann_lsh_topk: md5-derived SRP planes, so every
     bucket, candidate set, full-precision cosine and final rank is
@@ -1290,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_lsh_topk_md5": _q_ann_lsh_topk_md5,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_topk_md5": _q_ann_ivf_topk_md5,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_embedding_pairs_md5": _q_dedup_embedding_pairs_md5,
         "j2_nms_spans": _q_j2_nms_spans,
@@ -1478,6 +1508,66 @@ def _ann_lsh_md5_oracle() -> str:
     )
 
 
+def _ann_ivf_md5_oracle() -> str:
+    """DuckDB re-computation of the fixed-quantizer IVF: the 16x64 centroid
+    doubles are embedded as literals (computed by the SAME hash_centroids
+    the Spark query uses, so both engines see identical doubles), corpus
+    rows are assigned by lexicographic (dist, idx) argmin, queries probe
+    their 4 nearest lists, candidates get the exact cosine top-5."""
+    from comic_text_detector_spark.operators.similarity import hash_centroids
+
+    cents = hash_centroids(16, 64)
+    cl = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(x) for x in c) + "]" for c in cents
+        )
+        + "]::DOUBLE[][]"
+    )
+
+    def d2(v: str) -> str:
+        diff = f"(cl[j][i] - {v}[i]::DOUBLE)"
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65),"
+            f" i -> {diff}*{diff})), (x,y) -> x+y)"
+        )
+
+    def scored(v: str) -> str:
+        return (
+            "list_sort(list_transform(range(1,17),"
+            f" j -> {{'d': {d2(v)}, 'j': j-1}}))"
+        )
+
+    assign = f"({scored('v')}[1]).j"
+    probe = f"list_transform(list_slice({scored('v')}, 1, 4), s -> s.j)"
+
+    def fold(prod: str) -> str:
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1,65),"
+            f" i -> {prod})), (x,y) -> x+y)"
+        )
+
+    dot = fold("eq.v[i]::DOUBLE * ec.v[i]::DOUBLE")
+    nq = f"sqrt({fold('eq.v[i]::DOUBLE * eq.v[i]::DOUBLE')})"
+    nc = f"sqrt({fold('ec.v[i]::DOUBLE * ec.v[i]::DOUBLE')})"
+    return (
+        f"WITH cents AS (SELECT {cl} AS cl), "
+        "e AS (SELECT vec_id AS id, embedding AS v FROM embeddings), "
+        f"ass AS (SELECT id, {assign} AS cid FROM e, cents), "
+        f"q AS (SELECT id AS query_id, unnest({probe}) AS cid"
+        " FROM e, cents WHERE id < 10), "
+        "cand AS (SELECT DISTINCT query_id, a.id AS neighbor_id "
+        "FROM ass a JOIN q ON a.cid = q.cid AND a.id != q.query_id), "
+        f"scored AS (SELECT query_id, neighbor_id, {dot}/({nq}*{nc}) AS cos "
+        "FROM cand JOIN e eq ON eq.id = query_id"
+        " JOIN e ec ON ec.id = neighbor_id), "
+        "r AS (SELECT query_id, neighbor_id, cos, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT)"
+        " AS rank FROM scored) "
+        "SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     en = "['the','a','of','and','is']"
     jacc_sh = (
@@ -1489,6 +1579,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs_md5": _minhash_md5_oracle(),
         "dedup_embedding_pairs_md5": _emb_md5_oracle(),
         "ann_lsh_topk_md5": _ann_lsh_md5_oracle(),
+        "ann_ivf_topk_md5": _ann_ivf_md5_oracle(),
         "simhash_md5": (
             f"WITH {_simhash_md5_ctes()} SELECT doc_id, simhash FROM sig"
         ),

@@ -176,7 +176,15 @@ def _nearest_centroid(vec: Column, cents: Column) -> Column:
         cents,
         lambda c, i: F.struct(
             F.aggregate(
-                F.zip_with(c, vec, lambda a, b: (a - b.cast("double")) ** 2),
+                # explicit multiply, not **2: pow(x, 2) is not required to
+                # equal x*x in the last bit, and the IVF oracle twin
+                # recomputes these distances in another engine
+                F.zip_with(
+                    c,
+                    vec,
+                    lambda a, b: (a - b.cast("double"))
+                    * (a - b.cast("double")),
+                ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             ).alias("dist"),
@@ -184,6 +192,25 @@ def _nearest_centroid(vec: Column, cents: Column) -> Column:
         ),
     )
     return F.array_min(scored)["idx"]
+
+
+def hash_centroids(
+    n_centroids: int = 16, dim: int = 64, seed: str = "ivf"
+) -> list[list[float]]:
+    """Deterministic data-independent coarse quantizer: centroid j,
+    dimension d = (md5-derived int % 2001 - 1000)/1000 — the same doubles
+    in any language/engine, so an IVF built on it is oracle-checkable
+    end-to-end (k-means-trained centroids are float-mean engine-order
+    dependent and can only ever be rows-only checked). Quality trade-off
+    is recall, not correctness: hash centroids partition the space
+    obliviously, the probe math is identical."""
+    import hashlib
+
+    def coeff(j: int, d: int) -> float:
+        h = int(hashlib.md5(f"{seed}:{j},{d}".encode()).hexdigest()[:8], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    return [[coeff(j, d) for d in range(dim)] for j in range(n_centroids)]
 
 
 def kmeans_centroids(
@@ -243,14 +270,24 @@ def ivf_topk(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN — the coarse-quantizer scale path next to ``lsh_bucket_topk``:
     k-means centroids partition the corpus into inverted lists (one
     assignment pass, broadcast-literal centroids); each query probes its
     ``nprobe`` nearest lists and exact cosine re-ranks only those — the
     corpus side is an equi-join on the list id, touching ~nprobe/n_centroids
-    of the data per query instead of all of it."""
-    cents_list = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    of the data per query instead of all of it.
+
+    ``centroids`` overrides the trained quantizer with a fixed one (e.g.
+    ``hash_centroids`` for the oracle-checkable variant, or a quantizer
+    trained offline on a sample — the standard move at 100 TB, where you
+    never re-train per job)."""
+    cents_list = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    )
     cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents_list])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -260,7 +297,8 @@ def ivf_topk(
         cents,
         lambda cc, i: F.struct(
             F.aggregate(
-                F.zip_with(cc, F.col("qv"), lambda a, b: (a - b) ** 2),
+                # multiply, not **2 — see _nearest_centroid
+                F.zip_with(cc, F.col("qv"), lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             ).alias("dist"),
