@@ -1220,6 +1220,39 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (doc_id >= 20) sharing any
+    word 5-gram with the 'benchmark' slice (doc_id < 20), with the count of
+    distinct shared grams — the leak-triage pass before training."""
+    from comic_text_detector_spark.operators.curation import contaminated_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    return contaminated_docs(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        "doc_id",
+        "text",
+        n=5,
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _q_hash_sample(spark, sf_dir):
+    """Deterministic stratified downsampling by language (the corpus-
+    rebalancing move): keep iff md5-uniform(doc_id) < rate[lang]; zh has no
+    rate and is dropped entirely. Reproducible across runs/engines/
+    partitionings, unlike rand()-based sampling."""
+    from comic_text_detector_spark.operators.curation import hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_sample(
+        docs,
+        "doc_id",
+        rates_by="lang",
+        rates={"en": 0.5, "de": 0.3, "fr": 0.25, "es": 0.2},
+        salt="mix",
+    )
+
+
 def _q_ann_ivf_topk_md5(spark, sf_dir):
     """Oracle-checkable IVF: the coarse quantizer is the fixed hash-derived
     one (hash_centroids) instead of k-means-trained — the standard
@@ -1299,6 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "rep_top_bigram": _q_rep_top_bigram,
         "dedup_exact_survivors": _q_dedup_exact_survivors,
+        "decontaminate": _q_decontaminate,
+        "hash_sample": _q_hash_sample,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -1577,6 +1612,23 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "minhash_lsh_pairs_md5": _minhash_md5_oracle(),
+        "decontaminate": (
+            "WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 5 THEN "
+            "list_transform(generate_series(1, len(w)-4),"
+            " i -> array_to_string(list_slice(w, i, i+4),' ')) "
+            "ELSE [] END)) AS g FROM w), "
+            "b AS (SELECT DISTINCT g FROM g WHERE doc_id < 20) "
+            "SELECT c.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared "
+            "FROM g c JOIN b USING(g) WHERE c.doc_id >= 20 GROUP BY c.doc_id"
+        ),
+        "hash_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "('0x'||substr(md5('mix:'||doc_id::VARCHAR),1,8))::BIGINT"
+            " / 4294967296.0 < "
+            "(CASE lang WHEN 'de' THEN 0.3 WHEN 'en' THEN 0.5"
+            " WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.25 ELSE 0.0 END)"
+        ),
         "dedup_embedding_pairs_md5": _emb_md5_oracle(),
         "ann_lsh_topk_md5": _ann_lsh_md5_oracle(),
         "ann_ivf_topk_md5": _ann_ivf_md5_oracle(),

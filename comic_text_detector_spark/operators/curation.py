@@ -1,0 +1,103 @@
+"""Corpus-curation operators a training-data pipeline runs after dedup:
+benchmark decontamination and deterministic downsampling.
+
+Both are pure column-expression plans (no UDF, no driver loop) and both use
+the engine-portable md5-derived hash (like operators/dedup.py's md5 mode) so
+their outputs are value-checkable against an independent SQL engine.
+
+Scale shapes:
+
+* ``contaminated_docs`` — the benchmark side (eval sets, at most MBs even
+  for large suites) broadcasts; the corpus streams through one explode +
+  broadcast semi-join + groupBy(doc). No corpus-vs-corpus join exists, so
+  cost is linear in corpus n-grams at any corpus size.
+* ``hash_sample`` — embarrassingly parallel filter: each row's keep/drop
+  decision is a pure function of its key, so the sample is reproducible
+  across runs, engines, and repartitioning (unlike ``df.sample``, whose
+  output depends on partitioning), and survives resume/backfill without
+  double-sampling. This determinism is what training pipelines need for
+  auditable mixtures (reference analog: fixed-seed shuffling in
+  /root/reference/train_db.py:33-38 — reproducibility by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+
+
+def hash_uniform(key: Column, salt: str = "sample") -> Column:
+    """Deterministic uniform in [0, 1): first 8 md5 hex chars of
+    ``salt:key`` parsed base-16, divided by 2^32. Identical arithmetic in
+    DuckDB: ``('0x'||substr(md5(s),1,8))::BIGINT / 4294967296.0``."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(float(1 << 32))
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float | None = None,
+    rates_by: str | None = None,
+    rates: dict[str, float] | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic (re-runnable) sample: keep a row iff
+    hash_uniform(key) < rate.
+
+    Either a flat ``rate``, or stratified ``rates`` keyed by the values of
+    column ``rates_by`` (strata absent from the dict are dropped — explicit
+    mixture weights, the usual way a web corpus is rebalanced by
+    language/source/quality bucket).
+    """
+    u = hash_uniform(F.col(key_col), salt)
+    if rate is not None:
+        return df.filter(u < F.lit(rate))
+    if not rates or rates_by is None:
+        raise ValueError("need rate= or (rates_by=, rates=)")
+    thresh = None
+    for value, r in sorted(rates.items()):
+        cond = F.col(rates_by) == F.lit(value)
+        thresh = F.when(cond, F.lit(r)) if thresh is None else thresh.when(cond, F.lit(r))
+    return df.filter(u < thresh.otherwise(F.lit(0.0)))
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """(id, n_shared) for every corpus doc sharing at least one word
+    ``n``-gram with the benchmark set — the decontamination pass run before
+    training so eval data cannot leak into the corpus.
+
+    The benchmark's distinct n-gram set broadcasts (eval suites are tiny
+    next to the corpus); corpus docs explode once to distinct n-grams, the
+    broadcast inner join keeps only overlapping grams, and a groupBy(doc)
+    counts them. ``n_shared`` = number of DISTINCT benchmark n-grams the
+    doc contains (the triage signal: 1 shared 5-gram is usually a stock
+    phrase, 50 is a verbatim inclusion).
+    """
+    bgrams = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g")
+        )
+        .distinct()
+    )
+    cgrams = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
+    )
+    return (
+        cgrams.join(F.broadcast(bgrams), "g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+    )

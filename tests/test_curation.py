@@ -1,0 +1,64 @@
+"""Curation operators: decontamination + deterministic sampling."""
+
+from pyspark.sql import functions as F
+
+from comic_text_detector_spark.operators.curation import (
+    contaminated_docs,
+    hash_sample,
+    hash_uniform,
+)
+
+
+def test_contaminated_docs_planted(spark):
+    bench = spark.createDataFrame(
+        [("b0", "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id string, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim inclusion: many shared 5-grams
+            ("c0", "intro words then the quick brown fox jumps over the lazy dog tonight and more"),
+            # clean doc: zero shared 5-grams
+            ("c1", "completely unrelated text about spark plans and shuffles at scale here"),
+            # partial: exactly one shared 5-gram
+            ("c2", "xx quick brown fox jumps over yy zz aa bb cc"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.id: r.n_shared for r in contaminated_docs(corpus, bench).collect()}
+    assert got["c0"] >= 6  # the 10-word benchmark has 6 distinct 5-grams
+    assert got.get("c2") == 1
+    assert "c1" not in got
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zz").alias("lang"),
+    )
+    out = hash_sample(df, "doc_id", rates_by="lang", rates={"en": 0.5}, salt="t")
+    rows1 = sorted(r.doc_id for r in out.collect())
+    # reproducible under repartitioning (unlike df.sample)
+    rows2 = sorted(
+        r.doc_id
+        for r in hash_sample(
+            df.repartition(7), "doc_id", rates_by="lang", rates={"en": 0.5}, salt="t"
+        ).collect()
+    )
+    assert rows1 == rows2
+    assert all(i % 2 == 0 for i in rows1)  # zz stratum dropped entirely
+    assert 0.4 < len(rows1) / 1000 < 0.6  # ~rate of the en stratum
+
+    flat = hash_sample(df, "doc_id", rate=0.25, salt="t").count()
+    assert 0.2 < flat / 2000 < 0.3
+
+
+def test_hash_uniform_range(spark):
+    stats = (
+        spark.range(5000)
+        .select(hash_uniform(F.col("id"), "u").alias("u"))
+        .agg(F.min("u"), F.max("u"), F.avg("u"))
+        .collect()[0]
+    )
+    assert 0.0 <= stats[0] and stats[1] < 1.0
+    assert 0.45 < stats[2] < 0.55
