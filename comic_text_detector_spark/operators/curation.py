@@ -25,18 +25,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles
+from .dedup import md5_long, shingles
 
 
 def hash_uniform(key: Column, salt: str = "sample") -> Column:
-    """Deterministic uniform in [0, 1): first 8 md5 hex chars of
-    ``salt:key`` parsed base-16, divided by 2^32. Identical arithmetic in
-    DuckDB: ``('0x'||substr(md5(s),1,8))::BIGINT / 4294967296.0``."""
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(salt), key.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    """Deterministic uniform in [0, 1): ``md5_long`` of ``salt:key``
+    divided by 2^32. Identical arithmetic in DuckDB:
+    ``('0x'||substr(md5(s),1,8))::BIGINT / 4294967296.0``."""
+    h = md5_long(F.concat_ws(":", F.lit(salt), key.cast("string")))
     return h / F.lit(float(1 << 32))
 
 

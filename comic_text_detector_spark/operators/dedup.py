@@ -97,19 +97,32 @@ def shingles(text_col, n: int = 3):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def md5_long(col, nhex: int = 8):
+    """First ``nhex`` hex chars of md5 parsed base-16 → non-negative long.
+
+    THE portable-hash primitive every oracle twin is built on (minhash,
+    simhash, SRP planes, hash sampling): DuckDB computes the identical
+    value as ``('0x'||substr(md5(s),1,{nhex}))::BIGINT``, so keep this the
+    single definition — a width or cast change here must change every
+    oracle too. ``nhex`` <= 15 so the value fits a signed 64-bit long in
+    every engine."""
+    if not 1 <= nhex <= 15:
+        raise ValueError(f"nhex must be in 1..15, got {nhex}")
+    return F.conv(F.substring(F.md5(col), 1, nhex), 16, 10).cast("long")
+
+
 def _hash31(col, hash_fn: str):
     """Token → 31-bit non-negative hash, by portable-vs-fast mode.
 
     * ``xxhash64`` — Spark's native seedless hash: the fast production path
       (one JVM intrinsic per token), but engine-specific, so downstream
       results can only be checked rows-only.
-    * ``md5`` — first 8 hex chars of md5 parsed base-16: ~= one extra digest
-      per token, but bit-identical in any engine (DuckDB:
-      ``('0x'||substr(md5(s),1,8))::BIGINT``), making the whole LSH
-      pipeline value-checkable against an independent SQL oracle.
+    * ``md5`` — ``md5_long``: ~= one extra digest per token, but
+      bit-identical in any engine, making the whole LSH pipeline
+      value-checkable against an independent SQL oracle.
     """
     if hash_fn == "md5":
-        h = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        h = md5_long(col)
     elif hash_fn == "xxhash64":
         h = F.xxhash64(col)
     else:
@@ -351,11 +364,12 @@ def simhash64(
     sum() aggregate per bit (map-side combined), then one projection packs
     the bits into a bigint.
     """
+    if hash_fn not in SIMHASH_BITS:
+        raise ValueError(
+            f"hash_fn must be one of {sorted(SIMHASH_BITS)}, got {hash_fn!r}"
+        )
     nbits = SIMHASH_BITS[hash_fn]
-    if hash_fn == "md5":
-        h = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
-    else:
-        h = F.xxhash64("s")
+    h = md5_long(F.col("s"), 15) if hash_fn == "md5" else F.xxhash64("s")
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
@@ -397,6 +411,10 @@ def simhash_pairs(
     hot buckets the operator is a high-recall approximation (the usual
     trade at corpus scale), not exhaustive.
     """
+    if hash_fn not in SIMHASH_BITS:
+        raise ValueError(
+            f"hash_fn must be one of {sorted(SIMHASH_BITS)}, got {hash_fn!r}"
+        )
     band_bits = SIMHASH_BITS[hash_fn] // 4
     band_mask = (1 << band_bits) - 1
     sig = simhash64(df, id_col, text_col, shingle_n, hash_fn)

@@ -45,13 +45,9 @@ def _plane_coeff(pi: int, i: Column, hash_fn: str) -> Column:
     derives the same-shaped coefficient from a digest DuckDB computes
     bit-identically, making SRP-bucketed results oracle-checkable."""
     if hash_fn == "md5":
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat_ws(",", F.lit(str(pi)), i.cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
+        from .dedup import md5_long
+
+        h = md5_long(F.concat_ws(",", F.lit(str(pi)), i.cast("string")))
     elif hash_fn == "xxhash64":
         h = F.xxhash64(F.lit(pi), i)
     else:
@@ -176,17 +172,14 @@ def _nearest_centroid(vec: Column, cents: Column) -> Column:
         cents,
         lambda c, i: F.struct(
             F.aggregate(
-                # explicit multiply, not **2: pow(x, 2) is not required to
-                # equal x*x in the last bit, and the IVF oracle twin
-                # recomputes these distances in another engine
-                F.zip_with(
-                    c,
-                    vec,
-                    lambda a, b: (a - b.cast("double"))
-                    * (a - b.cast("double")),
-                ),
+                # fold the DIFF array and square the lambda variable:
+                # Catalyst does not CSE nested lambda trees, so writing
+                # (a-b)*(a-b) would subtract twice per element; and **2
+                # (pow) is not required to equal x*x in the last bit,
+                # which the IVF oracle twin depends on
+                F.zip_with(c, vec, lambda a, b: a - b.cast("double")),
                 F.lit(0.0),
-                lambda acc, v: acc + v,
+                lambda acc, v: acc + v * v,
             ).alias("dist"),
             i.alias("idx"),
         ),
@@ -297,10 +290,10 @@ def ivf_topk(
         cents,
         lambda cc, i: F.struct(
             F.aggregate(
-                # multiply, not **2 — see _nearest_centroid
-                F.zip_with(cc, F.col("qv"), lambda a, b: (a - b) * (a - b)),
+                # diff-then-square fold — see _nearest_centroid
+                F.zip_with(cc, F.col("qv"), lambda a, b: a - b),
                 F.lit(0.0),
-                lambda acc, v: acc + v,
+                lambda acc, v: acc + v * v,
             ).alias("dist"),
             i.alias("idx"),
         ),

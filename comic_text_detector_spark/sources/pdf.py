@@ -38,9 +38,11 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
 _OBJHDR_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
-# tolerant fallback for fragments with no object headers (truncated crawls)
+# tolerant fallback for orphan streams outside any object (truncated crawls)
 _RAWSTREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
-_STREAMKW_RE = re.compile(rb"stream\r?\n")
+# anchored on the dict close: a '(… stream\n…)' literal inside the dict must
+# not be mistaken for the stream keyword
+_STREAMKW_RE = re.compile(rb">>\s*stream\r?\n")
 # direct /Length only — an indirect "/Length N 0 R" falls back to the
 # endstream scan (the negative lookahead rejects the " 0 R" form)
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\s\d]*R)")
@@ -101,17 +103,21 @@ def _unescape_pdf_string(s: bytes) -> bytes:
     return bytes(out)
 
 
-def _scan_objects(data: bytes) -> list[tuple[int, bytes, bytes | None]]:
+def _scan_objects(
+    data: bytes,
+) -> list[tuple[int, bytes, bytes | None, int, int]]:
     """Sequential ``N G obj`` walk → [(obj number, dict bytes, raw stream
-    body or None)].
+    body or None, object start offset, object end offset)].
 
     A stream body is skipped via its direct ``/Length`` when the claimed
     endpoint is actually followed by ``endstream`` — so compressed payloads
     that happen to contain the literal bytes ``endobj``/``endstream`` can
     never truncate the enclosing object (a one-regex non-greedy scan does
     exactly that, and zlib output hits it in practice). Indirect or wrong
-    ``/Length`` falls back to the endstream search with EOL trim."""
-    out: list[tuple[int, bytes, bytes | None]] = []
+    ``/Length`` falls back to the endstream search with EOL trim. The
+    offsets let callers find the UNCOVERED byte ranges, where orphan
+    streams from truncated crawls hide."""
+    out: list[tuple[int, bytes, bytes | None, int, int]] = []
     n = len(data)
     pos = 0
     while True:
@@ -143,11 +149,19 @@ def _scan_objects(data: bytes) -> list[tuple[int, bytes, bytes | None]]:
                     body = body[:-2]
                 elif body.endswith(b"\n"):
                     body = body[:-1]
-            out.append((int(m.group(1)), hdr, body))
             eo = data.find(b"endobj", body_end)
+            end = (eo + len(b"endobj")) if eo != -1 else n
+            out.append((int(m.group(1)), hdr, body, m.start(), end))
         else:
+            end = (eo + len(b"endobj")) if eo != -1 else n
             out.append(
-                (int(m.group(1)), data[start : eo if eo != -1 else n], None)
+                (
+                    int(m.group(1)),
+                    data[start : eo if eo != -1 else n],
+                    None,
+                    m.start(),
+                    end,
+                )
             )
         if eo == -1:
             return out
@@ -204,15 +218,15 @@ def _parse_tounicode(cmap: bytes) -> dict[int, str]:
 
 
 def _font_cmaps(
-    objs: list[tuple[int, bytes, bytes | None]],
+    objs: list[tuple[int, bytes, bytes | None, int, int]],
 ) -> dict[bytes, dict[int, str]]:
     """{font resource name: CID→Unicode map} for every Type0 font whose
     ``/ToUnicode`` stream resolves. Non-Type0 fonts are absent (their
     strings decode as plain bytes). ``/Font`` resource dicts are searched
     in object DICTS only — never inside stream bytes."""
-    by_num = {num: (hdr, body) for num, hdr, body in objs}
+    by_num = {num: (hdr, body) for num, hdr, body, _s, _e in objs}
     cmaps: dict[bytes, dict[int, str]] = {}
-    for _num, hdr, _body in objs:
+    for _num, hdr, _body, _s, _e in objs:
         for fonts in _FONTDICT_RE.finditer(hdr):
             for name, num in _FONTREF_RE.findall(fonts.group(1)):
                 font_hdr, _ = by_num.get(int(num), (None, None))
@@ -260,19 +274,31 @@ def extract_pdf_text(data: bytes) -> str:
         return ""
     data = bytes(data)
     objs = _scan_objects(data)
-    if not objs:  # header-less fragment (truncated crawl): raw stream scan
-        for m in _RAWSTREAM_RE.finditer(data):
+    # orphan streams in the byte ranges no object covers (header lost to
+    # crawl truncation): raw-scan each gap and keep document order
+    streams = [
+        (s, hdr, raw) for _num, hdr, raw, s, _e in objs if raw is not None
+    ]
+    pos = 0
+    gaps = []
+    for _num, _h, _b, s, e in objs:
+        if s > pos:
+            gaps.append((pos, s))
+        pos = max(pos, e)
+    if pos < len(data):
+        gaps.append((pos, len(data)))
+    for gs, ge in gaps:
+        for m in _RAWSTREAM_RE.finditer(data, gs, ge):
             body = m.group(2)
             if body.endswith(b"\r\n"):
                 body = body[:-2]
             elif body.endswith(b"\n"):
                 body = body[:-1]
-            objs.append((0, m.group(1), body))
+            streams.append((m.start(), m.group(1), body))
+    streams.sort(key=lambda t: t[0])
     cmaps = _font_cmaps(objs)
     pieces: list[str] = []
-    for _num, hdr, raw in objs:
-        if raw is None:
-            continue
+    for _pos, hdr, raw in streams:
         inflated = _inflate(hdr, raw)
         if inflated is None:
             continue

@@ -116,3 +116,32 @@ def test_stream_bytes_containing_delimiters_do_not_truncate():
         b"/Length %d" % old_len, b"/Length %d" % (old_len + len(trap) + 1)
     )
     assert extract_pdf_text(patched) == "after the trap"
+
+
+def test_dict_string_containing_stream_keyword():
+    """A '(… stream\\n…)' literal inside an object DICT must not be taken
+    for the stream keyword (review repro: the misparse swallowed every
+    following object)."""
+    from comic_text_detector_spark.sources.pdf import (
+        synthesize_simple_pdf,
+        synthesize_type0_pdf,
+    )
+
+    pdf = synthesize_simple_pdf(["hello world"], compress=True)
+    trap = pdf.replace(
+        b"<< /Type /Catalog", b"<< /Title (data stream\nrest) /Type /Catalog"
+    )
+    assert extract_pdf_text(trap) == "hello world"
+    t0 = synthesize_type0_pdf(["cmap ok"])
+    t0trap = t0.replace(b"<< /Type /Catalog", b"<< /T (x stream\ny) /Type /Catalog")
+    assert extract_pdf_text(t0trap) == "cmap ok"
+
+
+def test_orphan_stream_beside_intact_objects():
+    """Crawl truncation can orphan a stream (header lost) while later
+    objects survive; both must extract, in document order."""
+    frag = (
+        b"<< /Length 29 >>\nstream\nBT /F0 9 Tf (lost words) Tj ET\nendstream\n"
+        b"5 0 obj << /Length 26 >>\nstream\nBT (and found) Tj ET\nendstream\nendobj"
+    )
+    assert extract_pdf_text(frag) == "lost words and found"
