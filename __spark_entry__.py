@@ -1220,6 +1220,36 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_host_stats(spark, sf_dir):
+    """Host-level corpus stats — the Common-Crawl curation aggregation
+    (docs per host, language mix, size) that drives host allow/deny lists.
+    Urls are synthesized deterministically from doc_id (the documents table
+    carries none); the Spark side extracts the host with the built-in
+    parse_url, which the oracle cross-derives with a regexp — two
+    independent derivations of the same host string. One groupBy exchange,
+    map-side partial aggs; at 100 TB hosts are ~10^7 keys, trivially
+    shuffled, with hot hosts absorbed by the partial aggregation."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://w"),
+            F.pmod(F.col("doc_id"), F.lit(23)).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return (
+        docs.groupBy(F.parse_url(F.col("url"), F.lit("HOST")).alias("host"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_en"),
+        )
+    )
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus docs (doc_id >= 20) sharing any
     word 5-gram with the 'benchmark' slice (doc_id < 20), with the count of
@@ -1334,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_survivors": _q_dedup_exact_survivors,
         "decontaminate": _q_decontaminate,
         "hash_sample": _q_hash_sample,
+        "host_stats": _q_host_stats,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -1621,6 +1652,16 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT DISTINCT g FROM g WHERE doc_id < 20) "
             "SELECT c.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared "
             "FROM g c JOIN b USING(g) WHERE c.doc_id >= 20 GROUP BY c.doc_id"
+        ),
+        "host_stats": (
+            "SELECT regexp_extract('https://w' || (doc_id % 23)::VARCHAR"
+            " || '.example.org/p/' || doc_id::VARCHAR,"
+            " '^[a-z]+://([^/]+)', 1) AS host,"
+            " CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS total_chars,"
+            " CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_en "
+            "FROM documents GROUP BY 1"
         ),
         "hash_sample": (
             "SELECT doc_id, lang FROM documents WHERE "

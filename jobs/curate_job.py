@@ -1,0 +1,97 @@
+"""The corpus-curation job: decontaminate → quality floor → mixture sample.
+
+The training-data pipeline's third pass (after jobs/extract_job.py and
+jobs/dedup_job.py): given a deduplicated corpus and a benchmark set, drop
+documents that leak eval data, drop low-quality documents, and downsample
+each language stratum to its target mixture rate — deterministically, so a
+resumed or re-run job produces byte-identical output.
+
+Every stage is a pure column-expression plan: the benchmark n-gram set
+broadcasts (linear in corpus size, no corpus-vs-corpus join), the quality
+floor and the hash sample are zero-exchange filters fused into one scan.
+
+Usage:
+  spark-submit --py-files dist/ctd_spark.zip jobs/curate_job.py \
+      --input <corpus parquet> --benchmark <benchmark parquet> \
+      --output /tmp/curated \
+      [--rates '{"en": 0.5, "de": 0.3}'] [--min-quality 0.3] \
+      [--max-shared-ngrams 0] [--id-col url] [--text-col text] \
+      [--lang-col lang] [--salt mix]
+
+Docs whose language has no entry in --rates are DROPPED (explicit mixture
+weights). --max-shared-ngrams N keeps docs sharing at most N distinct
+5-grams with the benchmark (0 = strict decontamination).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--benchmark", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--rates", default='{"en": 1.0}')
+    p.add_argument("--min-quality", type=float, default=0.0)
+    p.add_argument("--max-shared-ngrams", type=int, default=0)
+    p.add_argument("--ngram", type=int, default=5)
+    p.add_argument("--id-col", default="url")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--lang-col", default="lang")
+    p.add_argument("--salt", default="mix")
+    args = p.parse_args(argv)
+    rates = {str(k): float(v) for k, v in json.loads(args.rates).items()}
+
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.functions.textstats import quality_score
+    from comic_text_detector_spark.operators.curation import (
+        contaminated_docs,
+        hash_sample,
+    )
+    from comic_text_detector_spark.session import get_spark
+
+    spark = get_spark(app_name="ctd-curate")
+    spark.sparkContext.setLogLevel("WARN")
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark)
+    n_in = docs.count()
+
+    # stage 1: decontamination — anti-join against docs sharing more than
+    # the allowed number of distinct benchmark n-grams
+    leaks = contaminated_docs(
+        docs, bench, args.id_col, args.text_col, n=args.ngram
+    ).filter(F.col("n_shared") > args.max_shared_ngrams)
+    clean = docs.join(
+        leaks.withColumnRenamed("id", args.id_col), args.id_col, "left_anti"
+    )
+    n_clean = clean.count()
+
+    # stage 2 + 3 fuse into one zero-exchange scan: quality floor, then the
+    # deterministic per-language mixture sample
+    good = clean.filter(
+        quality_score(F.col(args.text_col)) >= F.lit(args.min_quality)
+    )
+    curated = hash_sample(
+        good, args.id_col, rates_by=args.lang_col, rates=rates, salt=args.salt
+    )
+    curated.write.mode("overwrite").parquet(f"{args.output}/curated")
+
+    n_out = spark.read.parquet(f"{args.output}/curated").count()
+    summary = {
+        "docs_in": n_in,
+        "after_decontaminate": n_clean,
+        "contaminated_removed": n_in - n_clean,
+        "curated": n_out,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
