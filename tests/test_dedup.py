@@ -150,3 +150,77 @@ def test_portable_md5_mode_matches_planted_truth(spark):
         for r in simhash_pairs(docs, "id", "text", max_hamming=8, hash_fn="md5").collect()
     }
     assert sp[("d000", "dup1")] == 0
+
+
+def test_portable_hash_parity_adversarial_texts(spark):
+    """Spark and DuckDB must agree on the md5-mode minhash signature and
+    simhash for text shapes the sf corpora never exercise: empty, single
+    word, runs of spaces (split keeps empty tokens on BOTH engines — that
+    agreement is part of the contract), leading/trailing spaces, unicode,
+    and repeated shingles."""
+    import duckdb
+
+    from comic_text_detector_spark.operators.dedup import (
+        minhash_signatures,
+        simhash64,
+    )
+
+    texts = [
+        "",
+        "one",
+        "a b",
+        "double  space  runs",
+        " leading and trailing ",
+        "ünïcödé wörds façade 中文 分词 here too",
+        "rep rep rep rep rep rep",
+        "tab\tinside one token",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    sig = {
+        r.id: (r.mh0, r.mh1, r.mh2, r.mh3)
+        for r in minhash_signatures(df, "id", "text", 4, 3, "md5").collect()
+    }
+    sh = {r.id: r.simhash for r in simhash64(df, "id", "text", 2, "md5").collect()}
+
+    con = duckdb.connect()
+    from comic_text_detector_spark.operators.dedup import _MERSENNE, _mh_consts
+
+    mins = ", ".join(
+        f"min((h*{a} + {b}) % {_MERSENNE}) AS mh{i}"
+        for i, (a, b) in ((i, _mh_consts(i)) for i in range(4))
+    )
+    dsig = dict(
+        (r[0], tuple(r[1:]))
+        for r in con.execute(
+            "WITH t AS (SELECT unnest(range(8)) AS id, string_split(unnest(?), ' ') AS w), "
+            "sh AS (SELECT id, unnest(list_distinct(CASE WHEN len(w) >= 3 THEN "
+            "list_transform(generate_series(1, len(w)-2), i -> array_to_string(list_slice(w, i, i+2),' ')) "
+            "ELSE [] END)) AS s FROM t), "
+            "h AS (SELECT id, ('0x'||substr(md5(s),1,8))::BIGINT % 2147483648 AS h FROM sh) "
+            f"SELECT id, {mins} FROM h GROUP BY id",
+            [texts],
+        ).fetchall()
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(60)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60)
+    )
+    dsh = dict(
+        con.execute(
+            "WITH t AS (SELECT unnest(range(8)) AS id, string_split(unnest(?), ' ') AS w), "
+            "sh AS (SELECT id, unnest(CASE WHEN len(w) >= 2 THEN "
+            "list_transform(generate_series(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+1),' ')) "
+            "ELSE [] END) AS s FROM t), "
+            "h AS (SELECT id, ('0x'||substr(md5(s),1,15))::BIGINT AS h FROM sh), "
+            f"votes AS (SELECT id, {votes} FROM h GROUP BY id) "
+            f"SELECT id, CAST({packed} AS BIGINT) FROM votes",
+            [texts],
+        ).fetchall()
+    )
+    assert sig == dsig  # docs with <3 words have no signature on either side
+    assert sh == dsh
