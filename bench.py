@@ -29,10 +29,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Bench corpora are bounded-size documents (~0.6-30 KB), so the bigger
-# Arrow batch is pure win here (~+6% measured: fewer batch boundaries per
-# task). Production sessions keep the conservative 512 default — 100 MB
-# pages x 2048 rows would not be memory-safe. Env still overrides.
-os.environ.setdefault("CTD_ARROW_BATCH", "2048")
+# Arrow batch is a measured win here (+6-10% across rounds, 170k vs 155k
+# docs/s @32 in BASELINE.md run F: fewer batch boundaries per task).
+# Production sessions keep the conservative 512 default — 100 MB pages x
+# 2048 rows would not be memory-safe. Passed as explicit session conf (not
+# just env) so no import order can silently freeze the 512 default.
+ARROW_BATCH = os.environ.get("CTD_ARROW_BATCH", "2048")
 
 from pyspark.sql import functions as F
 
@@ -50,6 +52,9 @@ def get_session(cores: int):
     s = get_spark(
         app_name=f"ctd-bench-{cores}", master=f"local[{cores}]",
         shuffle_partitions=max(cores, 32),
+        extra_conf={
+            "spark.sql.execution.arrow.maxRecordsPerBatch": ARROW_BATCH
+        },
     )
     # Wave balancing: the 244 MB bench corpus at the default 128 MB split
     # size scans as exactly 32 partitions = ONE wave at 32 cores, so a

@@ -62,10 +62,15 @@ def main(argv: list[str]) -> int:
     n_in = docs.count()
 
     # stage 1: decontamination — anti-join against docs sharing more than
-    # the allowed number of distinct benchmark n-grams
-    leaks = contaminated_docs(
-        docs, bench, args.id_col, args.text_col, n=args.ngram
-    ).filter(F.col("n_shared") > args.max_shared_ngrams)
+    # the allowed number of distinct benchmark n-grams. The leaks frame is
+    # tiny (one row per contaminated doc) but sits downstream of the job's
+    # most expensive stage (the corpus n-gram explode), so it is
+    # materialized once as an audit artifact and re-read — the explode runs
+    # exactly once, like dedup_job's intermediate writes.
+    contaminated_docs(docs, bench, args.id_col, args.text_col, n=args.ngram).filter(
+        F.col("n_shared") > args.max_shared_ngrams
+    ).write.mode("overwrite").parquet(f"{args.output}/contaminated")
+    leaks = spark.read.parquet(f"{args.output}/contaminated")
     clean = docs.join(
         leaks.withColumnRenamed("id", args.id_col), args.id_col, "left_anti"
     )
