@@ -645,6 +645,39 @@ def _q_multimodal_decode(spark, sf_dir):
     )
 
 
+def _q_multimodal_letterbox(spark, sf_dir):
+    """F5/F6 made real: each doc_id becomes a genuine PNG (dims from
+    doc_id), the kernel DECODES THE ACTUAL PIXELS, letterboxes to 64x64
+    (nearest-neighbor + gray pad, reference utils/imgproc_utils.py:15-43),
+    and re-encodes. The oracle predicts the output geometry from the same
+    integer contract (scaled short side = floor(short*64/long + 0.5)) —
+    so a pixel-path bug that warps geometry fails the gate."""
+    import pandas as pd
+
+    from comic_text_detector_spark.multimodal.binary_ops import synthesize_png
+    from comic_text_detector_spark.multimodal.pixels import letterbox_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [str(i) for i in ids],
+                    "media": [
+                        synthesize_png(1 + i % 64, 1 + i % 48) for i in ids
+                    ],
+                }
+            )
+
+    m = docs.mapInPandas(synth, "media_id string, media binary")
+    return letterbox_images(m, size=64).select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "in_w", "in_h", "out_w", "out_h", "pad_left", "pad_top",
+    )
+
+
 def _q_extract_blocks(spark, sf_dir):
     """End-to-end block surface: extraction → exploded spans → per-block
     text slice + language tag (the TextBlock record analog, F22/W1/W2).
@@ -1376,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_report": _q_grouping_sets_report,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_letterbox": _q_multimodal_letterbox,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "minhash_lsh_pairs_md5": _q_minhash_lsh_pairs_md5,
         "simhash": _q_simhash,
@@ -1652,6 +1686,21 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT DISTINCT g FROM g WHERE doc_id < 20) "
             "SELECT c.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared "
             "FROM g c JOIN b USING(g) WHERE c.doc_id >= 20 GROUP BY c.doc_id"
+        ),
+        "multimodal_letterbox": (
+            "WITH d AS (SELECT doc_id,"
+            " CAST(1 + doc_id % 64 AS INT) AS in_w,"
+            " CAST(1 + doc_id % 48 AS INT) AS in_h FROM documents), "
+            "g AS (SELECT doc_id, in_w, in_h,"
+            " CASE WHEN in_w >= in_h THEN 64 ELSE"
+            "  greatest(1, CAST(floor(in_w * 64.0 / in_h + 0.5) AS INT)) END"
+            " AS out_w,"
+            " CASE WHEN in_w >= in_h THEN"
+            "  greatest(1, CAST(floor(in_h * 64.0 / in_w + 0.5) AS INT))"
+            " ELSE 64 END AS out_h FROM d) "
+            "SELECT doc_id, in_w, in_h, out_w, out_h,"
+            " CAST((64 - out_w) // 2 AS INT) AS pad_left,"
+            " CAST((64 - out_h) // 2 AS INT) AS pad_top FROM g"
         ),
         "host_stats": (
             "SELECT regexp_extract('https://w' || (doc_id % 23)::VARCHAR"

@@ -1,0 +1,196 @@
+"""Real pixel operations over binary image columns: PNG decode (full
+unfilter), letterbox resize, re-encode — pure stdlib + numpy.
+
+This makes SURVEY §2.8 F5/F6 (``letterbox``/``resize_keepasp``, reference
+utils/imgproc_utils.py:15-43,46-54) REAL operators instead of
+by-design-out: the model-input geometry (fit the long side, pad the short
+side to the target square) is computed on actual decoded pixels inside an
+Arrow-batched ``mapInPandas`` kernel, and the output is a valid PNG again.
+
+Scale shape: embarrassingly parallel per row (no shuffle at all); batch
+memory is bounded by the session's Arrow batch size x image size, the same
+contract as the extraction kernel. JPEG/GIF stay metadata-only (their
+entropy decoders are codec territory — binary_ops.decode_image_meta covers
+them); PNG is decoded for real because the whole format (zlib + 5 scanline
+filters) is stdlib-expressible.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (palette unsupported: nothing writes one)
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png_pixels(data: bytes) -> np.ndarray | None:
+    """PNG bytes → (height, width, channels) uint8 array, or None if not a
+    decodable 8-bit PNG. Implements the full filter spec (None/Sub/Up/
+    Average/Paeth, PNG 1.2 §6) — not just the filter-0 byte our own
+    synthesizers emit — so real crawl PNGs decode too."""
+    if not isinstance(data, (bytes, bytearray)) or not bytes(data).startswith(
+        _PNG_SIG
+    ):
+        return None
+    data = bytes(data)
+    width = height = None
+    bit_depth = color_type = None
+    idat = b""
+    i = len(_PNG_SIG)
+    while i + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        payload = data[i + 8 : i + 8 + ln]
+        if tag == b"IHDR" and len(payload) >= 13:
+            width, height, bit_depth, color_type = struct.unpack(
+                ">IIBB", payload[:10]
+            )
+            if payload[10:13] != b"\x00\x00\x00":  # non-deflate/interlaced
+                return None
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if not width or not height or bit_depth != 8 or color_type not in _CHANNELS:
+        return None
+    ch = _CHANNELS[color_type]
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = width * ch
+    if len(raw) < height * (stride + 1):
+        return None
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for r in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += stride + 1
+        if ftype == 0:  # None
+            cur = row.copy()
+        elif ftype == 2:  # Up
+            cur = row + prev
+        else:  # Sub / Average / Paeth need the running left pixel
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) // 2
+                elif ftype == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                else:
+                    return None
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        out[r] = cur
+        prev = cur
+    return out.reshape(height, width, ch)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 1|3) uint8 array → valid PNG (filter 0 rows, one IDAT)."""
+    h, w, ch = arr.shape
+    color_type = {1: 0, 3: 2}[ch]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = arr.reshape(h, w * ch)
+    scanlines = b"".join(b"\x00" + body[r].tobytes() for r in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def letterbox_geometry(w: int, h: int, size: int) -> tuple[int, int, int, int]:
+    """(new_w, new_h, pad_left, pad_top) fitting (w, h) into a size x size
+    canvas, aspect preserved, padding split evenly (left/top get the floor).
+
+    Deterministic integer contract shared with the SQL oracle: the scaled
+    short side is floor(short * size / long + 0.5) — NOT Python round(),
+    whose banker's rounding differs from SQL engines on .5 ties.
+    Reference analog: utils/imgproc_utils.py:15-43 (letterbox: r =
+    min(new/h, new/w), pad split /2)."""
+    if w >= h:
+        new_w = size
+        new_h = max(1, int(h * size / w + 0.5))
+    else:
+        new_h = size
+        new_w = max(1, int(w * size / h + 0.5))
+    return new_w, new_h, (size - new_w) // 2, (size - new_h) // 2
+
+
+def letterbox_pixels(
+    arr: np.ndarray, size: int, pad_value: int = 114
+) -> tuple[np.ndarray, int, int]:
+    """Nearest-neighbor resize to fit + pad to size x size (the model-input
+    geometry). Returns (canvas, pad_left, pad_top). pad_value 114 is the
+    reference's gray (utils/imgproc_utils.py:34)."""
+    h, w, ch = arr.shape
+    new_w, new_h, pad_left, pad_top = letterbox_geometry(w, h, size)
+    ys = np.minimum((np.arange(new_h) * h) // new_h, h - 1)
+    xs = np.minimum((np.arange(new_w) * w) // new_w, w - 1)
+    resized = arr[ys][:, xs]
+    canvas = np.full((size, size, ch), pad_value, dtype=np.uint8)
+    canvas[pad_top : pad_top + new_h, pad_left : pad_left + new_w] = resized
+    return canvas, pad_left, pad_top
+
+
+def letterbox_images(
+    df: DataFrame, size: int = 64, media_col: str = "media"
+) -> DataFrame:
+    """(media_id, media) → (media_id, ok, in_w, in_h, out_w, out_h,
+    pad_left, pad_top, out_png): decode real PNG pixels, letterbox to
+    size x size, re-encode. Non-PNG / undecodable rows pass through with
+    ok=false and null geometry (dropped-not-faked, like the CID policy)."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[media_col]):
+                arr = decode_png_pixels(blob)
+                if arr is None:
+                    rows.append((mid, False, None, None, None, None, None, None, None))
+                    continue
+                h, w, _ = arr.shape
+                canvas, pad_left, pad_top = letterbox_pixels(arr, size)
+                new_w, new_h, _, _ = letterbox_geometry(w, h, size)
+                rows.append(
+                    (mid, True, w, h, new_w, new_h, pad_left, pad_top,
+                     encode_png(canvas))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "ok", "in_w", "in_h", "out_w", "out_h",
+                         "pad_left", "pad_top", "out_png"],
+            )
+
+    return df.mapInPandas(
+        kernel,
+        "media_id string, ok boolean, in_w int, in_h int, out_w int, "
+        "out_h int, pad_left int, pad_top int, out_png binary",
+    )

@@ -255,3 +255,136 @@ def test_span_mask_png_sink(spark):
     )
     r3 = span_mask_png(long, max_width=10).collect()[0]
     assert r3.truncated and parse_image_meta(bytes(r3.mask_png))[1] == 10
+
+
+# ---- real pixel ops (F5/F6) ----
+
+
+def _png_with_filters(pixels, filters):
+    """Hand-filter rows with the given per-row filter types (PNG 1.2 §6)
+    and wrap in a valid PNG — the decoder must undo every filter."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = pixels.shape
+    stride = w * ch
+    flat = pixels.reshape(h, stride).astype(int)
+    raw = bytearray()
+    prev = [0] * stride
+    for r, ftype in zip(range(h), filters):
+        cur = list(flat[r])
+        out = [0] * stride
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+            out[x] = (cur[x] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(out)
+        prev = cur
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixel_decode_all_filters():
+    import numpy as np
+
+    from comic_text_detector_spark.multimodal.pixels import decode_png_pixels
+
+    rng = np.random.RandomState(7)
+    pixels = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    png = _png_with_filters(pixels, [0, 1, 2, 3, 4])
+    got = decode_png_pixels(png)
+    assert got is not None and (got == pixels).all()
+
+
+def test_png_encode_decode_roundtrip():
+    import numpy as np
+
+    from comic_text_detector_spark.multimodal.pixels import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape in [(3, 7, 3), (1, 1, 1), (8, 2, 1)]:
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        back = decode_png_pixels(encode_png(arr))
+        assert (back == arr).all()
+    from comic_text_detector_spark.multimodal.binary_ops import synthesize_png
+
+    solid = decode_png_pixels(synthesize_png(6, 4, (10, 20, 30)))
+    assert solid.shape == (4, 6, 3)
+    assert (solid == [10, 20, 30]).all()
+
+
+def test_letterbox_geometry_and_pixels():
+    import numpy as np
+
+    from comic_text_detector_spark.multimodal.pixels import (
+        letterbox_geometry,
+        letterbox_pixels,
+    )
+
+    assert letterbox_geometry(64, 32, 64) == (64, 32, 0, 16)
+    assert letterbox_geometry(32, 64, 64) == (32, 64, 16, 0)
+    assert letterbox_geometry(10, 10, 64) == (64, 64, 0, 0)
+    # rounding contract: floor(x + 0.5), not banker's round
+    assert letterbox_geometry(3, 2, 64) == (64, int(2 * 64 / 3 + 0.5), 0, 10)
+
+    arr = np.zeros((2, 4, 3), dtype=np.uint8)
+    arr[:, :, 0] = 255  # red wide image
+    canvas, pad_left, pad_top = letterbox_pixels(arr, 8)
+    assert canvas.shape == (8, 8, 3) and (pad_left, pad_top) == (0, 2)
+    assert (canvas[0] == 114).all()  # top pad stripe
+    assert (canvas[2:6, :, 0] == 255).all()  # image area
+    assert (canvas[6:] == 114).all()
+
+
+def test_letterbox_images_spark(spark):
+    from comic_text_detector_spark.multimodal.binary_ops import (
+        synthesize_jpeg,
+        synthesize_png,
+    )
+    from comic_text_detector_spark.multimodal.pixels import letterbox_images
+
+    rows = [
+        ("p1", synthesize_png(20, 10)),
+        ("p2", synthesize_png(5, 40)),
+        ("j1", synthesize_jpeg(9, 9)),  # not a PNG: ok=false passthrough
+    ]
+    df = spark.createDataFrame(rows, "media_id string, media binary")
+    got = {r.media_id: r for r in letterbox_images(df, size=32).collect()}
+    assert got["p1"].ok and (got["p1"].out_w, got["p1"].out_h) == (32, 16)
+    assert got["p1"].pad_top == 8 and got["p1"].pad_left == 0
+    assert got["p2"].ok and (got["p2"].out_w, got["p2"].out_h) == (4, 32)
+    assert not got["j1"].ok and got["j1"].out_png is None
+    # output is itself a decodable PNG of the target size
+    from comic_text_detector_spark.multimodal.pixels import decode_png_pixels
+
+    out = decode_png_pixels(bytes(got["p1"].out_png))
+    assert out.shape == (32, 32, 3)
