@@ -194,3 +194,99 @@ def letterbox_images(
         "media_id string, ok boolean, in_w int, in_h int, out_w int, "
         "out_h int, pad_left int, pad_top int, out_png binary",
     )
+
+
+# ---- real video: Y4M (YUV4MPEG2) container ----
+#
+# The one mainstream video container that is fully stdlib-parseable: a text
+# header ("YUV4MPEG2 W<w> H<h> ..."), then per-frame "FRAME...\n" markers
+# each followed by w*h*3/2 bytes of planar YUV420 (or w*h for mono). This
+# replaces the env-gated fake for the video leg of SURVEY §2.8's
+# frame-sample plumbing with a REAL demuxer + frame decoder; formats that
+# need an entropy codec (h264 etc.) remain out of scope, like CID-less PDF
+# fonts — dropped, not faked.
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def synthesize_y4m(
+    width: int, height: int, n_frames: int, mono: bool = True
+) -> bytes:
+    """Valid Y4M stream; frame k's luma is the constant (k*7 + 31) & 0xFF,
+    so tests can assert WHICH frames were sampled from pixel content."""
+    csp = b"Cmono" if mono else b"C420"
+    hdr = b"%s W%d H%d F25:1 Ip A1:1 %s\n" % (_Y4M_MAGIC, width, height, csp)
+    frame_len = width * height if mono else width * height * 3 // 2
+    out = [hdr]
+    for k in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(bytes([(k * 7 + 31) & 0xFF]) * frame_len)
+    return b"".join(out)
+
+
+def iter_y4m_frames(data: bytes):
+    """(width, height, frame_idx, luma bytes) per frame. Tolerant: returns
+    nothing on non-Y4M or truncated input (crawl contract)."""
+    if not isinstance(data, (bytes, bytearray)):
+        return
+    data = bytes(data)
+    if not data.startswith(_Y4M_MAGIC):
+        return
+    eol = data.find(b"\n")
+    if eol < 0:
+        return
+    width = height = None
+    mono = False
+    for tok in data[len(_Y4M_MAGIC): eol].split():
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"C":
+            mono = tok == b"Cmono"
+    if not width or not height:
+        return
+    frame_len = width * height if mono else width * height * 3 // 2
+    pos = eol + 1
+    idx = 0
+    while pos < len(data):
+        if not data.startswith(b"FRAME", pos):
+            return
+        feol = data.find(b"\n", pos)
+        if feol < 0 or feol + 1 + frame_len > len(data):
+            return
+        luma = data[feol + 1 : feol + 1 + width * height]
+        yield width, height, idx, luma
+        pos = feol + 1 + frame_len
+        idx += 1
+
+
+def sample_y4m_frames(
+    df: DataFrame, every_n: int = 10, media_col: str = "media", size: int = 0
+) -> DataFrame:
+    """REAL frame sampling: demux Y4M, keep every ``every_n``-th frame,
+    emit each as a grayscale PNG of the luma plane (optionally letterboxed
+    to ``size``). One-to-many Arrow-batched kernel, no shuffle — the UDTF
+    shape SURVEY §2.8 asks of the video leg, now over genuine containers."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[media_col]):
+                for w, h, idx, luma in iter_y4m_frames(blob):
+                    if idx % every_n:
+                        continue
+                    arr = np.frombuffer(luma, dtype=np.uint8).reshape(h, w, 1)
+                    if size:
+                        arr, _, _ = letterbox_pixels(arr, size)
+                    rows.append((mid, idx, w, h, encode_png(arr)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "frame_png"],
+            )
+
+    return df.select("media_id", media_col).mapInPandas(
+        kernel,
+        "media_id string, frame_idx int, width int, height int, frame_png binary",
+    )

@@ -388,3 +388,41 @@ def test_letterbox_images_spark(spark):
 
     out = decode_png_pixels(bytes(got["p1"].out_png))
     assert out.shape == (32, 32, 3)
+
+
+def test_y4m_demux_and_frame_content():
+    from comic_text_detector_spark.multimodal.pixels import (
+        iter_y4m_frames,
+        synthesize_y4m,
+    )
+
+    v = synthesize_y4m(8, 4, n_frames=7)
+    frames = list(iter_y4m_frames(v))
+    assert [f[2] for f in frames] == list(range(7))
+    assert all((w, h) == (8, 4) for w, h, _, _ in frames)
+    # frame k's luma is (k*7+31)&0xFF by construction
+    assert all(set(luma) == {(k * 7 + 31) & 0xFF} for _, _, k, luma in frames)
+    # tolerant on junk / truncation
+    assert list(iter_y4m_frames(b"not video")) == []
+    assert list(iter_y4m_frames(v[: len(v) - 3]))[:6] == frames[:6]
+
+
+def test_sample_y4m_frames_spark(spark):
+    from comic_text_detector_spark.multimodal.pixels import (
+        decode_png_pixels,
+        sample_y4m_frames,
+        synthesize_y4m,
+    )
+
+    df = spark.createDataFrame(
+        [("v1", synthesize_y4m(6, 4, 25)), ("junk", b"GIF89a nope")],
+        "media_id string, media binary",
+    )
+    rows = sample_y4m_frames(df, every_n=10).collect()
+    got = {(r.media_id, r.frame_idx): r for r in rows}
+    assert set(got) == {("v1", 0), ("v1", 10), ("v1", 20)}
+    # every sampled frame decodes back to its constant luma
+    for (_, k), r in got.items():
+        arr = decode_png_pixels(bytes(r.frame_png))
+        assert arr.shape == (4, 6, 1)
+        assert (arr == (k * 7 + 31) % 256).all()
