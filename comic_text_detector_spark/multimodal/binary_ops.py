@@ -8,10 +8,13 @@ valid PNGs, CRCs and zlib IDAT included) make the round trip testable by
 construction, like the PDF source. Reference analog: ``imread``
 (reference utils/io_utils.py:42) decodes real bytes at pipeline entry.
 
-Pixel-level decode and VIDEO frame extraction still need cv2/PIL/ffmpeg
-(not in this container): ``sample_frames`` keeps the clearly-marked
-``CTD_FAKE_DECODE`` deterministic fake for its byte-slicing stand-in; a
-real deployment swaps one function inside the kernel.
+Pixel-level decode IS real for PNG (``multimodal/pixels.py``: full
+unfilter, letterbox, re-encode) and video frame extraction IS real for
+Y4M containers (``pixels.sample_y4m_frames``). Codec-entropy formats
+(h264, full JPEG pixel decode) need cv2/PIL/ffmpeg, not in this
+container — those are dropped, not faked. ``sample_frames`` below
+remains only as the clearly-marked ``CTD_FAKE_DECODE`` byte-slicing
+test harness for codec formats; it is opt-in and raises otherwise.
 """
 
 from __future__ import annotations
@@ -179,25 +182,28 @@ def decode_image_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.select("media_id", media_col).mapInPandas(kernel, IMAGE_META_DDL)
 
 
+def png_chunk(tag: bytes, payload: bytes) -> bytes:
+    """One length-prefixed, CRC'd PNG chunk — THE chunk writer every PNG
+    producer in the engine shares (synthesizers here, ``pixels.encode_png``,
+    the S7 mask sink)."""
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload))
+    )
+
+
 def synthesize_png(width: int, height: int, rgb: tuple = (200, 80, 30)) -> bytes:
     """A fully valid solid-color 8-bit RGB PNG (signature, IHDR, zlib IDAT,
     IEND, correct CRCs) — decodable by any real viewer, pure stdlib."""
-
-    def chunk(tag: bytes, payload: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(payload))
-            + tag
-            + payload
-            + struct.pack(">I", zlib.crc32(tag + payload))
-        )
-
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     scanlines = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(scanlines))
-        + chunk(b"IEND", b"")
+        + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"IDAT", zlib.compress(scanlines))
+        + png_chunk(b"IEND", b"")
     )
 
 
@@ -226,14 +232,6 @@ def grayscale_png(pixels: bytes, width: int) -> bytes:
     """Fully valid 8-bit grayscale PNG from raw pixel bytes (row-major,
     ``len(pixels)`` must be a multiple of ``width``). Same chunk machinery
     as ``synthesize_png``; used by the span-mask sink (S7)."""
-    def chunk(tag: bytes, payload: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(payload))
-            + tag
-            + payload
-            + struct.pack(">I", zlib.crc32(tag + payload))
-        )
-
     if not pixels:  # empty input → a real 1x1 black pixel, never a
         pixels = b"\x00"  # truncated IDAT (IHDR must match the data)
         width = 1
@@ -245,9 +243,9 @@ def grayscale_png(pixels: bytes, width: int) -> bytes:
     )
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(scanlines))
-        + chunk(b"IEND", b"")
+        + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"IDAT", zlib.compress(scanlines))
+        + png_chunk(b"IEND", b"")
     )
 
 
@@ -274,15 +272,23 @@ def decode_grayscale_png(data: bytes) -> bytes:
 def sample_frames(
     df: DataFrame, every_n: int = 10, media_col: str = "media"
 ) -> DataFrame:
-    """Frame sampling plumbing for video: emits (media_id, frame_idx, frame)
-    rows — the UDTF (one-to-many) batch shape. The fake 'decoder' slices the
-    byte stream deterministically; a real one calls ffmpeg per batch."""
-    fake = os.environ.get("CTD_FAKE_DECODE", "1") == "1"
+    """TEST-HARNESS frame sampling for codec formats: emits (media_id,
+    frame_idx, frame) rows — the UDTF (one-to-many) batch shape — by
+    slicing bytes deterministically. Opt-in via ``CTD_FAKE_DECODE=1``;
+    otherwise raises. REAL frame sampling exists for Y4M containers:
+    ``multimodal.pixels.sample_y4m_frames`` (same output shape, genuine
+    demux + pixel decode). Codec formats (h264 etc.) need ffmpeg — a real
+    deployment swaps the decode call inside this kernel."""
+    fake = os.environ.get("CTD_FAKE_DECODE", "0") == "1"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError("real frame sampling requires ffmpeg")
+                raise NotImplementedError(
+                    "codec frame sampling requires ffmpeg; for Y4M use "
+                    "multimodal.pixels.sample_y4m_frames (real), or set "
+                    "CTD_FAKE_DECODE=1 for the byte-slicing test harness"
+                )
             out = {"media_id": [], "frame_idx": [], "frame": []}
             for mid, media in zip(pdf["media_id"], pdf[media_col]):
                 raw = bytes(media) if media is not None else b""

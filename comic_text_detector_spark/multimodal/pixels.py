@@ -41,7 +41,7 @@ def decode_png_pixels(data: bytes) -> np.ndarray | None:
     data = bytes(data)
     width = height = None
     bit_depth = color_type = None
-    idat = b""
+    idat_parts: list[bytes] = []
     i = len(_PNG_SIG)
     while i + 8 <= len(data):
         (ln,) = struct.unpack(">I", data[i : i + 4])
@@ -54,7 +54,7 @@ def decode_png_pixels(data: bytes) -> np.ndarray | None:
             if payload[10:13] != b"\x00\x00\x00":  # non-deflate/interlaced
                 return None
         elif tag == b"IDAT":
-            idat += payload
+            idat_parts.append(payload)  # list+join: real PNGs split IDAT
         elif tag == b"IEND":
             break
         i += 12 + ln
@@ -62,7 +62,7 @@ def decode_png_pixels(data: bytes) -> np.ndarray | None:
         return None
     ch = _CHANNELS[color_type]
     try:
-        raw = zlib.decompress(idat)
+        raw = zlib.decompress(b"".join(idat_parts))
     except zlib.error:
         return None
     stride = width * ch
@@ -77,51 +77,58 @@ def decode_png_pixels(data: bytes) -> np.ndarray | None:
         pos += stride + 1
         if ftype == 0:  # None
             cur = row.copy()
-        elif ftype == 2:  # Up
+        elif ftype == 2:  # Up — uint8 wraparound IS the mod-256 spec math
             cur = row + prev
-        else:  # Sub / Average / Paeth need the running left pixel
+        elif ftype == 1:  # Sub — c_k = (r_k + c_{k-ch}) mod 256 is a
+            # per-channel-lane cumulative sum: vectorized, no Python loop
             cur = np.empty(stride, dtype=np.uint8)
+            for j in range(ch):
+                lane = row[j::ch].astype(np.uint64)
+                cur[j::ch] = np.cumsum(lane).astype(np.uint8)
+        elif ftype in (3, 4):  # Average / Paeth: inherently sequential in
+            # the left neighbor; plain-int lists beat np scalar access ~10x
+            cur_l = [0] * stride
+            row_l = row.tolist()
+            prev_l = prev.tolist()
             for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                if ftype == 1:  # Sub
-                    pred = a
-                elif ftype == 3:  # Average
-                    pred = (a + b) // 2
-                elif ftype == 4:  # Paeth
+                a = cur_l[x - ch] if x >= ch else 0
+                b = prev_l[x]
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev_l[x - ch] if x >= ch else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
-                else:
-                    return None
-                cur[x] = (int(row[x]) + pred) & 0xFF
+                cur_l[x] = (row_l[x] + pred) & 0xFF
+            cur = np.asarray(cur_l, dtype=np.uint8)
+        else:
+            return None
         out[r] = cur
         prev = cur
     return out.reshape(height, width, ch)
 
 
 def encode_png(arr: np.ndarray) -> bytes:
-    """(h, w, 1|3) uint8 array → valid PNG (filter 0 rows, one IDAT)."""
+    """(h, w, 1|3|2|4) uint8 array → valid PNG (filter 0 rows, one IDAT).
+    Alpha channels (2=gray+alpha, 4=RGBA) are dropped before encoding —
+    the letterbox consumer is model-input geometry, where alpha carries no
+    signal; callers needing alpha preserved should extend the color-type
+    map, not strip earlier."""
+    from .binary_ops import png_chunk
+
+    if arr.shape[2] in (2, 4):
+        arr = np.ascontiguousarray(arr[:, :, :-1])
     h, w, ch = arr.shape
     color_type = {1: 0, 3: 2}[ch]
-
-    def chunk(tag: bytes, payload: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(payload))
-            + tag
-            + payload
-            + struct.pack(">I", zlib.crc32(tag + payload))
-        )
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     body = arr.reshape(h, w * ch)
     scanlines = b"".join(b"\x00" + body[r].tobytes() for r in range(h))
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(scanlines))
-        + chunk(b"IEND", b"")
+        + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"IDAT", zlib.compress(scanlines))
+        + png_chunk(b"IEND", b"")
     )
 
 
@@ -145,10 +152,12 @@ def letterbox_geometry(w: int, h: int, size: int) -> tuple[int, int, int, int]:
 
 def letterbox_pixels(
     arr: np.ndarray, size: int, pad_value: int = 114
-) -> tuple[np.ndarray, int, int]:
+) -> tuple[np.ndarray, int, int, int, int]:
     """Nearest-neighbor resize to fit + pad to size x size (the model-input
-    geometry). Returns (canvas, pad_left, pad_top). pad_value 114 is the
-    reference's gray (utils/imgproc_utils.py:34)."""
+    geometry). Returns (canvas, new_w, new_h, pad_left, pad_top) — the
+    geometry the pixels were ACTUALLY placed with, so callers report what
+    happened rather than recomputing it. pad_value 114 is the reference's
+    gray (utils/imgproc_utils.py:34)."""
     h, w, ch = arr.shape
     new_w, new_h, pad_left, pad_top = letterbox_geometry(w, h, size)
     ys = np.minimum((np.arange(new_h) * h) // new_h, h - 1)
@@ -156,7 +165,7 @@ def letterbox_pixels(
     resized = arr[ys][:, xs]
     canvas = np.full((size, size, ch), pad_value, dtype=np.uint8)
     canvas[pad_top : pad_top + new_h, pad_left : pad_left + new_w] = resized
-    return canvas, pad_left, pad_top
+    return canvas, new_w, new_h, pad_left, pad_top
 
 
 def letterbox_images(
@@ -177,8 +186,9 @@ def letterbox_images(
                     rows.append((mid, False, None, None, None, None, None, None, None))
                     continue
                 h, w, _ = arr.shape
-                canvas, pad_left, pad_top = letterbox_pixels(arr, size)
-                new_w, new_h, _, _ = letterbox_geometry(w, h, size)
+                canvas, new_w, new_h, pad_left, pad_top = letterbox_pixels(
+                    arr, size
+                )
                 rows.append(
                     (mid, True, w, h, new_w, new_h, pad_left, pad_top,
                      encode_png(canvas))
@@ -236,17 +246,38 @@ def iter_y4m_frames(data: bytes):
     if eol < 0:
         return
     width = height = None
-    mono = False
+    csp = b"C420"  # spec default when no C tag is present
     for tok in data[len(_Y4M_MAGIC): eol].split():
-        if tok[:1] == b"W":
-            width = int(tok[1:])
-        elif tok[:1] == b"H":
-            height = int(tok[1:])
+        if tok[:1] in (b"W", b"H"):
+            try:
+                val = int(tok[1:])
+            except ValueError:  # malformed header: tolerant, yield nothing
+                return
+            if tok[:1] == b"W":
+                width = val
+            else:
+                height = val
         elif tok[:1] == b"C":
-            mono = tok == b"Cmono"
-    if not width or not height:
+            csp = tok
+    # positive dims only (a negative W would step pos BACKWARD = infinite
+    # yield), and a sanity cap so a crafted header can't allocate GBs
+    if not width or not height or width <= 0 or height <= 0:
         return
-    frame_len = width * height if mono else width * height * 3 // 2
+    if width * height > (1 << 26):
+        return
+    # chroma subsampling → bytes per frame; unknown colorspaces are
+    # dropped-not-faked (sampling a frame at the wrong stride would emit
+    # garbage pixels as if real)
+    if csp == b"Cmono":
+        frame_len = width * height
+    elif csp.startswith(b"C420"):
+        frame_len = width * height * 3 // 2
+    elif csp.startswith(b"C422"):
+        frame_len = width * height * 2
+    elif csp.startswith(b"C444"):
+        frame_len = width * height * 3
+    else:
+        return
     pos = eol + 1
     idx = 0
     while pos < len(data):
@@ -279,7 +310,7 @@ def sample_y4m_frames(
                         continue
                     arr = np.frombuffer(luma, dtype=np.uint8).reshape(h, w, 1)
                     if size:
-                        arr, _, _ = letterbox_pixels(arr, size)
+                        arr = letterbox_pixels(arr, size)[0]
                     rows.append((mid, idx, w, h, encode_png(arr)))
             yield pd.DataFrame(
                 rows,

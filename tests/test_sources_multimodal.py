@@ -358,7 +358,8 @@ def test_letterbox_geometry_and_pixels():
 
     arr = np.zeros((2, 4, 3), dtype=np.uint8)
     arr[:, :, 0] = 255  # red wide image
-    canvas, pad_left, pad_top = letterbox_pixels(arr, 8)
+    canvas, new_w, new_h, pad_left, pad_top = letterbox_pixels(arr, 8)
+    assert (new_w, new_h) == (8, 4)
     assert canvas.shape == (8, 8, 3) and (pad_left, pad_top) == (0, 2)
     assert (canvas[0] == 114).all()  # top pad stripe
     assert (canvas[2:6, :, 0] == 255).all()  # image area
@@ -426,3 +427,55 @@ def test_sample_y4m_frames_spark(spark):
         arr = decode_png_pixels(bytes(r.frame_png))
         assert arr.shape == (4, 6, 1)
         assert (arr == (k * 7 + 31) % 256).all()
+
+
+def test_y4m_adversarial_headers_terminate():
+    """Review repros: negative W must not loop forever, non-numeric W must
+    not raise, unknown colorspaces are dropped (sampling at the wrong
+    stride would emit garbage-as-real), C444/C422 stride correctly."""
+    from comic_text_detector_spark.multimodal.pixels import iter_y4m_frames
+
+    assert list(iter_y4m_frames(b"YUV4MPEG2 W-1 H4\nFRAME\n" + b"x" * 64)) == []
+    assert list(iter_y4m_frames(b"YUV4MPEG2 Wx H4\nFRAME\n" + b"x" * 64)) == []
+    assert list(iter_y4m_frames(b"YUV4MPEG2 W4 H2 Cweird\nFRAME\n" + b"x" * 64)) == []
+    # C444: 3*w*h bytes/frame — both frames must demux (not stop after 0)
+    f = b"\x05" * (4 * 2 * 3)
+    v = b"YUV4MPEG2 W4 H2 C444\n" + b"FRAME\n" + f + b"FRAME\n" + f
+    frames = list(iter_y4m_frames(v))
+    assert [i for _, _, i, _ in frames] == [0, 1]
+    assert all(len(luma) == 8 for _, _, _, luma in frames)
+
+
+def test_letterbox_rgba_and_gray_alpha():
+    """Review repro: RGBA / gray+alpha PNGs must letterbox (alpha dropped),
+    not crash the kernel with KeyError."""
+    import numpy as np
+
+    from comic_text_detector_spark.multimodal.pixels import (
+        decode_png_pixels,
+        encode_png,
+        letterbox_pixels,
+    )
+
+    # build an RGBA png via the raw encoder path: encode_png drops alpha,
+    # so construct with the test filterer instead
+    rgba = np.zeros((2, 3, 4), dtype=np.uint8)
+    rgba[..., 0] = 200
+    rgba[..., 3] = 255
+    import struct
+    import zlib
+
+    from comic_text_detector_spark.multimodal.binary_ops import png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 6, 0, 0, 0)
+    scan = b"".join(b"\x00" + rgba[r].tobytes() for r in range(2))
+    png = (
+        b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"IDAT", zlib.compress(scan)) + png_chunk(b"IEND", b"")
+    )
+    arr = decode_png_pixels(png)
+    assert arr.shape == (2, 3, 4)
+    canvas, new_w, new_h, _, _ = letterbox_pixels(arr, 6)
+    out = decode_png_pixels(encode_png(canvas))
+    assert out.shape == (6, 6, 3)  # alpha dropped at encode
+    assert (new_w, new_h) == (6, 4)
