@@ -1253,6 +1253,25 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_line_freq_dedup(spark, sf_dir):
+    """CCNet-style boilerplate line removal: a 'subscribe' line is injected
+    into EVERY doc (df=500, dropped) next to the unique original text and a
+    doc-specific line (df=1, kept); the reassembled text, line counts and
+    order are value-checked against DuckDB recomputing the same document
+    frequencies."""
+    from comic_text_detector_spark.operators.curation import line_freq_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to our newsletter\ndoc-specific "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return line_freq_dedup(docs, "doc_id", "text", max_doc_freq=2)
+
+
 def _q_host_stats(spark, sf_dir):
     """Host-level corpus stats — the Common-Crawl curation aggregation
     (docs per host, language mix, size) that drives host allow/deny lists.
@@ -1398,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "hash_sample": _q_hash_sample,
         "host_stats": _q_host_stats,
+        "line_freq_dedup": _q_line_freq_dedup,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -1701,6 +1721,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, in_w, in_h, out_w, out_h,"
             " CAST((64 - out_w) // 2 AS INT) AS pad_left,"
             " CAST((64 - out_h) // 2 AS INT) AS pad_top FROM g"
+        ),
+        "line_freq_dedup": (
+            "WITH d AS (SELECT doc_id, text || chr(10) ||"
+            " 'subscribe to our newsletter' || chr(10) ||"
+            " 'doc-specific ' || doc_id::VARCHAR AS t FROM documents), "
+            "l AS (SELECT doc_id, i,"
+            " list_extract(string_split(t, chr(10)), i) AS line FROM"
+            " (SELECT doc_id, t, unnest(generate_series(1,"
+            " len(string_split(t, chr(10))))) AS i FROM d)), "
+            "f AS (SELECT line, count(DISTINCT doc_id) AS df FROM l"
+            " GROUP BY line) "
+            "SELECT doc_id,"
+            " coalesce(string_agg(CASE WHEN df <= 2 THEN line END, chr(10)"
+            " ORDER BY i), '') AS text,"
+            " CAST(count(*) AS BIGINT) AS n_lines_in,"
+            " CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_lines_kept "
+            "FROM l JOIN f USING(line) GROUP BY doc_id"
         ),
         "host_stats": (
             "SELECT regexp_extract('https://w' || (doc_id % 23)::VARCHAR"

@@ -64,6 +64,70 @@ def hash_sample(
     return df.filter(u < thresh.otherwise(F.lit(0.0)))
 
 
+def line_freq_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """CCNet-style boilerplate line removal: split each document into lines,
+    drop every line that occurs in MORE than ``max_doc_freq`` distinct
+    documents (cookie banners, nav bars, subscribe prompts), reassemble the
+    survivors in original order → (id, text, n_lines_in, n_lines_kept).
+
+    Shape at scale: explode → one md5 groupBy for per-line document
+    frequencies (map-side combined; the frequency table is heavy-hitters
+    only in spirit but exact here) → broadcast-free equi-join back on the
+    line hash → one groupBy(id) with an ordered array_sort reassembly.
+    Three exchanges total, all keyed, none quadratic. Empty documents and
+    documents whose every line is boilerplate survive with text='' (the
+    row is not lost — losing it would silently shrink the corpus).
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    freq = (
+        lines.select("id", F.md5(F.col("line")).alias("h"))
+        .groupBy("h")
+        .agg(F.count_distinct("id").alias("df"))
+    )
+    kept = (
+        lines.join(freq, F.md5(F.col("line")) == F.col("h"), "left")
+        .withColumn("keep", F.coalesce(F.col("df"), F.lit(0)) <= max_doc_freq)
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count(F.when(F.col("line").isNotNull(), 1)).alias("n_lines_in"),
+            F.count(F.when(F.col("keep") & F.col("line").isNotNull(), 1)).alias(
+                "n_lines_kept"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "text",
+            F.col("n_lines_in").cast("bigint").alias("n_lines_in"),
+            F.col("n_lines_kept").cast("bigint").alias("n_lines_kept"),
+        )
+    )
+
+
 def contaminated_docs(
     corpus: DataFrame,
     benchmark: DataFrame,

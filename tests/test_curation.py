@@ -62,3 +62,24 @@ def test_hash_uniform_range(spark):
     )
     assert 0.0 <= stats[0] and stats[1] < 1.0
     assert 0.45 < stats[2] < 0.55
+
+
+def test_line_freq_dedup_planted(spark):
+    from comic_text_detector_spark.operators.curation import line_freq_dedup
+
+    rows = [
+        ("a", "unique alpha line\nSUBSCRIBE NOW\nalpha tail"),
+        ("b", "unique beta line\nSUBSCRIBE NOW"),
+        ("c", "unique gamma line\nSUBSCRIBE NOW"),
+        ("d", "SUBSCRIBE NOW"),  # all-boilerplate doc must SURVIVE as ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r for r in line_freq_dedup(df, max_doc_freq=2).collect()}
+    assert len(got) == 4  # no row lost
+    assert got["a"].text == "unique alpha line\nalpha tail"
+    assert got["b"].text == "unique beta line"
+    assert got["d"].text == "" and got["d"].n_lines_kept == 0
+    assert got["a"].n_lines_in == 3 and got["a"].n_lines_kept == 2
+    # with a looser threshold nothing is boilerplate
+    loose = {r.doc_id: r.text for r in line_freq_dedup(df, max_doc_freq=4).collect()}
+    assert loose["a"] == rows[0][1]
