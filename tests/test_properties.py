@@ -141,3 +141,27 @@ def test_image_parse_never_raises_on_junk(junk):
 
     r = parse_image_meta(junk)
     assert r is None or (isinstance(r, tuple) and len(r) == 4)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(1, 9),
+    st.integers(1, 9),
+    st.sampled_from([1, 3]),
+    st.lists(st.integers(0, 4), min_size=9, max_size=9),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_unfilter_roundtrip_property(w, h, ch, filters, seed):
+    """Any pixel array, any per-row filter assignment: the decoder undoes
+    the spec filtering exactly (uses the independent filterer from
+    test_sources_multimodal)."""
+    import numpy as np
+
+    from comic_text_detector_spark.multimodal.pixels import decode_png_pixels
+    from tests.test_sources_multimodal import _png_with_filters
+
+    rng = np.random.RandomState(seed % (2**31))
+    pixels = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    png = _png_with_filters(pixels, filters[:h])
+    got = decode_png_pixels(png)
+    assert got is not None and (got == pixels).all()
