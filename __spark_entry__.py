@@ -1723,7 +1723,7 @@ def oracle_sql() -> dict[str, str]:
             " CAST((64 - out_h) // 2 AS INT) AS pad_top FROM g"
         ),
         "line_freq_dedup": (
-            "WITH d AS (SELECT doc_id, text || chr(10) ||"
+            "WITH d AS (SELECT doc_id, coalesce(text, '') || chr(10) ||"
             " 'subscribe to our newsletter' || chr(10) ||"
             " 'doc-specific ' || doc_id::VARCHAR AS t FROM documents), "
             "l AS (SELECT doc_id, i,"
@@ -1733,11 +1733,11 @@ def oracle_sql() -> dict[str, str]:
             "f AS (SELECT line, count(DISTINCT doc_id) AS df FROM l"
             " GROUP BY line) "
             "SELECT doc_id,"
-            " coalesce(string_agg(CASE WHEN df <= 2 THEN line END, chr(10)"
-            " ORDER BY i), '') AS text,"
+            " coalesce(string_agg(CASE WHEN df <= 2 OR trim(line) = ''"
+            " THEN line END, chr(10) ORDER BY i), '') AS text,"
             " CAST(count(*) AS BIGINT) AS n_lines_in,"
-            " CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT)"
-            " AS n_lines_kept "
+            " CAST(sum(CASE WHEN df <= 2 OR trim(line) = '' THEN 1 ELSE 0"
+            " END) AS BIGINT) AS n_lines_kept "
             "FROM l JOIN f USING(line) GROUP BY doc_id"
         ),
         "host_stats": (

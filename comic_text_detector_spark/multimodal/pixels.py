@@ -24,6 +24,8 @@ from collections.abc import Iterator
 import numpy as np
 from pyspark.sql import DataFrame
 
+from .binary_ops import png_chunk
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type → samples per pixel (palette unsupported: nothing writes one)
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -110,17 +112,11 @@ def decode_png_pixels(data: bytes) -> np.ndarray | None:
 
 
 def encode_png(arr: np.ndarray) -> bytes:
-    """(h, w, 1|3|2|4) uint8 array → valid PNG (filter 0 rows, one IDAT).
-    Alpha channels (2=gray+alpha, 4=RGBA) are dropped before encoding —
-    the letterbox consumer is model-input geometry, where alpha carries no
-    signal; callers needing alpha preserved should extend the color-type
-    map, not strip earlier."""
-    from .binary_ops import png_chunk
-
-    if arr.shape[2] in (2, 4):
-        arr = np.ascontiguousarray(arr[:, :, :-1])
+    """(h, w, 1|2|3|4) uint8 array → valid PNG (filter 0 rows, one IDAT).
+    Every channel count maps to its PNG color type — alpha is PRESERVED;
+    consumers that want it gone (model input) slice it off themselves."""
     h, w, ch = arr.shape
-    color_type = {1: 0, 3: 2}[ch]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     body = arr.reshape(h, w * ch)
     scanlines = b"".join(b"\x00" + body[r].tobytes() for r in range(h))
@@ -185,6 +181,8 @@ def letterbox_images(
                 if arr is None:
                     rows.append((mid, False, None, None, None, None, None, None, None))
                     continue
+                if arr.shape[2] in (2, 4):  # model input: alpha carries no
+                    arr = np.ascontiguousarray(arr[:, :, :-1])  # signal
                 h, w, _ = arr.shape
                 canvas, new_w, new_h, pad_left, pad_top = letterbox_pixels(
                     arr, size

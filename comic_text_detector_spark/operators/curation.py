@@ -76,6 +76,12 @@ def line_freq_dedup(
     documents (cookie banners, nav bars, subscribe prompts), reassemble the
     survivors in original order → (id, text, n_lines_in, n_lines_kept).
 
+    Whitespace-only lines are EXEMPT from the drop decision (they would
+    otherwise hit the frequency cap in any real corpus and strip every
+    paragraph break corpus-wide); CCNet applies the same short-line
+    exemption. ``sep`` is taken literally — regex metachars are escaped
+    before the split, matching the literal join on reassembly.
+
     Shape at scale: explode → one md5 groupBy for per-line document
     frequencies (map-side combined; the frequency table is heavy-hitters
     only in spirit but exact here) → broadcast-free equi-join back on the
@@ -84,18 +90,21 @@ def line_freq_dedup(
     documents whose every line is boilerplate survive with text='' (the
     row is not lost — losing it would silently shrink the corpus).
     """
+    import re
+
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode_outer(F.split(F.col(text_col), sep)).alias("pos", "line"),
-    )
+        F.posexplode_outer(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep))
+        ).alias("pos", "line"),
+    ).withColumn("h", F.md5(F.col("line")))
     freq = (
-        lines.select("id", F.md5(F.col("line")).alias("h"))
-        .groupBy("h")
-        .agg(F.count_distinct("id").alias("df"))
+        lines.groupBy("h").agg(F.count_distinct("id").alias("df"))
     )
-    kept = (
-        lines.join(freq, F.md5(F.col("line")) == F.col("h"), "left")
-        .withColumn("keep", F.coalesce(F.col("df"), F.lit(0)) <= max_doc_freq)
+    kept = lines.join(freq, "h", "left").withColumn(
+        "keep",
+        (F.coalesce(F.col("df"), F.lit(0)) <= max_doc_freq)
+        | (F.trim(F.col("line")) == ""),
     )
     return (
         kept.groupBy("id")

@@ -83,3 +83,31 @@ def test_line_freq_dedup_planted(spark):
     # with a looser threshold nothing is boilerplate
     loose = {r.doc_id: r.text for r in line_freq_dedup(df, max_doc_freq=4).collect()}
     assert loose["a"] == rows[0][1]
+
+
+def test_line_freq_dedup_blank_lines_and_literal_sep(spark):
+    """Blank lines are exempt from the frequency drop (they'd strip every
+    paragraph break in a real corpus), and a regex-metachar separator is
+    treated literally."""
+    from comic_text_detector_spark.operators.curation import line_freq_dedup
+
+    rows = [
+        ("a", "alpha one\n\nalpha two\nSPAM"),
+        ("b", "beta one\n\nbeta two\nSPAM"),
+        ("c", "gamma\n\nSPAM"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r.text for r in line_freq_dedup(df, max_doc_freq=2).collect()}
+    assert got["a"] == "alpha one\n\nalpha two"  # paragraph break survives
+    assert got["c"] == "gamma\n"
+
+    # '|' is a regex metachar: must split on the literal pipe, not on ''
+    pdf = spark.createDataFrame(
+        [("x", "keep me|SPAM"), ("y", "also keep|SPAM"), ("z", "third|SPAM")],
+        "doc_id string, text string",
+    )
+    got2 = {
+        r.doc_id: r.text
+        for r in line_freq_dedup(pdf, sep="|", max_doc_freq=2).collect()
+    }
+    assert got2["x"] == "keep me"

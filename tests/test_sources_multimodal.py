@@ -446,36 +446,34 @@ def test_y4m_adversarial_headers_terminate():
     assert all(len(luma) == 8 for _, _, _, luma in frames)
 
 
-def test_letterbox_rgba_and_gray_alpha():
-    """Review repro: RGBA / gray+alpha PNGs must letterbox (alpha dropped),
-    not crash the kernel with KeyError."""
+def test_letterbox_rgba_and_gray_alpha(spark):
+    """Review repro: RGBA and gray+alpha PNGs must letterbox (alpha dropped
+    at the model-input call site), not crash the kernel with KeyError —
+    while encode_png itself PRESERVES alpha (color types 4/6 round-trip)."""
     import numpy as np
 
     from comic_text_detector_spark.multimodal.pixels import (
         decode_png_pixels,
         encode_png,
-        letterbox_pixels,
+        letterbox_images,
     )
 
-    # build an RGBA png via the raw encoder path: encode_png drops alpha,
-    # so construct with the test filterer instead
     rgba = np.zeros((2, 3, 4), dtype=np.uint8)
     rgba[..., 0] = 200
     rgba[..., 3] = 255
-    import struct
-    import zlib
+    ga = np.zeros((3, 2, 2), dtype=np.uint8)
+    ga[..., 0] = 77
+    ga[..., 1] = 255
+    # encode_png round-trips BOTH alpha color types losslessly
+    assert (decode_png_pixels(encode_png(rgba)) == rgba).all()
+    assert (decode_png_pixels(encode_png(ga)) == ga).all()
 
-    from comic_text_detector_spark.multimodal.binary_ops import png_chunk
-
-    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 6, 0, 0, 0)
-    scan = b"".join(b"\x00" + rgba[r].tobytes() for r in range(2))
-    png = (
-        b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
-        + png_chunk(b"IDAT", zlib.compress(scan)) + png_chunk(b"IEND", b"")
+    df = spark.createDataFrame(
+        [("rgba", encode_png(rgba)), ("ga", encode_png(ga))],
+        "media_id string, media binary",
     )
-    arr = decode_png_pixels(png)
-    assert arr.shape == (2, 3, 4)
-    canvas, new_w, new_h, _, _ = letterbox_pixels(arr, 6)
-    out = decode_png_pixels(encode_png(canvas))
-    assert out.shape == (6, 6, 3)  # alpha dropped at encode
-    assert (new_w, new_h) == (6, 4)
+    got = {r.media_id: r for r in letterbox_images(df, size=6).collect()}
+    assert got["rgba"].ok and got["ga"].ok
+    out = decode_png_pixels(bytes(got["rgba"].out_png))
+    assert out.shape == (6, 6, 3)  # alpha stripped for model input
+    assert decode_png_pixels(bytes(got["ga"].out_png)).shape == (6, 6, 1)
