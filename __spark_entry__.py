@@ -1253,6 +1253,54 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_word_doc_freq(spark, sf_dir):
+    """LM-free quality proxy: mean corpus document-frequency of each doc's
+    distinct words. Bigint sums + ONE IEEE division → full-precision
+    oracle comparison."""
+    from comic_text_detector_spark.operators.curation import word_doc_freq_score
+
+    return word_doc_freq_score(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def _q_normalize_urls(spark, sf_dir):
+    """Crawl URL canonicalization before dedup: synthesized urls cycle
+    through the messy cases (leading/trailing tracking params, fragments,
+    trailing slash, mixed-case scheme+host) and the full regexp chain is
+    recomputed in DuckDB (same RE2-compatible patterns; \\1 vs $1 and the
+    'g' flag are the only dialect differences)."""
+    from comic_text_detector_spark.operators.curation import normalize_url
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    tail = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?utm_source=x&q="), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("?q="),
+                F.col("doc_id").cast("string"),
+                F.lit("&utm_campaign=yy&gclid=abc"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit("/#frag"))
+        .otherwise(F.lit("?utm_medium=z"))
+    )
+    url = F.concat(
+        F.lit("HTTPS://W"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+        F.lit(".Example.org/p/"),
+        F.col("doc_id").cast("string"),
+        tail,
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), normalize_url(url).alias("url_norm")
+    )
+
+
 def _q_line_freq_dedup(spark, sf_dir):
     """CCNet-style boilerplate line removal: a 'subscribe' line is injected
     into EVERY doc (df=500, dropped) next to the unique original text and a
@@ -1418,6 +1466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _q_hash_sample,
         "host_stats": _q_host_stats,
         "line_freq_dedup": _q_line_freq_dedup,
+        "normalize_urls": _q_normalize_urls,
+        "word_doc_freq": _q_word_doc_freq,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -1721,6 +1771,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, in_w, in_h, out_w, out_h,"
             " CAST((64 - out_w) // 2 AS INT) AS pad_left,"
             " CAST((64 - out_h) // 2 AS INT) AS pad_top FROM g"
+        ),
+        "word_doc_freq": (
+            "WITH w AS (SELECT DISTINCT doc_id, unnest(string_split("
+            "coalesce(text,''), ' ')) AS w FROM documents), "
+            "f AS (SELECT w, count(DISTINCT doc_id) AS wdf FROM w GROUP BY w) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_words,"
+            " CAST(sum(wdf) AS BIGINT) / CAST(count(*) AS BIGINT)"
+            " AS mean_word_df "
+            "FROM w JOIN f USING(w) GROUP BY doc_id"
+        ),
+        "normalize_urls": (
+            "WITH d AS (SELECT doc_id, 'HTTPS://W' || (doc_id % 5)::VARCHAR"
+            " || '.Example.org/p/' || doc_id::VARCHAR ||"
+            " CASE doc_id % 4"
+            "  WHEN 0 THEN '?utm_source=x&q=' || doc_id::VARCHAR"
+            "  WHEN 1 THEN '?q=' || doc_id::VARCHAR ||"
+            "   '&utm_campaign=yy&gclid=abc'"
+            "  WHEN 2 THEN '/#frag'"
+            "  ELSE '?utm_medium=z' END AS url FROM documents), "
+            "n1 AS (SELECT doc_id, url,"
+            " regexp_replace(url, '#.*$', '') AS u FROM d), "
+            "n2 AS (SELECT doc_id, url,"
+            " lower(regexp_extract(u, '^([a-zA-Z]+://[^/?]*)', 1)) ||"
+            " regexp_replace(u, '^[a-zA-Z]+://[^/?]*', '') AS u FROM n1), "
+            "n3 AS (SELECT doc_id, url, regexp_replace(u,"
+            " '[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g') AS u FROM n2), "
+            "n4 AS (SELECT doc_id, url,"
+            " regexp_replace(u, '^([^?]*)&', '\\1?') AS u FROM n3), "
+            "n5 AS (SELECT doc_id, url,"
+            " regexp_replace(u, '[?&]+$', '') AS u FROM n4) "
+            "SELECT doc_id, url,"
+            " regexp_replace(u, '(.)/$', '\\1') AS url_norm FROM n5"
         ),
         "line_freq_dedup": (
             "WITH d AS (SELECT doc_id, coalesce(text, '') || chr(10) ||"

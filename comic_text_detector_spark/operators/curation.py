@@ -64,6 +64,33 @@ def hash_sample(
     return df.filter(u < thresh.otherwise(F.lit(0.0)))
 
 
+def normalize_url(url: Column) -> Column:
+    """Canonical URL for crawl-level dedup: lowercase scheme+host, strip
+    the fragment, strip tracking query params (utm_*, gclid, fbclid), drop
+    an empty leftover '?' and any trailing slash on a non-root path.
+
+    Pure regexp_replace chain in the RE2∩Java dialect (works unchanged in
+    Spark and DuckDB), so exact-dedup on the normalized key is
+    oracle-checkable. At 100 TB this runs inside the scan projection —
+    no shuffle of its own; the downstream dedup shuffles on the SHORTER
+    canonical key.
+    """
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    # scheme+host lowercased, path/query untouched
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([a-zA-Z]+://[^/?]*)", 1)),
+        F.regexp_replace(u, r"^[a-zA-Z]+://[^/?]*", ""),
+    )
+    # drop each tracking pair WITH its leading separator; if the dropped
+    # pair was first ("?utm=..&b=2" → "path&b=2"), promote the now-first
+    # '&' back to '?' (anchored: at most one match); then trim a dangling
+    # '?' left by an all-tracking query
+    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*", "")
+    u = F.regexp_replace(u, r"^([^?]*)&", "$1?")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    return F.regexp_replace(u, r"(.)/$", "$1")
+
+
 def line_freq_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -134,6 +161,38 @@ def line_freq_dedup(
             F.col("n_lines_in").cast("bigint").alias("n_lines_in"),
             F.col("n_lines_kept").cast("bigint").alias("n_lines_kept"),
         )
+    )
+
+
+def word_doc_freq_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_distinct_words, mean_word_df): mean corpus document-frequency
+    of each document's distinct words — the cheap LM-free quality proxy CC
+    pipelines use (documents made of common corpus words score high,
+    gibberish/boilerplate-of-rare-tokens scores low; threshold per corpus).
+
+    Exact arithmetic end to end (bigint counts, ONE IEEE division at the
+    end), so the score is value-checkable against an independent engine at
+    full precision. Shape: explode distinct words → one groupBy for corpus
+    df → equi-join back → one groupBy(id). All keyed exchanges; the word
+    frequency table is vocabulary-sized, not corpus-sized.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+        ).alias("w"),
+    )
+    freq = words.groupBy("w").agg(F.count_distinct("id").alias("wdf"))
+    return (
+        words.join(freq, "w")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_words"),
+            (F.sum("wdf") / F.count("*")).alias("mean_word_df"),
+        )
+        .withColumnRenamed("id", id_col)
     )
 
 

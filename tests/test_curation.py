@@ -111,3 +111,42 @@ def test_line_freq_dedup_blank_lines_and_literal_sep(spark):
         for r in line_freq_dedup(pdf, sep="|", max_doc_freq=2).collect()
     }
     assert got2["x"] == "keep me"
+
+
+def test_normalize_url_cases(spark):
+    from comic_text_detector_spark.operators.curation import normalize_url
+
+    cases = [
+        ("HTTPS://Ex.COM/Path?utm_source=a", "https://ex.com/Path"),
+        ("http://h/p?utm_source=a&q=1", "http://h/p?q=1"),
+        ("http://h/p?q=1&utm_campaign=b&r=2", "http://h/p?q=1&r=2"),
+        ("http://h/p?q=1&gclid=x", "http://h/p?q=1"),
+        ("http://h/p#section", "http://h/p"),
+        ("http://h/p/", "http://h/p"),
+        ("http://h/", "http://h"),
+        ("http://h/p?utm_a=1&utm_b=2", "http://h/p"),
+        ("http://h/p?fbclid=z&utm_x=1&keep=y", "http://h/p?keep=y"),
+        ("http://h/p?q=1", "http://h/p?q=1"),  # untouched
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.n for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_word_doc_freq_score(spark):
+    from comic_text_detector_spark.operators.curation import word_doc_freq_score
+
+    df = spark.createDataFrame(
+        [
+            ("common", "the the cat"),   # distinct: the, cat
+            ("mixed", "the dog"),
+            ("rare", "zyx qwv"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r for r in word_doc_freq_score(df).collect()}
+    # 'the' df=2, 'cat'=1, 'dog'=1, 'zyx'=1, 'qwv'=1
+    assert got["common"].n_distinct_words == 2
+    assert got["common"].mean_word_df == 1.5   # (2+1)/2
+    assert got["mixed"].mean_word_df == 1.5
+    assert got["rare"].mean_word_df == 1.0     # gibberish scores lowest
