@@ -1773,8 +1773,9 @@ def oracle_sql() -> dict[str, str]:
             " CAST((64 - out_h) // 2 AS INT) AS pad_top FROM g"
         ),
         "word_doc_freq": (
-            "WITH w AS (SELECT DISTINCT doc_id, unnest(string_split("
+            "WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split("
             "coalesce(text,''), ' ')) AS w FROM documents), "
+            "w AS (SELECT doc_id, w FROM w0 WHERE w <> ''), "
             "f AS (SELECT w, count(DISTINCT doc_id) AS wdf FROM w GROUP BY w) "
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_words,"
             " CAST(sum(wdf) AS BIGINT) / CAST(count(*) AS BIGINT)"
@@ -1792,17 +1793,20 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE '?utm_medium=z' END AS url FROM documents), "
             "n1 AS (SELECT doc_id, url,"
             " regexp_replace(url, '#.*$', '') AS u FROM d), "
-            "n2 AS (SELECT doc_id, url,"
-            " lower(regexp_extract(u, '^([a-zA-Z]+://[^/?]*)', 1)) ||"
-            " regexp_replace(u, '^[a-zA-Z]+://[^/?]*', '') AS u FROM n1), "
-            "n3 AS (SELECT doc_id, url, regexp_replace(u,"
-            " '[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g') AS u FROM n2), "
-            "n4 AS (SELECT doc_id, url,"
-            " regexp_replace(u, '^([^?]*)&', '\\1?') AS u FROM n3), "
-            "n5 AS (SELECT doc_id, url,"
-            " regexp_replace(u, '[?&]+$', '') AS u FROM n4) "
-            "SELECT doc_id, url,"
-            " regexp_replace(u, '(.)/$', '\\1') AS url_norm FROM n5"
+            "parts AS (SELECT doc_id, url,"
+            " lower(regexp_extract(u, '^([a-zA-Z]+://[^/?]*)', 1)) AS sh,"
+            " regexp_extract(regexp_replace(u, '^[a-zA-Z]+://[^/?]*', ''),"
+            "  '^([^?]*)', 1) AS p,"
+            " regexp_extract(regexp_replace(u, '^[a-zA-Z]+://[^/?]*', ''),"
+            "  '\\?(.*)$', 1) AS q FROM n1), "
+            "norm AS (SELECT doc_id, url,"
+            " sh, regexp_replace(p, '/$', '') AS p,"
+            " regexp_replace(regexp_replace('&' || q,"
+            "  '&(utm_[a-z]+|gclid|fbclid)=[^&]*', '', 'g'), '^&', '') AS q"
+            " FROM parts) "
+            "SELECT doc_id, url, sh || p ||"
+            " CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url_norm"
+            " FROM norm"
         ),
         "line_freq_dedup": (
             "WITH d AS (SELECT doc_id, coalesce(text, '') || chr(10) ||"

@@ -67,28 +67,37 @@ def hash_sample(
 def normalize_url(url: Column) -> Column:
     """Canonical URL for crawl-level dedup: lowercase scheme+host, strip
     the fragment, strip tracking query params (utm_*, gclid, fbclid), drop
-    an empty leftover '?' and any trailing slash on a non-root path.
+    an empty leftover '?' and any trailing slash on the path (root
+    included: 'http://h/' ≡ 'http://h', the RFC-equivalent form).
 
-    Pure regexp_replace chain in the RE2∩Java dialect (works unchanged in
-    Spark and DuckDB), so exact-dedup on the normalized key is
-    oracle-checkable. At 100 TB this runs inside the scan projection —
-    no shuffle of its own; the downstream dedup shuffles on the SHORTER
-    canonical key.
+    The url is SPLIT into scheme+host / path / query first and each part
+    is normalized in isolation — a literal '&' or 'gclid=' inside a path
+    segment, or a query value ending in '/', must never be touched (the
+    one-regex-over-the-whole-string version corrupted exactly those,
+    per review). Pure regexp/concat exprs in the RE2∩Java dialect, so
+    exact-dedup on the canonical key is oracle-checkable. At 100 TB this
+    runs inside the scan projection — no shuffle of its own; the
+    downstream dedup shuffles on the SHORTER canonical key.
     """
     u = F.regexp_replace(url, r"#.*$", "")  # fragment
-    # scheme+host lowercased, path/query untouched
-    u = F.concat(
-        F.lower(F.regexp_extract(u, r"^([a-zA-Z]+://[^/?]*)", 1)),
-        F.regexp_replace(u, r"^[a-zA-Z]+://[^/?]*", ""),
+    scheme_host = F.lower(F.regexp_extract(u, r"^([a-zA-Z]+://[^/?]*)", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z]+://[^/?]*", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    # tracking pairs are stripped from the QUERY only; the sentinel '&'
+    # prefix makes every pair '&'-led so one pattern drops any position
+    query = F.regexp_replace(
+        F.concat(F.lit("&"), query),
+        r"&(utm_[a-z]+|gclid|fbclid)=[^&]*",
+        "",
     )
-    # drop each tracking pair WITH its leading separator; if the dropped
-    # pair was first ("?utm=..&b=2" → "path&b=2"), promote the now-first
-    # '&' back to '?' (anchored: at most one match); then trim a dangling
-    # '?' left by an all-tracking query
-    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*", "")
-    u = F.regexp_replace(u, r"^([^?]*)&", "$1?")
-    u = F.regexp_replace(u, r"[?&]+$", "")
-    return F.regexp_replace(u, r"(.)/$", "$1")
+    query = F.regexp_replace(query, r"^&", "")
+    path = F.regexp_replace(path, r"/$", "")
+    return F.concat(
+        scheme_host,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
 
 
 def line_freq_dedup(
@@ -177,14 +186,22 @@ def word_doc_freq_score(
     full precision. Shape: explode distinct words → one groupBy for corpus
     df → equi-join back → one groupBy(id). All keyed exchanges; the word
     frequency table is vocabulary-sized, not corpus-sized.
+
+    Empty tokens (null text, consecutive/leading/trailing spaces) are
+    filtered BEFORE counting — a '' pseudo-word would otherwise have a
+    huge corpus df and score empty documents as highest-quality, inverting
+    the signal. Documents with no words at all are absent from the output
+    (callers decide their fate explicitly; a score would be meaningless).
     """
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
         ).alias("w"),
-    )
-    freq = words.groupBy("w").agg(F.count_distinct("id").alias("wdf"))
+    ).filter(F.col("w") != "")
+    # (id, w) pairs are already distinct after array_distinct, so a plain
+    # count is exact — no count_distinct hash-dedup pass needed
+    freq = words.groupBy("w").agg(F.count("id").alias("wdf"))
     return (
         words.join(freq, "w")
         .groupBy("id")

@@ -127,6 +127,11 @@ def test_normalize_url_cases(spark):
         ("http://h/p?utm_a=1&utm_b=2", "http://h/p"),
         ("http://h/p?fbclid=z&utm_x=1&keep=y", "http://h/p?keep=y"),
         ("http://h/p?q=1", "http://h/p?q=1"),  # untouched
+        # review repros: parts are normalized in ISOLATION —
+        ("http://h/a&b/c?q=1", "http://h/a&b/c?q=1"),  # literal & in path
+        ("http://h/a&gclid=1/b", "http://h/a&gclid=1/b"),  # 'gclid' in path
+        ("http://h/p?next=/", "http://h/p?next=/"),  # query value ends in /
+        ("http://h/p?q=1/", "http://h/p?q=1/"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.n for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
@@ -150,3 +155,18 @@ def test_word_doc_freq_score(spark):
     assert got["common"].mean_word_df == 1.5   # (2+1)/2
     assert got["mixed"].mean_word_df == 1.5
     assert got["rare"].mean_word_df == 1.0     # gibberish scores lowest
+
+
+def test_word_doc_freq_empty_tokens(spark):
+    """Review repro: '' pseudo-words from null text / space runs must not
+    score empty docs as highest quality; wordless docs are absent."""
+    from comic_text_detector_spark.operators.curation import word_doc_freq_score
+
+    df = spark.createDataFrame(
+        [("a", "x  y"), ("b", " "), ("c", None), ("d", "x")],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r for r in word_doc_freq_score(df).collect()}
+    assert set(got) == {"a", "d"}  # wordless docs absent, not top-scored
+    assert got["a"].n_distinct_words == 2  # '' from the double space gone
+    assert got["d"].mean_word_df == 2.0
