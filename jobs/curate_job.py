@@ -38,6 +38,13 @@ def main(argv: list[str]) -> int:
     p.add_argument("--rates", default='{"en": 1.0}')
     p.add_argument("--min-quality", type=float, default=0.0)
     p.add_argument("--max-shared-ngrams", type=int, default=0)
+    p.add_argument(
+        "--max-line-doc-freq",
+        type=int,
+        default=0,
+        help="if > 0, drop lines occurring in more than this many docs "
+        "(CCNet-style boilerplate removal) before the quality floor",
+    )
     p.add_argument("--ngram", type=int, default=5)
     p.add_argument("--id-col", default="url")
     p.add_argument("--text-col", default="text")
@@ -75,6 +82,16 @@ def main(argv: list[str]) -> int:
         leaks.withColumnRenamed("id", args.id_col), args.id_col, "left_anti"
     )
     n_clean = clean.count()
+
+    # optional stage 1b: boilerplate line removal (its own keyed exchanges;
+    # n_lines_in/kept are carried into the curated output as audit columns)
+    if args.max_line_doc_freq > 0:
+        from comic_text_detector_spark.operators.curation import line_freq_dedup
+
+        deduped = line_freq_dedup(
+            clean, args.id_col, args.text_col, max_doc_freq=args.max_line_doc_freq
+        )
+        clean = clean.drop(args.text_col).join(deduped, args.id_col)
 
     # stage 2 + 3 fuse into one zero-exchange scan: quality floor, then the
     # deterministic per-language mixture sample
