@@ -1253,6 +1253,35 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_robots_filter(spark, sf_dir):
+    """RFC 9309 longest-prefix-wins robots filtering: synthesized urls over
+    5 hosts, a rules table that disallows all of w1, disallows w0's /p/1*
+    EXCEPT the longer /p/12* allow, and says nothing about the rest
+    (default allowed). The oracle re-derives the same decision relationally
+    in DuckDB (VALUES rules + struct max over (prefix length, allow))."""
+    from comic_text_detector_spark.operators.curation import robots_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://w"),
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("w0.example.org", "/p/1", False),
+            ("w0.example.org", "/p/12", True),
+            ("w1.example.org", "/", False),
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    return robots_filter(urls, rules).select("doc_id", "url")
+
+
 def _q_word_doc_freq(spark, sf_dir):
     """LM-free quality proxy: mean corpus document-frequency of each doc's
     distinct words. Bigint sums + ONE IEEE division → full-precision
@@ -1468,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_freq_dedup": _q_line_freq_dedup,
         "normalize_urls": _q_normalize_urls,
         "word_doc_freq": _q_word_doc_freq,
+        "robots_filter": _q_robots_filter,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -1771,6 +1801,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, in_w, in_h, out_w, out_h,"
             " CAST((64 - out_w) // 2 AS INT) AS pad_left,"
             " CAST((64 - out_h) // 2 AS INT) AS pad_top FROM g"
+        ),
+        "robots_filter": (
+            "WITH u AS (SELECT doc_id,"
+            " 'https://w' || (doc_id % 5)::VARCHAR || '.example.org/p/' ||"
+            " doc_id::VARCHAR AS url,"
+            " 'w' || (doc_id % 5)::VARCHAR || '.example.org' AS host,"
+            " '/p/' || doc_id::VARCHAR AS path FROM documents), "
+            "r(host, prefix, allow) AS (VALUES"
+            " ('w0.example.org', '/p/1', false),"
+            " ('w0.example.org', '/p/12', true),"
+            " ('w1.example.org', '/', false)), "
+            "d AS (SELECT u.doc_id, u.url,"
+            " max(CASE WHEN r.prefix IS NOT NULL AND"
+            " starts_with(u.path, r.prefix) THEN"
+            " {'l': length(r.prefix), 'a': r.allow} END) AS best"
+            " FROM u LEFT JOIN r ON u.host = r.host"
+            " GROUP BY u.doc_id, u.url) "
+            "SELECT doc_id, url FROM d WHERE coalesce(best.a, true)"
         ),
         "word_doc_freq": (
             "WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split("

@@ -173,6 +173,72 @@ def line_freq_dedup(
     )
 
 
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    prefix_col: str = "path_prefix",
+    allow_col: str = "allow",
+) -> DataFrame:
+    """Keep only urls a robots ruleset permits: rules are (host,
+    path_prefix, allow) rows; the MOST SPECIFIC (longest) matching prefix
+    for the url's host decides, and a host with no matching rule defaults
+    to allowed — the standard robots.txt longest-match semantics (RFC
+    9309 §2.2.2) as a relational plan.
+
+    Shape: rules tables are tiny next to a crawl (one row per directive),
+    so the DECISION is computed per distinct (host, path) — broadcast join
+    against the rules, max over (prefix length, allow) structs — and the
+    crawl joins the decision table back on its own derived key. Duplicate
+    url rows each keep their own row (a per-row window would collapse
+    them); the only full-width shuffle is the final keyed join.
+    """
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-zA-Z]+://([^/?]*)", 1))
+    raw_path = F.regexp_replace(F.col(url_col), r"^[a-zA-Z]+://[^/?]*", "")
+    path = F.when(raw_path == "", "/").otherwise(raw_path)
+    u = urls.withColumn("__host", host).withColumn("__path", path)
+    r = rules.select(
+        F.lower(F.col(host_col)).alias("__host"),
+        F.col(prefix_col).alias("__prefix"),
+        F.col(allow_col).alias("__allow"),
+    )
+    decisions = (
+        u.select("__host", "__path")
+        .distinct()
+        .join(F.broadcast(r), "__host", "left")
+        .withColumn(
+            "__hit",
+            F.col("__prefix").isNotNull()
+            & F.col("__path").startswith(F.col("__prefix")),
+        )
+        .groupBy("__host", "__path")
+        .agg(
+            # longest matching prefix wins; on equal length allow wins
+            # (RFC 9309 §2.2.2); no matching rule → allowed
+            F.max(
+                F.when(
+                    F.col("__hit"),
+                    F.struct(
+                        F.length("__prefix").alias("l"),
+                        F.col("__allow").alias("a"),
+                    ),
+                )
+            ).alias("__best")
+        )
+        .select(
+            "__host",
+            "__path",
+            F.coalesce(F.col("__best.a"), F.lit(True)).alias("__allowed"),
+        )
+    )
+    return (
+        u.join(decisions, ["__host", "__path"])
+        .filter(F.col("__allowed"))
+        .drop("__host", "__path", "__allowed")
+    )
+
+
 def word_doc_freq_score(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -170,3 +170,33 @@ def test_word_doc_freq_empty_tokens(spark):
     assert set(got) == {"a", "d"}  # wordless docs absent, not top-scored
     assert got["a"].n_distinct_words == 2  # '' from the double space gone
     assert got["d"].mean_word_df == 2.0
+
+
+def test_robots_filter_longest_match(spark):
+    from comic_text_detector_spark.operators.curation import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("h.com", "/private", False),
+            ("h.com", "/private/ok", True),   # longer allow carve-out
+            ("h.com", "/same", True),         # equal-length tie:
+            ("h.com", "/sam", False),
+            ("blocked.com", "/", False),
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://h.com/public/x"),      # no rule matches → allowed
+            (2, "https://h.com/private/x"),     # blocked
+            (3, "https://h.com/private/ok/x"),  # carve-out allows
+            (4, "https://H.com/private/y"),     # host case-insensitive
+            (5, "https://blocked.com/anything"),
+            (6, "https://unknown.org/x"),       # host with no rules
+            (7, "https://blocked.com"),         # empty path → '/'
+            (8, "https://h.com/public/x"),      # DUPLICATE of 1: both kept
+        ],
+        "id int, url string",
+    )
+    got = sorted(r.id for r in robots_filter(urls, rules).collect())
+    assert got == [1, 3, 6, 8]
