@@ -193,11 +193,30 @@ def robots_filter(
     crawl joins the decision table back on its own derived key. Duplicate
     url rows each keep their own row (a per-row window would collapse
     them); the only full-width shuffle is the final keyed join.
+
+    Rows with a null url are DROPPED explicitly (they have no host to
+    match, and a null join key would silently vanish in the join-back
+    anyway — better an explicit documented drop than a leak).
     """
-    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-zA-Z]+://([^/?]*)", 1))
-    raw_path = F.regexp_replace(F.col(url_col), r"^[a-zA-Z]+://[^/?]*", "")
-    path = F.when(raw_path == "", "/").otherwise(raw_path)
-    u = urls.withColumn("__host", host).withColumn("__path", path)
+    # the match-key derivation strips the fragment BEFORE extracting the
+    # host (a '#' straight after the authority would otherwise contaminate
+    # it and silently bypass every rule for the real host), drops userinfo,
+    # and treats an empty or query-only path as '/' (RFC 9309: the match
+    # target for 'https://h?x=1' is '/?x=1', which Disallow:/ must catch)
+    u0 = F.regexp_replace(F.col(url_col), r"#.*$", "")
+    auth = F.regexp_extract(u0, r"^[a-zA-Z]+://([^/?]*)", 1)
+    host = F.lower(F.regexp_replace(auth, r"^[^@]*@", ""))
+    raw_path = F.regexp_replace(u0, r"^[a-zA-Z]+://[^/?]*", "")
+    path = F.when(raw_path == "", F.lit("/")).otherwise(
+        F.when(
+            raw_path.startswith("?"), F.concat(F.lit("/"), raw_path)
+        ).otherwise(raw_path)
+    )
+    u = (
+        urls.filter(F.col(url_col).isNotNull())
+        .withColumn("__host", host)
+        .withColumn("__path", path)
+    )
     r = rules.select(
         F.lower(F.col(host_col)).alias("__host"),
         F.col(prefix_col).alias("__prefix"),

@@ -20,7 +20,8 @@ Usage:
 
 Docs whose language has no entry in --rates are DROPPED (explicit mixture
 weights). --max-shared-ngrams N keeps docs sharing at most N distinct
-5-grams with the benchmark (0 = strict decontamination).
+5-grams with the benchmark (0 = strict decontamination). --text-col names
+the text column in BOTH the corpus and the benchmark parquet.
 """
 
 from __future__ import annotations
@@ -90,7 +91,7 @@ def main(argv: list[str]) -> int:
 
         deduped = line_freq_dedup(
             clean, args.id_col, args.text_col, max_doc_freq=args.max_line_doc_freq
-        )
+        ).withColumnRenamed("text", args.text_col)  # operator emits 'text'
         clean = clean.drop(args.text_col).join(deduped, args.id_col)
 
     # stage 2 + 3 fuse into one zero-exchange scan: quality floor, then the

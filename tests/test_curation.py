@@ -179,8 +179,8 @@ def test_robots_filter_longest_match(spark):
         [
             ("h.com", "/private", False),
             ("h.com", "/private/ok", True),   # longer allow carve-out
-            ("h.com", "/same", True),         # equal-length tie:
-            ("h.com", "/sam", False),
+            ("h.com", "/dup", True),          # IDENTICAL prefix, both
+            ("h.com", "/dup", False),         # polarities: allow wins (RFC)
             ("blocked.com", "/", False),
         ],
         "host string, path_prefix string, allow boolean",
@@ -195,8 +195,13 @@ def test_robots_filter_longest_match(spark):
             (6, "https://unknown.org/x"),       # host with no rules
             (7, "https://blocked.com"),         # empty path → '/'
             (8, "https://h.com/public/x"),      # DUPLICATE of 1: both kept
+            (9, "https://h.com/dup/x"),         # equal-length tie → allow
+            (10, "https://blocked.com?x=1"),    # query-only path → '/?x=1'
+            (11, "https://blocked.com#top"),    # fragment after authority
+            (12, "https://user@blocked.com/x"),  # userinfo before host
+            (13, None),                          # null url: explicit drop
         ],
         "id int, url string",
     )
     got = sorted(r.id for r in robots_filter(urls, rules).collect())
-    assert got == [1, 3, 6, 8]
+    assert got == [1, 3, 6, 8, 9]
