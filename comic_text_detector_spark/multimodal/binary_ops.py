@@ -84,8 +84,10 @@ def parse_image_meta(data: bytes) -> tuple[str, int, int, int] | None:
     * JPEG — marker scan to the first SOFn segment (precision, height,
       width, component count); stops at SOS if no frame header exists.
     * GIF — GIF87a/GIF89a logical screen descriptor (little-endian).
-    * BMP — BITMAPINFOHEADER (little-endian, height may be negative for
-      top-down rows).
+    * BMP — DIB header size at offset 14 selects the dialect: 12 = OS/2
+      BITMAPCOREHEADER (16-bit unsigned dims), 40+ = BITMAPINFOHEADER
+      family (32-bit dims, height may be negative for top-down rows).
+      Unknown DIB sizes are rejected rather than read as garbage.
     """
     if data is None:
         return None
@@ -137,10 +139,19 @@ def parse_image_meta(data: bytes) -> tuple[str, int, int, int] | None:
             return None
         return ("image/gif", w, h, 3)
     if data[:2] == b"BM":
-        if len(data) < 26:
+        if len(data) < 22:
             return None
-        w = int.from_bytes(data[18:22], "little", signed=True)
-        h = abs(int.from_bytes(data[22:26], "little", signed=True))
+        dib = int.from_bytes(data[14:18], "little")
+        if dib == 12:  # OS/2 BITMAPCOREHEADER: 16-bit unsigned dims
+            w = int.from_bytes(data[18:20], "little")
+            h = int.from_bytes(data[20:22], "little")
+        elif dib in (40, 52, 56, 64, 108, 124):  # BITMAPINFOHEADER family
+            if len(data) < 26:
+                return None
+            w = int.from_bytes(data[18:22], "little", signed=True)
+            h = abs(int.from_bytes(data[22:26], "little", signed=True))
+        else:
+            return None
         if w <= 0 or h <= 0:
             return None
         return ("image/bmp", w, h, 3)

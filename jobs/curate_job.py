@@ -31,7 +31,10 @@ import json
 import sys
 
 
-def main(argv: list[str]) -> int:
+def main(argv: list[str], spark=None) -> int:
+    """CLI entry point. ``spark=None`` (the spark-submit path) creates and
+    stops its own session; tests inject a live session instead, which is
+    left running."""
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True)
     p.add_argument("--benchmark", required=True)
@@ -63,8 +66,10 @@ def main(argv: list[str]) -> int:
     )
     from comic_text_detector_spark.session import get_spark
 
-    spark = get_spark(app_name="ctd-curate")
-    spark.sparkContext.setLogLevel("WARN")
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app_name="ctd-curate")
+        spark.sparkContext.setLogLevel("WARN")
     docs = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.benchmark)
     n_in = docs.count()
@@ -92,7 +97,12 @@ def main(argv: list[str]) -> int:
         deduped = line_freq_dedup(
             clean, args.id_col, args.text_col, max_doc_freq=args.max_line_doc_freq
         ).withColumnRenamed("text", args.text_col)  # operator emits 'text'
-        clean = clean.drop(args.text_col).join(deduped, args.id_col)
+        # re-curating a previous curate_job output carries last run's audit
+        # columns — drop them (alongside the text) or the join would emit
+        # duplicate n_lines_* names and the parquet write would fail
+        clean = clean.drop(args.text_col, "n_lines_in", "n_lines_kept").join(
+            deduped, args.id_col
+        )
 
     # stage 2 + 3 fuse into one zero-exchange scan: quality floor, then the
     # deterministic per-language mixture sample
@@ -112,7 +122,8 @@ def main(argv: list[str]) -> int:
         "curated": n_out,
     }
     print(json.dumps(summary))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

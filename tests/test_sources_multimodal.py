@@ -131,8 +131,18 @@ def test_decode_image_meta_real_headers(spark, media_df, monkeypatch):
     assert parse_image_meta(synthesize_png(5, 4)) == ("image/png", 5, 4, 3)
     import struct as _s
 
-    bmp = b"BM" + b"\x00" * 16 + _s.pack("<ii", 17, -9) + b"\x00" * 8
+    bmp = (
+        b"BM" + b"\x00" * 12 + _s.pack("<I", 40) + _s.pack("<ii", 17, -9)
+        + b"\x00" * 8
+    )
     assert parse_image_meta(bmp) == ("image/bmp", 17, 9, 3)
+    # OS/2 BITMAPCOREHEADER: DIB size 12, 16-bit unsigned dims — must parse
+    # the short header, not read 32-bit garbage at offsets 18/22
+    core = b"BM" + b"\x00" * 12 + _s.pack("<IHH", 12, 17, 9) + b"\x00" * 8
+    assert parse_image_meta(core) == ("image/bmp", 17, 9, 3)
+    # unknown DIB header size → reject, never return garbage dims with ok
+    weird = b"BM" + b"\x00" * 12 + _s.pack("<I", 33) + _s.pack("<ii", 17, 9)
+    assert parse_image_meta(weird) is None
 
     # frame-sampling plumbing keeps its documented fake (video needs ffmpeg)
     monkeypatch.setenv("CTD_FAKE_DECODE", "1")
