@@ -22,7 +22,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import md5_long, shingles
@@ -85,10 +85,13 @@ def normalize_url(url: Column) -> Column:
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
     # tracking pairs are stripped from the QUERY only; the sentinel '&'
-    # prefix makes every pair '&'-led so one pattern drops any position
+    # prefix makes every pair '&'-led so one pattern drops any position.
+    # Match case-insensitively ('UTM_SOURCE=' is the same tracker) and
+    # accept the full utm_* key charset ('utm_source_platform' et al.) —
+    # the (?i:...) group and the pattern are RE2 ∩ Java, oracle-mirrored.
     query = F.regexp_replace(
         F.concat(F.lit("&"), query),
-        r"&(utm_[a-z]+|gclid|fbclid)=[^&]*",
+        r"&(?i:utm_[a-z0-9_]+|gclid|fbclid)=[^&]*",
         "",
     )
     query = F.regexp_replace(query, r"^&", "")
@@ -106,6 +109,7 @@ def line_freq_dedup(
     text_col: str = "text",
     sep: str = "\n",
     max_doc_freq: int = 2,
+    broadcast_freq: bool = True,
 ) -> DataFrame:
     """CCNet-style boilerplate line removal: split each document into lines,
     drop every line that occurs in MORE than ``max_doc_freq`` distinct
@@ -119,12 +123,19 @@ def line_freq_dedup(
     before the split, matching the literal join on reassembly.
 
     Shape at scale: explode → one md5 groupBy for per-line document
-    frequencies (map-side combined; the frequency table is heavy-hitters
-    only in spirit but exact here) → broadcast-free equi-join back on the
-    line hash → one groupBy(id) with an ordered array_sort reassembly.
-    Three exchanges total, all keyed, none quadratic. Empty documents and
-    documents whose every line is boilerplate survive with text='' (the
-    row is not lost — losing it would silently shrink the corpus).
+    frequencies (map-side combined) → join back on the line hash → one
+    groupBy(id) with an ordered array_sort reassembly. The join-back's
+    build side is pre-filtered to the VIOLATORS only (df > max_doc_freq —
+    the boilerplate heavy-hitters, a tiny fraction of the distinct-line
+    table) and broadcast by default, so the Zipf-skewed line-hash key
+    ('subscribe now' appearing once per doc) can never SMJ-skew: the probe
+    side streams with no exchange. Set ``broadcast_freq=False`` only if
+    the violator set itself outgrows executor memory (pathological corpora
+    with millions of distinct cross-doc boilerplate lines) — the plan
+    falls back to a shuffled equi-join and AQE's skew-join split handles
+    the hot hashes. Empty documents and documents whose every line is
+    boilerplate survive with text='' (the row is not lost — losing it
+    would silently shrink the corpus).
     """
     import re
 
@@ -134,13 +145,14 @@ def line_freq_dedup(
             F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep))
         ).alias("pos", "line"),
     ).withColumn("h", F.md5(F.col("line")))
-    freq = (
-        lines.groupBy("h").agg(F.count_distinct("id").alias("df"))
-    )
-    kept = lines.join(freq, "h", "left").withColumn(
+    freq = lines.groupBy("h").agg(F.count_distinct("id").alias("df"))
+    # only violators matter for the drop decision; absent-from-build = keep
+    boiler = freq.filter(F.col("df") > max_doc_freq)
+    if broadcast_freq:
+        boiler = F.broadcast(boiler)
+    kept = lines.join(boiler, "h", "left").withColumn(
         "keep",
-        (F.coalesce(F.col("df"), F.lit(0)) <= max_doc_freq)
-        | (F.trim(F.col("line")) == ""),
+        F.col("df").isNull() | (F.trim(F.col("line")) == ""),
     )
     return (
         kept.groupBy("id")
@@ -182,17 +194,30 @@ def robots_filter(
     allow_col: str = "allow",
 ) -> DataFrame:
     """Keep only urls a robots ruleset permits: rules are (host,
-    path_prefix, allow) rows; the MOST SPECIFIC (longest) matching prefix
-    for the url's host decides, and a host with no matching rule defaults
-    to allowed — the standard robots.txt longest-match semantics (RFC
-    9309 §2.2.2) as a relational plan.
+    path_prefix, allow) rows, where ``path_prefix`` is a full RFC 9309
+    path PATTERN — a prefix match by default, with ``*`` matching any
+    character run anywhere in the pattern and a trailing ``$`` anchoring
+    the match to the end of the path (RFC 9309 §2.2.3: ``/*.pdf$`` blocks
+    every path ending in '.pdf'). The MOST SPECIFIC matching rule for the
+    url's host decides: specificity counts the pattern's LITERAL octets
+    (wildcards and the ``$`` anchor don't count — ``/p/specific`` beats
+    ``/*``); on a specificity tie allow wins (§2.2.2). A host with no
+    matching rule defaults to allowed.
+
+    Pattern → regex translation is pure column exprs in the RE2 ∩ Java
+    dialect (escape metachars except ``*``, then ``*`` → ``.*``, anchor
+    ``^`` and optionally ``$``), so a SQL oracle replays the translation
+    AND the match byte-for-byte. Percent-encoding equivalence (§2.2.2's
+    %-decode note) is out of scope: patterns and paths are compared as
+    the literal octets the caller stored.
 
     Shape: rules tables are tiny next to a crawl (one row per directive),
     so the DECISION is computed per distinct (host, path) — broadcast join
-    against the rules, max over (prefix length, allow) structs — and the
-    crawl joins the decision table back on its own derived key. Duplicate
-    url rows each keep their own row (a per-row window would collapse
-    them); the only full-width shuffle is the final keyed join.
+    against the rules, max over (literal-length, allow) structs; the
+    per-row regex evaluation happens only on this bounded decisions frame
+    — and the crawl joins the decision table back on its own derived key.
+    Duplicate url rows each keep their own row (a per-row window would
+    collapse them); the only full-width shuffle is the final keyed join.
 
     Rows with a null url are DROPPED explicitly (they have no host to
     match, and a null join key would silently vanish in the join-back
@@ -217,9 +242,23 @@ def robots_filter(
         .withColumn("__host", host)
         .withColumn("__path", path)
     )
+    # rule pattern → (anchored?, regex, literal-octet specificity):
+    # strip a trailing '$', escape every regex metachar EXCEPT '*', turn
+    # '*' into '.*', anchor at '^'. Identical exprs replay in the oracle.
+    anch = F.col(prefix_col).endswith("$")
+    body = F.when(
+        anch, F.expr(f"substring({prefix_col}, 1, length({prefix_col})-1)")
+    ).otherwise(F.col(prefix_col))
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]\\|])", r"\\$1")
+    rx = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anch, F.lit("$")).otherwise(F.lit("")),
+    )
     r = rules.select(
         F.lower(F.col(host_col)).alias("__host"),
-        F.col(prefix_col).alias("__prefix"),
+        rx.alias("__rx"),
+        F.length(F.replace(body, F.lit("*"), F.lit(""))).alias("__spec"),
         F.col(allow_col).alias("__allow"),
     )
     decisions = (
@@ -228,18 +267,17 @@ def robots_filter(
         .join(F.broadcast(r), "__host", "left")
         .withColumn(
             "__hit",
-            F.col("__prefix").isNotNull()
-            & F.col("__path").startswith(F.col("__prefix")),
+            F.col("__rx").isNotNull() & F.expr("__path rlike __rx"),
         )
         .groupBy("__host", "__path")
         .agg(
-            # longest matching prefix wins; on equal length allow wins
+            # most literal octets wins; on equal specificity allow wins
             # (RFC 9309 §2.2.2); no matching rule → allowed
             F.max(
                 F.when(
                     F.col("__hit"),
                     F.struct(
-                        F.length("__prefix").alias("l"),
+                        F.col("__spec").alias("l"),
                         F.col("__allow").alias("a"),
                     ),
                 )
@@ -259,7 +297,10 @@ def robots_filter(
 
 
 def word_doc_freq_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_freq: bool = True,
 ) -> DataFrame:
     """(id, n_distinct_words, mean_word_df): mean corpus document-frequency
     of each document's distinct words — the cheap LM-free quality proxy CC
@@ -269,8 +310,14 @@ def word_doc_freq_score(
     Exact arithmetic end to end (bigint counts, ONE IEEE division at the
     end), so the score is value-checkable against an independent engine at
     full precision. Shape: explode distinct words → one groupBy for corpus
-    df → equi-join back → one groupBy(id). All keyed exchanges; the word
-    frequency table is vocabulary-sized, not corpus-sized.
+    df → equi-join back → one groupBy(id). The frequency table is
+    vocabulary-sized (natural-language vocabularies are a few hundred MB
+    even at web scale), so it is BROADCAST by default — the word key is
+    Zipf-skewed ('the' appears in nearly every doc) and a shuffled join
+    would put the whole corpus's hottest key through one reducer. Set
+    ``broadcast_freq=False`` for adversarial corpora whose 'vocabulary'
+    is corpus-sized (random strings); the fallback shuffled join relies on
+    AQE skew-split, documented trade-off.
 
     Empty tokens (null text, consecutive/leading/trailing spaces) are
     filtered BEFORE counting — a '' pseudo-word would otherwise have a
@@ -287,12 +334,159 @@ def word_doc_freq_score(
     # (id, w) pairs are already distinct after array_distinct, so a plain
     # count is exact — no count_distinct hash-dedup pass needed
     freq = words.groupBy("w").agg(F.count("id").alias("wdf"))
+    if broadcast_freq:
+        freq = F.broadcast(freq)
     return (
         words.join(freq, "w")
         .groupBy("id")
         .agg(
             F.count("*").cast("bigint").alias("n_distinct_words"),
             (F.sum("wdf") / F.count("*")).alias("mean_word_df"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_len: int = 50,
+    select_mod: int = 1,
+    merge_gap: int | None = None,
+) -> DataFrame:
+    """Span-level exact-substring dedup (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" operation, recast from
+    suffix arrays to a linear fingerprint-bucket plan): emit
+    (doc, start_pos, end_pos) CUT SPANS for every maximal run of length ≥
+    ``min_len`` chars whose every ``k``-gram also occurs in at least one
+    OTHER document. ``line_freq_dedup`` catches repeated lines; this
+    catches long verbatim passages that cross line boundaries or sit
+    inside otherwise-unique documents (licence blocks, syndicated
+    paragraphs, templated boilerplate).
+
+    Semantics: a character position is "shared" when the k-gram starting
+    there appears in ≥ 2 distinct documents (within-document repetition
+    alone never triggers — the count is per distinct doc). Maximal runs of
+    shared positions (gaps ≤ ``merge_gap``, default k) become spans
+    [min_pos, max_pos + k - 1], 1-based inclusive, ready for substring()
+    cuts. Any true cross-document verbatim passage of length ≥ min_len
+    is fully covered by such a run (every one of its k-grams is shared),
+    so recall is exact; precision admits gram-mosaics stitched from
+    different partners — the standard trade every bucketed substring
+    dedup makes (a suffix-array join would need a global sort at 100 TB).
+
+    Scale shape: positions explode once per frequency pass and once per
+    join-back (two cheap scan+explode passes — md5 per gram, no parse);
+    both exchanges are keyed on the gram hash with map-side partial
+    aggregation, and the run assembly is one per-doc window. At 100 TB
+    set ``select_mod`` ≈ k to winnow positions by hash (1/select_mod of
+    the grams survive): resolution drops to ~select_mod chars — pass
+    ``merge_gap ≈ k + select_mod`` and treat min_len as approximate —
+    while both explode volumes shrink by the same factor. The gram hash
+    is md5 (portable), so the whole pipeline is oracle-checkable.
+    """
+    if merge_gap is None:
+        merge_gap = k
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.when(
+                F.length(text_col) >= k,
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k - 1}),"
+                    f" i -> md5(substring({text_col}, i, {k})))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("p0", "h"),
+    ).select("id", (F.col("p0") + 1).alias("p"), "h")
+    if select_mod > 1:
+        pos = pos.filter(md5_long(F.col("h")) % select_mod == 0)
+    shared = (
+        pos.groupBy("h")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    hits = pos.join(shared, "h").select("id", "p")
+    w = Window.partitionBy("id").orderBy("p")
+    runs = hits.withColumn(
+        "brk",
+        F.when(F.col("p") - F.lag("p").over(w) <= merge_gap, 0).otherwise(1),
+    ).withColumn("run_id", F.sum("brk").over(w))
+    spans = runs.groupBy("id", "run_id").agg(
+        F.min("p").alias("start_pos"),
+        (F.max("p") + k - 1).alias("end_pos"),
+        F.count("*").alias("n_grams"),
+    )
+    return (
+        spans.filter(F.col("end_pos") - F.col("start_pos") + 1 >= min_len)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("start_pos").cast("bigint").alias("start_pos"),
+            F.col("end_pos").cast("bigint").alias("end_pos"),
+            (F.col("end_pos") - F.col("start_pos") + 1)
+            .cast("bigint")
+            .alias("span_len"),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+        )
+    )
+
+
+def quality_logit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    weights: dict[int, int] | None = None,
+    salt: str = "qw",
+) -> DataFrame:
+    """Hashing-trick linear quality classifier (the fastText-shape scorer;
+    Joulin et al. 2016's bag-of-hashed-features + linear layer, which is
+    what CCNet/web-pipeline quality filters actually deploy): each word
+    hashes into one of ``n_buckets`` feature buckets, the document's logit
+    is the sum of its buckets' weights (bag semantics — repeats count).
+
+    Weights are integer MILLI-units so the per-document sum is an exact
+    bigint in any engine; the single IEEE division by 1000 at the end
+    makes the logit bit-identical cross-engine (the usual float-dot would
+    be accumulation-order dependent). ``weights`` maps bucket → int
+    milliweight for a trained model (absent buckets weigh 0, the sparse
+    representation a real classifier ships); ``None`` derives a
+    deterministic pseudo-weight per bucket from md5(salt:bucket) — the
+    oracle-checkable default used by the gate. Documents with no words
+    are absent from the output (a score for nothing is meaningless;
+    callers decide their fate, same contract as word_doc_freq_score).
+
+    Shape: explode → pure column arithmetic → one groupBy(doc) with
+    map-side partial agg. No joins, no UDF, no vocabulary table at all —
+    the hashing trick exists precisely so the 100 TB path carries no
+    dictionary."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    b = md5_long(F.col("w")) % n_buckets
+    if weights is None:
+        wi = (
+            md5_long(F.concat_ws(":", F.lit(salt), b.cast("string"))) % 2001
+            - 1000
+        )
+    else:
+        expr = None
+        for bucket, mw in sorted(weights.items()):
+            cond = b == F.lit(bucket)
+            expr = F.when(cond, F.lit(mw)) if expr is None else expr.when(
+                cond, F.lit(mw)
+            )
+        wi = expr.otherwise(F.lit(0)).cast("long")
+    return (
+        words.select("id", wi.alias("wi"))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            (F.sum("wi") / F.lit(1000.0)).alias("logit"),
         )
         .withColumnRenamed("id", id_col)
     )

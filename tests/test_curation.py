@@ -132,6 +132,10 @@ def test_normalize_url_cases(spark):
         ("http://h/a&gclid=1/b", "http://h/a&gclid=1/b"),  # 'gclid' in path
         ("http://h/p?next=/", "http://h/p?next=/"),  # query value ends in /
         ("http://h/p?q=1/", "http://h/p?q=1/"),
+        # round-3 ADVICE repros: case-insensitive + full utm key charset
+        ("http://h/p?UTM_SOURCE=x&q=1", "http://h/p?q=1"),
+        ("http://h/p?utm_source_platform=x", "http://h/p"),
+        ("http://h/p?Utm_Campaign2=x&GCLID=y", "http://h/p"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.n for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
@@ -205,3 +209,153 @@ def test_robots_filter_longest_match(spark):
     )
     got = sorted(r.id for r in robots_filter(urls, rules).collect())
     assert got == [1, 3, 6, 8, 9]
+
+
+def test_robots_filter_rfc9309_wildcards(spark):
+    """RFC 9309 §2.2.3 pattern grammar: trailing-$ anchor, mid-pattern *,
+    and literal-octet specificity (wildcards don't count)."""
+    from comic_text_detector_spark.operators.curation import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("h.com", "/*.pdf$", False),       # any path ENDING in .pdf
+            ("h.com", "/docs/keep*", True),    # 10 literals beats 5
+            ("h.com", "/a/*/c", False),        # mid-pattern *
+            ("h.com", "/q?*", False),          # '?' is a LITERAL octet
+            ("star.com", "/*", False),         # block-all via star
+            ("star.com", "/pub", True),        # 4 literals beat 1
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://h.com/docs/file.pdf"),     # $-anchored block
+            (2, "https://h.com/docs/file.pdfx"),    # NOT at end → allowed
+            (3, "https://h.com/docs/keep/file.pdf"),  # 10 > 5 literals
+            (4, "https://h.com/x.pdf/y"),           # .pdf not at end
+            (5, "https://h.com/a/zz/c/d"),          # mid-* matches
+            (6, "https://h.com/a/c"),               # needs the /*/ run
+            (7, "https://h.com/q?x=1"),             # literal '?' pattern
+            (8, "https://star.com/anything"),       # /* blocks
+            (9, "https://star.com/pub/x"),          # carve-out by literals
+            (10, "https://h.com/plain"),            # nothing matches
+        ],
+        "id int, url string",
+    )
+    got = sorted(r.id for r in robots_filter(urls, rules).collect())
+    assert got == [2, 3, 4, 6, 9, 10]
+
+
+def test_curate_job_recurate(spark, tmp_path):
+    """Re-curating a previous curate_job output (which already carries the
+    n_lines_in/n_lines_kept audit columns) must not produce duplicate
+    column names on the stage-1b join (round-3 ADVICE repro)."""
+    from jobs import curate_job
+
+    docs = spark.createDataFrame(
+        [
+            (f"http://h/{i}", "subscribe now\n" + ("real text " * 20) + str(i), "en")
+            for i in range(6)
+        ],
+        "url string, text string, lang string",
+    )
+    corpus = str(tmp_path / "corpus")
+    bench = str(tmp_path / "bench")
+    docs.write.parquet(corpus)
+    spark.createDataFrame([("zz qq ww rr tt",)], "text string").write.parquet(bench)
+
+    args = ["--benchmark", bench, "--rates", '{"en": 1.0}',
+            "--max-line-doc-freq", "2"]
+    out1 = str(tmp_path / "out1")
+    assert curate_job.main(
+        ["--input", corpus, "--output", out1] + args, spark=spark
+    ) == 0
+    first = spark.read.parquet(f"{out1}/curated")
+    assert first.columns.count("n_lines_in") == 1
+    assert first.count() == 6
+
+    out2 = str(tmp_path / "out2")
+    assert curate_job.main(
+        ["--input", f"{out1}/curated", "--output", out2] + args, spark=spark
+    ) == 0
+    second = spark.read.parquet(f"{out2}/curated")
+    assert second.columns.count("n_lines_in") == 1
+    assert second.count() == 6
+    # the boilerplate line was already stripped in run 1
+    assert all("subscribe now" not in r.text for r in second.collect())
+
+
+def test_substring_dup_spans_planted(spark):
+    """Cross-doc verbatim passage found with exact maximal boundaries;
+    within-doc repetition and clean docs stay silent."""
+    from comic_text_detector_spark.operators.curation import (
+        substring_dup_spans,
+    )
+
+    shared = "SHARED" * 5  # 30 chars
+    rows = [
+        ("a", "AAAA unique intro " + shared + " tail one"),
+        ("b", "different start " + shared + " other ending here"),
+        ("c", "totally clean document with no overlap at all whatsoever xyz"),
+        ("d", "rep rep " + "REPEAT" * 4 + " " + "REPEAT" * 4 + " only-here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r.doc_id: r for r in substring_dup_spans(df, k=10, min_len=20).collect()
+    }
+    assert set(got) == {"a", "b"}
+    ta = rows[0][1]
+    # maximal common substring is ' '+shared+' ' (both docs share the
+    # surrounding spaces): 1-based [idx, idx+len+1]
+    assert got["a"].start_pos == ta.index(shared)
+    assert got["a"].end_pos == ta.index(shared) + len(shared) + 1
+    assert got["a"].span_len == len(shared) + 2
+
+    # winnowed mode: 1/select_mod of positions, passage still found with
+    # a widened merge gap; boundaries are approximate by design
+    sampled = {
+        r.doc_id: r
+        for r in substring_dup_spans(
+            df, k=10, min_len=15, select_mod=3, merge_gap=13
+        ).collect()
+    }
+    assert "c" not in sampled and "d" not in sampled
+
+
+def test_quality_logit_planted(spark):
+    """Explicit sparse milliweights: separable corpus separates; exact
+    arithmetic; wordless docs absent; default weights deterministic under
+    repartitioning."""
+    import hashlib
+
+    from comic_text_detector_spark.operators.curation import quality_logit
+
+    nb = 1 << 18
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % nb
+
+    weights = {bucket("good"): 1000, bucket("great"): 1500, bucket("spam"): -2000}
+    assert len(weights) == 3  # no test-word bucket collisions
+    df = spark.createDataFrame(
+        [
+            ("pos", "good great good"),
+            ("neg", "spam spam click"),
+            ("mix", "good spam"),
+            ("empty", " "),
+            ("none", None),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r for r in quality_logit(df, weights=weights).collect()}
+    assert got["pos"].logit == 3.5 and got["pos"].n_tokens == 3
+    assert got["neg"].logit == -4.0  # unknown word 'click' weighs 0
+    assert got["mix"].logit == -1.0
+    assert "empty" not in got and "none" not in got
+
+    d1 = {r.doc_id: r.logit for r in quality_logit(df).collect()}
+    d2 = {
+        r.doc_id: r.logit
+        for r in quality_logit(df.repartition(3)).collect()
+    }
+    assert d1 == d2 and set(d1) == {"pos", "neg", "mix"}
