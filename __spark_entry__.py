@@ -1254,11 +1254,13 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _q_robots_filter(spark, sf_dir):
-    """RFC 9309 longest-prefix-wins robots filtering: synthesized urls over
-    5 hosts, a rules table that disallows all of w1, disallows w0's /p/1*
-    EXCEPT the longer /p/12* allow, and says nothing about the rest
-    (default allowed). The oracle re-derives the same decision relationally
-    in DuckDB (VALUES rules + struct max over (prefix length, allow))."""
+    """RFC 9309 robots filtering with the full §2.2.3 pattern grammar:
+    synthesized urls over 5 hosts; the rules disallow all of w1, disallow
+    w0's /p/1* EXCEPT the longer /p/12 allow, block w2 paths ENDING in 2
+    (trailing-$ anchor) unless under the more-literal /p/1* allow, block
+    any w3 path with a 3 after /p/ (mid-pattern *), and say nothing about
+    w4 (default allowed). The oracle replays the SAME pattern→regex
+    translation and literal-octet specificity max in DuckDB."""
     from comic_text_detector_spark.operators.curation import robots_filter
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -1276,6 +1278,9 @@ def _q_robots_filter(spark, sf_dir):
             ("w0.example.org", "/p/1", False),
             ("w0.example.org", "/p/12", True),
             ("w1.example.org", "/", False),
+            ("w2.example.org", "/*2$", False),
+            ("w2.example.org", "/p/1*", True),
+            ("w3.example.org", "/p/*3", False),
         ],
         "host string, path_prefix string, allow boolean",
     )
@@ -1316,7 +1321,9 @@ def _q_normalize_urls(spark, sf_dir):
             ),
         )
         .when(F.col("doc_id") % 4 == 2, F.lit("/#frag"))
-        .otherwise(F.lit("?utm_medium=z"))
+        # mixed case + extended utm key charset: the (?i:...) strip must
+        # catch 'UTM_Source_Platform' too (round-3 ADVICE fix)
+        .otherwise(F.lit("?UTM_Source_Platform=z&q2=1"))
     )
     url = F.concat(
         F.lit("HTTPS://W"),
@@ -1462,6 +1469,177 @@ def _q_ann_lsh_topk_md5(spark, sf_dir):
     )
 
 
+# ~80-char verbatim "licence block" planted into every 7th document for the
+# span-level substring-dedup gate query (no apostrophes: it is embedded in
+# the SQL oracle as a literal).
+_DUP_PASSAGE = (
+    "All rights reserved worldwide. Redistribution of this exact notice "
+    "requires written attribution."
+)
+
+
+def _q_substring_dup_spans(spark, sf_dir):
+    """Span-level exact-substring dedup (Lee et al. 2022 shape): a fixed
+    ~95-char licence passage is appended to every 7th document, and the
+    operator must emit cut spans covering every maximal cross-document
+    verbatim run ≥ 40 chars (the planted passage AND any naturally shared
+    runs in the corpus text). The oracle replays the identical
+    md5-12-gram → doc-frequency → islands pipeline in DuckDB."""
+    from comic_text_detector_spark.operators.curation import (
+        substring_dup_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _DUP_PASSAGE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return substring_dup_spans(planted, k=12, min_len=40)
+
+
+def _q_token_counts_v2(spark, sf_dir):
+    """Greedy longest-match vocab tokenizer (BPE-style accounting) over the
+    embedded deterministic mini-vocab. The oracle replays the greedy scan
+    relationally: per-position jump table (max matching vocab length) +
+    recursive walk from position 1; tokens = positions visited."""
+    from comic_text_detector_spark.functions.textstats import (
+        token_count_vocab,
+    )
+
+    return token_count_vocab(_t(spark, sf_dir, "documents"))
+
+
+def _token_vocab_oracle() -> str:
+    from comic_text_detector_spark.functions.textstats import TOKENIZER_VOCAB
+
+    vals = ", ".join(
+        "('" + v.replace("'", "''") + "')" for v in TOKENIZER_VOCAB
+    )
+    return (
+        "WITH RECURSIVE "
+        f"vocab(tok) AS (VALUES {vals}), "
+        "d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents), "
+        "pos AS (SELECT doc_id, unnest(generate_series(1, length(text)))"
+        " AS p, text FROM d WHERE length(text) >= 1), "
+        "m AS (SELECT pos.doc_id, pos.p,"
+        " coalesce(max(length(v.tok)), 1) AS mlen"
+        " FROM pos LEFT JOIN vocab v"
+        " ON substr(pos.text, pos.p, length(v.tok)) = v.tok"
+        " GROUP BY pos.doc_id, pos.p), "
+        # MATERIALIZED: the recursive walk below re-evaluates plain CTEs
+        # once PER ITERATION (~max-tokens times) — the substr join must
+        # compute exactly once
+        "jumps AS MATERIALIZED (SELECT doc_id, p, p + mlen AS nxt FROM m), "
+        "walk AS (SELECT doc_id, 1 AS p FROM d WHERE length(text) >= 1"
+        " UNION ALL SELECT j.doc_id, j.nxt FROM walk w JOIN jumps j"
+        " ON w.doc_id = j.doc_id AND w.p = j.p) "
+        # the walk's final row lands one past the end of the text: tokens
+        # consumed = rows - 1; zero-length docs emit 0 via the union
+        "SELECT doc_id, CAST(count(*) - 1 AS BIGINT) AS n_tokens_vocab"
+        " FROM walk GROUP BY doc_id "
+        "UNION ALL SELECT doc_id, CAST(0 AS BIGINT) AS n_tokens_vocab"
+        " FROM d WHERE length(text) = 0"
+    )
+
+
+# Multilingual gate fixtures (lowercase, apostrophe-free so they embed in
+# SQL literals verbatim) — one hit-rich sentence per non-English profile.
+_ES_SENT = (
+    "la casa del gobierno es una de las que el pueblo ha construido en la"
+    " ciudad"
+)
+_DE_SENT = (
+    "die geschichte der deutschen sprache und der kultur ist ein teil des"
+    " lebens"
+)
+_FR_SENT = (
+    "le gouvernement de la france est une partie de la culture et les"
+    " personnes qui ont"
+)
+
+
+def _q_lang_id_v2(spark, sf_dir):
+    """Char-trigram profile language ID (Cavnar-Trenkle shape) with a
+    confidence column: every 5th doc keeps its English-ish corpus text and
+    the rest cycle planted Spanish/German/French sentences plus a short
+    ambiguous 'ok' doc (strict-argmax → 'unknown'). The oracle recomputes
+    trigram hits against the same embedded profiles."""
+    from comic_text_detector_spark.functions.textstats import lang_id_ngram
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    t = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 1,
+               F.concat(F.lit(_ES_SENT + " "), did))
+        .when(F.pmod(F.col("doc_id"), F.lit(5)) == 2,
+              F.concat(F.lit(_DE_SENT + " "), did))
+        .when(F.pmod(F.col("doc_id"), F.lit(5)) == 3,
+              F.concat(F.lit(_FR_SENT + " "), did))
+        .when(F.pmod(F.col("doc_id"), F.lit(5)) == 4, F.lit("ok"))
+        .otherwise(F.col("text"))
+    )
+    return lang_id_ngram(docs.select("doc_id", t.alias("text")))
+
+
+def _lang_ngram_oracle() -> str:
+    from comic_text_detector_spark.functions.textstats import LANG_PROFILES
+
+    langs = list(LANG_PROFILES)
+    lists = {
+        lang: "[" + ", ".join("'" + p.replace("'", "''") + "'" for p in prof)
+        + "]"
+        for lang, prof in LANG_PROFILES.items()
+    }
+    hit_cols = ", ".join(
+        f"len(list_filter(g, x -> list_contains({lists[lang]}, x)))"
+        f" AS h_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    nbest = " + ".join(
+        f"CASE WHEN h_{lang} = best THEN 1 ELSE 0 END" for lang in langs
+    )
+    pick = (
+        "CASE "
+        + " ".join(f"WHEN h_{lang} = best THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, CASE doc_id % 5"
+        f" WHEN 1 THEN '{_ES_SENT} ' || doc_id::VARCHAR"
+        f" WHEN 2 THEN '{_DE_SENT} ' || doc_id::VARCHAR"
+        f" WHEN 3 THEN '{_FR_SENT} ' || doc_id::VARCHAR"
+        " WHEN 4 THEN 'ok' ELSE text END AS text FROM documents), "
+        "g0 AS (SELECT doc_id, CASE WHEN length(text) >= 3 THEN"
+        " list_transform(generate_series(1, length(lower(text)) - 2),"
+        " i -> substr(lower(text), i, 3)) ELSE [] END AS g FROM d), "
+        f"h AS (SELECT doc_id, len(g) AS n_grams, {hit_cols} FROM g0), "
+        f"b AS (SELECT *, {best} AS best FROM h), "
+        f"n AS (SELECT *, {nbest} AS n_at_best FROM b) "
+        "SELECT doc_id,"
+        f" CASE WHEN best > 0 AND n_at_best = 1 THEN {pick}"
+        " ELSE 'unknown' END AS lang_ngram,"
+        " CASE WHEN best > 0 AND n_at_best = 1 THEN"
+        " CAST(best AS DOUBLE) / n_grams ELSE 0.0 END AS confidence"
+        " FROM n"
+    )
+
+
+def _q_quality_logit(spark, sf_dir):
+    """Hashing-trick linear quality scorer with the deterministic
+    md5-derived weight vector: the oracle recomputes bucket ids, integer
+    milliweights and the exact bigint sum in DuckDB, matching the final
+    logit bit-for-bit (one IEEE division at the end)."""
+    from comic_text_detector_spark.operators.curation import quality_logit
+
+    return quality_logit(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -1498,6 +1676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_urls": _q_normalize_urls,
         "word_doc_freq": _q_word_doc_freq,
         "robots_filter": _q_robots_filter,
+        "substring_dup_spans": _q_substring_dup_spans,
+        "quality_logit": _q_quality_logit,
+        "token_counts_v2": _q_token_counts_v2,
+        "lang_id_v2": _q_lang_id_v2,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -1777,6 +1959,8 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "minhash_lsh_pairs_md5": _minhash_md5_oracle(),
+        "token_counts_v2": _token_vocab_oracle(),
+        "lang_id_v2": _lang_ngram_oracle(),
         "decontaminate": (
             "WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
             "g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 5 THEN "
@@ -1808,17 +1992,69 @@ def oracle_sql() -> dict[str, str]:
             " doc_id::VARCHAR AS url,"
             " 'w' || (doc_id % 5)::VARCHAR || '.example.org' AS host,"
             " '/p/' || doc_id::VARCHAR AS path FROM documents), "
-            "r(host, prefix, allow) AS (VALUES"
+            "r(host, pat, allow) AS (VALUES"
             " ('w0.example.org', '/p/1', false),"
             " ('w0.example.org', '/p/12', true),"
-            " ('w1.example.org', '/', false)), "
+            " ('w1.example.org', '/', false),"
+            " ('w2.example.org', '/*2$', false),"
+            " ('w2.example.org', '/p/1*', true),"
+            " ('w3.example.org', '/p/*3', false)), "
+            # pattern → regex translation replayed verbatim: strip a
+            # trailing $, escape metachars except *, '*' → '.*', anchor
+            "rt AS (SELECT host, allow,"
+            " CASE WHEN ends_with(pat, '$') THEN"
+            " substr(pat, 1, length(pat)-1) ELSE pat END AS body,"
+            " ends_with(pat, '$') AS anch FROM r), "
+            "rr AS (SELECT host, allow,"
+            " length(replace(body, '*', '')) AS spec,"
+            " '^' || regexp_replace(regexp_replace(body,"
+            r" '([.^$+?(){}\[\]\\|])', '\\\1', 'g'), '\*', '.*', 'g')"
+            " || CASE WHEN anch THEN '$' ELSE '' END AS rx FROM rt), "
             "d AS (SELECT u.doc_id, u.url,"
-            " max(CASE WHEN r.prefix IS NOT NULL AND"
-            " starts_with(u.path, r.prefix) THEN"
-            " {'l': length(r.prefix), 'a': r.allow} END) AS best"
-            " FROM u LEFT JOIN r ON u.host = r.host"
+            " max(CASE WHEN rr.rx IS NOT NULL AND"
+            " regexp_matches(u.path, rr.rx) THEN"
+            " {'l': rr.spec, 'a': rr.allow} END) AS best"
+            " FROM u LEFT JOIN rr ON u.host = rr.host"
             " GROUP BY u.doc_id, u.url) "
             "SELECT doc_id, url FROM d WHERE coalesce(best.a, true)"
+        ),
+        "substring_dup_spans": (
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN"
+            f" text || ' {_DUP_PASSAGE}' ELSE text END AS text"
+            " FROM documents), "
+            "pos AS (SELECT doc_id, unnest(generate_series(1,"
+            " length(text) - 11)) AS p, text FROM d WHERE"
+            " length(text) >= 12), "
+            "g AS (SELECT doc_id, p, md5(substr(text, p, 12)) AS h"
+            " FROM pos), "
+            "freq AS (SELECT h FROM g GROUP BY h"
+            " HAVING count(DISTINCT doc_id) >= 2), "
+            "sh AS (SELECT doc_id, p FROM g JOIN freq USING (h)), "
+            "runs AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER"
+            " (PARTITION BY doc_id ORDER BY p) <= 12 THEN 0 ELSE 1 END"
+            " AS brk FROM sh), "
+            "rid AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id"
+            " ORDER BY p) AS run_id FROM runs), "
+            "spans AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS start_pos,"
+            " CAST(max(p) + 11 AS BIGINT) AS end_pos,"
+            " CAST(count(*) AS BIGINT) AS n_grams"
+            " FROM rid GROUP BY doc_id, run_id) "
+            "SELECT doc_id, start_pos, end_pos,"
+            " end_pos - start_pos + 1 AS span_len, n_grams"
+            " FROM spans WHERE end_pos - start_pos + 1 >= 40"
+        ),
+        "quality_logit": (
+            "WITH w0 AS (SELECT doc_id, unnest(string_split("
+            "coalesce(text,''), ' ')) AS w FROM documents), "
+            "b AS (SELECT doc_id,"
+            " ('0x'||substr(md5(w),1,8))::BIGINT % 262144 AS b"
+            " FROM w0 WHERE w <> ''), "
+            "s AS (SELECT doc_id,"
+            " ('0x'||substr(md5('qw:'||b::VARCHAR),1,8))::BIGINT % 2001"
+            " - 1000 AS wi FROM b) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+            " CAST(sum(wi) AS BIGINT) / 1000.0 AS logit"
+            " FROM s GROUP BY doc_id"
         ),
         "word_doc_freq": (
             "WITH w0 AS (SELECT DISTINCT doc_id, unnest(string_split("
@@ -1838,7 +2074,7 @@ def oracle_sql() -> dict[str, str]:
             "  WHEN 1 THEN '?q=' || doc_id::VARCHAR ||"
             "   '&utm_campaign=yy&gclid=abc'"
             "  WHEN 2 THEN '/#frag'"
-            "  ELSE '?utm_medium=z' END AS url FROM documents), "
+            "  ELSE '?UTM_Source_Platform=z&q2=1' END AS url FROM documents), "
             "n1 AS (SELECT doc_id, url,"
             " regexp_replace(url, '#.*$', '') AS u FROM d), "
             "parts AS (SELECT doc_id, url,"
@@ -1850,7 +2086,7 @@ def oracle_sql() -> dict[str, str]:
             "norm AS (SELECT doc_id, url,"
             " sh, regexp_replace(p, '/$', '') AS p,"
             " regexp_replace(regexp_replace('&' || q,"
-            "  '&(utm_[a-z]+|gclid|fbclid)=[^&]*', '', 'g'), '^&', '') AS q"
+            "  '&(?i:utm_[a-z0-9_]+|gclid|fbclid)=[^&]*', '', 'g'), '^&', '') AS q"
             " FROM parts) "
             "SELECT doc_id, url, sh || p ||"
             " CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url_norm"

@@ -81,6 +81,158 @@ def token_count_regex(text_col: Column) -> Column:
     return F.regexp_count(text_col, F.lit(TOKEN_REGEX)).cast("bigint")
 
 
+# Deterministic mini-vocab for greedy longest-match token accounting
+# (BPE-style merges, embedded so both engines read the same table). Multi-
+# char entries only; any unmatched position falls back to a 1-char token.
+TOKENIZER_VOCAB = (
+    " the", "the", " of", "of ", " and", "and", " to", "to ", " in",
+    "ing ", "ing", "ion", "tion", "ation", " a ", "ed ", "er ", "es ",
+    " is", "is ", " that", "at ", "en ", " for", "or ", " on", "on ",
+    " with", " as", " was", "al ", "ar ", "st ", " re", "nt ", " be",
+    " by", "an ", "it ", " not", "ly ", " this", " are", " or", " from",
+)
+
+
+def token_count_vocab(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Greedy longest-match vocabulary tokenizer count — the LLM-budget
+    token accounting ``token_count_ws``/``token_count_regex`` approximate
+    (whitespace and regex counts undercount/overcount BPE merges). At each
+    position the longest vocab entry starting there is consumed, else one
+    character; the result is (id, n_tokens_vocab).
+
+    Arrow-batched ``mapInPandas`` kernel (greedy scanning is inherently
+    sequential per document — exactly the "genuinely can't express it in
+    built-ins" case for the vectorized-UDF tier). The ORACLE replays it
+    relationally: a per-position jump table (max matching vocab length via
+    a substr-equality join) walked by a recursive CTE; token count =
+    positions visited. Stateless per document → embarrassingly parallel,
+    no shuffle at all at any corpus size."""
+    import pandas as pd
+
+    vs = frozenset(vocab if vocab is not None else TOKENIZER_VOCAB)
+    lengths = sorted({len(v) for v in vs}, reverse=True)
+    id_type = dict(df.dtypes)[id_col]
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, ns = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                t = t or ""
+                p, n = 0, 0
+                while p < len(t):
+                    step = 1
+                    for ln in lengths:
+                        seg = t[p : p + ln]
+                        if len(seg) == ln and seg in vs:
+                            step = ln
+                            break
+                    p += step
+                    n += 1
+                ids.append(i)
+                ns.append(n)
+            yield pd.DataFrame({id_col: ids, "n_tokens_vocab": ns})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} {id_type}, n_tokens_vocab bigint"
+    )
+
+
+# Character-trigram language profiles (Cavnar & Trenkle 1994 "N-Gram-Based
+# Text Categorization" shape): the most characteristic trigrams per
+# language, hand-set and embedded so the SQL oracle reads the same lists.
+LANG_PROFILES = {
+    "en": (
+        " th", "the", "he ", "ing", "ng ", " an", "nd ", "and", " of",
+        "of ", " to", "to ", "ed ", " in", "ion", " is", "is ", "er ",
+        "at ", " wh", " it", "ent",
+    ),
+    "es": (
+        " de", "de ", " la", "la ", "os ", " el", "el ", "ue ", " qu",
+        "que", " en", "en ", "ar ", "ció", "ón ", " es", "ado", " un",
+        "una", " co", "nte", "as ",
+    ),
+    "de": (
+        "der", "ie ", "die", " di", "ein", " ei", "ch ", "sch", " sc",
+        "und", " un", "cht", "ung", "ich", "das", " da", "ber", "gen",
+        "nen", " ge", "eit", "ten",
+    ),
+    "fr": (
+        " le", "le ", "es ", "ent", " et", "et ", " la", "ait", " qu",
+        "que", "ons", " pa", "eur", "aux", " au", "oir", "ais", " un",
+        "une", " ce", "les", " à ",
+    ),
+}
+
+
+def lang_id_ngram(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-n-gram profile language ID with a confidence column — the
+    F23 upgrade over the ``lang_id`` stopword heuristic (which whiffs on
+    short or stopword-poor docs). Counts how many of the doc's lowercase
+    char trigrams hit each language's profile; a STRICT unique argmax
+    wins, ties or zero hits → 'unknown'. confidence = best_hits /
+    n_trigrams (integer counts, ONE IEEE division → engine-exact).
+
+    Pure column expressions: the trigram array materializes once in its
+    own projection (Catalyst does not CSE lambda trees — computing it
+    inline per profile would re-derive it four times), then four
+    size(filter(...)) counts. Zero shuffles; runs inside the scan at any
+    corpus size."""
+    t = F.lower(F.col(text_col))
+    grams = F.when(
+        F.length(t) >= 3,
+        F.expr(
+            f"transform(sequence(1, length(lower({text_col})) - 2),"
+            f" i -> substring(lower({text_col}), i, 3))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col).alias("id"), grams.alias("g"))
+
+    # factory, NOT a defaulted 2-param lambda: pyspark dispatches a
+    # two-parameter lambda as (element, index) and scrambles the closure
+    def _in_profile(prof):
+        arr = F.array(*[F.lit(p) for p in prof])
+        return lambda x: F.array_contains(arr, x)
+
+    hits = g.select(
+        "id",
+        F.size("g").alias("n_grams"),
+        *[
+            F.size(F.filter(F.col("g"), _in_profile(prof))).alias(f"h_{lang}")
+            for lang, prof in LANG_PROFILES.items()
+        ],
+    )
+    langs = list(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"h_{lang}") for lang in langs])
+    n_at_best = sum(
+        F.when(F.col(f"h_{lang}") == best, 1).otherwise(0) for lang in langs
+    )
+    pick = None
+    for lang in langs:
+        cond = F.col(f"h_{lang}") == best
+        pick = F.when(cond, F.lit(lang)) if pick is None else pick.when(
+            cond, F.lit(lang)
+        )
+    return hits.select(
+        F.col("id").alias(id_col),
+        F.when((best > 0) & (n_at_best == 1), pick)
+        .otherwise(F.lit("unknown"))
+        .alias("lang_ngram"),
+        F.when(
+            (best > 0) & (n_at_best == 1),
+            best.cast("double") / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("confidence"),
+    )
+
+
 def kgram_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, select_nibble: str = "0"
 ) -> DataFrame:

@@ -1,0 +1,82 @@
+"""Planted-truth tests for the round-3 text-analysis additions: greedy
+vocab tokenizer and char-n-gram language ID."""
+
+from pyspark.sql import functions as F
+
+
+def test_token_count_vocab_known_merges(spark):
+    """Greedy longest-match with a hand vocab whose merge behavior is
+    known: 'theater' → 'the'+'at'+'er' (3), not 4 ('the' wins over a
+    1-char fallback, then 'at', then 'er'); longest match wins where
+    vocab entries nest."""
+    from comic_text_detector_spark.functions.textstats import (
+        token_count_vocab,
+    )
+
+    vocab = ("the", "theat", "er", "at", "ion", "tion", "st", " th", "ory")
+    df = spark.createDataFrame(
+        [
+            (1, "theater"),   # theat(5) + er = 2 (longest-match beats the)
+            (2, "nation"),    # n + at + ion = 3
+            (3, "station"),   # st + at + ion = 3
+            (4, "x"),         # 1-char fallback
+            (5, ""),          # empty → 0
+            (6, None),        # null → 0 (treated as '')
+            (7, "the theory"),  # the + ' th'? greedy: the,' th',e,ory = 4
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.n_tokens_vocab
+        for r in token_count_vocab(df, vocab=vocab).collect()
+    }
+    assert got == {1: 2, 2: 3, 3: 3, 4: 1, 5: 0, 6: 0, 7: 4}
+
+
+def test_token_count_vocab_default_deterministic(spark):
+    from comic_text_detector_spark.functions.textstats import (
+        token_count_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the station mat " * 3)],
+        "doc_id bigint, text string",
+    )
+    a = token_count_vocab(df).collect()[0].n_tokens_vocab
+    b = token_count_vocab(df.repartition(4)).collect()[0].n_tokens_vocab
+    assert a == b and 0 < a < len("the cat sat on the station mat " * 3)
+
+
+def test_lang_id_ngram_planted(spark):
+    from comic_text_detector_spark.functions.textstats import lang_id_ngram
+
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat is sitting in the house and the dog is there"),
+            ("es", "la casa del gobierno es una de las que el pueblo ha"
+                   " construido en la ciudad"),
+            ("de", "die geschichte der deutschen sprache und der kultur ist"
+                   " ein teil des lebens"),
+            ("fr", "le gouvernement de la france est une partie de la"
+                   " culture et les personnes qui ont"),
+            ("short", "ok"),          # < 3 chars of trigrams → unknown
+            ("empty", ""),
+            ("null", None),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r for r in lang_id_ngram(df).collect()}
+    assert got["en"].lang_ngram == "en" and got["en"].confidence > 0.2
+    assert got["es"].lang_ngram == "es"
+    assert got["de"].lang_ngram == "de"
+    assert got["fr"].lang_ngram == "fr"
+    for k in ("short", "empty", "null"):
+        assert got[k].lang_ngram == "unknown" and got[k].confidence == 0.0
+
+    # the old stopword heuristic whiffs on short stopword-poor docs; the
+    # n-gram profile still resolves clearly profiled text
+    mixed = spark.createDataFrame(
+        [("x", "die sprache und die geschichte")],
+        "doc_id string, text string",
+    )
+    assert lang_id_ngram(mixed).collect()[0].lang_ngram == "de"
