@@ -1502,6 +1502,56 @@ def _q_substring_dup_spans(spark, sf_dir):
     return substring_dup_spans(planted, k=12, min_len=40)
 
 
+# Shared CTE prefix for the substring-dedup oracles: planted passage →
+# 12-gram md5 fingerprints → cross-doc frequency → islands → spans.
+_SUBSTR_SPANS_CTES = (
+    "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN"
+    " text || ' {passage}' ELSE text END AS text"
+    " FROM documents), "
+    "pos AS (SELECT doc_id, unnest(generate_series(1,"
+    " length(text) - 11)) AS p, text FROM d WHERE"
+    " length(text) >= 12), "
+    "g AS (SELECT doc_id, p, md5(substr(text, p, 12)) AS h"
+    " FROM pos), "
+    "freq AS (SELECT h FROM g GROUP BY h"
+    " HAVING count(DISTINCT doc_id) >= 2), "
+    "sh AS (SELECT doc_id, p FROM g JOIN freq USING (h)), "
+    "runs AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER"
+    " (PARTITION BY doc_id ORDER BY p) <= 12 THEN 0 ELSE 1 END"
+    " AS brk FROM sh), "
+    "rid AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id"
+    " ORDER BY p) AS run_id FROM runs), "
+    "spans AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS start_pos,"
+    " CAST(max(p) + 11 AS BIGINT) AS end_pos,"
+    " CAST(count(*) AS BIGINT) AS n_grams"
+    " FROM rid GROUP BY doc_id, run_id)"
+)
+
+
+def _q_substring_dup_cut(spark, sf_dir):
+    """Find-then-CUT: the planted-passage corpus runs through
+    substring_dup_spans and cut_spans deletes the flagged ranges — the
+    full Lee et al. 2022 recipe end to end. The oracle recomputes the
+    spans AND re-stitches the kept characters per doc."""
+    from comic_text_detector_spark.operators.curation import (
+        cut_spans,
+        substring_dup_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _DUP_PASSAGE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sp = substring_dup_spans(planted, k=12, min_len=40)
+    return cut_spans(planted, sp)
+
+
 def _q_token_counts_v2(spark, sf_dir):
     """Greedy longest-match vocab tokenizer (BPE-style accounting) over the
     embedded deterministic mini-vocab. The oracle replays the greedy scan
@@ -1677,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_doc_freq": _q_word_doc_freq,
         "robots_filter": _q_robots_filter,
         "substring_dup_spans": _q_substring_dup_spans,
+        "substring_dup_cut": _q_substring_dup_cut,
         "quality_logit": _q_quality_logit,
         "token_counts_v2": _q_token_counts_v2,
         "lang_id_v2": _q_lang_id_v2,
@@ -2019,29 +2070,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, url FROM d WHERE coalesce(best.a, true)"
         ),
         "substring_dup_spans": (
-            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN"
-            f" text || ' {_DUP_PASSAGE}' ELSE text END AS text"
-            " FROM documents), "
-            "pos AS (SELECT doc_id, unnest(generate_series(1,"
-            " length(text) - 11)) AS p, text FROM d WHERE"
-            " length(text) >= 12), "
-            "g AS (SELECT doc_id, p, md5(substr(text, p, 12)) AS h"
-            " FROM pos), "
-            "freq AS (SELECT h FROM g GROUP BY h"
-            " HAVING count(DISTINCT doc_id) >= 2), "
-            "sh AS (SELECT doc_id, p FROM g JOIN freq USING (h)), "
-            "runs AS (SELECT doc_id, p, CASE WHEN p - lag(p) OVER"
-            " (PARTITION BY doc_id ORDER BY p) <= 12 THEN 0 ELSE 1 END"
-            " AS brk FROM sh), "
-            "rid AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id"
-            " ORDER BY p) AS run_id FROM runs), "
-            "spans AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS start_pos,"
-            " CAST(max(p) + 11 AS BIGINT) AS end_pos,"
-            " CAST(count(*) AS BIGINT) AS n_grams"
-            " FROM rid GROUP BY doc_id, run_id) "
-            "SELECT doc_id, start_pos, end_pos,"
+            _SUBSTR_SPANS_CTES.format(passage=_DUP_PASSAGE)
+            + " SELECT doc_id, start_pos, end_pos,"
             " end_pos - start_pos + 1 AS span_len, n_grams"
             " FROM spans WHERE end_pos - start_pos + 1 >= 40"
+        ),
+        "substring_dup_cut": (
+            _SUBSTR_SPANS_CTES.format(passage=_DUP_PASSAGE)
+            + ", fs AS (SELECT doc_id, start_pos, end_pos FROM spans"
+            " WHERE end_pos - start_pos + 1 >= 40), "
+            "ch AS (SELECT doc_id, unnest(generate_series(1,"
+            " length(text))) AS p, text FROM d), "
+            "kept AS (SELECT c.doc_id, c.p, substr(c.text, c.p, 1) AS c"
+            " FROM ch c ANTI JOIN fs ON c.doc_id = fs.doc_id"
+            " AND c.p BETWEEN fs.start_pos AND fs.end_pos), "
+            "agg AS (SELECT doc_id, string_agg(c, '' ORDER BY p)"
+            " AS text_cut FROM kept GROUP BY doc_id), "
+            "cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n"
+            " FROM fs GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(a.text_cut, '') AS text_cut,"
+            " coalesce(c.n, 0) AS n_cut_spans,"
+            " length(d.text) - length(coalesce(a.text_cut, ''))"
+            " AS n_chars_cut"
+            " FROM d LEFT JOIN agg a USING (doc_id)"
+            " LEFT JOIN cnt c USING (doc_id)"
         ),
         "quality_logit": (
             "WITH w0 AS (SELECT doc_id, unnest(string_split("

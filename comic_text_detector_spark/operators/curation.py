@@ -434,6 +434,95 @@ def substring_dup_spans(
     )
 
 
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_col: str = "start_pos",
+    end_col: str = "end_pos",
+) -> DataFrame:
+    """Apply ``substring_dup_spans`` output: delete each doc's flagged
+    [start_pos, end_pos] character ranges (1-based inclusive) and return
+    (id, text_cut, n_cut_spans, n_chars_cut) — the second half of the Lee
+    et al. 2022 recipe (find the duplicated passages, then CUT them rather
+    than drop whole documents).
+
+    Pure column exprs: spans collect per doc into a sorted array (bounded:
+    spans per doc, not corpus-wide) and one ``aggregate`` fold stitches
+    the kept segments with ``substr`` — no UDF, no explode of characters.
+    Overlapping or out-of-order spans degrade gracefully (the fold clamps
+    to the running cursor). Docs without spans pass through untouched via
+    the left join (no row is lost).
+
+    Survivor policy: ``substring_dup_spans`` flags EVERY occurrence (its
+    doc-frequency test is symmetric), so cutting removes the passage from
+    all copies. To keep one canonical copy instead, filter the spans
+    frame before calling (e.g. exempt the doc with the smallest
+    ``md5_long(id)`` among each bucket's members) — policy belongs to the
+    caller, not the operator.
+    """
+    sp = spans.groupBy(F.col(id_col).alias("id")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(start_col).cast("long").alias("s"),
+                    F.col(end_col).cast("long").alias("e"),
+                )
+            )
+        ).alias("sp")
+    )
+    j = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).join(
+        sp, "id", "left"
+    )
+    acc0 = F.struct(
+        F.lit(1).cast("long").alias("pos"), F.lit("").alias("out")
+    )
+
+    def step(acc, s):
+        start = F.greatest(s["s"], acc["pos"])
+        return F.struct(
+            F.greatest(s["e"] + 1, acc["pos"]).alias("pos"),
+            F.concat(
+                acc["out"],
+                F.col("t").substr(
+                    acc["pos"],
+                    F.greatest(F.lit(0).cast("long"), start - acc["pos"]),
+                ),
+            ).alias("out"),
+        )
+
+    def fin(acc):
+        return F.concat(
+            acc["out"],
+            F.col("t").substr(
+                acc["pos"],
+                F.greatest(
+                    F.lit(0).cast("long"), F.length("t") - acc["pos"] + 1
+                ),
+            ),
+        )
+
+    # two projections so the fold evaluates ONCE (Catalyst does not CSE
+    # lambda trees; referencing the cut column from a child Project does)
+    stitched = j.select(
+        "id",
+        "t",
+        "sp",
+        F.when(F.col("sp").isNull(), F.col("t"))
+        .otherwise(F.aggregate(F.col("sp"), acc0, step, fin))
+        .alias("text_cut"),
+    )
+    return stitched.select(
+        F.col("id").alias(id_col),
+        "text_cut",
+        F.coalesce(F.size("sp"), F.lit(0)).cast("bigint").alias("n_cut_spans"),
+        (F.length("t") - F.length("text_cut"))
+        .cast("bigint")
+        .alias("n_chars_cut"),
+    )
+
+
 def quality_logit(
     df: DataFrame,
     id_col: str = "doc_id",

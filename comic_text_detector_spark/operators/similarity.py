@@ -212,6 +212,8 @@ def kmeans_centroids(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_rate: float | None = None,
+    sample_salt: str = "kmeans",
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means for the IVF coarse quantizer.
 
@@ -223,8 +225,22 @@ def kmeans_centroids(
     the driver — the collect is the coarse-quantizer handoff, not a data
     move. Float means are engine-order dependent in the last bits, so IVF
     results are rows-only checked (recall-vs-bruteforce in tests), same as
-    the SRP path."""
+    the SRP path.
+
+    ``sample_rate`` trains on a deterministic ``hash_uniform`` subsample
+    of the corpus (same md5 arithmetic as ``hash_sample``, so the training
+    set — and therefore the quantizer — is reproducible across runs and
+    repartitioning). THIS is the 100 TB path: a coarse quantizer needs
+    only enough vectors to place k centroids (10^5-10^6 rows), so every
+    training iteration scans the sample, never the corpus; only the
+    one assignment pass in ``ivf_topk`` touches the full data. Without it
+    each Lloyd iteration is a full-corpus scan — fine at test scale,
+    wasteful beyond it."""
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if sample_rate is not None:
+        from .curation import hash_uniform
+
+        c = c.filter(hash_uniform(F.col("id"), sample_salt) < F.lit(sample_rate))
     init = (
         c.orderBy(F.pmod(F.xxhash64("id"), F.lit(1 << 31)), F.col("id"))
         .limit(k)
@@ -264,6 +280,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    train_sample_rate: float | None = None,
 ) -> DataFrame:
     """IVF ANN — the coarse-quantizer scale path next to ``lsh_bucket_topk``:
     k-means centroids partition the corpus into inverted lists (one
@@ -274,12 +291,17 @@ def ivf_topk(
 
     ``centroids`` overrides the trained quantizer with a fixed one (e.g.
     ``hash_centroids`` for the oracle-checkable variant, or a quantizer
-    trained offline on a sample — the standard move at 100 TB, where you
-    never re-train per job)."""
+    trained offline — the standard move at 100 TB, where you never
+    re-train per job). ``train_sample_rate`` trains in-job but on a
+    deterministic hash subsample, so the Lloyd iterations scan a fraction
+    of the corpus (see ``kmeans_centroids``)."""
     cents_list = (
         centroids
         if centroids is not None
-        else kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col)
+        else kmeans_centroids(
+            corpus, n_centroids, iters, id_col, vec_col,
+            sample_rate=train_sample_rate,
+        )
     )
     cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents_list])
     c = corpus.select(

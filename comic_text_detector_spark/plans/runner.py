@@ -300,6 +300,109 @@ def run_extract(
     }
 
 
+def run_extract_incremental(
+    spark: SparkSession,
+    documents: DataFrame,
+    output_dir: str,
+    snapshot_id: str,
+    ts_col: str = "warc_ts",
+    **run_kwargs,
+) -> dict:
+    """Incremental (recrawl) ingestion on top of the resumable runner:
+    each snapshot processes ONLY captures newer than the committed
+    watermark — the real workflow for a crawl table that keeps appending.
+
+    Layout: ``output_dir/snapshots/<snapshot_id>/`` is a full,
+    independently resumable ``run_extract`` output;
+    ``output_dir/_watermark.json`` records the committed watermark (in
+    epoch microseconds) plus the snapshot commit order, and advances ONLY
+    after the whole increment commits.
+
+    Crash-safety: the increment's UPPER ts bound is pinned into
+    ``<snap_dir>/_pending.json`` the first time the snapshot is entered,
+    so a crash → table grows → rerun sequence re-enters the SAME bounded
+    increment (old_watermark, pinned_max] and run_extract's per-partition
+    checkpoint resumes it; rows that arrived after the pin wait for the
+    next snapshot instead of slipping between a fresh max() and the
+    already-written staging (which would lose them). Re-running a
+    committed snapshot_id is a no-op. Input contract: the table is
+    append-only for rows at or below the pinned bound (what a WARC
+    capture log satisfies by construction).
+    """
+    import json
+
+    wm_path = os.path.join(output_dir, "_watermark.json")
+    state = {"watermark_us": None, "snapshots": []}
+    if os.path.exists(wm_path):
+        with open(wm_path) as f:
+            state = json.load(f)
+    if snapshot_id in [s["snapshot_id"] for s in state["snapshots"]]:
+        return {"snapshot_id": snapshot_id, "skipped": "already_committed"}
+
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    docs = documents
+    if state["watermark_us"] is not None:
+        docs = docs.filter(ts_us > F.lit(state["watermark_us"]))
+
+    snap_dir = os.path.join(output_dir, "snapshots", snapshot_id)
+    pending_path = os.path.join(snap_dir, "_pending.json")
+    if os.path.exists(pending_path):
+        with open(pending_path) as f:
+            mx = json.load(f)["watermark_us"]
+    else:
+        mx = docs.agg(F.max(ts_us).alias("m")).collect()[0].m
+        if mx is None:
+            return {"snapshot_id": snapshot_id, "skipped": "no_new_captures"}
+        os.makedirs(snap_dir, exist_ok=True)
+        with open(pending_path, "w") as f:
+            json.dump({"watermark_us": int(mx)}, f)
+    docs = docs.filter(ts_us <= F.lit(mx))
+
+    summary = run_extract(
+        spark, docs, snap_dir, run_id=snapshot_id, **run_kwargs
+    )
+    state["snapshots"].append(
+        {"snapshot_id": snapshot_id, "watermark_us": int(mx)}
+    )
+    state["watermark_us"] = max(int(mx), state["watermark_us"] or 0)
+    tmp = wm_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, wm_path)  # single-file atomic commit of the watermark
+    summary["snapshot_id"] = snapshot_id
+    summary["new_watermark_us"] = int(mx)
+    return summary
+
+
+def read_extracted_latest(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Read side of incremental mode: union committed snapshots and keep
+    each url's NEWEST snapshot row (recaptures supersede older extractions
+    — the cross-increment analog of the in-run as-of dedup)."""
+    import json
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    wm_path = os.path.join(output_dir, "_watermark.json")
+    with open(wm_path) as f:
+        state = json.load(f)
+    if not state["snapshots"]:
+        raise ValueError(f"no committed snapshots under {output_dir}")
+    dfs = [
+        read_extracted(
+            spark, os.path.join(output_dir, "snapshots", s["snapshot_id"])
+        ).withColumn("__seq", F.lit(seq))
+        for seq, s in enumerate(state["snapshots"])
+    ]
+    merged = reduce(lambda a, b: a.unionByName(b), dfs)
+    w = Window.partitionBy("url").orderBy(F.col("__seq").desc())
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__seq", "__rn")
+    )
+
+
 def read_extracted(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(output_dir, "extracted")).select(
         "url", "text", "spans"

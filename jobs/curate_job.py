@@ -49,6 +49,15 @@ def main(argv: list[str], spark=None) -> int:
         help="if > 0, drop lines occurring in more than this many docs "
         "(CCNet-style boilerplate removal) before the quality floor",
     )
+    p.add_argument(
+        "--cut-dup-spans",
+        action="store_true",
+        help="find cross-document verbatim passages (substring_dup_spans) "
+        "and CUT them from every doc (Lee et al. 2022 span-level dedup) "
+        "after line-level dedup",
+    )
+    p.add_argument("--dup-k", type=int, default=20)
+    p.add_argument("--dup-min-len", type=int, default=50)
     p.add_argument("--ngram", type=int, default=5)
     p.add_argument("--id-col", default="url")
     p.add_argument("--text-col", default="text")
@@ -103,6 +112,26 @@ def main(argv: list[str], spark=None) -> int:
         clean = clean.drop(args.text_col, "n_lines_in", "n_lines_kept").join(
             deduped, args.id_col
         )
+
+    # optional stage 1c: span-level exact-substring dedup — find cross-doc
+    # verbatim passages and cut them (n_cut_spans/n_chars_cut become audit
+    # columns; pre-existing ones from a re-curation are dropped first)
+    if args.cut_dup_spans:
+        from comic_text_detector_spark.operators.curation import (
+            cut_spans,
+            substring_dup_spans,
+        )
+
+        sp = substring_dup_spans(
+            clean, args.id_col, args.text_col,
+            k=args.dup_k, min_len=args.dup_min_len,
+        )
+        cut = cut_spans(clean, sp, args.id_col, args.text_col).withColumnRenamed(
+            "text_cut", args.text_col
+        )
+        clean = clean.drop(
+            args.text_col, "n_cut_spans", "n_chars_cut"
+        ).join(cut, args.id_col)
 
     # stage 2 + 3 fuse into one zero-exchange scan: quality floor, then the
     # deterministic per-language mixture sample

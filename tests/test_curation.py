@@ -265,14 +265,19 @@ def test_curate_job_recurate(spark, tmp_path):
     spark.createDataFrame([("zz qq ww rr tt",)], "text string").write.parquet(bench)
 
     args = ["--benchmark", bench, "--rates", '{"en": 1.0}',
-            "--max-line-doc-freq", "2"]
+            "--max-line-doc-freq", "2", "--cut-dup-spans",
+            "--dup-k", "12", "--dup-min-len", "40"]
     out1 = str(tmp_path / "out1")
     assert curate_job.main(
         ["--input", corpus, "--output", out1] + args, spark=spark
     ) == 0
     first = spark.read.parquet(f"{out1}/curated")
     assert first.columns.count("n_lines_in") == 1
+    assert first.columns.count("n_cut_spans") == 1
     assert first.count() == 6
+    # the cross-doc verbatim 'real text ...' run was cut from every doc
+    assert all("real text real text real text" not in r.text
+               for r in first.collect())
 
     out2 = str(tmp_path / "out2")
     assert curate_job.main(
@@ -359,3 +364,52 @@ def test_quality_logit_planted(spark):
         for r in quality_logit(df.repartition(3)).collect()
     }
     assert d1 == d2 and set(d1) == {"pos", "neg", "mix"}
+
+
+def test_cut_spans_apply(spark):
+    """cut_spans removes exactly the flagged ranges, stitches the rest in
+    order, passes span-less docs through, and degrades gracefully on
+    overlapping spans."""
+    from comic_text_detector_spark.operators.curation import cut_spans
+
+    df = spark.createDataFrame(
+        [("a", "0123456789abcdefghij"), ("b", "no spans here")],
+        "doc_id string, text string",
+    )
+    spans = spark.createDataFrame(
+        [("a", 3, 5), ("a", 9, 12)],
+        "doc_id string, start_pos long, end_pos long",
+    )
+    got = {r.doc_id: r for r in cut_spans(df, spans).collect()}
+    t = "0123456789abcdefghij"
+    assert got["a"].text_cut == t[:2] + t[5:8] + t[12:]
+    assert got["a"].n_cut_spans == 2 and got["a"].n_chars_cut == 7
+    assert got["b"].text_cut == "no spans here" and got["b"].n_cut_spans == 0
+
+    # overlap clamps to the cursor instead of double-cutting
+    over = spark.createDataFrame(
+        [("a", 3, 8), ("a", 6, 10)],
+        "doc_id string, start_pos long, end_pos long",
+    )
+    got2 = cut_spans(df, over).collect()
+    ga = [r for r in got2 if r.doc_id == "a"][0]
+    assert ga.text_cut == t[:2] + t[10:]
+    assert ga.n_chars_cut == 8
+
+    # end-to-end with substring_dup_spans: planted passage disappears
+    from comic_text_detector_spark.operators.curation import (
+        substring_dup_spans,
+    )
+
+    shared = "SHARED" * 5
+    corpus = spark.createDataFrame(
+        [
+            ("x", "unique intro here " + shared + " unique tail"),
+            ("y", "other start text " + shared + " other endings"),
+        ],
+        "doc_id string, text string",
+    )
+    sp = substring_dup_spans(corpus, k=10, min_len=20)
+    cut = {r.doc_id: r.text_cut for r in cut_spans(corpus, sp).collect()}
+    assert "SHARED" not in cut["x"] and "SHARED" not in cut["y"]
+    assert cut["x"].startswith("unique intro here") and cut["x"].endswith("unique tail")

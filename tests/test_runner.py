@@ -126,3 +126,69 @@ def test_resume_partial_partition_visibility(spark, tmp_path):
     extracted = read_extracted(spark, out)
     assert extracted.count() == n_urls
     assert extracted.select("url").distinct().count() == n_urls
+
+
+def test_incremental_snapshots_watermark(spark, tmp_path):
+    """Incremental recrawl mode: a second snapshot processes ONLY captures
+    past the committed watermark; recaptures supersede on the read side;
+    committed/empty snapshots are no-ops."""
+    from comic_text_detector_spark.fixtures import wrap_html_expr
+    from comic_text_detector_spark.plans.runner import (
+        read_extracted_latest,
+        read_metrics,
+        run_extract_incremental,
+    )
+
+    out = str(tmp_path / "inc")
+    kw = dict(num_partitions=8, num_chunks=2)
+    docs1 = corpus_df(spark, 40)
+    n_urls1 = docs1.select("url").distinct().count()
+
+    s1 = run_extract_incremental(spark, docs1, out, "snap1", **kw)
+    assert s1["chunks_run"] == 2
+    assert read_extracted_latest(spark, out).count() == n_urls1
+
+    # the crawl table grows: 10 brand-new urls + 1 recapture of an old url
+    new_rows = spark.range(10).select(
+        F.concat(F.lit("https://newhost.example/"), F.col("id")).alias("url"),
+        (
+            F.lit("2026-02-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("id").cast("double"))
+        ).alias("warc_ts"),
+        wrap_html_expr(
+            F.concat(F.lit("brand new document number "), F.col("id"))
+        ).cast("binary").alias("html"),
+        F.concat(F.lit("brand new document number "), F.col("id")).alias("text"),
+        F.lit("eng").alias("lang"),
+    )
+    recap_url = docs1.orderBy("url").first().url
+    recap = spark.range(1).select(
+        F.lit(recap_url).alias("url"),
+        F.lit("2026-03-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        wrap_html_expr(F.lit("fresh recapture content that is long enough"))
+        .cast("binary")
+        .alias("html"),
+        F.lit("fresh recapture content that is long enough").alias("text"),
+        F.lit("eng").alias("lang"),
+    )
+    table2 = docs1.unionByName(new_rows).unionByName(recap)
+
+    s2 = run_extract_incremental(spark, table2, out, "snap2", **kw)
+    assert s2["chunks_run"] >= 1
+    # only the 11 new captures were processed in snapshot 2
+    snap2_metrics = read_metrics(spark, out + "/snapshots/snap2")
+    docs_in = snap2_metrics.agg(F.sum("docs_in")).collect()[0][0]
+    assert docs_in == 11
+
+    latest = read_extracted_latest(spark, out)
+    assert latest.count() == n_urls1 + 10
+    got = latest.filter(F.col("url") == recap_url).collect()[0].text
+    assert got == "fresh recapture content that is long enough"
+
+    # committed snapshot → no-op; unchanged table → no new captures
+    assert run_extract_incremental(spark, table2, out, "snap2", **kw)[
+        "skipped"
+    ] == "already_committed"
+    assert run_extract_incremental(spark, table2, out, "snap3", **kw)[
+        "skipped"
+    ] == "no_new_captures"

@@ -81,3 +81,37 @@ def test_ivf_recall_against_bruteforce(spark):
     for r in ivf_topk(emb, q.limit(3), k=3, n_centroids=8, nprobe=4, iters=2).collect():
         ranks.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
+def test_ivf_sample_trained_recall_and_determinism(spark):
+    """100 TB path: the quantizer trains on a deterministic hash subsample
+    (Lloyd iterations never scan the full corpus); recall holds and the
+    trained centroids are invariant under repartitioning."""
+    from comic_text_detector_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    q = emb.filter(F.col("vec_id") < 15)
+    truth = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            emb, q, k=5, n_centroids=8, nprobe=4, iters=3,
+            train_sample_rate=0.5,
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.7, recall
+
+    c1 = kmeans_centroids(emb, k=4, iters=2, sample_rate=0.5)
+    c2 = kmeans_centroids(emb.repartition(5), k=4, iters=2, sample_rate=0.5)
+    assert c1 == c2
+    # the sample really is a strict subset of the corpus
+    from comic_text_detector_spark.operators.curation import hash_uniform
+    n_all = emb.count()
+    n_train = emb.filter(
+        hash_uniform(F.col("vec_id"), "kmeans") < F.lit(0.5)
+    ).count()
+    assert 0 < n_train < n_all

@@ -46,6 +46,17 @@ def _bucketed_lookup(spark, wrapped):
     return read_url(spark, tbl, target)
 
 
+def _kmeans_training_frame(spark):
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.operators.curation import hash_uniform
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    return emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    ).filter(hash_uniform(F.col("id"), "kmeans") < F.lit(0.1))
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -123,6 +134,49 @@ def main() -> None:
             "Full training-data pipeline in one plan: the Arrow extraction "
             "stage feeds JVM-side quality/lang/token exprs and the dedup "
             "aggregate; the only exchange is the final groupBy key.",
+        ),
+        (
+            "line_freq_dedup (boilerplate join-back)",
+            e._q_line_freq_dedup(spark, sf),
+            "Round-3 hardening: the join-back's build side is the VIOLATOR "
+            "lines only (df > max_doc_freq) and broadcast — "
+            "BroadcastHashJoin, so the Zipf-skewed line-hash key "
+            "('subscribe now' in every doc) can never skew a sort-merge "
+            "join; the probe side streams with no exchange of its own.",
+        ),
+        (
+            "word_doc_freq (vocabulary join-back)",
+            e._q_word_doc_freq(spark, sf),
+            "Same hardening: the vocabulary-sized frequency table "
+            "broadcasts (BroadcastHashJoin) — the word key is Zipf-skewed "
+            "('the' joins once per document) and must never be a "
+            "shuffled-join build side at scale.",
+        ),
+        (
+            "substring_dup_spans",
+            e._q_substring_dup_spans(spark, sf),
+            "Span-level exact-substring dedup: two scan+explode passes "
+            "(frequency groupBy with map-side partial agg, then the keyed "
+            "join-back on the gram hash) and ONE per-doc window for run "
+            "assembly. No all-pairs anywhere — a suffix-array formulation "
+            "would need a global sort; this is the linear bucketed shape.",
+        ),
+        (
+            "quality_logit",
+            e._q_quality_logit(spark, sf),
+            "Hashing-trick classifier: explode → pure column arithmetic → "
+            "one partial-aggregated groupBy. NO join and no vocabulary "
+            "table at any corpus size — that is the point of the hashing "
+            "trick.",
+        ),
+        (
+            "kmeans training scan (sample-trained IVF)",
+            _kmeans_training_frame(spark),
+            "kmeans_centroids(sample_rate=...): every Lloyd iteration "
+            "scans only rows passing the deterministic hash_uniform "
+            "filter (visible as the Filter over the scan) — at 100 TB the "
+            "quantizer trains on ~10^5 vectors while only the single "
+            "assignment pass in ivf_topk touches the full corpus.",
         ),
     ]
     out = [
