@@ -2088,10 +2088,13 @@ def oracle_sql() -> dict[str, str]:
             " AS text_cut FROM kept GROUP BY doc_id), "
             "cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n"
             " FROM fs GROUP BY doc_id) "
-            "SELECT d.doc_id, coalesce(a.text_cut, '') AS text_cut,"
+            # null text must stay NULL (cut_spans passes it through);
+            # coalesce('') is only for docs whose every char was cut
+            "SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL"
+            " ELSE coalesce(a.text_cut, '') END AS text_cut,"
             " coalesce(c.n, 0) AS n_cut_spans,"
-            " length(d.text) - length(coalesce(a.text_cut, ''))"
-            " AS n_chars_cut"
+            " length(d.text) - length(CASE WHEN d.text IS NULL THEN NULL"
+            " ELSE coalesce(a.text_cut, '') END) AS n_chars_cut"
             " FROM d LEFT JOIN agg a USING (doc_id)"
             " LEFT JOIN cnt c USING (doc_id)"
         ),

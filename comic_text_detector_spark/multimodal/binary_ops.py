@@ -145,7 +145,10 @@ def parse_image_meta(data: bytes) -> tuple[str, int, int, int] | None:
         if dib == 12:  # OS/2 BITMAPCOREHEADER: 16-bit unsigned dims
             w = int.from_bytes(data[18:20], "little")
             h = int.from_bytes(data[20:22], "little")
-        elif dib in (40, 52, 56, 64, 108, 124):  # BITMAPINFOHEADER family
+        elif 16 <= dib <= 64 or dib in (108, 124):
+            # BITMAPINFOHEADER family + OS/2 2.x headers (any declared
+            # size 16..64 is a valid truncated/extended OS22XBITMAPHEADER)
+            # — all keep 32-bit dims at offsets 18/22
             if len(data) < 26:
                 return None
             w = int.from_bytes(data[18:22], "little", signed=True)

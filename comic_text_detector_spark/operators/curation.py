@@ -548,10 +548,14 @@ def quality_logit(
     are absent from the output (a score for nothing is meaningless;
     callers decide their fate, same contract as word_doc_freq_score).
 
-    Shape: explode → pure column arithmetic → one groupBy(doc) with
-    map-side partial agg. No joins, no UDF, no vocabulary table at all —
-    the hashing trick exists precisely so the 100 TB path carries no
-    dictionary."""
+    Shape (default weights): explode → pure column arithmetic → one
+    groupBy(doc) with map-side partial agg — no joins, no UDF, no
+    vocabulary table at all; the hashing trick exists precisely so the
+    100 TB path carries no dictionary. A TRAINED ``weights`` dict becomes
+    a broadcast left join against a (bucket, milliweight) frame — a real
+    fastText-shape model has 10^4-10^6 nonzero buckets, far past what a
+    chained CASE expression tolerates (quadratic Catalyst analysis, per-
+    row linear evaluation), while a model-sized broadcast is trivial."""
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("w"),
@@ -562,17 +566,20 @@ def quality_logit(
             md5_long(F.concat_ws(":", F.lit(salt), b.cast("string"))) % 2001
             - 1000
         )
+        scored = words.select("id", wi.alias("wi"))
+    elif not weights:  # explicit all-zero model: every token weighs 0
+        scored = words.select("id", F.lit(0).cast("long").alias("wi"))
     else:
-        expr = None
-        for bucket, mw in sorted(weights.items()):
-            cond = b == F.lit(bucket)
-            expr = F.when(cond, F.lit(mw)) if expr is None else expr.when(
-                cond, F.lit(mw)
-            )
-        wi = expr.otherwise(F.lit(0)).cast("long")
+        wdf = df.sparkSession.createDataFrame(
+            sorted(weights.items()), "b long, mw long"
+        )
+        scored = (
+            words.select("id", b.cast("long").alias("b"))
+            .join(F.broadcast(wdf), "b", "left")
+            .select("id", F.coalesce(F.col("mw"), F.lit(0)).alias("wi"))
+        )
     return (
-        words.select("id", wi.alias("wi"))
-        .groupBy("id")
+        scored.groupBy("id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
             (F.sum("wi") / F.lit(1000.0)).alias("logit"),

@@ -246,6 +246,19 @@ def kmeans_centroids(
         .limit(k)
         .collect()
     )
+    if len(init) < k:
+        # fail fast: with < k seed vectors the quantizer would silently
+        # assign null list ids downstream and every query would return an
+        # empty top-k — a wrong answer, not an error
+        raise ValueError(
+            f"k-means needs at least k={k} training vectors, got "
+            f"{len(init)}"
+            + (
+                f" (sample_rate={sample_rate} too low for this corpus)"
+                if sample_rate is not None
+                else ""
+            )
+        )
     centroids = [[float(x) for x in r.v] for r in init]
     for _ in range(iters):
         cents = F.array(

@@ -388,11 +388,19 @@ def read_extracted_latest(spark: SparkSession, output_dir: str) -> DataFrame:
         state = json.load(f)
     if not state["snapshots"]:
         raise ValueError(f"no committed snapshots under {output_dir}")
+    # rank by each snapshot's PINNED WATERMARK, not by commit order: a
+    # crashed increment resumed after a later one commits lands at the
+    # end of the list while holding OLDER captures — its rows must not
+    # supersede the newer snapshot's (commit index only breaks wm ties)
+    ordered = sorted(
+        enumerate(state["snapshots"]),
+        key=lambda t: (t[1]["watermark_us"], t[0]),
+    )
     dfs = [
         read_extracted(
             spark, os.path.join(output_dir, "snapshots", s["snapshot_id"])
-        ).withColumn("__seq", F.lit(seq))
-        for seq, s in enumerate(state["snapshots"])
+        ).withColumn("__seq", F.lit(rank))
+        for rank, (_, s) in enumerate(ordered)
     ]
     merged = reduce(lambda a, b: a.unionByName(b), dfs)
     w = Window.partitionBy("url").orderBy(F.col("__seq").desc())

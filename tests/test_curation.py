@@ -413,3 +413,16 @@ def test_cut_spans_apply(spark):
     cut = {r.doc_id: r.text_cut for r in cut_spans(corpus, sp).collect()}
     assert "SHARED" not in cut["x"] and "SHARED" not in cut["y"]
     assert cut["x"].startswith("unique intro here") and cut["x"].endswith("unique tail")
+
+
+def test_quality_logit_empty_weights(spark):
+    """weights={} is a legitimate all-zero model: every doc scores 0.0
+    (review repro: used to raise AttributeError)."""
+    from comic_text_detector_spark.operators.curation import quality_logit
+
+    df = spark.createDataFrame(
+        [("a", "some words here"), ("b", "more text")],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.logit for r in quality_logit(df, weights={}).collect()}
+    assert got == {"a": 0.0, "b": 0.0}

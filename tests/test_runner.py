@@ -192,3 +192,19 @@ def test_incremental_snapshots_watermark(spark, tmp_path):
     assert run_extract_incremental(spark, table2, out, "snap3", **kw)[
         "skipped"
     ] == "no_new_captures"
+
+    # review repro: a crashed-then-late-committed snapshot appends LAST in
+    # the state file while holding OLDER captures — the read side must
+    # rank by pinned watermark, not commit order
+    import json
+
+    wm_path = out + "/_watermark.json"
+    with open(wm_path) as f:
+        state = json.load(f)
+    state["snapshots"] = state["snapshots"][::-1]
+    with open(wm_path, "w") as f:
+        json.dump(state, f)
+    latest2 = read_extracted_latest(spark, out)
+    assert latest2.count() == n_urls1 + 10
+    got2 = latest2.filter(F.col("url") == recap_url).collect()[0].text
+    assert got2 == "fresh recapture content that is long enough"

@@ -115,3 +115,17 @@ def test_ivf_sample_trained_recall_and_determinism(spark):
         hash_uniform(F.col("vec_id"), "kmeans") < F.lit(0.5)
     ).count()
     assert 0 < n_train < n_all
+
+
+def test_kmeans_fails_fast_on_tiny_sample(spark):
+    """A sample too small for k centroids must raise, not silently return
+    empty top-k results (review repro)."""
+    import pytest
+
+    from comic_text_detector_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="sample_rate"):
+        kmeans_centroids(emb, k=8, iters=1, sample_rate=1e-9)

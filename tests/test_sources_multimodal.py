@@ -140,8 +140,11 @@ def test_decode_image_meta_real_headers(spark, media_df, monkeypatch):
     # the short header, not read 32-bit garbage at offsets 18/22
     core = b"BM" + b"\x00" * 12 + _s.pack("<IHH", 12, 17, 9) + b"\x00" * 8
     assert parse_image_meta(core) == ("image/bmp", 17, 9, 3)
+    # OS/2 2.x short header (declared size 16, 32-bit dims at 18/22)
+    os2v2 = b"BM" + b"\x00" * 12 + _s.pack("<I", 16) + _s.pack("<ii", 17, 9)
+    assert parse_image_meta(os2v2) == ("image/bmp", 17, 9, 3)
     # unknown DIB header size → reject, never return garbage dims with ok
-    weird = b"BM" + b"\x00" * 12 + _s.pack("<I", 33) + _s.pack("<ii", 17, 9)
+    weird = b"BM" + b"\x00" * 12 + _s.pack("<I", 13) + _s.pack("<ii", 17, 9)
     assert parse_image_meta(weird) is None
 
     # frame-sampling plumbing keeps its documented fake (video needs ffmpeg)
