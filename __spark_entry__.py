@@ -1502,6 +1502,136 @@ def _q_substring_dup_spans(spark, sf_dir):
     return substring_dup_spans(planted, k=12, min_len=40)
 
 
+def _q_f19_f25_mini_box_warp(spark, sf_dir):
+    """F19 corner ordering + F25 homography as one value-checked plan:
+    four jittered corners of a convex quad (never degenerate by
+    construction), fed in a doc_id-rotated SCRAMBLED order; order_mini_box
+    recovers [tl,tr,br,bl] with the reference's exact comparisons, then
+    quad_warp_coeffs/warp_point map two unit-square probes through the
+    closed-form square→quad homography. Every value (corners, short side,
+    warped points) is integer-seeded fixed-order IEEE arithmetic, so the
+    DuckDB oracle matches bit-for-bit."""
+    from comic_text_detector_spark.functions.geometry import (
+        mini_box_short_side,
+        order_mini_box,
+        quad_warp_coeffs,
+        warp_point,
+    )
+    from comic_text_detector_spark.operators.dedup import md5_long
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+
+    def jit(tag):
+        return (md5_long(F.concat(F.lit(tag + ":"), did)) % 20).cast(
+            "double"
+        )
+
+    arr = F.array(
+        F.array(jit("qx0"), jit("qy0")),
+        F.array(jit("qx1") + 50.0, jit("qy1")),
+        F.array(jit("qx2") + 50.0, jit("qy2") + 40.0),
+        F.array(jit("qx3"), jit("qy3") + 40.0),
+    )
+    r = F.pmod(F.col("doc_id"), F.lit(4)).cast("int")
+    pts = F.concat(F.slice(arr, r + 1, 4 - r), F.slice(arr, F.lit(1), r))
+    out = docs.select(
+        "doc_id", order_mini_box(pts).alias("box")
+    ).select(
+        "doc_id",
+        "box",
+        mini_box_short_side(F.col("box")).alias("short_side"),
+        quad_warp_coeffs(F.col("box")).alias("cf"),
+    ).select(
+        "doc_id",
+        F.col("box")[0][0].alias("tl_x"),
+        F.col("box")[0][1].alias("tl_y"),
+        F.col("box")[1][0].alias("tr_x"),
+        F.col("box")[1][1].alias("tr_y"),
+        F.col("box")[2][0].alias("br_x"),
+        F.col("box")[2][1].alias("br_y"),
+        F.col("box")[3][0].alias("bl_x"),
+        F.col("box")[3][1].alias("bl_y"),
+        "short_side",
+        warp_point(F.col("cf"), F.lit(0.5), F.lit(0.5)).alias("c"),
+        warp_point(F.col("cf"), F.lit(0.25), F.lit(0.75)).alias("p"),
+    )
+    return out.select(
+        "doc_id", "tl_x", "tl_y", "tr_x", "tr_y", "br_x", "br_y",
+        "bl_x", "bl_y", "short_side",
+        F.col("c")[0].alias("c_x"), F.col("c")[1].alias("c_y"),
+        F.col("p")[0].alias("p_x"), F.col("p")[1].alias("p_y"),
+    )
+
+
+def _mini_box_warp_oracle() -> str:
+    jits = {
+        t: f"CAST(('0x'||substr(md5('{t}:'||doc_id::VARCHAR),1,8))::BIGINT"
+        " % 20 AS DOUBLE)"
+        for t in ("qx0", "qy0", "qx1", "qy1", "qx2", "qy2", "qx3", "qy3")
+    }
+    return (
+        "WITH c AS (SELECT doc_id,"
+        f" [{{'x': {jits['qx0']}, 'y': {jits['qy0']}}},"
+        f"  {{'x': {jits['qx1']} + 50.0, 'y': {jits['qy1']}}},"
+        f"  {{'x': {jits['qx2']} + 50.0, 'y': {jits['qy2']} + 40.0}},"
+        f"  {{'x': {jits['qx3']}, 'y': {jits['qy3']} + 40.0}}] AS l,"
+        " CAST(doc_id % 4 AS INT) AS r FROM documents), "
+        "s AS (SELECT doc_id,"
+        " list_concat(list_slice(l, r + 1, 4), list_slice(l, 1, r)) AS pts"
+        " FROM c), "
+        "e AS (SELECT doc_id, i, pts[i].x AS x, pts[i].y AS y"
+        " FROM s, unnest(generate_series(1, 4)) AS u(i)), "
+        "rk AS (SELECT doc_id, x, y,"
+        " row_number() OVER (PARTITION BY doc_id ORDER BY x, i) AS rn"
+        " FROM e), "
+        "pv AS (SELECT doc_id,"
+        " max(CASE WHEN rn = 1 THEN x END) AS p0x,"
+        " max(CASE WHEN rn = 1 THEN y END) AS p0y,"
+        " max(CASE WHEN rn = 2 THEN x END) AS p1x,"
+        " max(CASE WHEN rn = 2 THEN y END) AS p1y,"
+        " max(CASE WHEN rn = 3 THEN x END) AS p2x,"
+        " max(CASE WHEN rn = 3 THEN y END) AS p2y,"
+        " max(CASE WHEN rn = 4 THEN x END) AS p3x,"
+        " max(CASE WHEN rn = 4 THEN y END) AS p3y"
+        " FROM rk GROUP BY doc_id), "
+        "bx AS (SELECT doc_id,"
+        " CASE WHEN p1y > p0y THEN p0x ELSE p1x END AS tl_x,"
+        " CASE WHEN p1y > p0y THEN p0y ELSE p1y END AS tl_y,"
+        " CASE WHEN p3y > p2y THEN p2x ELSE p3x END AS tr_x,"
+        " CASE WHEN p3y > p2y THEN p2y ELSE p3y END AS tr_y,"
+        " CASE WHEN p3y > p2y THEN p3x ELSE p2x END AS br_x,"
+        " CASE WHEN p3y > p2y THEN p3y ELSE p2y END AS br_y,"
+        " CASE WHEN p1y > p0y THEN p1x ELSE p0x END AS bl_x,"
+        " CASE WHEN p1y > p0y THEN p1y ELSE p0y END AS bl_y"
+        " FROM pv), "
+        "cf AS (SELECT *,"
+        " (tr_x - br_x) AS dx1, (tr_y - br_y) AS dy1,"
+        " (bl_x - br_x) AS dx2, (bl_y - br_y) AS dy2,"
+        " (tl_x - tr_x + br_x - bl_x) AS dx3,"
+        " (tl_y - tr_y + br_y - bl_y) AS dy3 FROM bx), "
+        "gh AS (SELECT *,"
+        " (dx3 * dy2 - dy3 * dx2) / (dx1 * dy2 - dy1 * dx2) AS g,"
+        " (dx1 * dy3 - dy1 * dx3) / (dx1 * dy2 - dy1 * dx2) AS h"
+        " FROM cf), "
+        "co AS (SELECT *,"
+        " tr_x - tl_x + g * tr_x AS a, bl_x - tl_x + h * bl_x AS b,"
+        " tl_x AS cc,"
+        " tr_y - tl_y + g * tr_y AS d, bl_y - tl_y + h * bl_y AS e,"
+        " tl_y AS f FROM gh) "
+        "SELECT doc_id, tl_x, tl_y, tr_x, tr_y, br_x, br_y, bl_x, bl_y,"
+        " least(sqrt((tr_x - tl_x) * (tr_x - tl_x)"
+        " + (tr_y - tl_y) * (tr_y - tl_y)),"
+        " sqrt((br_x - tr_x) * (br_x - tr_x)"
+        " + (br_y - tr_y) * (br_y - tr_y))) AS short_side,"
+        " (a * 0.5 + b * 0.5 + cc) / (g * 0.5 + h * 0.5 + 1.0) AS c_x,"
+        " (d * 0.5 + e * 0.5 + f) / (g * 0.5 + h * 0.5 + 1.0) AS c_y,"
+        " (a * 0.25 + b * 0.75 + cc) / (g * 0.25 + h * 0.75 + 1.0) AS p_x,"
+        " (d * 0.25 + e * 0.75 + f) / (g * 0.25 + h * 0.75 + 1.0) AS p_y"
+        " FROM co"
+    )
+
+
 # Shared CTE prefix for the substring-dedup oracles: planted passage →
 # 12-gram md5 fingerprints → cross-doc frequency → islands → spans.
 _SUBSTR_SPANS_CTES = (
@@ -1731,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logit": _q_quality_logit,
         "token_counts_v2": _q_token_counts_v2,
         "lang_id_v2": _q_lang_id_v2,
+        "f19_f25_mini_box_warp": _q_f19_f25_mini_box_warp,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -2012,6 +2143,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs_md5": _minhash_md5_oracle(),
         "token_counts_v2": _token_vocab_oracle(),
         "lang_id_v2": _lang_ngram_oracle(),
+        "f19_f25_mini_box_warp": _mini_box_warp_oracle(),
         "decontaminate": (
             "WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
             "g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 5 THEN "

@@ -183,3 +183,98 @@ def block_angle(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     degrees, snapped to 0 when |angle| < 3."""
     deg = F.degrees(F.atan2(y2 - y1, x2 - x1))
     return F.when(F.abs(deg) < 3, F.lit(0.0)).otherwise(deg)
+
+
+def order_mini_box(pts: Column) -> Column:
+    """F19 get_mini_boxes corner ordering (reference utils/db_utils.py:
+    176-195): stable-sort the 4 corners by x (original index breaks ties,
+    mirroring python's stable ``sorted(key=x)``), then within the left
+    pair and the right pair the smaller-y point goes on top →
+    [tl, tr, br, bl] as array<array<double>>. Works on any 4-point
+    polygon, not just minAreaRect output — the reference's exact
+    comparison structure, as pure array exprs."""
+    # two-parameter transform lambda receives (element, index) — here
+    # that documented behavior is exactly what the stable tiebreak needs
+    tagged = F.transform(
+        pts,
+        lambda p, i: F.struct(
+            p[0].alias("x"), i.alias("i"), p[1].alias("y")
+        ),
+    )
+    s = F.array_sort(tagged)  # struct sort = lexicographic (x, i, y)
+    p0, p1, p2, p3 = s[0], s[1], s[2], s[3]
+
+    def pt(p):
+        return F.array(p["x"], p["y"])
+
+    left_ok = p1["y"] > p0["y"]   # reference: points[1][1] > points[0][1]
+    right_ok = p3["y"] > p2["y"]  # reference: points[3][1] > points[2][1]
+    tl = F.when(left_ok, pt(p0)).otherwise(pt(p1))
+    bl = F.when(left_ok, pt(p1)).otherwise(pt(p0))
+    tr = F.when(right_ok, pt(p2)).otherwise(pt(p3))
+    br = F.when(right_ok, pt(p3)).otherwise(pt(p2))
+    return F.array(tl, tr, br, bl)
+
+
+def mini_box_short_side(box: Column) -> Column:
+    """F19's second return (reference utils/db_utils.py:195 returns
+    ``min(bounding_box[1])`` = the rect's short side): for a general
+    ordered quad, the lesser of the top and right edge norms. Explicit
+    d*d products, not pow() — pow differs from multiplication in the last
+    bit across engines."""
+    dx01, dy01 = box[1][0] - box[0][0], box[1][1] - box[0][1]
+    dx12, dy12 = box[2][0] - box[1][0], box[2][1] - box[1][1]
+    return F.least(
+        F.sqrt(dx01 * dx01 + dy01 * dy01),
+        F.sqrt(dx12 * dx12 + dy12 * dy12),
+    )
+
+
+def quad_warp_coeffs(quad: Column) -> Column:
+    """F25 homography core (reference utils/textblock.py:162-194 runs
+    cv2.findHomography(src_quad, dst_rect) + warpPerspective; with
+    exactly 4 correspondences the solve is the exact projective map,
+    which has a closed form — the classic unit-square→quad
+    parameterization from the graphics-gems literature). Returns the 8
+    coefficients [a,b,c,d,e,f,g,h] of
+
+        x(u,v) = (a·u + b·v + c) / (g·u + h·v + 1)
+        y(u,v) = (d·u + e·v + f) / (g·u + h·v + 1)
+
+    mapping the unit square onto ``quad`` = [tl, tr, br, bl]. A W×H
+    destination pixel (X, Y) samples the source at
+    ``warp_point(coeffs, X/(W-1), Y/(H-1))`` — the inverse warp cv2
+    applies internally, obtained here WITHOUT any matrix inversion.
+    Affine quads (parallelograms) fall out naturally with g = h = 0.
+    Degenerate (collinear-corner) quads divide by zero → ±inf/nan
+    coefficients, never a wrong-looking answer."""
+    x0, y0 = quad[0][0], quad[0][1]  # tl ↔ (u,v) = (0,0)
+    x1, y1 = quad[1][0], quad[1][1]  # tr ↔ (1,0)
+    x2, y2 = quad[2][0], quad[2][1]  # br ↔ (1,1)
+    x3, y3 = quad[3][0], quad[3][1]  # bl ↔ (0,1)
+    dx1, dy1 = x1 - x2, y1 - y2
+    dx2, dy2 = x3 - x2, y3 - y2
+    dx3, dy3 = x0 - x1 + x2 - x3, y0 - y1 + y2 - y3
+    den = dx1 * dy2 - dy1 * dx2
+    g = (dx3 * dy2 - dy3 * dx2) / den
+    h = (dx1 * dy3 - dy1 * dx3) / den
+    return F.array(
+        x1 - x0 + g * x1,  # a
+        x3 - x0 + h * x3,  # b
+        x0,                # c
+        y1 - y0 + g * y1,  # d
+        y3 - y0 + h * y3,  # e
+        y0,                # f
+        g,
+        h,
+    )
+
+
+def warp_point(coeffs: Column, u: Column, v: Column) -> Column:
+    """Apply ``quad_warp_coeffs``: (u, v) in the unit square → [x, y] in
+    the source frame. One fixed sequence of IEEE ops — oracle-exact."""
+    den = coeffs[6] * u + coeffs[7] * v + F.lit(1.0)
+    return F.array(
+        (coeffs[0] * u + coeffs[1] * v + coeffs[2]) / den,
+        (coeffs[3] * u + coeffs[4] * v + coeffs[5]) / den,
+    )

@@ -204,6 +204,122 @@ def letterbox_images(
     )
 
 
+def warp_quad_coeffs_np(quad: list[tuple[float, float]]) -> tuple[float, ...]:
+    """The SAME unit-square→quad closed form as
+    ``functions.geometry.quad_warp_coeffs``, in plain floats for the pixel
+    kernel (one definition per tier: column exprs for the relational gate,
+    this for numpy sampling — both cite reference utils/textblock.py:
+    162-194)."""
+    (x0, y0), (x1, y1), (x2, y2), (x3, y3) = quad
+    dx1, dy1 = x1 - x2, y1 - y2
+    dx2, dy2 = x3 - x2, y3 - y2
+    dx3, dy3 = x0 - x1 + x2 - x3, y0 - y1 + y2 - y3
+    den = dx1 * dy2 - dy1 * dx2
+    g = (dx3 * dy2 - dy3 * dx2) / den
+    h = (dx1 * dy3 - dy1 * dx3) / den
+    return (
+        x1 - x0 + g * x1, x3 - x0 + h * x3, x0,
+        y1 - y0 + g * y1, y3 - y0 + h * y3, y0, g, h,
+    )
+
+
+def warp_region_pixels(
+    arr: "np.ndarray", quad: list[tuple[float, float]], textheight: int,
+    vertical: bool = False,
+) -> "np.ndarray":
+    """F25 get_transformed_region on REAL pixels (reference
+    utils/textblock.py:162-194): rectify the quad [tl, tr, br, bl] to an
+    upright strip of height ``textheight``. Output width follows the
+    reference's midpoint-aspect formula w = round(textheight / ratio),
+    ratio = ‖mid_v‖/‖mid_h‖; the vertical branch rotates 90° CCW after
+    the warp, as the reference does. Sampling is nearest-neighbor via the
+    inverse map (each destination pixel pulled through the square→quad
+    transform — no matrix inversion, no cv2); the reference's bilinear
+    filter is an antialiasing nicety, not a geometry difference, and
+    nearest keeps axis-aligned warps exactly equal to crops (tested)."""
+    (x0, y0), (x1, y1), (x2, y2), (x3, y3) = quad
+    m0 = ((x0 + x1) / 2, (y0 + y1) / 2)
+    m1 = ((x1 + x2) / 2, (y1 + y2) / 2)
+    m2 = ((x2 + x3) / 2, (y2 + y3) / 2)
+    m3 = ((x3 + x0) / 2, (y3 + y0) / 2)
+    vec_v = (m2[0] - m0[0], m2[1] - m0[1])
+    vec_h = (m1[0] - m3[0], m1[1] - m3[1])
+    ratio = float(np.hypot(*vec_v)) / float(np.hypot(*vec_h))
+    h = int(textheight)
+    w = int(np.floor(textheight / ratio + 0.5))
+    if h < 2 or w < 2:
+        raise ValueError(f"degenerate warp target {w}x{h}")
+    a, b, c, d, e, f, g, hh = warp_quad_coeffs_np(quad)
+    ys, xs = np.mgrid[0:h, 0:w]
+    u = xs / (w - 1)
+    v = ys / (h - 1)
+    den = g * u + hh * v + 1.0
+    sx = (a * u + b * v + c) / den
+    sy = (d * u + e * v + f) / den
+    ih, iw = arr.shape[0], arr.shape[1]
+    sxi = np.clip(np.floor(sx + 0.5).astype(np.int64), 0, iw - 1)
+    syi = np.clip(np.floor(sy + 0.5).astype(np.int64), 0, ih - 1)
+    region = arr[syi, sxi]
+    if vertical:
+        region = np.rot90(region)  # CCW, reference ROTATE_90_COUNTERCLOCKWISE
+    return np.ascontiguousarray(region)
+
+
+def warp_region_images(
+    df: DataFrame,
+    textheight: int = 48,
+    media_col: str = "media",
+    quad_col: str = "quad",
+    vertical_col: str | None = None,
+) -> DataFrame:
+    """DataFrame face of F25: (media_id, media, quad[, vertical]) →
+    (media_id, ok, out_w, out_h, region_png). ``quad`` is
+    array<array<double>> [tl, tr, br, bl] in source-pixel coordinates.
+    Non-PNG / undecodable / degenerate rows emit ok=false, null region —
+    same tolerant contract as every media kernel here."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            verts = (
+                pdf[vertical_col]
+                if vertical_col is not None
+                else [False] * len(pdf)
+            )
+            for mid, blob, quad, vert in zip(
+                pdf["media_id"], pdf[media_col], pdf[quad_col], verts
+            ):
+                arr = decode_png_pixels(blob)
+                if arr is None or quad is None or len(quad) != 4:
+                    rows.append((mid, False, None, None, None))
+                    continue
+                try:
+                    region = warp_region_pixels(
+                        arr,
+                        [(float(p[0]), float(p[1])) for p in quad],
+                        textheight,
+                        vertical=bool(vert),
+                    )
+                except (ValueError, ZeroDivisionError):
+                    rows.append((mid, False, None, None, None))
+                    continue
+                rows.append(
+                    (mid, True, region.shape[1], region.shape[0],
+                     encode_png(region))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "ok", "out_w", "out_h", "region_png"],
+            )
+
+    return df.mapInPandas(
+        kernel,
+        "media_id string, ok boolean, out_w int, out_h int,"
+        " region_png binary",
+    )
+
+
 # ---- real video: Y4M (YUV4MPEG2) container ----
 #
 # The one mainstream video container that is fully stdlib-parseable: a text

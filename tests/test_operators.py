@@ -224,3 +224,58 @@ def test_visualize_spans_renderer(spark):
     out = visualize_spans(df)
     assert "u1" in out and "|hello world|" in out
     assert "|^^^^^ ^^^^^| 2 spans" in out
+
+
+def test_order_mini_box_and_quad_warp(spark):
+    """F19 corner ordering (reference comparison structure incl. the
+    stable x-tie behavior) and the F25 unit-square→quad warp."""
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.functions.geometry import (
+        mini_box_short_side,
+        order_mini_box,
+        quad_warp_coeffs,
+        warp_point,
+    )
+
+    pts = [[12.0, 2.0], [3.0, 9.0], [3.0, 2.0], [12.0, 9.0]]  # scrambled
+    df = spark.createDataFrame([(pts,)], "pts array<array<double>>")
+    row = (
+        df.select(order_mini_box(F.col("pts")).alias("box"))
+        .select(
+            "box",
+            mini_box_short_side(F.col("box")).alias("s"),
+            quad_warp_coeffs(F.col("box")).alias("cf"),
+        )
+        .select(
+            "box",
+            "s",
+            warp_point(F.col("cf"), F.lit(0.5), F.lit(0.5)).alias("c"),
+            warp_point(F.col("cf"), F.lit(0.0), F.lit(1.0)).alias("bl"),
+        )
+        .collect()[0]
+    )
+    assert row.box == [[3.0, 2.0], [12.0, 2.0], [12.0, 9.0], [3.0, 9.0]]
+    assert row.s == 7.0
+    assert row.c == [7.5, 5.5]       # rect center
+    assert row.bl == [3.0, 9.0]      # (u,v)=(0,1) → bl corner
+
+    # x-tie: python sorted() is stable, ours breaks ties by original index
+    tie = [[5.0, 9.0], [5.0, 2.0], [7.0, 1.0], [7.0, 8.0]]
+    df2 = spark.createDataFrame([(tie,)], "pts array<array<double>>")
+    box2 = df2.select(order_mini_box(F.col("pts")).alias("b")).collect()[0].b
+    assert box2 == [[5.0, 2.0], [7.0, 1.0], [7.0, 8.0], [5.0, 9.0]]
+
+    # perspective quad: corners map to unit-square corners exactly
+    quad = [[2.0, 1.0], [13.0, 3.0], [11.0, 12.0], [1.0, 9.0]]
+    df3 = spark.createDataFrame([(quad,)], "q array<array<double>>")
+    got = (
+        df3.select(quad_warp_coeffs(F.col("q")).alias("cf"))
+        .select(
+            warp_point(F.col("cf"), F.lit(0.0), F.lit(0.0)).alias("tl"),
+            warp_point(F.col("cf"), F.lit(1.0), F.lit(1.0)).alias("br"),
+        )
+        .collect()[0]
+    )
+    assert got.tl == [2.0, 1.0]
+    assert [round(x, 9) for x in got.br] == [11.0, 12.0]

@@ -490,3 +490,51 @@ def test_letterbox_rgba_and_gray_alpha(spark):
     out = decode_png_pixels(bytes(got["rgba"].out_png))
     assert out.shape == (6, 6, 3)  # alpha stripped for model input
     assert decode_png_pixels(bytes(got["ga"].out_png)).shape == (6, 6, 1)
+
+
+def test_warp_region_axis_aligned_equals_crop(spark):
+    """F25 on real pixels: an axis-aligned quad warp with the exact
+    integer mapping is a crop; the vertical branch rotates 90 CCW; the
+    DataFrame face flags garbage rows ok=false."""
+    import numpy as np
+
+    from comic_text_detector_spark.multimodal.pixels import (
+        encode_png,
+        warp_region_images,
+        warp_region_pixels,
+    )
+
+    arr = ((np.arange(20 * 16).reshape(20, 16) * 7) % 256).astype(np.uint8)[
+        ..., None
+    ]
+    quad = [(3, 2), (12, 2), (12, 9), (3, 9)]  # x:3..12, y:2..9
+    region = warp_region_pixels(arr, quad, textheight=8)
+    assert region.shape == (8, 10, 1)
+    assert np.array_equal(region[:, :, 0], arr[2:10, 3:13, 0])
+    regv = warp_region_pixels(arr, quad, textheight=8, vertical=True)
+    assert np.array_equal(regv[:, :, 0], np.rot90(arr[2:10, 3:13, 0]))
+
+    # perspective quad: corners land exactly on the source corners
+    pq = [(2.0, 1.0), (13.0, 3.0), (11.0, 12.0), (1.0, 9.0)]
+    reg2 = warp_region_pixels(arr, pq, textheight=9)
+    assert reg2[0, 0, 0] == arr[1, 2, 0]          # dest tl ← src tl
+    assert reg2[0, -1, 0] == arr[3, 13, 0]        # dest tr ← src tr
+    assert reg2[-1, -1, 0] == arr[12, 11, 0]      # dest br ← src br
+    assert reg2[-1, 0, 0] == arr[9, 1, 0]         # dest bl ← src bl
+
+    from comic_text_detector_spark.multimodal.pixels import decode_png_pixels
+
+    df = spark.createDataFrame(
+        [
+            ("good", bytearray(encode_png(arr)), [[3.0, 2.0], [12.0, 2.0],
+                                                  [12.0, 9.0], [3.0, 9.0]]),
+            ("bad", bytearray(b"not a png"), [[0.0, 0.0], [1.0, 0.0],
+                                              [1.0, 1.0], [0.0, 1.0]]),
+        ],
+        "media_id string, media binary, quad array<array<double>>",
+    )
+    out = {r.media_id: r for r in warp_region_images(df, textheight=8).collect()}
+    assert out["good"].ok and (out["good"].out_w, out["good"].out_h) == (10, 8)
+    got = decode_png_pixels(bytes(out["good"].region_png))
+    assert np.array_equal(got[:, :, 0], arr[2:10, 3:13, 0])
+    assert not out["bad"].ok and out["bad"].region_png is None
