@@ -2225,8 +2225,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL"
             " ELSE coalesce(a.text_cut, '') END AS text_cut,"
             " coalesce(c.n, 0) AS n_cut_spans,"
-            " length(d.text) - length(CASE WHEN d.text IS NULL THEN NULL"
-            " ELSE coalesce(a.text_cut, '') END) AS n_chars_cut"
+            # length(d.text) is NULL for null text, so the subtraction
+            # already null-propagates without a second CASE
+            " length(d.text) - length(coalesce(a.text_cut, ''))"
+            " AS n_chars_cut"
             " FROM d LEFT JOIN agg a USING (doc_id)"
             " LEFT JOIN cnt c USING (doc_id)"
         ),

@@ -229,14 +229,19 @@ def warp_region_pixels(
 ) -> "np.ndarray":
     """F25 get_transformed_region on REAL pixels (reference
     utils/textblock.py:162-194): rectify the quad [tl, tr, br, bl] to an
-    upright strip of height ``textheight``. Output width follows the
-    reference's midpoint-aspect formula w = round(textheight / ratio),
-    ratio = ‖mid_v‖/‖mid_h‖; the vertical branch rotates 90° CCW after
-    the warp, as the reference does. Sampling is nearest-neighbor via the
-    inverse map (each destination pixel pulled through the square→quad
-    transform — no matrix inversion, no cv2); the reference's bilinear
-    filter is an antialiasing nicety, not a geometry difference, and
-    nearest keeps axis-aligned warps exactly equal to crops (tested)."""
+    upright strip. Sizing follows the reference's midpoint-aspect
+    formulas per branch — horizontal: h = textheight,
+    w = round(textheight / ratio); vertical: w = textheight,
+    h = round(textheight * ratio), then rotate 90° CCW — with
+    ratio = ‖mid_v‖/‖mid_h‖ and python round() (banker's), matching the
+    reference's int(round(...)) exactly (unlike letterbox_geometry, which
+    uses floor(+0.5) because it shares a SQL-oracle contract; this kernel
+    has no SQL twin, so reference parity wins). Sampling is
+    nearest-neighbor via the inverse map (each destination pixel pulled
+    through the square→quad transform — no matrix inversion, no cv2);
+    the reference's bilinear filter is an antialiasing nicety, not a
+    geometry difference, and nearest keeps axis-aligned warps exactly
+    equal to crops (tested)."""
     (x0, y0), (x1, y1), (x2, y2), (x3, y3) = quad
     m0 = ((x0 + x1) / 2, (y0 + y1) / 2)
     m1 = ((x1 + x2) / 2, (y1 + y2) / 2)
@@ -245,8 +250,12 @@ def warp_region_pixels(
     vec_v = (m2[0] - m0[0], m2[1] - m0[1])
     vec_h = (m1[0] - m3[0], m1[1] - m3[1])
     ratio = float(np.hypot(*vec_v)) / float(np.hypot(*vec_h))
-    h = int(textheight)
-    w = int(np.floor(textheight / ratio + 0.5))
+    if vertical:
+        w = int(textheight)
+        h = int(round(textheight * ratio))
+    else:
+        h = int(textheight)
+        w = int(round(textheight / ratio))
     if h < 2 or w < 2:
         raise ValueError(f"degenerate warp target {w}x{h}")
     a, b, c, d, e, f, g, hh = warp_quad_coeffs_np(quad)
@@ -295,13 +304,17 @@ def warp_region_images(
                     rows.append((mid, False, None, None, None))
                     continue
                 try:
+                    # the quad parse sits INSIDE the try: a null point or
+                    # short inner array (legal for array<array<double>>)
+                    # raises TypeError/IndexError and must degrade to
+                    # ok=false, never crash the task
                     region = warp_region_pixels(
                         arr,
                         [(float(p[0]), float(p[1])) for p in quad],
                         textheight,
                         vertical=bool(vert),
                     )
-                except (ValueError, ZeroDivisionError):
+                except (ValueError, ZeroDivisionError, TypeError, IndexError):
                     rows.append((mid, False, None, None, None))
                     continue
                 rows.append(

@@ -511,8 +511,13 @@ def test_warp_region_axis_aligned_equals_crop(spark):
     region = warp_region_pixels(arr, quad, textheight=8)
     assert region.shape == (8, 10, 1)
     assert np.array_equal(region[:, :, 0], arr[2:10, 3:13, 0])
-    regv = warp_region_pixels(arr, quad, textheight=8, vertical=True)
+    # vertical branch: w=textheight, h=round(textheight*ratio) (reference
+    # utils/textblock.py:185-191), THEN rotate 90 CCW. textheight=10 makes
+    # the mapping exact: pre-rotation 10x8 == the crop, rotated after.
+    regv = warp_region_pixels(arr, quad, textheight=10, vertical=True)
     assert np.array_equal(regv[:, :, 0], np.rot90(arr[2:10, 3:13, 0]))
+    # the vertical output's line height IS textheight (post-rotation rows)
+    assert regv.shape[0] == 10
 
     # perspective quad: corners land exactly on the source corners
     pq = [(2.0, 1.0), (13.0, 3.0), (11.0, 12.0), (1.0, 9.0)]
@@ -530,6 +535,12 @@ def test_warp_region_axis_aligned_equals_crop(spark):
                                                   [12.0, 9.0], [3.0, 9.0]]),
             ("bad", bytearray(b"not a png"), [[0.0, 0.0], [1.0, 0.0],
                                               [1.0, 1.0], [0.0, 1.0]]),
+            # null inner point / short inner array: tolerant ok=false,
+            # never a task crash (review repro)
+            ("nullpt", bytearray(encode_png(arr)),
+             [[0.0, 0.0], [9.0, 0.0], [9.0, 9.0], None]),
+            ("shortpt", bytearray(encode_png(arr)),
+             [[0.0, 0.0], [9.0, 0.0], [9.0, 9.0], [1.0]]),
         ],
         "media_id string, media binary, quad array<array<double>>",
     )
@@ -537,4 +548,5 @@ def test_warp_region_axis_aligned_equals_crop(spark):
     assert out["good"].ok and (out["good"].out_w, out["good"].out_h) == (10, 8)
     got = decode_png_pixels(bytes(out["good"].region_png))
     assert np.array_equal(got[:, :, 0], arr[2:10, 3:13, 0])
-    assert not out["bad"].ok and out["bad"].region_png is None
+    for bad_id in ("bad", "nullpt", "shortpt"):
+        assert not out[bad_id].ok and out[bad_id].region_png is None
