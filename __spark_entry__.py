@@ -1632,6 +1632,139 @@ def _mini_box_warp_oracle() -> str:
     )
 
 
+def _q_rotated_iou_axis(spark, sf_dir):
+    """Convex-polygon IoU kernel (Sutherland-Hodgman clip — the rotated-
+    rect evaluator the interval model previously scoped out) value-checked
+    on its axis-aligned restriction, where the closed-form interval IoU
+    exists in SQL: integer corners make every intermediate exact, so the
+    kernel's clip-then-shoelace and the oracle's overlap-product reach the
+    SAME numerator/denominator and the single division matches bitwise.
+    Rotation correctness is pinned by pytest (45° octagon closed form +
+    rotation invariance)."""
+    from comic_text_detector_spark.operators.dedup import md5_long
+    from comic_text_detector_spark.operators.polygons import polygon_iou_df
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+
+    def j(tag, m):
+        return (md5_long(F.concat(F.lit(tag + ":"), did)) % m).cast(
+            "double"
+        )
+
+    ax1, ay1 = j("ax1", 30), j("ay1", 30)
+    ax2, ay2 = ax1 + 5 + j("aw", 20), ay1 + 5 + j("ah", 20)
+    bx1, by1 = j("bx1", 30), j("by1", 30)
+    bx2, by2 = bx1 + 5 + j("bw", 20), by1 + 5 + j("bh", 20)
+
+    def rect(x1, y1, x2, y2):
+        return F.array(
+            F.array(x1, y1), F.array(x2, y1),
+            F.array(x2, y2), F.array(x1, y2),
+        )
+
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        rect(ax1, ay1, ax2, ay2).alias("poly_a"),
+        rect(bx1, by1, bx2, by2).alias("poly_b"),
+    )
+    return polygon_iou_df(pairs).select(
+        F.col("pair_id").alias("doc_id"), "iou"
+    )
+
+
+def _q_polygon_unclip_axis(spark, sf_dir):
+    """True polygon unclip (edge-shift-and-reintersect offset, the F18
+    pyclipper path the interval analog scoped out) value-checked on
+    integer SQUARES: side s makes d = s²·1.5/(4s) = 0.375·s and every
+    corner/area dyadic-exact, so the kernel's miter-intersection
+    arithmetic and the oracle's closed-form shifted corners agree
+    bit-for-bit. General convex shapes are pinned by pytest (pentagon
+    round-trip, inradius refusal)."""
+    from comic_text_detector_spark.operators.dedup import md5_long
+    from comic_text_detector_spark.operators.polygons import (
+        offset_polygons_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+
+    def j(tag, m):
+        return (md5_long(F.concat(F.lit(tag + ":"), did)) % m).cast(
+            "double"
+        )
+
+    x1, y1 = j("px1", 30), j("py1", 30)
+    s = 4 + j("ps", 40)
+    x2, y2 = x1 + s, y1 + s
+    poly = F.array(
+        F.array(x1, y1), F.array(x2, y1), F.array(x2, y2), F.array(x1, y2)
+    )
+    out = offset_polygons_df(
+        docs.select("doc_id", poly.alias("poly")), ratio=1.5, mode="unclip"
+    )
+    p = F.col("poly_out")
+    return out.select(
+        "doc_id",
+        "ok",
+        "area_in",
+        "area_out",
+        p[0][0].alias("c0x"), p[0][1].alias("c0y"),
+        p[1][0].alias("c1x"), p[1][1].alias("c1y"),
+        p[2][0].alias("c2x"), p[2][1].alias("c2y"),
+        p[3][0].alias("c3x"), p[3][1].alias("c3y"),
+    )
+
+
+def _rotated_iou_axis_oracle() -> str:
+    jits = {
+        t: f"CAST(('0x'||substr(md5('{t}:'||doc_id::VARCHAR),1,8))::BIGINT"
+        f" % {m} AS DOUBLE)"
+        for t, m in (
+            ("ax1", 30), ("ay1", 30), ("aw", 20), ("ah", 20),
+            ("bx1", 30), ("by1", 30), ("bw", 20), ("bh", 20),
+        )
+    }
+    return (
+        "WITH r AS (SELECT doc_id,"
+        f" {jits['ax1']} AS ax1, {jits['ay1']} AS ay1,"
+        f" {jits['ax1']} + 5 + {jits['aw']} AS ax2,"
+        f" {jits['ay1']} + 5 + {jits['ah']} AS ay2,"
+        f" {jits['bx1']} AS bx1, {jits['by1']} AS by1,"
+        f" {jits['bx1']} + 5 + {jits['bw']} AS bx2,"
+        f" {jits['by1']} + 5 + {jits['bh']} AS by2 FROM documents), "
+        "o AS (SELECT doc_id,"
+        " greatest(0, least(ax2, bx2) - greatest(ax1, bx1)) *"
+        " greatest(0, least(ay2, by2) - greatest(ay1, by1)) AS inter,"
+        " (ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) AS areas"
+        " FROM r) "
+        "SELECT doc_id, inter / (areas - inter) AS iou FROM o"
+    )
+
+
+def _polygon_unclip_axis_oracle() -> str:
+    jits = {
+        t: f"CAST(('0x'||substr(md5('{t}:'||doc_id::VARCHAR),1,8))::BIGINT"
+        f" % {m} AS DOUBLE)"
+        for t, m in (("px1", 30), ("py1", 30), ("ps", 40))
+    }
+    return (
+        "WITH r AS (SELECT doc_id,"
+        f" {jits['px1']} AS x1, {jits['py1']} AS y1,"
+        f" 4 + {jits['ps']} AS s FROM documents), "
+        "d AS (SELECT doc_id, x1, y1, x1 + s AS x2, y1 + s AS y2,"
+        " (s * s * 1.5) / (s + s + s + s) AS dd FROM r) "
+        "SELECT doc_id, TRUE AS ok,"
+        " (x2 - x1) * (y2 - y1) AS area_in,"
+        " (x2 + dd - (x1 - dd)) * (y2 + dd - (y1 - dd)) AS area_out,"
+        " x1 - dd AS c0x, y1 - dd AS c0y,"
+        " x2 + dd AS c1x, y1 - dd AS c1y,"
+        " x2 + dd AS c2x, y2 + dd AS c2y,"
+        " x1 - dd AS c3x, y2 + dd AS c3y"
+        " FROM d"
+    )
+
+
 # Shared CTE prefix for the substring-dedup oracles: planted passage →
 # 12-gram md5 fingerprints → cross-doc frequency → islands → spans.
 _SUBSTR_SPANS_CTES = (
@@ -1862,6 +1995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_v2": _q_token_counts_v2,
         "lang_id_v2": _q_lang_id_v2,
         "f19_f25_mini_box_warp": _q_f19_f25_mini_box_warp,
+        "rotated_iou_axis": _q_rotated_iou_axis,
+        "polygon_unclip_axis": _q_polygon_unclip_axis,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -2144,6 +2279,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_v2": _token_vocab_oracle(),
         "lang_id_v2": _lang_ngram_oracle(),
         "f19_f25_mini_box_warp": _mini_box_warp_oracle(),
+        "rotated_iou_axis": _rotated_iou_axis_oracle(),
+        "polygon_unclip_axis": _polygon_unclip_axis_oracle(),
         "decontaminate": (
             "WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
             "g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 5 THEN "

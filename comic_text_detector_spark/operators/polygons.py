@@ -1,0 +1,304 @@
+"""Convex-polygon geometry kernels: rotated-rectangle IoU and true polygon
+offsetting (shrink/unclip) — the two reference geometry paths the interval
+recast previously scoped out (round-2 verdict "missing" items 2-3).
+
+Reference analogs (semantic, not code):
+
+* rotated IoU — /root/reference/utils/db_utils.py:11-30
+  (DetectionIoUEvaluator's shapely polygon intersection-over-union).
+* polygon unclip — /root/reference/utils/db_utils.py:168-174 (pyclipper
+  offset by distance = area*ratio/perimeter); shrink —
+  /root/reference/utils/db_utils.py:501-525 (distance =
+  area*(1-ratio^2)/perimeter).
+
+From-scratch pure python/numpy: Sutherland-Hodgman convex clipping for the
+intersection, half-plane edge-shift-and-reintersect for the offset. No
+shapely, no pyclipper. Offset corners are MITER joins — pyclipper's
+JT_ROUND adds circular arcs at convex corners, so unclipped areas differ
+from the reference by the rounded-corner slivers (bounded by pi*d^2 per
+polygon); deterministic and documented rather than approximated.
+
+Scale shape: polygons are 4-8 vertices; the per-row python loop inside an
+Arrow-batched ``mapInPandas`` kernel is the right tier (same as the NMS
+kernel), and rows are independent — embarrassingly parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+Point = tuple[float, float]
+
+
+def polygon_area_signed(pts: list[Point]) -> float:
+    """Shoelace/2, signed (positive = counter-clockwise). Fixed left-to-
+    right accumulation order so a SQL oracle can replay it term by term."""
+    s = 0.0
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        s = s + (x1 * y2 - x2 * y1)
+    return s / 2.0
+
+
+def ensure_ccw(pts: list[Point]) -> list[Point]:
+    return pts if polygon_area_signed(pts) >= 0 else pts[::-1]
+
+
+def _line_intersect(p: Point, c: Point, a: Point, b: Point) -> Point:
+    """Intersection of segment p→c with the infinite line a→b."""
+    x1, y1 = p
+    x2, y2 = c
+    x3, y3 = a
+    x4, y4 = b
+    den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+    t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+    return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+
+
+def clip_convex(subject: list[Point], clip: list[Point]) -> list[Point]:
+    """Sutherland-Hodgman: clip ``subject`` by convex CCW ``clip``.
+    Returns the (possibly empty) intersection polygon."""
+    out = list(subject)
+    n = len(clip)
+    for i in range(n):
+        if not out:
+            return []
+        a, b = clip[i], clip[(i + 1) % n]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+
+        def inside(q):
+            # CCW interior is the LEFT side of each directed edge:
+            # cross(b - a, q - a) >= 0
+            return ex * (q[1] - a[1]) - ey * (q[0] - a[0]) >= 0
+
+        inp, out = out, []
+        prev = inp[-1]
+        prev_in = inside(prev)
+        for cur in inp:
+            cur_in = inside(cur)
+            if cur_in:
+                if not prev_in:
+                    out.append(_line_intersect(prev, cur, a, b))
+                out.append(cur)
+            elif prev_in:
+                out.append(_line_intersect(prev, cur, a, b))
+            prev, prev_in = cur, cur_in
+    return out
+
+
+def convex_iou(p1: list[Point], p2: list[Point]) -> float:
+    """Intersection-over-union of two convex polygons (rotated-rect IoU
+    when fed rect corners). One IEEE division at the end."""
+    a = ensure_ccw([(float(x), float(y)) for x, y in p1])
+    b = ensure_ccw([(float(x), float(y)) for x, y in p2])
+    inter_poly = clip_convex(a, b)
+    inter = abs(polygon_area_signed(inter_poly)) if inter_poly else 0.0
+    union = abs(polygon_area_signed(a)) + abs(polygon_area_signed(b)) - inter
+    if union <= 0:
+        return 0.0
+    return inter / union
+
+
+def rect_corners(
+    cx: float, cy: float, w: float, h: float, angle_rad: float = 0.0
+) -> list[Point]:
+    """[tl, tr, br, bl] corners of a center/size/angle rectangle."""
+    c, s = math.cos(angle_rad), math.sin(angle_rad)
+    out = []
+    for dx, dy in ((-w / 2, -h / 2), (w / 2, -h / 2), (w / 2, h / 2),
+                   (-w / 2, h / 2)):
+        out.append((cx + dx * c - dy * s, cy + dx * s + dy * c))
+    return out
+
+
+def rotated_rect_iou(
+    r1: tuple[float, float, float, float, float],
+    r2: tuple[float, float, float, float, float],
+) -> float:
+    """(cx, cy, w, h, angle_rad) x2 → IoU. Reference
+    utils/db_utils.py:11-30 computes the same quantity with shapely."""
+    return convex_iou(rect_corners(*r1), rect_corners(*r2))
+
+
+def convex_offset(pts: list[Point], d: float) -> list[Point] | None:
+    """Offset a convex polygon by ``d`` (positive = outward): shift every
+    edge ``d`` along its outward normal and re-intersect adjacent edges —
+    miter joins. Returns None when the result is no longer strictly CCW
+    convex (shrink past the inradius, or a degenerate input): an explicit
+    refusal, never a self-intersecting 'polygon'."""
+    p = ensure_ccw([(float(x), float(y)) for x, y in pts])
+    n = len(p)
+    if n < 3:
+        return None
+    shifted = []
+    for i in range(n):
+        (x1, y1), (x2, y2) = p[i], p[(i + 1) % n]
+        ex, ey = x2 - x1, y2 - y1
+        ln = math.hypot(ex, ey)
+        if ln == 0:
+            return None
+        # CCW interior lies left of each edge → outward normal is right:
+        # (ey, -ex) / |e|
+        ox, oy = ey / ln * d, -ex / ln * d
+        shifted.append(((x1 + ox, y1 + oy), (x2 + ox, y2 + oy)))
+    out: list[Point] = []
+    for i in range(n):
+        a1, a2 = shifted[(i - 1) % n]
+        b1, b2 = shifted[i]
+        den = (a1[0] - a2[0]) * (b1[1] - b2[1]) - (a1[1] - a2[1]) * (
+            b1[0] - b2[0]
+        )
+        if den == 0:  # parallel adjacent edges (collinear input)
+            out.append(b1)
+        else:
+            out.append(_line_intersect(a1, a2, b1, b2))
+    # reject inverted/degenerate results. Orientation alone is NOT enough:
+    # shrinking a square past its inradius pushes every edge through the
+    # center and the re-intersected corners form a phantom polygon that is
+    # STILL CCW — so additionally require every output vertex to lie in
+    # every shifted half-plane (the true half-plane-intersection
+    # membership test; empty intersection → some vertex violates some
+    # plane by ~2x the overshoot).
+    for i in range(n):
+        x1, y1 = out[i]
+        x2, y2 = out[(i + 1) % n]
+        x3, y3 = out[(i + 2) % n]
+        if (x2 - x1) * (y3 - y2) - (y2 - y1) * (x3 - x2) < 0:
+            return None
+    if polygon_area_signed(out) <= 0:
+        return None
+    scale = max(1.0, max(abs(c) for q in out for c in q))
+    tol = -1e-9 * scale
+    for q in out:
+        for s1, s2 in shifted:
+            ex, ey = s2[0] - s1[0], s2[1] - s1[1]
+            if ex * (q[1] - s1[1]) - ey * (q[0] - s1[0]) < tol:
+                return None
+    return out
+
+
+def unclip_polygon(
+    pts: list[Point], ratio: float = 1.5
+) -> list[Point] | None:
+    """True F18 unclip (reference utils/db_utils.py:168-174): offset
+    outward by d = area * ratio / perimeter."""
+    p = ensure_ccw([(float(x), float(y)) for x, y in pts])
+    area = abs(polygon_area_signed(p))
+    per = _perimeter(p)
+    if per == 0:
+        return None
+    return convex_offset(p, area * ratio / per)
+
+
+def shrink_polygon(pts: list[Point], ratio: float) -> list[Point] | None:
+    """True F18 shrink (reference utils/db_utils.py:501-525): offset
+    inward by d = area * (1 - ratio^2) / perimeter. None when the shrink
+    distance exceeds the inradius (the polygon would invert) — callers
+    fall back to dropping the candidate, as the reference's validity
+    checks do."""
+    p = ensure_ccw([(float(x), float(y)) for x, y in pts])
+    area = abs(polygon_area_signed(p))
+    per = _perimeter(p)
+    if per == 0:
+        return None
+    return convex_offset(p, -(area * (1 - ratio * ratio) / per))
+
+
+def _perimeter(p: list[Point]) -> float:
+    s = 0.0
+    for i in range(len(p)):
+        x1, y1 = p[i]
+        x2, y2 = p[(i + 1) % len(p)]
+        s += math.hypot(x2 - x1, y2 - y1)
+    return s
+
+
+def polygon_iou_df(
+    df: DataFrame,
+    id_col: str = "pair_id",
+    a_col: str = "poly_a",
+    b_col: str = "poly_b",
+) -> DataFrame:
+    """(id, poly_a, poly_b) → (id, iou): Arrow-batched rotated/convex IoU.
+    Polygons are array<array<double>>; malformed rows (null / < 3 points /
+    null points) emit iou = null rather than crashing the task."""
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, ious = [], []
+            for i, a, b in zip(pdf[id_col], pdf[a_col], pdf[b_col]):
+                ids.append(i)
+                try:
+                    ious.append(
+                        convex_iou(
+                            [(p[0], p[1]) for p in a],
+                            [(p[0], p[1]) for p in b],
+                        )
+                    )
+                except (TypeError, IndexError, ZeroDivisionError):
+                    ious.append(None)
+            yield pd.DataFrame({id_col: ids, "iou": ious})
+
+    return df.select(id_col, a_col, b_col).mapInPandas(
+        kernel, f"{id_col} {id_type}, iou double"
+    )
+
+
+def offset_polygons_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    pts_col: str = "poly",
+    ratio: float = 1.5,
+    mode: str = "unclip",
+) -> DataFrame:
+    """(id, poly) → (id, ok, poly_out, area_in, area_out): true polygon
+    unclip/shrink as an Arrow kernel. ``ok=false`` rows (inverted shrink,
+    degenerate input) keep their id — no row silently disappears."""
+    import pandas as pd
+
+    if mode not in ("unclip", "shrink"):
+        raise ValueError(f"mode must be unclip|shrink, got {mode!r}")
+    id_type = dict(df.dtypes)[id_col]
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for i, poly in zip(pdf[id_col], pdf[pts_col]):
+                try:
+                    p = ensure_ccw([(float(q[0]), float(q[1])) for q in poly])
+                    out = (
+                        unclip_polygon(p, ratio)
+                        if mode == "unclip"
+                        else shrink_polygon(p, ratio)
+                    )
+                except (TypeError, IndexError):
+                    out = None
+                if out is None:
+                    rows.append((i, False, None, None, None))
+                else:
+                    rows.append(
+                        (
+                            i,
+                            True,
+                            [[x, y] for x, y in out],
+                            abs(polygon_area_signed(p)),
+                            abs(polygon_area_signed(out)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "ok", "poly_out", "area_in", "area_out"],
+            )
+
+    return df.select(id_col, pts_col).mapInPandas(
+        kernel,
+        f"{id_col} {id_type}, ok boolean, poly_out array<array<double>>,"
+        " area_in double, area_out double",
+    )
