@@ -1716,6 +1716,107 @@ def _q_polygon_unclip_axis(spark, sf_dir):
     )
 
 
+def _q_f21_border_map(spark, sf_dir):
+    """F21 border map (interval recast): per-position clipped distance
+    ridge over jittered span endpoints, δ = L(1−r²)/2 band width — every
+    value is one integer-distance division, replayed per position in
+    DuckDB."""
+    from comic_text_detector_spark.functions.losses import border_map_expr
+    from comic_text_detector_spark.operators.dedup import md5_long
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    s = (3 + md5_long(F.concat(F.lit("bs:"), did)) % 8).cast("int")
+    e = (s + 5 + md5_long(F.concat(F.lit("bl:"), did)) % 10).cast("int")
+    bm = border_map_expr(s, e, F.lit(30))
+    return docs.select(
+        "doc_id", F.posexplode(bm).alias("pos0", "border")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "border"
+    )
+
+
+def _q_u7_dice_l1(spark, sf_dir):
+    """U7 dice + masked-L1 losses as grouped aggregates over a dyadic
+    synthetic (pred, gt, mask) table (p = k/16 keeps every sum exact in
+    any order, so the single final divisions match DuckDB bitwise)."""
+    from comic_text_detector_spark.functions.losses import (
+        dice_loss,
+        masked_l1_loss,
+    )
+    from comic_text_detector_spark.operators.dedup import md5_long
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos")
+    )
+    key = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"),
+        F.col("pos").cast("string"),
+    )
+    p = (md5_long(F.concat(F.lit("lp:"), key)) % 17).cast("double") / 16.0
+    g = (md5_long(F.concat(F.lit("lg:"), key)) % 2).cast("double")
+    m = F.when(
+        md5_long(F.concat(F.lit("lm:"), key)) % 10 < 9, F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    rows = base.select(
+        (F.col("doc_id") % 10).alias("grp"),
+        p.alias("pred"),
+        g.alias("gt"),
+        m.alias("mask"),
+    )
+    return (
+        dice_loss(rows, "grp")
+        .join(masked_l1_loss(rows, "grp"), "grp")
+        .select(
+            F.col("grp").cast("bigint").alias("grp"),
+            "dice_loss",
+            "l1_loss",
+        )
+    )
+
+
+def _f21_border_map_oracle() -> str:
+    one_minus_r2 = repr(1.0 - 0.4 * 0.4)
+    return (
+        "WITH s AS (SELECT doc_id,"
+        " 3 + ('0x'||substr(md5('bs:'||doc_id::VARCHAR),1,8))::BIGINT % 8"
+        " AS st FROM documents), "
+        "e AS (SELECT doc_id, st, st + 5 +"
+        " ('0x'||substr(md5('bl:'||doc_id::VARCHAR),1,8))::BIGINT % 10"
+        " AS en FROM s), "
+        "d AS (SELECT doc_id, st, en,"
+        f" CAST(en - st AS DOUBLE) * {one_minus_r2} / 2.0 AS delta"
+        " FROM e) "
+        "SELECT doc_id, CAST(i AS INT) AS pos,"
+        " greatest(0.0, least(1.0, 1.0 -"
+        " CAST(least(abs(i - st), abs(en - i)) AS DOUBLE) / delta))"
+        " AS border"
+        " FROM d, unnest(generate_series(1, 30)) AS u(i)"
+    )
+
+
+def _u7_dice_l1_oracle() -> str:
+    h = (
+        "('0x'||substr(md5('{t}:'||doc_id::VARCHAR||':'||i::VARCHAR),"
+        "1,8))::BIGINT"
+    )
+    return (
+        "WITH b AS (SELECT doc_id, i FROM documents,"
+        " unnest(generate_series(1, 16)) AS u(i)), "
+        "v AS (SELECT doc_id % 10 AS grp,"
+        f" CAST({h.format(t='lp')} % 17 AS DOUBLE) / 16.0 AS p,"
+        f" CAST({h.format(t='lg')} % 2 AS DOUBLE) AS g,"
+        f" CASE WHEN {h.format(t='lm')} % 10 < 9 THEN 1.0 ELSE 0.0 END AS m"
+        " FROM b), "
+        "a AS (SELECT grp, sum(p * g * m) AS inter, sum(p * m) AS sp,"
+        " sum(g * m) AS sg, sum(abs(p - g) * m) AS num, sum(m) AS den"
+        " FROM v GROUP BY grp) "
+        "SELECT grp, 1.0 - 2.0 * inter / (sp + sg + 1e-6) AS dice_loss,"
+        " num / (den + 1e-6) AS l1_loss FROM a"
+    )
+
+
 def _rotated_iou_axis_oracle() -> str:
     jits = {
         t: f"CAST(('0x'||substr(md5('{t}:'||doc_id::VARCHAR),1,8))::BIGINT"
@@ -1997,6 +2098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f19_f25_mini_box_warp": _q_f19_f25_mini_box_warp,
         "rotated_iou_axis": _q_rotated_iou_axis,
         "polygon_unclip_axis": _q_polygon_unclip_axis,
+        "f21_border_map": _q_f21_border_map,
+        "u7_dice_l1": _q_u7_dice_l1,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -2281,6 +2384,8 @@ def oracle_sql() -> dict[str, str]:
         "f19_f25_mini_box_warp": _mini_box_warp_oracle(),
         "rotated_iou_axis": _rotated_iou_axis_oracle(),
         "polygon_unclip_axis": _polygon_unclip_axis_oracle(),
+        "f21_border_map": _f21_border_map_oracle(),
+        "u7_dice_l1": _u7_dice_l1_oracle(),
         "decontaminate": (
             "WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
             "g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 5 THEN "
