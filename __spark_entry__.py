@@ -1502,6 +1502,16 @@ def _q_substring_dup_spans(spark, sf_dir):
     return substring_dup_spans(planted, k=12, min_len=40)
 
 
+def _md5_jit(did, tag: str, m: int):
+    """Shared md5-derived integer jitter (as double) for the synthesized-
+    geometry oracle queries — ONE definition of the arithmetic
+    (md5_long's docstring: any width/cast change must change every oracle
+    in lockstep; three inline copies were a desync hazard, per review)."""
+    from comic_text_detector_spark.operators.dedup import md5_long
+
+    return (md5_long(F.concat(F.lit(tag + ":"), did)) % m).cast("double")
+
+
 def _q_f19_f25_mini_box_warp(spark, sf_dir):
     """F19 corner ordering + F25 homography as one value-checked plan:
     four jittered corners of a convex quad (never degenerate by
@@ -1517,15 +1527,12 @@ def _q_f19_f25_mini_box_warp(spark, sf_dir):
         quad_warp_coeffs,
         warp_point,
     )
-    from comic_text_detector_spark.operators.dedup import md5_long
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     did = F.col("doc_id").cast("string")
 
     def jit(tag):
-        return (md5_long(F.concat(F.lit(tag + ":"), did)) % 20).cast(
-            "double"
-        )
+        return _md5_jit(did, tag, 20)
 
     arr = F.array(
         F.array(jit("qx0"), jit("qy0")),
@@ -1641,16 +1648,13 @@ def _q_rotated_iou_axis(spark, sf_dir):
     SAME numerator/denominator and the single division matches bitwise.
     Rotation correctness is pinned by pytest (45° octagon closed form +
     rotation invariance)."""
-    from comic_text_detector_spark.operators.dedup import md5_long
     from comic_text_detector_spark.operators.polygons import polygon_iou_df
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     did = F.col("doc_id").cast("string")
 
     def j(tag, m):
-        return (md5_long(F.concat(F.lit(tag + ":"), did)) % m).cast(
-            "double"
-        )
+        return _md5_jit(did, tag, m)
 
     ax1, ay1 = j("ax1", 30), j("ay1", 30)
     ax2, ay2 = ax1 + 5 + j("aw", 20), ay1 + 5 + j("ah", 20)
@@ -1681,7 +1685,6 @@ def _q_polygon_unclip_axis(spark, sf_dir):
     arithmetic and the oracle's closed-form shifted corners agree
     bit-for-bit. General convex shapes are pinned by pytest (pentagon
     round-trip, inradius refusal)."""
-    from comic_text_detector_spark.operators.dedup import md5_long
     from comic_text_detector_spark.operators.polygons import (
         offset_polygons_df,
     )
@@ -1690,9 +1693,7 @@ def _q_polygon_unclip_axis(spark, sf_dir):
     did = F.col("doc_id").cast("string")
 
     def j(tag, m):
-        return (md5_long(F.concat(F.lit(tag + ":"), did)) % m).cast(
-            "double"
-        )
+        return _md5_jit(did, tag, m)
 
     x1, y1 = j("px1", 30), j("py1", 30)
     s = 4 + j("ps", 40)

@@ -49,11 +49,24 @@ def ensure_ccw(pts: list[Point]) -> list[Point]:
 
 
 def _line_intersect(p: Point, c: Point, a: Point, b: Point) -> Point:
-    """Intersection of segment p→c with the infinite line a→b."""
+    """Intersection of segment p→c with the infinite line a→b.
+
+    Axis-aligned clip lines take their coordinate EXACTLY (x = x3 when
+    the line is vertical, y = y3 when horizontal) instead of re-deriving
+    it parametrically: ``x1 + t·(x2−x1)`` rounds ``t`` and lands 1 ulp
+    off for ~0.7% of integer straddle triples, which broke the
+    axis-aligned oracle's bitwise parity at sf0.1 (review-confirmed).
+    With this, axis-rect ∩ axis-rect clipping is exact end to end."""
     x1, y1 = p
     x2, y2 = c
     x3, y3 = a
     x4, y4 = b
+    if x3 == x4:  # vertical clip line: x is exactly x3
+        t = (x3 - x1) / (x2 - x1)
+        return (x3, y1 + t * (y2 - y1))
+    if y3 == y4:  # horizontal clip line: y is exactly y3
+        t = (y3 - y1) / (y2 - y1)
+        return (x1 + t * (x2 - x1), y3)
     den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
     t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
     return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
@@ -90,11 +103,25 @@ def clip_convex(subject: list[Point], clip: list[Point]) -> list[Point]:
     return out
 
 
+def _validate_poly(pts: list[Point]) -> list[Point]:
+    """≥3 points, all coordinates finite — else ValueError. A 2-point
+    'polygon' would otherwise clip to a silent iou of 0.0 and a NaN
+    coordinate would poison every downstream comparison as
+    plausible-looking NaN/ok=true output (review repros)."""
+    p = [(float(x), float(y)) for x, y in pts]
+    if len(p) < 3:
+        raise ValueError(f"polygon needs >= 3 points, got {len(p)}")
+    if not all(math.isfinite(c) for q in p for c in q):
+        raise ValueError("polygon has non-finite coordinates")
+    return p
+
+
 def convex_iou(p1: list[Point], p2: list[Point]) -> float:
     """Intersection-over-union of two convex polygons (rotated-rect IoU
-    when fed rect corners). One IEEE division at the end."""
-    a = ensure_ccw([(float(x), float(y)) for x, y in p1])
-    b = ensure_ccw([(float(x), float(y)) for x, y in p2])
+    when fed rect corners). One IEEE division at the end. Malformed
+    input (< 3 points, NaN/inf coords) raises ValueError."""
+    a = ensure_ccw(_validate_poly(p1))
+    b = ensure_ccw(_validate_poly(p2))
     inter_poly = clip_convex(a, b)
     inter = abs(polygon_area_signed(inter_poly)) if inter_poly else 0.0
     union = abs(polygon_area_signed(a)) + abs(polygon_area_signed(b)) - inter
@@ -129,11 +156,23 @@ def convex_offset(pts: list[Point], d: float) -> list[Point] | None:
     edge ``d`` along its outward normal and re-intersect adjacent edges —
     miter joins. Returns None when the result is no longer strictly CCW
     convex (shrink past the inradius, or a degenerate input): an explicit
-    refusal, never a self-intersecting 'polygon'."""
-    p = ensure_ccw([(float(x), float(y)) for x, y in pts])
-    n = len(p)
-    if n < 3:
+    refusal, never a self-intersecting 'polygon'. Non-finite coordinates
+    refuse too — NaN sails through every sign check and would otherwise
+    come back as an ok-looking all-NaN polygon."""
+    try:
+        p = ensure_ccw(_validate_poly(pts))
+    except ValueError:
         return None
+    return _offset_ccw(p, d)
+
+
+def _offset_ccw(p: list[Point], d: float) -> list[Point] | None:
+    """Core of ``convex_offset`` for an already-validated CCW polygon —
+    the per-row kernels normalize once and call this directly instead of
+    re-validating/re-orienting the same polygon three times."""
+    if not math.isfinite(d):
+        return None
+    n = len(p)
     shifted = []
     for i in range(n):
         (x1, y1), (x2, y2) = p[i], p[(i + 1) % n]
@@ -152,7 +191,15 @@ def convex_offset(pts: list[Point], d: float) -> list[Point] | None:
         den = (a1[0] - a2[0]) * (b1[1] - b2[1]) - (a1[1] - a2[1]) * (
             b1[0] - b2[0]
         )
-        if den == 0:  # parallel adjacent edges (collinear input)
+        # NEAR-parallel adjacent edges (a vertex quantized almost onto an
+        # edge) would put the miter intersection ~1/sin(angle) away and
+        # trip the membership check, spuriously refusing a valid polygon
+        # — treat tiny normalized cross products as parallel and keep the
+        # shifted vertex itself (the limit of the miter as angle → 0)
+        dscale = math.hypot(a2[0] - a1[0], a2[1] - a1[1]) * math.hypot(
+            b2[0] - b1[0], b2[1] - b1[1]
+        )
+        if abs(den) <= 1e-9 * dscale:
             out.append(b1)
         else:
             out.append(_line_intersect(a1, a2, b1, b2))
@@ -186,12 +233,15 @@ def unclip_polygon(
 ) -> list[Point] | None:
     """True F18 unclip (reference utils/db_utils.py:168-174): offset
     outward by d = area * ratio / perimeter."""
-    p = ensure_ccw([(float(x), float(y)) for x, y in pts])
+    try:
+        p = ensure_ccw(_validate_poly(pts))
+    except ValueError:
+        return None
     area = abs(polygon_area_signed(p))
     per = _perimeter(p)
     if per == 0:
         return None
-    return convex_offset(p, area * ratio / per)
+    return _offset_ccw(p, area * ratio / per)
 
 
 def shrink_polygon(pts: list[Point], ratio: float) -> list[Point] | None:
@@ -200,12 +250,15 @@ def shrink_polygon(pts: list[Point], ratio: float) -> list[Point] | None:
     distance exceeds the inradius (the polygon would invert) — callers
     fall back to dropping the candidate, as the reference's validity
     checks do."""
-    p = ensure_ccw([(float(x), float(y)) for x, y in pts])
+    try:
+        p = ensure_ccw(_validate_poly(pts))
+    except ValueError:
+        return None
     area = abs(polygon_area_signed(p))
     per = _perimeter(p)
     if per == 0:
         return None
-    return convex_offset(p, -(area * (1 - ratio * ratio) / per))
+    return _offset_ccw(p, -(area * (1 - ratio * ratio) / per))
 
 
 def _perimeter(p: list[Point]) -> float:
@@ -242,7 +295,8 @@ def polygon_iou_df(
                             [(p[0], p[1]) for p in b],
                         )
                     )
-                except (TypeError, IndexError, ZeroDivisionError):
+                except (TypeError, IndexError, ValueError,
+                        ZeroDivisionError):
                     ious.append(None)
             yield pd.DataFrame({id_col: ids, "iou": ious})
 
@@ -271,14 +325,23 @@ def offset_polygons_df(
         for pdf in batches:
             rows = []
             for i, poly in zip(pdf[id_col], pdf[pts_col]):
+                # validate + orient ONCE; compute area/perimeter once and
+                # feed the normalized core directly (the public wrappers
+                # would re-run the same O(n) passes per row)
                 try:
-                    p = ensure_ccw([(float(q[0]), float(q[1])) for q in poly])
-                    out = (
-                        unclip_polygon(p, ratio)
-                        if mode == "unclip"
-                        else shrink_polygon(p, ratio)
-                    )
-                except (TypeError, IndexError):
+                    p = ensure_ccw(_validate_poly(poly))
+                    area = abs(polygon_area_signed(p))
+                    per = _perimeter(p)
+                    if per == 0:
+                        out = None
+                    else:
+                        d = (
+                            area * ratio / per
+                            if mode == "unclip"
+                            else -(area * (1 - ratio * ratio) / per)
+                        )
+                        out = _offset_ccw(p, d)
+                except (TypeError, IndexError, ValueError):
                     out = None
                 if out is None:
                     rows.append((i, False, None, None, None))
@@ -288,7 +351,7 @@ def offset_polygons_df(
                             i,
                             True,
                             [[x, y] for x, y in out],
-                            abs(polygon_area_signed(p)),
+                            area,
                             abs(polygon_area_signed(out)),
                         )
                     )

@@ -119,3 +119,54 @@ def test_polygon_df_faces(spark):
     assert unc[1].ok and abs(unc[1].area_out - 12.25) < 1e-12
     assert unc[2].ok and unc[2].area_out > unc[2].area_in
     assert not unc[3].ok
+
+
+def test_polygon_review_repros(spark):
+    """Round-3 review repros: NaN coordinates refuse (never an ok=true
+    all-NaN polygon), < 3 points emit null iou (not a fake 0.0), and a
+    near-collinear vertex does not explode the miter into a spurious
+    refusal."""
+    import math
+
+    import pytest
+
+    nanq = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, float("nan"))]
+    assert unclip_polygon(nanq, 1.5) is None
+    assert convex_offset(nanq, 0.5) is None
+    with pytest.raises(ValueError):
+        convex_iou(rect_corners(0, 0, 2, 2, 0), nanq)
+    with pytest.raises(ValueError):
+        convex_iou(rect_corners(0, 0, 2, 2, 0), [(0.0, 0.0), (2.0, 0.0)])
+
+    df = spark.createDataFrame(
+        [
+            (1, [[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]],
+             [[0.0, 0.0], [2.0, 0.0]]),                      # 2 points
+            (2, [[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]],
+             [[0.0, 0.0], [2.0, 0.0], [2.0, float("nan")]]),  # NaN
+        ],
+        "pair_id bigint, poly_a array<array<double>>,"
+        " poly_b array<array<double>>",
+    )
+    got = {r.pair_id: r.iou for r in polygon_iou_df(df).collect()}
+    assert got[1] is None and got[2] is None
+
+    # vertex quantized almost onto an edge: the miter clamp keeps the
+    # offset finite and the polygon is NOT spuriously refused
+    near = [(0.0, 0.0), (1.0, -1e-9), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)]
+    u = unclip_polygon(near, 1.5)
+    assert u is not None
+    plain = unclip_polygon(
+        [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)], 1.5
+    )
+    assert abs(
+        abs(polygon_area_signed(u)) - abs(polygon_area_signed(plain))
+    ) < 1e-6
+
+    # NaN polygons through the offset DataFrame face stay ok=false
+    polys = spark.createDataFrame(
+        [(1, [[0.0, 0.0], [2.0, 0.0], [2.0, float("nan")]])],
+        "doc_id bigint, poly array<array<double>>",
+    )
+    row = offset_polygons_df(polys, ratio=1.5, mode="unclip").collect()[0]
+    assert not row.ok and row.poly_out is None
