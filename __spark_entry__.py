@@ -1818,6 +1818,61 @@ def _u7_dice_l1_oracle() -> str:
     )
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (pretraining batch assembly): whitespace
+    token counts → md5-ordered shard-local first-fit fill at budget 120
+    over 8 buckets. The oracle replays the IDENTICAL greedy recurrence
+    with a recursive CTE per bucket (same md5 order key, same
+    overflow-opens-next-pack rule), so pack ids and positions match
+    exactly."""
+    from comic_text_detector_spark.functions.textstats import (
+        token_count_ws,
+    )
+    from comic_text_detector_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=120, n_buckets=8).select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_tokens",
+        "pack_id",
+        "pack_pos",
+    )
+
+
+def _pack_sequences_oracle() -> str:
+    return (
+        "WITH RECURSIVE "
+        "s AS (SELECT doc_id,"
+        " CAST(len(string_split(text, ' ')) AS BIGINT) AS tok"
+        " FROM documents), "
+        "k AS (SELECT doc_id, tok,"
+        " md5('pack:'||doc_id::VARCHAR) AS okey FROM s), "
+        "b AS (SELECT doc_id, tok, okey,"
+        " CAST(('0x'||substr(md5(okey),1,8))::BIGINT % 8 AS INT)"
+        " AS bucket FROM k), "
+        # MATERIALIZED: referenced from the recursive term every iteration
+        "r AS MATERIALIZED (SELECT doc_id, tok, okey, bucket,"
+        " row_number() OVER (PARTITION BY bucket ORDER BY okey, doc_id)"
+        " AS rn FROM b), "
+        "walk AS ("
+        " SELECT bucket, rn, CAST(0 AS BIGINT) AS pack, tok AS acc"
+        " FROM r WHERE rn = 1"
+        " UNION ALL"
+        " SELECT r.bucket, r.rn,"
+        "  CASE WHEN w.acc + r.tok > 120 THEN w.pack + 1 ELSE w.pack END,"
+        "  CASE WHEN w.acc + r.tok > 120 THEN r.tok ELSE w.acc + r.tok END"
+        " FROM walk w JOIN r ON r.bucket = w.bucket AND r.rn = w.rn + 1) "
+        "SELECT r.doc_id, r.bucket, r.tok AS n_tokens,"
+        " w.pack AS pack_id,"
+        " CAST(row_number() OVER (PARTITION BY r.bucket, w.pack"
+        " ORDER BY r.rn) - 1 AS BIGINT) AS pack_pos"
+        " FROM r JOIN walk w ON r.bucket = w.bucket AND r.rn = w.rn"
+    )
+
+
 def _rotated_iou_axis_oracle() -> str:
     jits = {
         t: f"CAST(('0x'||substr(md5('{t}:'||doc_id::VARCHAR),1,8))::BIGINT"
@@ -2101,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_unclip_axis": _q_polygon_unclip_axis,
         "f21_border_map": _q_f21_border_map,
         "u7_dice_l1": _q_u7_dice_l1,
+        "pack_sequences": _q_pack_sequences,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -2387,6 +2443,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_unclip_axis": _polygon_unclip_axis_oracle(),
         "f21_border_map": _f21_border_map_oracle(),
         "u7_dice_l1": _u7_dice_l1_oracle(),
+        "pack_sequences": _pack_sequences_oracle(),
         "decontaminate": (
             "WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
             "g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 5 THEN "

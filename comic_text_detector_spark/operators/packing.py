@@ -1,0 +1,105 @@
+"""Sequence packing for pretraining batch assembly — the step after token
+accounting in an LLM data pipeline: fill fixed token-budget packs with
+documents so training windows waste as little padding as possible.
+
+Exact global first-fit packing is inherently sequential; what real
+multi-worker pipelines actually do is pack PER SHARD: distribute docs,
+order them deterministically within the shard, and fill sequentially.
+That is this operator's shape: hash-bucket → deterministic md5 order key →
+greedy sequential fill inside an ``applyInPandas`` kernel (bucket-local,
+embarrassingly parallel across buckets — the parallel unit at 100 TB is
+the bucket count, and no bucket's state ever crosses an executor).
+
+Greedy rule: a document joins the open pack while the running token total
+stays ≤ budget, else it opens the next pack. A document longer than the
+budget necessarily gets a pack of its own (its running total blocks every
+join) — callers decide whether to truncate or split those downstream.
+
+Determinism: bucket = md5(salt:id) % n_buckets and the in-bucket order key
+is the md5 hex digest — reproducible across runs, repartitionings and
+engines, so the DuckDB oracle replays the identical fill with a recursive
+CTE and matches pack ids exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_long
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    n_buckets: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """(id, n_tokens) → (id, bucket, pack_id, pack_pos): deterministic
+    greedy sequence packing. ``pack_id`` counts packs within a bucket from
+    0; ``pack_pos`` is the document's position inside its pack (0-based).
+    Null/negative token counts are treated as 0 (they consume no budget
+    but still occupy a slot — no row is dropped)."""
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    id_type = dict(df.dtypes)[id_col]
+    okey = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("tok"),
+        okey.alias("okey"),
+        (md5_long(okey) % n_buckets).cast("int").alias("bucket"),
+    )
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["okey", "id"], kind="mergesort")
+        packs, poss = [], []
+        pack, acc, pos = 0, 0, 0
+        first = True
+        for tok in pdf["tok"]:
+            t = max(int(tok), 0)
+            if not first and acc + t > budget:
+                pack += 1
+                acc, pos = 0, 0
+            acc += t
+            packs.append(pack)
+            poss.append(pos)
+            pos += 1
+            first = False
+        out = pdf[["id", "bucket", "tok"]].copy()
+        out["pack_id"] = packs
+        out["pack_pos"] = poss
+        return out
+
+    return (
+        src.groupBy("bucket")
+        .applyInPandas(
+            fill,
+            f"id {id_type}, bucket int, tok bigint, pack_id bigint,"
+            " pack_pos bigint",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "bucket",
+            F.col("tok").alias(tokens_col),
+            "pack_id",
+            "pack_pos",
+        )
+    )
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Packing-efficiency report over ``pack_sequences`` output:
+    (bucket, pack_id, n_docs, pack_tokens, fill_ratio). The corpus-level
+    mean fill ratio is THE number a packing strategy is judged by."""
+    return packed.groupBy("bucket", "pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(packed.columns[2]).cast("bigint").alias("pack_tokens"),
+        (F.sum(packed.columns[2]) / F.lit(float(budget))).alias(
+            "fill_ratio"
+        ),
+    )

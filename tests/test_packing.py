@@ -1,0 +1,88 @@
+"""Sequence packing: greedy fill invariants vs an independent replica."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from comic_text_detector_spark.operators.packing import (
+    pack_sequences,
+    pack_stats,
+)
+
+
+def _replica(rows, budget, salt="pack"):
+    """Independent python reimplementation of the documented greedy rule
+    (md5 order, first doc always in pack 0, overflow opens next pack)."""
+    ordered = sorted(
+        rows, key=lambda r: (hashlib.md5(f"{salt}:{r[0]}".encode()).hexdigest(), r[0])
+    )
+    out, pack, acc, first = {}, 0, 0, True
+    pos = 0
+    for i, tok in ordered:
+        if not first and acc + tok > budget:
+            pack += 1
+            acc, pos = 0, 0
+        acc += tok
+        out[i] = (pack, pos)
+        pos += 1
+        first = False
+    return out
+
+
+def test_pack_sequences_greedy(spark):
+    rows = [("a", 4), ("b", 4), ("c", 4), ("d", 11), ("e", 2), ("f", 0)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens bigint")
+    got = {
+        r.doc_id: r
+        for r in pack_sequences(df, budget=10, n_buckets=1).collect()
+    }
+    exp = _replica(rows, 10)
+    assert {k: (v.pack_id, v.pack_pos) for k, v in got.items()} == exp
+    # every doc packed exactly once; packs respect the budget except the
+    # oversize doc, which sits alone
+    by_pack = {}
+    for k, v in got.items():
+        by_pack.setdefault(v.pack_id, []).append(dict(rows)[k])
+    for toks in by_pack.values():
+        assert sum(toks) <= 10 or len(toks) == 1
+
+    stats = pack_stats(
+        pack_sequences(df, budget=10, n_buckets=1), budget=10
+    ).collect()
+    assert sum(s.n_docs for s in stats) == len(rows)
+    assert all(s.fill_ratio <= 1.0 or s.n_docs == 1 for s in stats)
+
+    # deterministic under repartitioning (the shard-local fill depends
+    # only on the hash order, not on physical layout)
+    g2 = {
+        r.doc_id: (r.pack_id, r.pack_pos)
+        for r in pack_sequences(
+            df.repartition(5), budget=10, n_buckets=1
+        ).collect()
+    }
+    assert g2 == exp
+
+
+def test_pack_sequences_buckets(spark):
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(90)) + 1).alias("n_tokens"),
+    )
+    packed = pack_sequences(df, budget=128, n_buckets=8)
+    rows = packed.collect()
+    assert len(rows) == 300  # no row lost
+    assert {r.bucket for r in rows} <= set(range(8))
+    # budget respected within every (bucket, pack) except singletons
+    agg = (
+        packed.groupBy("bucket", "pack_id")
+        .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(a.t <= 128 or a.n == 1 for a in agg)
+    # positions are contiguous from 0 inside each pack
+    pos = {}
+    for r in rows:
+        pos.setdefault((r.bucket, r.pack_id), []).append(r.pack_pos)
+    assert all(sorted(v) == list(range(len(v))) for v in pos.values())
