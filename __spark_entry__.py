@@ -1845,9 +1845,12 @@ def _q_pack_sequences(spark, sf_dir):
 def _pack_sequences_oracle() -> str:
     return (
         "WITH RECURSIVE "
+        # coalesce keeps the twins aligned on null text: the kernel
+        # clamps null→0, and a NULL tok would poison the walk's acc for
+        # every later row in the bucket
         "s AS (SELECT doc_id,"
-        " CAST(len(string_split(text, ' ')) AS BIGINT) AS tok"
-        " FROM documents), "
+        " CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT)"
+        " AS tok FROM documents), "
         "k AS (SELECT doc_id, tok,"
         " md5('pack:'||doc_id::VARCHAR) AS okey FROM s), "
         "b AS (SELECT doc_id, tok, okey,"

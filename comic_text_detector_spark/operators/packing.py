@@ -41,11 +41,17 @@ def pack_sequences(
     greedy sequence packing. ``pack_id`` counts packs within a bucket from
     0; ``pack_pos`` is the document's position inside its pack (0-based).
     Null/negative token counts are treated as 0 (they consume no budget
-    but still occupy a slot — no row is dropped)."""
+    but still occupy a slot — no row is dropped), and the EMITTED
+    n_tokens column carries that clamped budget-accounting value so
+    ``pack_stats`` sums what was actually packed."""
     import pandas as pd
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if n_buckets <= 0:
+        # fail eagerly: n_buckets=0 would otherwise surface as an ANSI
+        # REMAINDER_BY_ZERO deep inside the job at action time
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     id_type = dict(df.dtypes)[id_col]
     okey = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
     src = df.select(
@@ -57,7 +63,7 @@ def pack_sequences(
 
     def fill(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["okey", "id"], kind="mergesort")
-        packs, poss = [], []
+        packs, poss, toks = [], [], []
         pack, acc, pos = 0, 0, 0
         first = True
         for tok in pdf["tok"]:
@@ -68,9 +74,11 @@ def pack_sequences(
             acc += t
             packs.append(pack)
             poss.append(pos)
+            toks.append(t)  # the clamped value budget accounting used
             pos += 1
             first = False
-        out = pdf[["id", "bucket", "tok"]].copy()
+        out = pdf[["id", "bucket"]].copy()
+        out["tok"] = toks
         out["pack_id"] = packs
         out["pack_pos"] = poss
         return out
@@ -92,14 +100,16 @@ def pack_sequences(
     )
 
 
-def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+def pack_stats(
+    packed: DataFrame, budget: int, tokens_col: str = "n_tokens"
+) -> DataFrame:
     """Packing-efficiency report over ``pack_sequences`` output:
     (bucket, pack_id, n_docs, pack_tokens, fill_ratio). The corpus-level
-    mean fill ratio is THE number a packing strategy is judged by."""
+    mean fill ratio is THE number a packing strategy is judged by.
+    ``tokens_col`` names the token column explicitly — positional access
+    would silently sum the wrong column on a reordered frame."""
     return packed.groupBy("bucket", "pack_id").agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(packed.columns[2]).cast("bigint").alias("pack_tokens"),
-        (F.sum(packed.columns[2]) / F.lit(float(budget))).alias(
-            "fill_ratio"
-        ),
+        F.sum(tokens_col).cast("bigint").alias("pack_tokens"),
+        (F.sum(tokens_col) / F.lit(float(budget))).alias("fill_ratio"),
     )

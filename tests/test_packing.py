@@ -86,3 +86,26 @@ def test_pack_sequences_buckets(spark):
     for r in rows:
         pos.setdefault((r.bucket, r.pack_id), []).append(r.pack_pos)
     assert all(sorted(v) == list(range(len(v))) for v in pos.values())
+
+
+def test_pack_negative_and_validation(spark):
+    """Review repros: negative/null token counts clamp to 0 consistently
+    in budget accounting AND the emitted column (pack_stats must not go
+    negative); n_buckets validates eagerly."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 4), ("b", -7), ("c", None)],
+        "doc_id string, n_tokens bigint",
+    )
+    packed = pack_sequences(df, budget=10, n_buckets=1)
+    rows = {r.doc_id: r for r in packed.collect()}
+    assert rows["b"].n_tokens == 0 and rows["c"].n_tokens == 0
+    stats = pack_stats(packed, budget=10).collect()
+    assert all(s.pack_tokens >= 0 and s.fill_ratio >= 0.0 for s in stats)
+    assert sum(s.pack_tokens for s in stats) == 4
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        pack_sequences(df, budget=10, n_buckets=0)
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, budget=0)
