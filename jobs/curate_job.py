@@ -50,6 +50,20 @@ def main(argv: list[str], spark=None) -> int:
         "(CCNet-style boilerplate removal) before the quality floor",
     )
     p.add_argument(
+        "--min-logit",
+        type=float,
+        default=None,
+        help="if set, drop docs whose hashing-trick quality_logit score "
+        "(deterministic hash weights, or --logit-weights JSON of "
+        "bucket->milliweight) falls below this floor",
+    )
+    p.add_argument(
+        "--logit-weights",
+        default=None,
+        help="JSON dict bucket->int milliweight for a trained quality "
+        "model (default: deterministic md5-derived weights)",
+    )
+    p.add_argument(
         "--cut-dup-spans",
         action="store_true",
         help="find cross-document verbatim passages (substring_dup_spans) "
@@ -132,6 +146,22 @@ def main(argv: list[str], spark=None) -> int:
         clean = clean.drop(
             args.text_col, "n_cut_spans", "n_chars_cut"
         ).join(cut, args.id_col)
+
+    # optional stage 1d: trained/hashed linear quality floor — docs below
+    # the logit threshold leave via an anti-join (the scorer emits only
+    # docs WITH words; wordless docs keep their heuristic-floor fate)
+    if args.min_logit is not None:
+        from comic_text_detector_spark.operators.curation import quality_logit
+
+        weights = (
+            {int(k): int(v) for k, v in json.loads(args.logit_weights).items()}
+            if args.logit_weights
+            else None
+        )
+        low = quality_logit(
+            clean, args.id_col, args.text_col, weights=weights
+        ).filter(F.col("logit") < args.min_logit)
+        clean = clean.join(low.select(args.id_col), args.id_col, "left_anti")
 
     # stage 2 + 3 fuse into one zero-exchange scan: quality floor, then the
     # deterministic per-language mixture sample

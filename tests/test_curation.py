@@ -426,3 +426,43 @@ def test_quality_logit_empty_weights(spark):
     )
     got = {r.doc_id: r.logit for r in quality_logit(df, weights={}).collect()}
     assert got == {"a": 0.0, "b": 0.0}
+
+
+def test_curate_job_min_logit(spark, tmp_path):
+    """--min-logit with trained sparse weights: docs scoring below the
+    floor leave; wordless/neutral docs keep their fate."""
+    import hashlib
+    import json as _json
+
+    from jobs import curate_job
+
+    nb = 1 << 18
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % nb
+
+    docs = spark.createDataFrame(
+        [
+            ("http://h/clean1", "perfectly normal document text here", "en"),
+            ("http://h/clean2", "another fine document with words", "en"),
+            ("http://h/spam", "badtoken badtoken badtoken filler", "en"),
+        ],
+        "url string, text string, lang string",
+    )
+    corpus, bench = str(tmp_path / "c"), str(tmp_path / "b")
+    docs.write.parquet(corpus)
+    spark.createDataFrame([("zz qq ww rr tt",)], "text string").write.parquet(
+        bench
+    )
+    out = str(tmp_path / "out")
+    weights = _json.dumps({bucket("badtoken"): -1000})
+    assert curate_job.main(
+        [
+            "--input", corpus, "--benchmark", bench, "--output", out,
+            "--rates", '{"en": 1.0}', "--min-logit", "-0.5",
+            "--logit-weights", weights,
+        ],
+        spark=spark,
+    ) == 0
+    kept = {r.url for r in spark.read.parquet(f"{out}/curated").collect()}
+    assert kept == {"http://h/clean1", "http://h/clean2"}
