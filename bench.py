@@ -245,7 +245,7 @@ def main() -> None:
     round_ceilings: list[float] = []
     for rnd in range(rounds):
         if rnd > 0:
-            est = (last_round_s or budget_s) * 1.3
+            est = (budget_s if last_round_s is None else last_round_s) * 1.3
             if time.time() - t_start + est > budget_s * 0.9:
                 break  # next round might blow the caller's timeout
         round_t0 = time.time()

@@ -188,8 +188,8 @@ def lang_id_ngram(
     grams = F.when(
         F.length(t) >= 3,
         F.expr(
-            f"transform(sequence(1, length(lower({text_col})) - 2),"
-            f" i -> substring(lower({text_col}), i, 3))"
+            f"transform(sequence(1, length(lower(`{text_col}`)) - 2),"
+            f" i -> substring(lower(`{text_col}`), i, 3))"
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = df.select(F.col(id_col).alias("id"), grams.alias("g"))
@@ -247,8 +247,8 @@ def kgram_fingerprints(
         F.col(id_col),
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-                f" i -> md5(substring({text_col}, i, {k})))"
+                f"transform(sequence(1, greatest(length(`{text_col}`) - {k - 1}, 1)),"
+                f" i -> md5(substring(`{text_col}`, i, {k})))"
             )
         ).alias("pos", "gram_hash"),
     )

@@ -258,6 +258,12 @@ def warp_region_pixels(
         w = int(round(textheight / ratio))
     if h < 2 or w < 2:
         raise ValueError(f"degenerate warp target {w}x{h}")
+    # A near-degenerate quad (tiny ||vec_h||) makes ratio, and hence the
+    # destination raster, unboundedly large; refuse instead of letting
+    # np.mgrid allocate an executor-OOM-sized array (caller degrades to
+    # ok=false like every other malformed input).
+    if h > 10_000 or w > 10_000:
+        raise ValueError(f"warp target {w}x{h} exceeds 10000px bound")
     a, b, c, d, e, f, g, hh = warp_quad_coeffs_np(quad)
     ys, xs = np.mgrid[0:h, 0:w]
     u = xs / (w - 1)

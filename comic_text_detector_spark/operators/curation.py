@@ -247,7 +247,7 @@ def robots_filter(
     # '*' into '.*', anchor at '^'. Identical exprs replay in the oracle.
     anch = F.col(prefix_col).endswith("$")
     body = F.when(
-        anch, F.expr(f"substring({prefix_col}, 1, length({prefix_col})-1)")
+        anch, F.expr(f"substring(`{prefix_col}`, 1, length(`{prefix_col}`)-1)")
     ).otherwise(F.col(prefix_col))
     esc = F.regexp_replace(body, r"([.^$+?(){}\[\]\\|])", r"\\$1")
     rx = F.concat(
@@ -395,8 +395,8 @@ def substring_dup_spans(
             F.when(
                 F.length(text_col) >= k,
                 F.expr(
-                    f"transform(sequence(1, length({text_col}) - {k - 1}),"
-                    f" i -> md5(substring({text_col}, i, {k})))"
+                    f"transform(sequence(1, length(`{text_col}`) - {k - 1}),"
+                    f" i -> md5(substring(`{text_col}`, i, {k})))"
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("p0", "h"),

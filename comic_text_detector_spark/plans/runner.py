@@ -339,7 +339,14 @@ def run_extract_incremental(
     if snapshot_id in [s["snapshot_id"] for s in state["snapshots"]]:
         return {"snapshot_id": snapshot_id, "skipped": "already_committed"}
 
-    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # NULL capture timestamps must not silently vanish (both the watermark
+    # filter and the pinned upper bound would evaluate to null and drop the
+    # row even on the first snapshot). Coalesce them to epoch 0: they ride
+    # in the FIRST snapshot and are never re-processed by later increments
+    # — same fate a plain run_extract gives them, made explicit here.
+    ts_us = F.coalesce(
+        F.unix_micros(F.col(ts_col).cast("timestamp")), F.lit(0)
+    )
     docs = documents
     if state["watermark_us"] is not None:
         docs = docs.filter(ts_us > F.lit(state["watermark_us"]))
