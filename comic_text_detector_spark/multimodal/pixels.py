@@ -9,10 +9,12 @@ Arrow-batched ``mapInPandas`` kernel, and the output is a valid PNG again.
 
 Scale shape: embarrassingly parallel per row (no shuffle at all); batch
 memory is bounded by the session's Arrow batch size x image size, the same
-contract as the extraction kernel. JPEG/GIF stay metadata-only (their
-entropy decoders are codec territory — binary_ops.decode_image_meta covers
-them); PNG is decoded for real because the whole format (zlib + 5 scanline
-filters) is stdlib-expressible.
+contract as the extraction kernel. PNG is decoded here (zlib + 5 scanline
+filters, all stdlib-expressible); baseline JPEG decodes for real in
+``multimodal.jpeg`` (SOF0 sequential Huffman) and every pixel operator
+dispatches through ``decode_image_pixels`` so both formats flow; GIF stays
+metadata-only (LZW + animation is codec territory —
+binary_ops.decode_image_meta covers it).
 """
 
 from __future__ import annotations
@@ -111,6 +113,23 @@ def decode_png_pixels(data: bytes) -> np.ndarray | None:
     return out.reshape(height, width, ch)
 
 
+def decode_image_pixels(data: bytes) -> np.ndarray | None:
+    """Magic-byte dispatch over the real pixel decoders: PNG (this module)
+    or baseline JPEG (``multimodal.jpeg``) → (h, w, ch) uint8, else None.
+    This is the decode call every pixel-tier operator (letterbox, warp)
+    goes through, so the dominant crawl format decodes for real too."""
+    if not isinstance(data, (bytes, bytearray)):
+        return None
+    data = bytes(data)
+    if data.startswith(_PNG_SIG):
+        return decode_png_pixels(data)
+    if data.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(data)
+    return None
+
+
 def encode_png(arr: np.ndarray) -> bytes:
     """(h, w, 1|2|3|4) uint8 array → valid PNG (filter 0 rows, one IDAT).
     Every channel count maps to its PNG color type — alpha is PRESERVED;
@@ -177,7 +196,7 @@ def letterbox_images(
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf[media_col]):
-                arr = decode_png_pixels(blob)
+                arr = decode_image_pixels(blob)
                 if arr is None:
                     rows.append((mid, False, None, None, None, None, None, None, None))
                     continue
@@ -305,7 +324,7 @@ def warp_region_images(
             for mid, blob, quad, vert in zip(
                 pdf["media_id"], pdf[media_col], pdf[quad_col], verts
             ):
-                arr = decode_png_pixels(blob)
+                arr = decode_image_pixels(blob)
                 if arr is None or quad is None or len(quad) != 4:
                     rows.append((mid, False, None, None, None))
                     continue
