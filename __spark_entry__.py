@@ -678,6 +678,41 @@ def _q_multimodal_letterbox(spark, sf_dir):
     )
 
 
+def _q_multimodal_letterbox_jpeg(spark, sf_dir):
+    """F5/F6 over the dominant crawl format: each doc_id becomes a REAL
+    baseline JPEG (SOF0 sequential Huffman, synthesized and decoded by the
+    from-scratch codec in multimodal/jpeg.py — no codec library), the
+    kernel decodes the actual entropy-coded pixels, letterboxes to 64x64,
+    and re-encodes. Same integer geometry oracle as the PNG variant, so a
+    JPEG pixel-path bug that warps geometry fails the gate. Dims are kept
+    small (<=16x12) so 15k per-row Huffman decodes stay cheap."""
+    import pandas as pd
+
+    from comic_text_detector_spark.multimodal.jpeg import synthesize_jpeg_real
+    from comic_text_detector_spark.multimodal.pixels import letterbox_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [str(i) for i in ids],
+                    "media": [
+                        synthesize_jpeg_real(1 + i % 16, 1 + i % 12)
+                        for i in ids
+                    ],
+                }
+            )
+
+    m = docs.mapInPandas(synth, "media_id string, media binary")
+    return letterbox_images(m, size=64).select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "in_w", "in_h", "out_w", "out_h", "pad_left", "pad_top",
+    )
+
+
 def _q_extract_blocks(spark, sf_dir):
     """End-to-end block surface: extraction → exploded spans → per-block
     text slice + language tag (the TextBlock record analog, F22/W1/W2).
@@ -1876,6 +1911,110 @@ def _pack_sequences_oracle() -> str:
     )
 
 
+def _q_train_quality_logit(spark, sf_dir):
+    """IN-SPARK TRAINING of the hashed-BoW quality classifier (logistic
+    regression as column-expr gradient aggregations; integer-deterministic
+    loop — see operators/quality_train.py). The oracle replays the ENTIRE
+    3-iteration fit as unrolled CTEs: feature hash, exact bigint logits,
+    milli-quantized sigmoid, integer floor updates. Labels here are a
+    deterministic parity split (the gate checks the ARITHMETIC; the
+    planted-separability pytest checks the learning)."""
+    from comic_text_detector_spark.operators.quality_train import (
+        train_quality_logit,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        "text",
+        (F.col("doc_id") % 2).alias("label"),
+    )
+    w = train_quality_logit(
+        docs, id_col="id", label_col="label", n_buckets=4096, n_iter=3
+    )
+    rows = sorted(w.items())
+    if not rows:  # degenerate-but-legal: perfectly balanced gradients
+        return spark.createDataFrame([], "b long, mw long")
+    return spark.createDataFrame(rows, "b long, mw long")
+
+
+def _train_quality_oracle() -> str:
+    from comic_text_detector_spark.operators.quality_train import (
+        train_quality_logit_sql,
+    )
+
+    inner = train_quality_logit_sql(4096, 3)
+    assert inner.startswith("WITH ")
+    return (
+        "WITH labeled AS (SELECT doc_id AS id, text,"
+        " CAST(doc_id % 2 AS BIGINT) AS y FROM documents), "
+        + inner[len("WITH "):]
+    )
+
+
+def _q_pack_sequences_split(spark, sf_dir):
+    """Packing with long-document splitting (what pretraining pipelines do
+    instead of giving over-budget docs a lonely pack): docs over the
+    budget are pre-split into budget-size parts packed as atomic units in
+    (order-key, id, part) order. Budget 80 so a healthy share of sf docs
+    actually split. Oracle replays the identical parts explode + greedy
+    recurrence."""
+    from comic_text_detector_spark.functions.textstats import (
+        token_count_ws,
+    )
+    from comic_text_detector_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, budget=80, n_buckets=8, split_long=True
+    ).select(
+        "doc_id",
+        "part",
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_tokens",
+        "pack_id",
+        "pack_pos",
+    )
+
+
+def _pack_sequences_split_oracle() -> str:
+    return (
+        "WITH RECURSIVE "
+        "s AS (SELECT doc_id,"
+        " CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT)"
+        " AS tok FROM documents), "
+        # over-budget docs explode into ceil(tok/80) parts of <=80 tokens
+        "p AS (SELECT doc_id, unnest(generate_series(0,"
+        " CAST(CASE WHEN tok > 80 THEN ceil(tok / 80.0) ELSE 1 END"
+        " AS BIGINT) - 1)) AS part, tok FROM s), "
+        "q AS (SELECT doc_id, part,"
+        " CASE WHEN tok > 80 THEN least(80, greatest(tok - part * 80, 0))"
+        " ELSE tok END AS tok FROM p), "
+        "k AS (SELECT doc_id, part, tok,"
+        " md5('pack:'||doc_id::VARCHAR) AS okey FROM q), "
+        "b AS (SELECT doc_id, part, tok, okey,"
+        " CAST(('0x'||substr(md5(okey),1,8))::BIGINT % 8 AS INT)"
+        " AS bucket FROM k), "
+        "r AS MATERIALIZED (SELECT doc_id, part, tok, okey, bucket,"
+        " row_number() OVER (PARTITION BY bucket"
+        " ORDER BY okey, doc_id, part) AS rn FROM b), "
+        "walk AS ("
+        " SELECT bucket, rn, CAST(0 AS BIGINT) AS pack, tok AS acc"
+        " FROM r WHERE rn = 1"
+        " UNION ALL"
+        " SELECT r.bucket, r.rn,"
+        "  CASE WHEN w.acc + r.tok > 80 THEN w.pack + 1 ELSE w.pack END,"
+        "  CASE WHEN w.acc + r.tok > 80 THEN r.tok ELSE w.acc + r.tok END"
+        " FROM walk w JOIN r ON r.bucket = w.bucket AND r.rn = w.rn + 1) "
+        "SELECT r.doc_id, r.part, r.bucket, r.tok AS n_tokens,"
+        " w.pack AS pack_id,"
+        " CAST(row_number() OVER (PARTITION BY r.bucket, w.pack"
+        " ORDER BY r.rn) - 1 AS BIGINT) AS pack_pos"
+        " FROM r JOIN walk w ON r.bucket = w.bucket AND r.rn = w.rn"
+    )
+
+
 def _rotated_iou_axis_oracle() -> str:
     jits = {
         t: f"CAST(('0x'||substr(md5('{t}:'||doc_id::VARCHAR),1,8))::BIGINT"
@@ -1985,6 +2124,32 @@ def _q_token_counts_v2(spark, sf_dir):
     )
 
     return token_count_vocab(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_counts_v3(spark, sf_dir):
+    """TRUE pair-merge BPE token count (the real LLM-budget accounting;
+    upgrade over the greedy vocab scan): boundary-encode + one literal
+    replace per merge, pure column exprs end to end — the oracle replays
+    the IDENTICAL string algebra (functions/textstats.py::token_count_bpe,
+    bpe_chain_sql; merges in valid training order so sequential replay ==
+    priority-loop BPE, property-tested)."""
+    from comic_text_detector_spark.functions.textstats import token_count_bpe
+
+    return token_count_bpe(_t(spark, sf_dir, "documents"))
+
+
+def _token_bpe_oracle() -> str:
+    from comic_text_detector_spark.functions.textstats import (
+        BPE_SEP,
+        bpe_chain_sql,
+    )
+
+    chain = bpe_chain_sql("coalesce(text, '')")
+    return (
+        f"WITH t AS (SELECT doc_id, {chain} AS s FROM documents) "
+        "SELECT doc_id, CAST((length(s) - length(replace(s, "
+        f"'{BPE_SEP}', ''))) // 2 - 1 AS BIGINT) AS n_tokens_bpe FROM t"
+    )
 
 
 def _token_vocab_oracle() -> str:
@@ -2153,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_cut": _q_substring_dup_cut,
         "quality_logit": _q_quality_logit,
         "token_counts_v2": _q_token_counts_v2,
+        "token_counts_v3": _q_token_counts_v3,
         "lang_id_v2": _q_lang_id_v2,
         "f19_f25_mini_box_warp": _q_f19_f25_mini_box_warp,
         "rotated_iou_axis": _q_rotated_iou_axis,
@@ -2160,6 +2326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f21_border_map": _q_f21_border_map,
         "u7_dice_l1": _q_u7_dice_l1,
         "pack_sequences": _q_pack_sequences,
+        "pack_sequences_split": _q_pack_sequences_split,
+        "train_quality_logit": _q_train_quality_logit,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -2172,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_letterbox": _q_multimodal_letterbox,
+        "multimodal_letterbox_jpeg": _q_multimodal_letterbox_jpeg,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "minhash_lsh_pairs_md5": _q_minhash_lsh_pairs_md5,
         "simhash": _q_simhash,
@@ -2440,6 +2609,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "minhash_lsh_pairs_md5": _minhash_md5_oracle(),
         "token_counts_v2": _token_vocab_oracle(),
+        "token_counts_v3": _token_bpe_oracle(),
         "lang_id_v2": _lang_ngram_oracle(),
         "f19_f25_mini_box_warp": _mini_box_warp_oracle(),
         "rotated_iou_axis": _rotated_iou_axis_oracle(),
@@ -2447,6 +2617,8 @@ def oracle_sql() -> dict[str, str]:
         "f21_border_map": _f21_border_map_oracle(),
         "u7_dice_l1": _u7_dice_l1_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
+        "pack_sequences_split": _pack_sequences_split_oracle(),
+        "train_quality_logit": _train_quality_oracle(),
         "decontaminate": (
             "WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
             "g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 5 THEN "
@@ -2461,6 +2633,21 @@ def oracle_sql() -> dict[str, str]:
             "WITH d AS (SELECT doc_id,"
             " CAST(1 + doc_id % 64 AS INT) AS in_w,"
             " CAST(1 + doc_id % 48 AS INT) AS in_h FROM documents), "
+            "g AS (SELECT doc_id, in_w, in_h,"
+            " CASE WHEN in_w >= in_h THEN 64 ELSE"
+            "  greatest(1, CAST(floor(in_w * 64.0 / in_h + 0.5) AS INT)) END"
+            " AS out_w,"
+            " CASE WHEN in_w >= in_h THEN"
+            "  greatest(1, CAST(floor(in_h * 64.0 / in_w + 0.5) AS INT))"
+            " ELSE 64 END AS out_h FROM d) "
+            "SELECT doc_id, in_w, in_h, out_w, out_h,"
+            " CAST((64 - out_w) // 2 AS INT) AS pad_left,"
+            " CAST((64 - out_h) // 2 AS INT) AS pad_top FROM g"
+        ),
+        "multimodal_letterbox_jpeg": (
+            "WITH d AS (SELECT doc_id,"
+            " CAST(1 + doc_id % 16 AS INT) AS in_w,"
+            " CAST(1 + doc_id % 12 AS INT) AS in_h FROM documents), "
             "g AS (SELECT doc_id, in_w, in_h,"
             " CASE WHEN in_w >= in_h THEN 64 ELSE"
             "  greatest(1, CAST(floor(in_w * 64.0 / in_h + 0.5) AS INT)) END"
