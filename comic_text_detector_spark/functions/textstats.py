@@ -142,6 +142,125 @@ def token_count_vocab(
     )
 
 
+# True pair-merge BPE merges table, in VALID TRAINING ORDER: every
+# non-single-char side of a merge is the output of an EARLIER merge. That
+# ordering is what licenses the sequential replay below — for such tables,
+# applying merges one at a time in rank order (each exhaustively,
+# left-to-right) is equivalent to the classic priority loop ("repeatedly
+# merge the lowest-rank adjacent pair present"), because a pair of rank k
+# can only become newly adjacent through a merge of rank < k, never
+# re-appear after merge k has been exhausted. Space is an ordinary symbol
+# (GPT-2-style " t…" merges), so no pre-tokenization split is needed.
+# (Property-tested against the priority-loop reference implementation.)
+BPE_MERGES = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("t", "o"), ("i", "s"), ("o", "f"),
+    ("in", "g"), (" ", "t"), (" t", "h"), (" th", "e"), (" ", "a"),
+    (" a", "n"), (" an", "d"), (" ", "o"), (" o", "f"), (" ", "i"),
+    (" i", "n"), (" ", "s"), ("e", "d"), ("i", "on"), ("at", "ion"),
+    ("l", "y"), (" ", "w"), (" ", "b"), ("c", "h"), ("s", "t"),
+    (" s", "t"), ("q", "u"), ("o", "u"), ("e", "a"), (" ", "c"),
+)
+# Symbol-boundary sentinel for the string-rewrite replay. Input text is
+# stripped of it first (a U+001F in crawl text is mojibake, not content).
+BPE_SEP = "\x1f"
+
+
+def _bpe_boundary_string(text: Column) -> Column:
+    """Encode a string as boundary-delimited single-char symbols:
+    'ab' → '␟␟a␟␟b␟␟' (each boundary is TWO sentinels). A pair merge
+    (a, b) is then EXACTLY one literal replace of '␟a␟␟b␟' with '␟ab␟':
+    the pattern consumes the inner half of each flanking boundary, so
+    consecutive occurrences never share matched characters and one
+    non-overlapping left-to-right replace pass merges every disjoint
+    adjacent pair — which is precisely BPE's exhaustive merge step (a
+    merge can never create a new occurrence of its own pair). The
+    double-sided anchor also makes mid-symbol false matches impossible."""
+    cleaned = F.replace(
+        F.coalesce(text, F.lit("")), F.lit(BPE_SEP), F.lit("")
+    )
+    return F.concat(
+        F.lit(BPE_SEP * 2),
+        F.regexp_replace(cleaned, r"(?s)(.)", "$1" + BPE_SEP * 2),
+    )
+
+
+def token_count_bpe(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """True byte-pair-encoding token count — the real LLM-budget
+    accounting that ``token_count_vocab``'s greedy longest-match
+    approximates. PURE COLUMN EXPRESSIONS end to end: the boundary
+    encoding plus one literal ``replace`` per merge (see
+    ``_bpe_boundary_string``), so the whole tokenizer runs JVM-side
+    inside whole-stage codegen, shuffle-free at any corpus size, and the
+    DuckDB oracle replays the identical string algebra bit-for-bit
+    (``bpe_chain_sql``). Output: (id, n_tokens_bpe)."""
+    s = _bpe_boundary_string(F.col(text_col))
+    for a, b in BPE_MERGES:
+        s = F.replace(
+            s,
+            F.lit(BPE_SEP + a + BPE_SEP + BPE_SEP + b + BPE_SEP),
+            F.lit(BPE_SEP + a + b + BPE_SEP),
+        )
+    # two projections: CollapseProject keeps multi-referenced non-trivial
+    # exprs in their own project, so the 40-replace chain evaluates once
+    n_bound = F.length("_bpe_s") - F.length(
+        F.replace(F.col("_bpe_s"), F.lit(BPE_SEP), F.lit(""))
+    )
+    return df.select(id_col, s.alias("_bpe_s")).select(
+        id_col,
+        F.floor(n_bound / 2 - 1).cast("bigint").alias("n_tokens_bpe"),
+    )
+
+
+def bpe_chain_sql(text_expr: str) -> str:
+    """The IDENTICAL boundary-encode + merge-replace chain as an ANSI SQL
+    expression (DuckDB dialect: \\1 backrefs, 'gs' regexp flags) — the
+    oracle twin of ``token_count_bpe``'s ``_bpe_s`` column."""
+    sep = BPE_SEP
+    s = (
+        f"('{sep}{sep}' || regexp_replace(replace({text_expr}, '{sep}', ''),"
+        f" '(.)', '\\1{sep}{sep}', 'gs'))"
+    )
+    for a, b in BPE_MERGES:
+        s = (
+            f"replace({s}, '{sep}{a}{sep}{sep}{b}{sep}',"
+            f" '{sep}{a}{b}{sep}')"
+        )
+    return s
+
+
+def bpe_reference_encode(text: str) -> list[str]:
+    """Priority-loop reference BPE (the classic algorithm: repeatedly merge
+    the lowest-rank adjacent pair, all disjoint occurrences left-to-right)
+    — the ground truth the string-rewrite replay is property-tested
+    against. Test-support only; the operator tier is ``token_count_bpe``."""
+    ranks = {p: i for i, p in enumerate(BPE_MERGES)}
+    sym = [c for c in text if c != BPE_SEP]
+    while len(sym) > 1:
+        best = None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = BPE_MERGES[best]
+        out: list[str] = []
+        i = 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
 # Character-trigram language profiles (Cavnar & Trenkle 1994 "N-Gram-Based
 # Text Categorization" shape): the most characteristic trigrams per
 # language, hand-set and embedded so the SQL oracle reads the same lists.

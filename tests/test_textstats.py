@@ -80,3 +80,59 @@ def test_lang_id_ngram_planted(spark):
         "doc_id string, text string",
     )
     assert lang_id_ngram(mixed).collect()[0].lang_ngram == "de"
+
+
+def test_bpe_chain_matches_priority_reference_property():
+    """The string-rewrite replay (what token_count_bpe / the oracle run)
+    must equal the classic priority-loop BPE on arbitrary text — the
+    equivalence the valid-training-order merges table licenses."""
+    import random
+
+    from comic_text_detector_spark.functions.textstats import (
+        BPE_MERGES,
+        BPE_SEP,
+        bpe_reference_encode,
+    )
+
+    def chain_encode(text):
+        sep = BPE_SEP
+        s = sep * 2 + "".join(c + sep * 2 for c in text.replace(sep, ""))
+        for a, b in BPE_MERGES:
+            s = s.replace(sep + a + sep + sep + b + sep, sep + a + b + sep)
+        toks = [t for t in s.split(sep) if t]
+        n = (len(s) - len(s.replace(sep, ""))) // 2 - 1
+        return toks, n
+
+    rng = random.Random(0)
+    alpha = "abcdefghijklmnopqrstuvwxyz ABC.,!?\n\x1f"
+    cases = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        for _ in range(1500)
+    ] + [
+        "the theatre is in the station", "    ", "aaaa", "ttthhhee",
+        " th" * 20, "inginging", "ationation", "st st st", "", "x",
+        "\x1f\x1fthe\x1f",
+    ]
+    for t in cases:
+        ref = bpe_reference_encode(t)
+        toks, cnt = chain_encode(t)
+        assert toks == ref and cnt == len(ref), repr(t)
+
+
+def test_token_count_bpe_spark_known_values(spark):
+    from comic_text_detector_spark.functions.textstats import (
+        bpe_reference_encode,
+        token_count_bpe,
+    )
+
+    rows = [
+        ("a", "the station is in the sand"),
+        ("b", ""),
+        ("c", None),
+        ("d", "qu ou ea \x1f chst"),
+        ("e", " the " * 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r.n_tokens_bpe for r in token_count_bpe(df).collect()}
+    for k, t in rows:
+        assert got[k] == len(bpe_reference_encode(t or "")), (k, t)
