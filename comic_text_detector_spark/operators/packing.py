@@ -36,14 +36,24 @@ def pack_sequences(
     budget: int = 2048,
     n_buckets: int = 32,
     salt: str = "pack",
+    split_long: bool = False,
 ) -> DataFrame:
-    """(id, n_tokens) → (id, bucket, pack_id, pack_pos): deterministic
-    greedy sequence packing. ``pack_id`` counts packs within a bucket from
-    0; ``pack_pos`` is the document's position inside its pack (0-based).
-    Null/negative token counts are treated as 0 (they consume no budget
-    but still occupy a slot — no row is dropped), and the EMITTED
-    n_tokens column carries that clamped budget-accounting value so
-    ``pack_stats`` sums what was actually packed."""
+    """(id, n_tokens) → (id[, part], bucket, pack_id, pack_pos):
+    deterministic greedy sequence packing. ``pack_id`` counts packs within
+    a bucket from 0; ``pack_pos`` is the document's position inside its
+    pack (0-based). Null/negative token counts are treated as 0 (they
+    consume no budget but still occupy a slot — no row is dropped), and
+    the EMITTED n_tokens column carries that clamped budget-accounting
+    value so ``pack_stats`` sums what was actually packed.
+
+    ``split_long=True`` is what pretraining pipelines do with over-budget
+    documents: a doc with t > budget tokens is pre-split into
+    ceil(t/budget) parts (each ``budget`` tokens, the last the remainder)
+    and the PARTS are packed as atomic units in (order-key, id, part)
+    order — so parts stay in order, no token is lost
+    (sum over parts == t, invariant-tested), and a full-size part
+    naturally fills a pack of its own. The output then carries a ``part``
+    column (0 for unsplit docs)."""
     import pandas as pd
 
     if budget <= 0:
@@ -60,9 +70,26 @@ def pack_sequences(
         okey.alias("okey"),
         (md5_long(okey) % n_buckets).cast("int").alias("bucket"),
     )
+    if split_long:
+        n_parts = F.when(
+            F.col("tok") > budget, F.ceil(F.col("tok") / F.lit(budget))
+        ).otherwise(F.lit(1)).cast("long")
+        src = src.select(
+            "id", "tok", "okey", "bucket",
+            F.explode(F.sequence(F.lit(0), n_parts - 1)).alias("part"),
+        ).select(
+            "id", "okey", "bucket", "part",
+            F.least(
+                F.lit(budget).cast("long"),
+                F.greatest(
+                    F.col("tok") - F.col("part") * F.lit(budget), F.lit(0)
+                ),
+            ).alias("tok"),
+        )
+    sort_cols = ["okey", "id"] + (["part"] if split_long else [])
 
     def fill(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["okey", "id"], kind="mergesort")
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         packs, poss, toks = [], [], []
         pack, acc, pos = 0, 0, 0
         first = True
@@ -77,21 +104,25 @@ def pack_sequences(
             toks.append(t)  # the clamped value budget accounting used
             pos += 1
             first = False
-        out = pdf[["id", "bucket"]].copy()
+        cols = ["id", "bucket"] + (["part"] if split_long else [])
+        out = pdf[cols].copy()
         out["tok"] = toks
         out["pack_id"] = packs
         out["pack_pos"] = poss
         return out
 
+    part_ddl = ", part bigint" if split_long else ""
+    part_sel = ["part"] if split_long else []
     return (
         src.groupBy("bucket")
         .applyInPandas(
             fill,
-            f"id {id_type}, bucket int, tok bigint, pack_id bigint,"
-            " pack_pos bigint",
+            f"id {id_type}, bucket int{part_ddl}, tok bigint,"
+            " pack_id bigint, pack_pos bigint",
         )
         .select(
             F.col("id").alias(id_col),
+            *part_sel,
             "bucket",
             F.col("tok").alias(tokens_col),
             "pack_id",

@@ -109,3 +109,57 @@ def test_pack_negative_and_validation(spark):
         pack_sequences(df, budget=10, n_buckets=0)
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, budget=0)
+
+
+def test_pack_split_long_invariants(spark):
+    """split_long: no token lost (parts sum to the original count), parts
+    are in order within each doc (by pack, then position), each part is
+    <= budget, and full parts fill packs exactly."""
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.operators.packing import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate(
+        [250, 80, 81, 0, None, 79, 400, 1, 160, 161, -5]
+    )]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    out = pack_sequences(
+        df, budget=80, n_buckets=4, split_long=True
+    ).collect()
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {i for i, _ in rows}  # no row dropped
+    for i, t in rows:
+        parts = sorted(by_doc[i], key=lambda r: r.part)
+        clamped = max(t or 0, 0)
+        # token conservation
+        assert sum(r.n_tokens for r in parts) == clamped, (i, t)
+        # part count = ceil(t/budget) (min 1); each part <= budget
+        import math
+        want = max(1, math.ceil(clamped / 80)) if clamped > 80 else 1
+        assert len(parts) == want and all(r.n_tokens <= 80 for r in parts)
+        assert [r.part for r in parts] == list(range(len(parts)))
+        # parts appear in order along the fill: (pack_id, pack_pos) is
+        # non-decreasing lexicographically with part index
+        keys = [(r.pack_id, r.pack_pos) for r in parts]
+        assert keys == sorted(keys), (i, keys)
+        # an exactly-budget part shares its pack only with zero-token rows
+        # (they consume no budget), never with token-bearing ones
+
+    # per-pack budget never exceeded
+    sums = (
+        pack_sequences(df, budget=80, n_buckets=4, split_long=True)
+        .groupBy("bucket", "pack_id")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    )
+    assert all(r.s <= 80 for r in sums)
+
+
+def test_pack_split_long_default_schema_unchanged(spark):
+    from comic_text_detector_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 10)], "doc_id int, n_tokens int")
+    assert "part" not in pack_sequences(df, budget=8).columns
