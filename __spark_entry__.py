@@ -1911,6 +1911,70 @@ def _pack_sequences_oracle() -> str:
     )
 
 
+def _q_u8_label_maps(spark, sf_dir):
+    """U8 completeness: REAL 2-D rasterized DBNet-style label maps
+    (shrink map / shrink mask / border support — reference
+    utils/db_utils.py:527-701) built by operators/labelmaps.py on pixel
+    grids, summarized as integer counts. The oracle reproduces the counts
+    in closed form for the axis-aligned fixtures (shrink offset d =
+    A(1-r²)/P with identical float op order, lattice counts via
+    ceil/floor) — the same axis-aligned-restriction strategy as
+    polygon_unclip_axis. doc_id % 9 == 0 rows have min side 3 < 4 and
+    exercise the ignore branch (mask zeroed over the original polygon)."""
+    from comic_text_detector_spark.operators.labelmaps import label_maps_df
+
+    g = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (2 + F.col("doc_id") % 5).cast("double").alias("x1"),
+        (2 + F.col("doc_id") % 3).cast("double").alias("y1"),
+        (4 + F.col("doc_id") % 13).cast("double").alias("dx"),
+        (3 + F.col("doc_id") % 9).cast("double").alias("dy"),
+    )
+    rects = g.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit(32).alias("w"),
+        F.lit(24).alias("h"),
+        F.array(
+            F.array(
+                F.array("x1", "y1"),
+                F.array(F.col("x1") + F.col("dx"), F.col("y1")),
+                F.array(F.col("x1") + F.col("dx"), F.col("y1") + F.col("dy")),
+                F.array("x1", F.col("y1") + F.col("dy")),
+            )
+        ).alias("polys"),
+    )
+    return label_maps_df(rects).select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "n_shrink", "n_masked_off", "n_border_support",
+    )
+
+
+def _u8_label_maps_oracle() -> str:
+    return (
+        "WITH g AS (SELECT doc_id,"
+        " CAST(2 + doc_id % 5 AS DOUBLE) AS x1,"
+        " CAST(2 + doc_id % 3 AS DOUBLE) AS y1,"
+        " CAST(4 + doc_id % 13 AS DOUBLE) AS dx,"
+        " CAST(3 + doc_id % 9 AS DOUBLE) AS dy FROM documents), "
+        "c AS (SELECT doc_id, x1, y1, x1 + dx AS x2, y1 + dy AS y2,"
+        " dx * dy AS a, 2 * (dx + dy) AS l, least(dx, dy) AS mside,"
+        " dx, dy FROM g), "
+        "dc AS (SELECT *, a * (1 - 0.4 * 0.4) / l AS d FROM c) "
+        "SELECT doc_id,"
+        " CAST(CASE WHEN mside < 4 THEN 0 ELSE"
+        "  greatest(0, floor(x2 - d) - ceil(x1 + d) + 1) *"
+        "  greatest(0, floor(y2 - d) - ceil(y1 + d) + 1) END AS BIGINT)"
+        " AS n_shrink,"
+        " CAST(CASE WHEN mside < 4 THEN (dx + 1) * (dy + 1) ELSE 0 END"
+        " AS BIGINT) AS n_masked_off,"
+        " CAST(CASE WHEN mside < 4 THEN 0 ELSE"
+        "  (least(31, floor(x2 + d)) - greatest(0, ceil(x1 - d)) + 1) *"
+        "  (least(23, floor(y2 + d)) - greatest(0, ceil(y1 - d)) + 1) END"
+        " AS BIGINT) AS n_border_support"
+        " FROM dc"
+    )
+
+
 def _q_train_quality_logit(spark, sf_dir):
     """IN-SPARK TRAINING of the hashed-BoW quality classifier (logistic
     regression as column-expr gradient aggregations; integer-deterministic
@@ -2328,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "pack_sequences_split": _q_pack_sequences_split,
         "train_quality_logit": _q_train_quality_logit,
+        "u8_label_maps": _q_u8_label_maps,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -2619,6 +2684,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_oracle(),
         "pack_sequences_split": _pack_sequences_split_oracle(),
         "train_quality_logit": _train_quality_oracle(),
+        "u8_label_maps": _u8_label_maps_oracle(),
         "decontaminate": (
             "WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
             "g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 5 THEN "
