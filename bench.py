@@ -311,9 +311,15 @@ def main() -> None:
         max_rounds = int(os.environ.get("CTD_BENCH_MAX_ROUNDS", "5"))
         last_round_s: float | None = None
         for _rnd in range(max_rounds):
-            est = (110.0 if last_round_s is None else last_round_s) * 1.25
-            if time.time() - t_start + est > budget_s * 0.92:
-                break
+            # the FIRST round is unconditional: on a slow/cold host the
+            # guard would otherwise cancel every round and the output
+            # would silently carry no scaling evidence at all (the
+            # north_rule's headline number) — the same failure mode the
+            # old 60%-budget guard had for the flagship
+            if _rnd > 0:
+                est = (110.0 if last_round_s is None else last_round_s) * 1.25
+                if time.time() - t_start + est > budget_s * 0.92:
+                    break
             rt0 = time.time()
             ceiling = cpu_ceiling(lo, hi)
             rates: dict[int, float] = {}

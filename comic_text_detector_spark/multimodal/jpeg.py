@@ -269,6 +269,13 @@ def _decode(data: bytes) -> np.ndarray | None:
             prec, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
             if prec != 8 or ncomp not in (1, 3) or not width or not height:
                 return None
+            # sanity cap: a ~100-byte file with forged SOF dims and a
+            # trivial DHT would otherwise decode millions of MCUs from
+            # the bit reader's zero padding — unbounded CPU/memory from
+            # one corrupt crawl row (same executor-OOM class the warp
+            # and label-map kernels cap)
+            if width * height > 1 << 24:
+                return None
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]

@@ -187,9 +187,11 @@ def letterbox_images(
     df: DataFrame, size: int = 64, media_col: str = "media"
 ) -> DataFrame:
     """(media_id, media) → (media_id, ok, in_w, in_h, out_w, out_h,
-    pad_left, pad_top, out_png): decode real PNG pixels, letterbox to
-    size x size, re-encode. Non-PNG / undecodable rows pass through with
-    ok=false and null geometry (dropped-not-faked, like the CID policy)."""
+    pad_left, pad_top, out_png): decode real pixels (PNG or baseline
+    JPEG, via ``decode_image_pixels``), letterbox to size x size,
+    re-encode as PNG. Undecodable rows (other formats, corrupt bytes)
+    pass through with ok=false and null geometry (dropped-not-faked,
+    like the CID policy)."""
     import pandas as pd
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -309,8 +311,9 @@ def warp_region_images(
     """DataFrame face of F25: (media_id, media, quad[, vertical]) →
     (media_id, ok, out_w, out_h, region_png). ``quad`` is
     array<array<double>> [tl, tr, br, bl] in source-pixel coordinates.
-    Non-PNG / undecodable / degenerate rows emit ok=false, null region —
-    same tolerant contract as every media kernel here."""
+    Decodes PNG or baseline JPEG (``decode_image_pixels``); undecodable
+    / degenerate rows emit ok=false, null region — same tolerant
+    contract as every media kernel here."""
     import pandas as pd
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -52,15 +52,28 @@ Point = tuple[float, float]
 
 def _inside_ccw(poly: list[Point], w: int, h: int) -> np.ndarray:
     """(h, w) bool grid: lattice point (x, y) on the closed interior side
-    of every CCW edge."""
-    xs = np.arange(w, dtype=np.float64)[None, :]
-    ys = np.arange(h, dtype=np.float64)[:, None]
-    inside = np.ones((h, w), dtype=bool)
+    of every CCW edge. Edge tests run only on the polygon's bounding-box
+    subgrid (everything outside is trivially outside) — a page-size
+    raster with many small text polygons costs O(Σ bbox) instead of
+    O(n_polys · W · H)."""
+    inside = np.zeros((h, w), dtype=bool)
+    if not poly:
+        return inside
+    x0 = max(0, int(math.floor(min(q[0] for q in poly))))
+    x1 = min(w - 1, int(math.ceil(max(q[0] for q in poly))))
+    y0 = max(0, int(math.floor(min(q[1] for q in poly))))
+    y1 = min(h - 1, int(math.ceil(max(q[1] for q in poly))))
+    if x1 < x0 or y1 < y0:
+        return inside
+    xs = np.arange(x0, x1 + 1, dtype=np.float64)[None, :]
+    ys = np.arange(y0, y1 + 1, dtype=np.float64)[:, None]
+    sub = np.ones((y1 - y0 + 1, x1 - x0 + 1), dtype=bool)
     n = len(poly)
     for i in range(n):
-        x1, y1 = poly[i]
-        x2, y2 = poly[(i + 1) % n]
-        inside &= (x2 - x1) * (ys - y1) - (y2 - y1) * (xs - x1) >= 0
+        ex1, ey1 = poly[i]
+        ex2, ey2 = poly[(i + 1) % n]
+        sub &= (ex2 - ex1) * (ys - ey1) - (ey2 - ey1) * (xs - ex1) >= 0
+    inside[y0 : y1 + 1, x0 : x1 + 1] = sub
     return inside
 
 

@@ -89,45 +89,47 @@ def train_quality_logit(
 
     spark = df.sparkSession
     weights: dict[int, int] = {}
-    for _ in range(n_iter):
-        if weights:
-            wdf = F.broadcast(
-                spark.createDataFrame(sorted(weights.items()), "b long, mw long")
-            )
-            joined = feats.join(wdf, "b", "left")
-        else:
-            joined = feats.withColumn("mw", F.lit(None).cast("long"))
-        logits = joined.groupBy("id").agg(
-            F.sum(F.col("x") * F.coalesce(F.col("mw"), F.lit(0))).alias("lm"),
-            F.first("y").alias("y"),
-        )
-        # milli-probability: the ONE float op per (doc, iter), quantized
-        # immediately (positive → HALF_UP == half-away, both engines)
-        p = logits.select(
-            "id",
-            F.round(
-                1000.0 / (1.0 + F.exp(-F.col("lm") / F.lit(1000.0)))
-            ).cast("long").alias("p"),
-            "y",
-        )
-        grads = (
-            feats.join(p, "id")
-            .groupBy("b")
-            .agg(
-                F.sum(
-                    (F.col("p") - 1000 * feats["y"]) * F.col("x")
-                ).alias("g")
-            )
-            .collect()
-        )
-        for r in grads:
-            upd = math.floor(lr_num * r.g / (lr_den * n_docs))
-            w = weights.get(r.b, 0) - upd
-            if w:
-                weights[int(r.b)] = w
+    try:
+        for _ in range(n_iter):
+            if weights:
+                wdf = F.broadcast(
+                    spark.createDataFrame(sorted(weights.items()), "b long, mw long")
+                )
+                joined = feats.join(wdf, "b", "left")
             else:
-                weights.pop(int(r.b), None)
-    feats.unpersist()
+                joined = feats.withColumn("mw", F.lit(None).cast("long"))
+            logits = joined.groupBy("id").agg(
+                F.sum(F.col("x") * F.coalesce(F.col("mw"), F.lit(0))).alias("lm"),
+                F.first("y").alias("y"),
+            )
+            # milli-probability: the ONE float op per (doc, iter), quantized
+            # immediately (positive → HALF_UP == half-away, both engines)
+            p = logits.select(
+                "id",
+                F.round(
+                    1000.0 / (1.0 + F.exp(-F.col("lm") / F.lit(1000.0)))
+                ).cast("long").alias("p"),
+                "y",
+            )
+            grads = (
+                feats.join(p, "id")
+                .groupBy("b")
+                .agg(
+                    F.sum(
+                        (F.col("p") - 1000 * feats["y"]) * F.col("x")
+                    ).alias("g")
+                )
+                .collect()
+            )
+            for r in grads:
+                upd = math.floor(lr_num * r.g / (lr_den * n_docs))
+                w = weights.get(r.b, 0) - upd
+                if w:
+                    weights[int(r.b)] = w
+                else:
+                    weights.pop(int(r.b), None)
+    finally:
+        feats.unpersist()
     return weights
 
 

@@ -232,3 +232,27 @@ def test_decoder_fuzz_never_crashes():
         assert out is None or (
             isinstance(out, np.ndarray) and out.dtype == np.uint8
         )
+
+
+def test_forged_sof_dims_refused_fast():
+    """A tiny file with huge forged SOF dimensions and a trivial DHT must
+    refuse via the pixel-count cap, not decode millions of MCUs from the
+    bit-reader's zero padding (CPU/memory bomb on one corrupt row)."""
+    import struct
+    import time
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    sof = struct.pack(">BHHB", 8, 8192, 8192, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0])
+    dht_ac = bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0])
+    dqt = bytes([0]) + bytes([1] * 64)
+    evil = (
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof) + seg(0xC4, dht_dc)
+        + seg(0xC4, dht_ac) + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + b"\x00" + b"\xff\xd9"
+    )
+    t0 = time.time()
+    assert decode_jpeg_pixels(evil) is None
+    assert time.time() - t0 < 0.5
