@@ -713,6 +713,38 @@ def _q_multimodal_letterbox_jpeg(spark, sf_dir):
     )
 
 
+def _q_multimodal_letterbox_gif(spark, sf_dir):
+    """F5/F6 over the third crawl format: each doc_id becomes a REAL
+    GIF89a (LZW-coded by the from-scratch codec in multimodal/gif.py),
+    the kernel LZW-decodes the actual pixels, letterboxes to 64x64, and
+    re-encodes. Same integer geometry oracle as the PNG/JPEG variants."""
+    import pandas as pd
+
+    from comic_text_detector_spark.multimodal.gif import synthesize_gif_real
+    from comic_text_detector_spark.multimodal.pixels import letterbox_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [str(i) for i in ids],
+                    "media": [
+                        synthesize_gif_real(1 + i % 16, 1 + i % 12)
+                        for i in ids
+                    ],
+                }
+            )
+
+    m = docs.mapInPandas(synth, "media_id string, media binary")
+    return letterbox_images(m, size=64).select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "in_w", "in_h", "out_w", "out_h", "pad_left", "pad_top",
+    )
+
+
 def _q_extract_blocks(spark, sf_dir):
     """End-to-end block surface: extraction → exploded spans → per-block
     text slice + language tag (the TextBlock record analog, F22/W1/W2).
@@ -2406,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_letterbox": _q_multimodal_letterbox,
         "multimodal_letterbox_jpeg": _q_multimodal_letterbox_jpeg,
+        "multimodal_letterbox_gif": _q_multimodal_letterbox_gif,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "minhash_lsh_pairs_md5": _q_minhash_lsh_pairs_md5,
         "simhash": _q_simhash,
@@ -2699,6 +2732,21 @@ def oracle_sql() -> dict[str, str]:
             "WITH d AS (SELECT doc_id,"
             " CAST(1 + doc_id % 64 AS INT) AS in_w,"
             " CAST(1 + doc_id % 48 AS INT) AS in_h FROM documents), "
+            "g AS (SELECT doc_id, in_w, in_h,"
+            " CASE WHEN in_w >= in_h THEN 64 ELSE"
+            "  greatest(1, CAST(floor(in_w * 64.0 / in_h + 0.5) AS INT)) END"
+            " AS out_w,"
+            " CASE WHEN in_w >= in_h THEN"
+            "  greatest(1, CAST(floor(in_h * 64.0 / in_w + 0.5) AS INT))"
+            " ELSE 64 END AS out_h FROM d) "
+            "SELECT doc_id, in_w, in_h, out_w, out_h,"
+            " CAST((64 - out_w) // 2 AS INT) AS pad_left,"
+            " CAST((64 - out_h) // 2 AS INT) AS pad_top FROM g"
+        ),
+        "multimodal_letterbox_gif": (
+            "WITH d AS (SELECT doc_id,"
+            " CAST(1 + doc_id % 16 AS INT) AS in_w,"
+            " CAST(1 + doc_id % 12 AS INT) AS in_h FROM documents), "
             "g AS (SELECT doc_id, in_w, in_h,"
             " CASE WHEN in_w >= in_h THEN 64 ELSE"
             "  greatest(1, CAST(floor(in_w * 64.0 / in_h + 0.5) AS INT)) END"

@@ -11,10 +11,10 @@ Scale shape: embarrassingly parallel per row (no shuffle at all); batch
 memory is bounded by the session's Arrow batch size x image size, the same
 contract as the extraction kernel. PNG is decoded here (zlib + 5 scanline
 filters, all stdlib-expressible); baseline JPEG decodes for real in
-``multimodal.jpeg`` (SOF0 sequential Huffman) and every pixel operator
-dispatches through ``decode_image_pixels`` so both formats flow; GIF stays
-metadata-only (LZW + animation is codec territory —
-binary_ops.decode_image_meta covers it).
+``multimodal.jpeg`` (SOF0 sequential Huffman) and GIF stills in
+``multimodal.gif`` (variable-width LZW, interlace, transparency); every
+pixel operator dispatches through ``decode_image_pixels`` so all three
+dominant crawl formats flow.
 """
 
 from __future__ import annotations
@@ -127,6 +127,10 @@ def decode_image_pixels(data: bytes) -> np.ndarray | None:
         from .jpeg import decode_jpeg_pixels
 
         return decode_jpeg_pixels(data)
+    if data.startswith(b"GIF87a") or data.startswith(b"GIF89a"):
+        from .gif import decode_gif_pixels
+
+        return decode_gif_pixels(data)
     return None
 
 
