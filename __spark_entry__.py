@@ -1943,6 +1943,22 @@ def _pack_sequences_oracle() -> str:
     )
 
 
+def _q_lm_score(spark, sf_dir):
+    """CCNet-shape LM quality scoring: a stupid-backoff bigram LM trained
+    in-Spark on the documents corpus, every document scored by mean
+    milli-quantized log10 probability (operators/lm.py — counts exact,
+    one division + one quantized log per token, so the whole train+score
+    pipeline replays bit-identically in DuckDB)."""
+    from comic_text_detector_spark.operators.lm import (
+        lm_score,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, big = train_bigram_lm(docs)
+    return lm_score(docs, uni, big)
+
+
 def _q_u8_label_maps(spark, sf_dir):
     """U8 completeness: REAL 2-D rasterized DBNet-style label maps
     (shrink map / shrink mask / border support — reference
@@ -2425,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_split": _q_pack_sequences_split,
         "train_quality_logit": _q_train_quality_logit,
         "u8_label_maps": _q_u8_label_maps,
+        "lm_score_docs": _q_lm_score,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -2718,6 +2735,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_split": _pack_sequences_split_oracle(),
         "train_quality_logit": _train_quality_oracle(),
         "u8_label_maps": _u8_label_maps_oracle(),
+        "lm_score_docs": __import__(
+            "comic_text_detector_spark.operators.lm", fromlist=["lm_score_sql"]
+        ).lm_score_sql(),
         "decontaminate": (
             "WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
             "g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 5 THEN "

@@ -1,0 +1,200 @@
+"""N-gram language-model quality scoring — the CCNet-shape perplexity
+filter: train a bigram LM on a reference corpus in Spark, score every
+document by mean log-probability, and bucket the corpus into
+head/middle/tail quality tiers (Wenzek et al. 2020 use a KenLM 5-gram;
+the mechanics here are the same with a stupid-backoff bigram model, the
+standard web-scale shortcut — Brants et al. 2007).
+
+Model = two DataFrames (unigram and bigram counts), i.e. data, not driver
+state: at 100 TB the model trains on a reference sample but can still
+hold millions of n-grams, so scoring JOINS the corpus against it
+(bigram-keyed shuffle joins with map-side combine; broadcast only if the
+caller prunes the model small). Nothing ever collects to the driver.
+
+Determinism contract (same discipline as quality_train): counts are exact
+bigints; per-token probability is ONE division; its log10 is immediately
+quantized to integer MILLI-log-probs, so the per-document sum is an exact
+bigint and the final score is a single IEEE division — the whole
+train+score pipeline replays bit-identically in the SQL oracle (a
+cross-engine last-ulp log10 difference flips a rounding only on a
+measure-zero boundary).
+
+Stupid backoff: p(w | prev) = c(prev, w) / c(prev) when the bigram was
+seen, else ALPHA * c(w) / N, else ALPHA / N for out-of-vocabulary words
+(no discounting — "stupid" scores are not normalized probabilities, which
+is fine for ranking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALPHA = 0.4
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, w) non-empty whitespace tokens in document order."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+            ).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Reference corpus → (unigrams(w, c), bigrams(prev, w, c2)). Two
+    groupBy exchanges with map-side partial aggregation; save both as
+    parquet to reuse a trained model across runs."""
+    toks = _tokens(df, id_col, text_col)
+    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("id").orderBy("pos")
+    big = (
+        toks.withColumn("prev", F.lag("w").over(wnd))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
+    return uni, big
+
+
+def lm_score(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """(id, n_tokens, sum_milli_lp, score): score = mean per-token
+    milli-quantized log10 probability / 1000 (≈ negative perplexity
+    exponent; higher is more reference-like). The first token scores by
+    unigram probability; wordless documents are absent (no tokens to
+    score — same contract as quality_logit)."""
+    n_total = unigrams.agg(F.sum("c").alias("n")).collect()[0].n
+    if not n_total:
+        raise ValueError("empty language model (no unigram mass)")
+    toks = _tokens(docs, id_col, text_col)
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("id").orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("w").over(wnd))
+    j = (
+        pairs.join(unigrams.withColumnRenamed("c", "cw"), "w", "left")
+        .join(
+            unigrams.select(
+                F.col("w").alias("prev"), F.col("c").alias("cprev")
+            ),
+            "prev",
+            "left",
+        )
+        .join(bigrams, ["prev", "w"], "left")
+    )
+    # first token (no prev) scores by PLAIN unigram probability — the
+    # backoff penalty applies only when falling back FROM a seen context;
+    # OOV words get alpha/N either way (documented choice)
+    p = (
+        F.when(
+            F.col("prev").isNotNull() & F.col("c2").isNotNull(),
+            F.col("c2") / F.col("cprev"),
+        )
+        .when(
+            F.col("prev").isNull() & F.col("cw").isNotNull(),
+            F.col("cw") / F.lit(float(n_total)),
+        )
+        .when(
+            F.col("cw").isNotNull(),
+            F.lit(alpha) * F.col("cw") / F.lit(float(n_total)),
+        )
+        .otherwise(F.lit(alpha) / F.lit(float(n_total)))
+    )
+    milli = F.round(F.log10(p) * 1000.0).cast("long")
+    return (
+        j.select("id", milli.alias("mlp"))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("mlp").alias("sum_milli_lp"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "sum_milli_lp",
+            (F.col("sum_milli_lp") / (F.col("n_tokens") * F.lit(1000.0))).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def lm_bucket(
+    scored: DataFrame, head_min: float, tail_max: float
+) -> DataFrame:
+    """CCNet's head/middle/tail split on fixed score thresholds (CCNet
+    derives them from score quantiles of a held-out sample; pass those in
+    — fixed literals keep the bucketing deterministic and oracle-exact)."""
+    return scored.withColumn(
+        "bucket",
+        F.when(F.col("score") >= head_min, F.lit("head"))
+        .when(F.col("score") <= tail_max, F.lit("tail"))
+        .otherwise(F.lit("middle")),
+    )
+
+
+def lm_score_sql(
+    corpus: str = "documents",
+    reference: str = "documents",
+    id_col: str = "doc_id",
+    alpha: float = ALPHA,
+) -> str:
+    """Oracle twin: the identical train+score pipeline in DuckDB SQL over
+    ``reference`` (training corpus) and ``corpus`` (scored corpus)."""
+    return (
+        "WITH rt AS (SELECT t.w FROM ("
+        f"SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w"
+        f" FROM {reference}) t WHERE t.w <> ''), "
+        "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM rt GROUP BY w), "
+        "nt AS (SELECT sum(c) AS n FROM uni), "
+        "rp AS (SELECT "
+        f" {id_col} AS id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w"
+        f" FROM (SELECT {id_col},"
+        f" string_split(coalesce(text, ''), ' ') AS ws FROM {reference})), "
+        "rp2 AS (SELECT id, pos, w FROM rp WHERE w <> ''), "
+        "big AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c2 FROM ("
+        " SELECT lag(w) OVER (PARTITION BY id ORDER BY pos) AS prev, w"
+        " FROM rp2) WHERE prev IS NOT NULL GROUP BY prev, w), "
+        "cp AS (SELECT "
+        f" {id_col} AS id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w"
+        f" FROM (SELECT {id_col},"
+        f" string_split(coalesce(text, ''), ' ') AS ws FROM {corpus})), "
+        "cp2 AS (SELECT id, pos, w,"
+        " lag(w) OVER (PARTITION BY id ORDER BY pos) AS prev"
+        " FROM (SELECT * FROM cp WHERE w <> '')), "
+        "scored AS (SELECT cp2.id,"
+        " CAST(round(log10(CASE"
+        "  WHEN cp2.prev IS NOT NULL AND b.c2 IS NOT NULL"
+        "   THEN b.c2 / CAST(up.c AS DOUBLE)"
+        "  WHEN cp2.prev IS NULL AND uw.c IS NOT NULL"
+        "   THEN uw.c / CAST((SELECT n FROM nt) AS DOUBLE)"
+        f"  WHEN uw.c IS NOT NULL THEN {alpha} * uw.c /"
+        "   CAST((SELECT n FROM nt) AS DOUBLE)"
+        f"  ELSE {alpha} / CAST((SELECT n FROM nt) AS DOUBLE) END"
+        " ) * 1000.0) AS BIGINT) AS mlp"
+        " FROM cp2"
+        " LEFT JOIN uni uw ON uw.w = cp2.w"
+        " LEFT JOIN uni up ON up.w = cp2.prev"
+        " LEFT JOIN big b ON b.prev = cp2.prev AND b.w = cp2.w) "
+        "SELECT id AS "
+        f"{id_col}, CAST(count(*) AS BIGINT) AS n_tokens,"
+        " sum(mlp) AS sum_milli_lp,"
+        " sum(mlp) / (count(*) * 1000.0) AS score"
+        " FROM scored GROUP BY id"
+    )

@@ -1,0 +1,110 @@
+"""Bigram LM quality scoring (operators/lm.py): fluent-vs-garbage
+separation, backoff/OOV paths, hand-computed planted values, bucketing,
+determinism."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from comic_text_detector_spark.operators.lm import (
+    lm_bucket,
+    lm_score,
+    train_bigram_lm,
+)
+
+
+def _model(spark):
+    ref = spark.createDataFrame(
+        [
+            ("r1", "the cat sat on the mat"),
+            ("r2", "the cat ran to the house"),
+            ("r3", "a dog sat on a mat"),
+        ],
+        "doc_id string, text string",
+    )
+    uni, big = train_bigram_lm(ref)
+    return ref, uni, big
+
+
+def test_counts_exact(spark):
+    _, uni, big = _model(spark)
+    u = {r.w: r.c for r in uni.collect()}
+    assert u["the"] == 4 and u["cat"] == 2 and u["a"] == 2 and u["mat"] == 2
+    b = {(r.prev, r.w): r.c2 for r in big.collect()}
+    assert b[("the", "cat")] == 2
+    assert b[("sat", "on")] == 2
+    assert ("mat", "the") not in b  # bigrams never cross documents
+
+
+def test_planted_score_hand_computed(spark):
+    """Score of 'the cat sat' against the tiny model, replicated by hand:
+    p(the)=4/18, p(cat|the)=2/4, p(sat|cat)=1/2."""
+    ref, uni, big = _model(spark)
+    doc = spark.createDataFrame(
+        [("d", "the cat sat")], "doc_id string, text string"
+    )
+    row = lm_score(doc, uni, big).collect()[0]
+    n_total = sum(r.c for r in uni.collect())
+    assert n_total == 18
+    mlp = (
+        round(math.log10(4 / 18) * 1000.0)
+        + round(math.log10(2 / 4) * 1000.0)
+        + round(math.log10(1 / 2) * 1000.0)
+    )
+    assert row.n_tokens == 3
+    assert row.sum_milli_lp == mlp
+    assert abs(row.score - mlp / 3000.0) < 1e-12
+
+
+def test_fluent_beats_garbage_and_backoff_paths(spark):
+    ref, uni, big = _model(spark)
+    docs = spark.createDataFrame(
+        [
+            ("fluent", "the cat sat on the mat"),
+            ("shuffled", "mat the on sat cat the"),  # unigram backoff path
+            ("oov", "zz qq ww"),                      # OOV path
+        ],
+        "doc_id string, text string",
+    )
+    s = {r.doc_id: r.score for r in lm_score(docs, uni, big).collect()}
+    assert s["fluent"] > s["shuffled"] > s["oov"]
+
+
+def test_wordless_absent_and_empty_model_raises(spark):
+    ref, uni, big = _model(spark)
+    docs = spark.createDataFrame(
+        [("e", ""), ("n", None), ("ok", "the cat")],
+        "doc_id string, text string",
+    )
+    out = lm_score(docs, uni, big).collect()
+    assert {r.doc_id for r in out} == {"ok"}
+    empty = spark.createDataFrame([("x", "")], "doc_id string, text string")
+    eu, eb = train_bigram_lm(empty)
+    with pytest.raises(ValueError):
+        lm_score(docs, eu, eb)
+
+
+def test_bucketing(spark):
+    ref, uni, big = _model(spark)
+    docs = spark.createDataFrame(
+        [("good", "the cat sat on the mat"), ("bad", "zz qq ww rr tt yy")],
+        "doc_id string, text string",
+    )
+    scored = lm_score(docs, uni, big)
+    rows = {r.doc_id: r.bucket for r in lm_bucket(scored, -1.0, -1.5).collect()}
+    assert rows["good"] == "head" and rows["bad"] == "tail"
+
+
+def test_deterministic_across_repartition(spark):
+    ref, uni, big = _model(spark)
+    docs = spark.createDataFrame(
+        [(f"d{i}", "the cat sat on a dog") for i in range(20)],
+        "doc_id string, text string",
+    )
+    a = sorted(map(tuple, lm_score(docs, uni, big).collect()))
+    b = sorted(
+        map(tuple, lm_score(docs.repartition(7), uni, big).collect())
+    )
+    assert a == b
