@@ -683,12 +683,19 @@ def _q_multimodal_letterbox_jpeg(spark, sf_dir):
     baseline JPEG (SOF0 sequential Huffman, synthesized and decoded by the
     from-scratch codec in multimodal/jpeg.py — no codec library), the
     kernel decodes the actual entropy-coded pixels, letterboxes to 64x64,
-    and re-encodes. Same integer geometry oracle as the PNG variant, so a
-    JPEG pixel-path bug that warps geometry fails the gate. Dims are kept
-    small (<=16x12) so 15k per-row Huffman decodes stay cheap."""
+    and re-encodes. Even doc_ids are baseline (SOF0) files, odd ones are
+    PROGRESSIVE (SOF2) — so the gate exercises the full G.2 multi-scan
+    decode path too. Same integer geometry oracle as the PNG variant, so
+    a JPEG pixel-path bug that warps geometry fails the gate. Dims are
+    kept small (<=16x12) so per-row Huffman decodes stay cheap."""
     import pandas as pd
 
-    from comic_text_detector_spark.multimodal.jpeg import synthesize_jpeg_real
+    import numpy as np
+
+    from comic_text_detector_spark.multimodal.jpeg import (
+        encode_jpeg_progressive,
+        synthesize_jpeg_real,
+    )
     from comic_text_detector_spark.multimodal.pixels import letterbox_images
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -696,14 +703,19 @@ def _q_multimodal_letterbox_jpeg(spark, sf_dir):
     def synth(batches):
         for pdf in batches:
             ids = [int(i) for i in pdf["doc_id"]]
+            media = []
+            for i in ids:
+                w, h = 1 + i % 16, 1 + i % 12
+                if i % 2:  # odd rows: PROGRESSIVE (SOF2) files
+                    arr = np.tile(
+                        np.array([200, 80, 30], np.uint8)[None, None],
+                        (h, w, 1),
+                    )
+                    media.append(encode_jpeg_progressive(arr, 90))
+                else:  # even rows: baseline (SOF0)
+                    media.append(synthesize_jpeg_real(w, h))
             yield pd.DataFrame(
-                {
-                    "media_id": [str(i) for i in ids],
-                    "media": [
-                        synthesize_jpeg_real(1 + i % 16, 1 + i % 12)
-                        for i in ids
-                    ],
-                }
+                {"media_id": [str(i) for i in ids], "media": media}
             )
 
     m = docs.mapInPandas(synth, "media_id string, media binary")

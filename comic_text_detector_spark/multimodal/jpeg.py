@@ -1,21 +1,24 @@
-"""Baseline JPEG (SOF0/SOF1 sequential DCT, Huffman) pixel codec — pure
-stdlib + numpy, no codec library.
+"""JPEG pixel codec — baseline (SOF0/SOF1 sequential DCT) AND progressive
+(SOF2) Huffman decoding, pure stdlib + numpy, no codec library.
 
 Why it exists: a real crawl's image column is overwhelmingly JPEG, so the
 pixel-tier operators (F5/F6 letterbox, F25 warp — reference
 utils/imgproc_utils.py:15-43,86-117) silently skipped the dominant format
-while PNG decoded for real. Baseline sequential JPEG is the same
-discipline as the PNG path: the entire format (marker segments, canonical
-Huffman entropy coding, dequantize + 8x8 IDCT, chroma upsample, YCbCr→RGB)
-is spec-expressible without a codec dependency.
+while PNG decoded for real. JPEG is the same discipline as the PNG path:
+the entire format (marker segments, canonical Huffman entropy coding,
+dequantize + 8x8 IDCT, chroma upsample, YCbCr→RGB — and for progressive
+files the T.81 G.2 machinery: spectral-selection bands, successive
+approximation, end-of-band runs, AC refinement correction bits) is
+spec-expressible without a codec dependency.
 
 Scope (honest refusals, like the PNG decoder's):
 
-* SOF0/SOF1 frames, 8-bit precision, 1 or 3 components, interleaved scan
-  (the overwhelmingly common baseline layout). Progressive (SOF2),
-  arithmetic coding, hierarchical, 12-bit, and multi-scan non-interleaved
-  files return ``None`` — decodable-or-refused, never wrong pixels.
-* Restart markers (DRI/RSTn) and 8- and 16-bit DQT are supported.
+* SOF0/SOF1 baseline and SOF2 progressive frames, 8-bit precision, 1 or
+  3 components. Arithmetic coding, hierarchical, lossless, 12-bit, and
+  baseline multi-scan non-interleaved files return ``None`` —
+  decodable-or-refused, never wrong pixels.
+* Restart markers (DRI/RSTn), 8- and 16-bit DQT, and between-scan DHT
+  redefinition are supported.
 * Integer subsampling ratios only (4:4:4, 4:2:2, 4:2:0 and friends);
   chroma upsample is nearest (pixel replication).
 
@@ -151,11 +154,14 @@ def _canonical_codes(bits: list[int], values: bytes) -> dict[int, tuple[int, int
 # 162 baseline symbols).
 _ENC_DC_BITS = [0, 2, 2, 2, 2, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _ENC_DC_VALS = bytes(range(12))
-_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+# 162 baseline symbols + the 14 EOBn symbols (r=1..14, s=0) progressive
+# scans use for end-of-band runs — 176 flat 8-bit codes, Kraft 176/256
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
 _ENC_AC_VALS = bytes(
     [0x00]
     + [(r << 4) | s for r in range(16) for s in range(1, 11)]
     + [0xF0]
+    + [(r << 4) for r in range(1, 15)]
 )
 _ENC_DC_CODES = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
 _ENC_AC_CODES = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
@@ -215,7 +221,8 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray | None:
         return None
     try:
         return _decode(data)
-    except (ValueError, IndexError, struct.error, ZeroDivisionError):
+    except (ValueError, IndexError, struct.error, ZeroDivisionError,
+            OverflowError):
         return None
 
 
@@ -224,9 +231,12 @@ def _decode(data: bytes) -> np.ndarray | None:
     huff_dc: dict[int, _HuffDecode] = {}
     huff_ac: dict[int, _HuffDecode] = {}
     frame = None  # (height, width, comps) comps = [(cid, h, v, tq)]
+    progressive = False
     dri = 0
-    scan = None
-    scan_comps = None
+    # (scan_comps, ss, se, ah, al, data, dri, dc-tables, ac-tables) —
+    # tables are snapshotted per scan: DHT may be redefined between the
+    # scans of a progressive file
+    scans: list[tuple] = []
 
     i = 2
     n = len(data)
@@ -265,7 +275,8 @@ def _decode(data: bytes) -> np.ndarray | None:
                 for z, v in enumerate(vals):
                     t[ZIGZAG[z]] = v
                 quant[tq] = t.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (same decode path)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progr.
+            progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
             if prec != 8 or ncomp not in (1, 3) or not width or not height:
                 return None
@@ -281,9 +292,9 @@ def _decode(data: bytes) -> np.ndarray | None:
                 cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (height, width, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive / lossless / arithmetic / hierarchical
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xC4:  # DHT — may hold several tables
             p = 0
             while p < len(payload):
@@ -296,14 +307,15 @@ def _decode(data: bytes) -> np.ndarray | None:
                 (huff_dc if tc == 0 else huff_ac)[th] = tab
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", payload[:2])
-        elif marker == 0xDA:  # SOS — baseline: single scan to EOI
+        elif marker == 0xDA:  # SOS
             ns = payload[0]
-            if frame is None or ns != len(frame[2]):
-                return None  # non-interleaved multi-scan: refused
+            if frame is None or ns < 1:
+                return None
             scan_comps = []
             for c in range(ns):
                 cs, tdta = payload[1 + 2 * c : 3 + 2 * c]
                 scan_comps.append((cs, tdta >> 4, tdta & 0xF))
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
             # entropy-coded data runs to the next non-RST marker
             j = i
             while j + 1 < n:
@@ -312,13 +324,21 @@ def _decode(data: bytes) -> np.ndarray | None:
                 ):
                     break
                 j += 1
-            scan = data[i:j]
+            scans.append(
+                (scan_comps, ss, se, ahal >> 4, ahal & 0xF, data[i:j],
+                 dri, dict(huff_dc), dict(huff_ac))
+            )
             i = j
         # APPn / COM / others: skipped via seg_len
 
-    if frame is None or scan is None or scan_comps is None:
+    if frame is None or not scans:
         return None
-    return _decode_scan(frame, scan_comps, scan, quant, huff_dc, huff_ac, dri)
+    if progressive:
+        return _decode_progressive(frame, scans, quant)
+    if len(scans) != 1 or len(scans[0][0]) != len(frame[2]):
+        return None  # baseline non-interleaved multi-scan: refused
+    scan_comps, _, _, _, _, scan, scan_dri, hdc, hac = scans[0]
+    return _decode_scan(frame, scan_comps, scan, quant, hdc, hac, scan_dri)
 
 
 def _decode_scan(frame, scan_comps, scan, quant, huff_dc, huff_ac, dri):
@@ -332,26 +352,7 @@ def _decode_scan(frame, scan_comps, scan, quant, huff_dc, huff_ac, dri):
     mcus_y = -(-height // (8 * vmax))
     n_mcus = mcus_x * mcus_y
 
-    # split at restart markers, unstuff each segment
-    segments: list[bytes] = []
-    cur = bytearray()
-    j = 0
-    while j < len(scan):
-        b = scan[j]
-        if b == 0xFF and j + 1 < len(scan):
-            nxt = scan[j + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                j += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                j += 2
-                continue
-        cur.append(b)
-        j += 1
-    segments.append(bytes(cur))
+    segments = _split_segments(scan)
 
     order = []  # (cid, dc_tab, ac_tab, qtab, h, v)
     for cs, td, ta in scan_comps:
@@ -377,6 +378,8 @@ def _decode_scan(frame, scan_comps, scan, quant, huff_dc, huff_ac, dri):
             for _ in range(h * v):
                 coeffs = np.zeros(64, dtype=np.int64)
                 s = reader.decode_huff(dct)
+                if s > 15:  # DC category is 0..15 by spec; larger means
+                    return None  # a corrupt table/stream — refuse
                 diff = _extend(reader.read(s), s) if s else 0
                 preds[cs] += diff
                 coeffs[0] = preds[cs]
@@ -416,6 +419,34 @@ def _decode_scan(frame, scan_comps, scan, quant, huff_dc, huff_ac, dri):
         plane = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
         planes.append(plane[:height, :width])
 
+    return _planes_to_image(planes)
+
+
+def _split_segments(scan: bytes) -> list[bytes]:
+    """Split entropy-coded data at restart markers, unstuffing FF 00."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    j = 0
+    while j < len(scan):
+        b = scan[j]
+        if b == 0xFF and j + 1 < len(scan):
+            nxt = scan[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+        cur.append(b)
+        j += 1
+    segments.append(bytes(cur))
+    return segments
+
+
+def _planes_to_image(planes: list[np.ndarray]) -> np.ndarray:
     if len(planes) == 1:
         return planes[0][:, :, None]
     y = planes[0].astype(np.float64)
@@ -426,6 +457,208 @@ def _decode_scan(frame, scan_comps, scan, quant, huff_dc, huff_ac, dri):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding — T.81 G.2: coefficients accumulate across
+# scans (spectral selection splits the zigzag band, successive
+# approximation splits bit precision); dequantize + IDCT once at the end.
+
+
+def _ac_first(reader, tab, coef, ss, se, al, eobrun):
+    """First AC scan for one block: G.1.2.2 run-length with EOBn runs.
+    ``coef`` is the block's 64 coefficients in SPECTRAL (zigzag) order."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[k] = _extend(reader.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(reader, tab, coef, ss, se, al, eobrun):
+    """AC refinement scan for one block: G.1.2.3 — newly-nonzero
+    coefficients arrive as ±1<<al, already-nonzero ones receive one
+    correction bit each as the position pointer crosses them."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k):
+        if reader.read(1) and (coef[k] & p1) == 0:
+            coef[k] += p1 if coef[k] >= 0 else m1
+
+    k = ss
+    # the end-of-band sweep (read one correction bit per remaining
+    # nonzero coefficient) runs for the block that DECODED the EOBn as
+    # well as for every further block the run covers — an EOB0 still
+    # sweeps its own block
+    sweep = eobrun > 0
+    if sweep:
+        eobrun -= 1
+    else:
+        while k <= se:
+            rs = reader.decode_huff(tab)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read(r)
+                    sweep = True
+                    break
+                # ZRL: skip 16 zero-history positions
+            elif s == 1:
+                val = p1 if reader.read(1) else m1
+            else:
+                raise ValueError("refinement size must be 0 or 1")
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if sweep:
+        while k <= se:
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+    return eobrun
+
+
+def _decode_progressive(frame, scans, quant):
+    height, width, comps = frame
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    if any(hmax % h or vmax % v for _, h, v, _ in comps):
+        return None
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    # per component: padded MCU block grid (rows, cols) of spectral-order
+    # coefficient vectors; real (non-padding) block extent for
+    # non-interleaved scans
+    grids: dict[int, np.ndarray] = {}
+    real: dict[int, tuple[int, int]] = {}
+    for cid, h, v, tq in comps:
+        rows, cols = mcus_y * v, mcus_x * h
+        grids[cid] = np.zeros((rows, cols, 64), dtype=np.int64)
+        cw = -(-(width * h) // hmax)
+        chh = -(-(height * v) // vmax)
+        real[cid] = (-(-chh // 8), -(-cw // 8))  # (block rows, block cols)
+
+    for scan_comps, ss, se, ah, al, data, dri, hdc, hac in scans:
+        segments = _split_segments(data)
+        seg_idx = 0
+        reader = _BitReader(segments[0])
+        ns = len(scan_comps)
+        if ss == 0:  # DC scan (se must be 0); may be interleaved
+            if se != 0:
+                return None
+            order = []
+            for cs, td, ta in scan_comps:
+                if cs not in by_id or (ah == 0 and td not in hdc):
+                    return None
+                order.append((cs, hdc.get(td), by_id[cs][0], by_id[cs][1]))
+            preds = {cs: 0 for cs, *_ in order}
+            if ns > 1:
+                units = mcus_x * mcus_y
+            else:
+                br, bc = real[order[0][0]]
+                units = br * bc
+            for m in range(units):
+                if dri and m and m % dri == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        return None
+                    reader = _BitReader(segments[seg_idx])
+                    preds = {cs: 0 for cs, *_ in order}
+                for cs, dct, h, v in order:
+                    if ns > 1:
+                        my, mx = divmod(m, mcus_x)
+                        cells = [
+                            (my * v + by, mx * h + bx)
+                            for by in range(v)
+                            for bx in range(h)
+                        ]
+                    else:
+                        br, bc = real[cs]
+                        cells = [divmod(m, bc)]
+                    for ry, cx in cells:
+                        coef = grids[cs][ry, cx]
+                        if ah == 0:
+                            s = reader.decode_huff(dct)
+                            if s > 15:
+                                return None  # corrupt DC category
+                            diff = _extend(reader.read(s), s) if s else 0
+                            preds[cs] += diff
+                            coef[0] = preds[cs] << al
+                        else:
+                            if reader.read(1):
+                                coef[0] |= 1 << al
+        else:  # AC scan: always single-component, real blocks only
+            if ns != 1 or se > 63 or ss > se:
+                return None
+            cs, td, ta = scan_comps[0]
+            if cs not in by_id or ta not in hac:
+                return None
+            act = hac[ta]
+            br, bc = real[cs]
+            eobrun = 0
+            for m in range(br * bc):
+                if dri and m and m % dri == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        return None
+                    reader = _BitReader(segments[seg_idx])
+                    eobrun = 0
+                ry, cx = divmod(m, bc)
+                coef = grids[cs][ry, cx]
+                if ah == 0:
+                    eobrun = _ac_first(reader, act, coef, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(reader, act, coef, ss, se, al, eobrun)
+
+    planes = []
+    for cid, h, v, tq in comps:
+        if tq not in quant:
+            return None
+        qtab = quant[tq].reshape(-1)  # raster order
+        grid = grids[cid]
+        rows, cols = grid.shape[0], grid.shape[1]
+        raster = np.zeros((rows * cols, 64), dtype=np.int64)
+        flat = grid.reshape(rows * cols, 64)
+        for zpos, ridx in enumerate(ZIGZAG):
+            raster[:, ridx] = flat[:, zpos]
+        pix = idct_blocks((raster * qtab).reshape(-1, 8, 8))
+        plane = (
+            pix.reshape(rows, cols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows * 8, cols * 8)
+        )
+        plane = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
+        planes.append(plane[:height, :width])
+    return _planes_to_image(planes)
 
 
 # ---------------------------------------------------------------------------
@@ -655,3 +888,244 @@ def synthesize_jpeg_real(
         np.array(rgb, dtype=np.uint8)[None, None, :], (height, width, 1)
     )
     return encode_jpeg_baseline(arr, quality=quality)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (golden-file synthesis) — the decoder's exact mirror:
+# every scan emitter walks blocks with the same pointer-advance semantics as
+# the corresponding decode procedure, so correction-bit ordering is
+# consistent by construction. 4:4:4 / grayscale only (padded block grid ==
+# real grid); the DECODER handles subsampled progressive files regardless.
+
+
+class _EobRun:
+    """Accumulates an end-of-band run plus the correction bits the covered
+    blocks owe (refinement scans); flushes as EOBn + ext bits + bits."""
+
+    __slots__ = ("n", "bits")
+
+    def __init__(self):
+        self.n = 0
+        self.bits: list[int] = []
+
+    def flush(self, bw: _BitWriter) -> None:
+        if not self.n:
+            return
+        r = self.n.bit_length() - 1
+        code, ln = _ENC_AC_CODES[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(self.n - (1 << r), r)
+        for b in self.bits:
+            bw.write(b, 1)
+        self.n = 0
+        self.bits = []
+
+
+def _emit_ac_first(bw, band, al, eob):
+    """One block of a first AC scan (T.81 G.1.2.2 encoder side)."""
+    vals = [int(v) for v in band]
+    sent = [(abs(v) >> al) for v in vals]
+    nz = [i for i, t in enumerate(sent) if t]
+    if not nz:
+        eob.n += 1
+        if eob.n == 0x7FFF:
+            eob.flush(bw)
+        return
+    eob.flush(bw)
+    k = 0
+    for i in nz:
+        r = i - k
+        while r > 15:
+            code, ln = _ENC_AC_CODES[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        t = sent[i]
+        s = t.bit_length()
+        code, ln = _ENC_AC_CODES[(r << 4) | s]
+        bw.write(code, ln)
+        signed = t if vals[i] > 0 else -t
+        bw.write(signed if signed > 0 else signed + (1 << s) - 1, s)
+        k = i + 1
+    if k <= len(vals) - 1:
+        eob.n += 1
+        if eob.n == 0x7FFF:
+            eob.flush(bw)
+
+
+def _emit_ac_refine(bw, band, al, eob):
+    """One block of an AC refinement scan (G.1.2.3 encoder side) —
+    mirrors ``_ac_refine``'s pointer advance exactly."""
+    vals = [int(v) for v in band]
+    hist = [(abs(v) >> (al + 1)) != 0 for v in vals]
+    corr = [(abs(v) >> al) & 1 for v in vals]
+    newly = [
+        i for i, v in enumerate(vals)
+        if not hist[i] and (abs(v) >> al) == 1
+    ]
+    if not newly:
+        eob.n += 1
+        eob.bits.extend(corr[i] for i in range(len(vals)) if hist[i])
+        if eob.n == 0x7FFF:
+            eob.flush(bw)
+        return
+    eob.flush(bw)
+    k = 0
+
+    def advance(run, stop):
+        # mirror of the decoder's inner loop: cross positions, emitting a
+        # correction bit at each nonzero-history one, consuming `run`
+        # remain-zero positions; stop at the `stop` target position
+        nonlocal k
+        while k < len(vals):
+            if hist[k]:
+                bw.write(corr[k], 1)
+            else:
+                if run == 0 and k == stop:
+                    break
+                run -= 1
+            k += 1
+
+    for i in newly:
+        # run counts remain-zero (zero-history, not newly) positions
+        r = sum(
+            1 for j in range(k, i) if not hist[j]
+        )
+        while r > 15:
+            code, ln = _ENC_AC_CODES[0xF0]
+            bw.write(code, ln)
+            # decoder skips 16 zero-history positions after a ZRL,
+            # reading corrections as it crosses nonzero-history ones
+            skipped = 0
+            while k < len(vals) and skipped < 16:
+                if hist[k]:
+                    bw.write(corr[k], 1)
+                else:
+                    skipped += 1
+                k += 1
+            r -= 16
+        code, ln = _ENC_AC_CODES[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if vals[i] > 0 else 0, 1)
+        advance(r, i)
+        k = i + 1
+    if k <= len(vals) - 1:
+        eob.n += 1
+        eob.bits.extend(corr[j] for j in range(k, len(vals)) if hist[j])
+        if eob.n == 0x7FFF:
+            eob.flush(bw)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 1|3) or (h, w) uint8 → progressive (SOF2) JPEG with the
+    classic scan script: DC first at Al=1 (interleaved), per-component
+    spectral bands 1-5 / 6-63 at Al=1, then DC and AC refinements to
+    Al=0. Same quantization/Huffman machinery as the baseline encoder;
+    no chroma subsampling (see module section comment)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch not in (1, 3) or not h or not w:
+        raise ValueError("need (h, w, 1|3) uint8 with positive dims")
+    qlum, qchrom = _quality_tables(quality)
+    if ch == 1:
+        comps = [(1, 0)]
+        planes = [arr[:, :, 0]]
+    else:
+        comps = [(1, 0), (2, 1), (3, 1)]
+        r, g, b = (arr[:, :, k].astype(np.float64) for k in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+                  for p in (y, cb, cr)]
+    bw_blocks, bh_blocks = -(-w // 8), -(-h // 8)
+    qz = [
+        _plane_blocks(p, bw_blocks, bh_blocks, qlum if tq == 0 else qchrom)
+        for p, (_, tq) in zip(planes, comps)
+    ]
+    n_blocks = bw_blocks * bh_blocks
+
+    def sos(scomps, ss, se, ah, al, body: bytes) -> bytes:
+        payload = bytes([len(scomps)])
+        for cid, td_ta in scomps:
+            payload += bytes([cid, td_ta])
+        payload += bytes([ss, se, (ah << 4) | al])
+        return (
+            b"\xff\xda" + struct.pack(">H", len(payload) + 2) + payload + body
+        )
+
+    scans: list[bytes] = []
+    # 1. DC first, interleaved, Al=1 (arithmetic >> matches the decoder's
+    # pred << Al | refinement-bit reconstruction for negatives)
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    for m in range(n_blocks):
+        for ci in range(len(comps)):
+            d = int(qz[ci][m][0]) >> 1
+            diff = d - preds[ci]
+            preds[ci] = d
+            s = abs(diff).bit_length()
+            code, ln = _ENC_DC_CODES[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    scans.append(
+        sos([(cid, 0) for cid, _ in comps], 0, 0, 0, 1, bytes(bw.out))
+    )
+    # 2. per-component first AC bands at Al=1
+    for ss, se in ((1, 5), (6, 63)):
+        for ci, (cid, _) in enumerate(comps):
+            bw = _BitWriter()
+            eob = _EobRun()
+            for m in range(n_blocks):
+                _emit_ac_first(bw, qz[ci][m][ss : se + 1], 1, eob)
+            eob.flush(bw)
+            bw.flush()
+            scans.append(sos([(cid, 0x01 if ci else 0x00)], ss, se, 0, 1,
+                             bytes(bw.out)))
+    # 3. DC refinement to Al=0: one raw bit per block, interleaved
+    bw = _BitWriter()
+    for m in range(n_blocks):
+        for ci in range(len(comps)):
+            bw.write(int(qz[ci][m][0]) & 1, 1)
+    bw.flush()
+    scans.append(sos([(cid, 0) for cid, _ in comps], 0, 0, 1, 0,
+                     bytes(bw.out)))
+    # 4. per-component AC refinements to Al=0
+    for ss, se in ((1, 5), (6, 63)):
+        for ci, (cid, _) in enumerate(comps):
+            bw = _BitWriter()
+            eob = _EobRun()
+            for m in range(n_blocks):
+                _emit_ac_refine(bw, qz[ci][m][ss : se + 1], 0, eob)
+            eob.flush(bw)
+            bw.flush()
+            scans.append(sos([(cid, 0x01 if ci else 0x00)], ss, se, 1, 0,
+                             bytes(bw.out)))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 72, 72, 0, 0))
+    for tq, tab in ((0, qlum),) + (((1, qchrom),) if ch == 3 else ()):
+        zz = tab.reshape(-1)[ZIGZAG]
+        out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in zz))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, tq in comps:
+        sof += bytes([cid, 0x11, tq])
+    out += seg(0xC2, sof)
+    for tc, th, bits, vals in (
+        (0, 0, _ENC_DC_BITS, _ENC_DC_VALS),
+        (1, 0, _ENC_AC_BITS, _ENC_AC_VALS),
+    ) + (
+        ((1, 1, _ENC_AC_BITS, _ENC_AC_VALS),) if ch == 3 else ()
+    ):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + vals)
+    for s in scans:
+        out += s
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -123,7 +123,8 @@ def test_grayscale_channel_shape():
 
 
 def test_refusals():
-    # progressive SOF2
+    # SOF2 header with no scan data: refused (progressive decode
+    # itself is supported and tested below)
     assert decode_jpeg_pixels(
         b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00\xff\xd9"
     ) is None
@@ -256,3 +257,61 @@ def test_forged_sof_dims_refused_fast():
     t0 = time.time()
     assert decode_jpeg_pixels(evil) is None
     assert time.time() - t0 < 0.5
+
+
+def test_progressive_equals_baseline_bit_exact():
+    """Progressive (SOF2) decode of the same quantized coefficients must
+    yield BIT-IDENTICAL pixels to baseline decode: the scan script (DC
+    first at Al=1, spectral bands 1-5/6-63 at Al=1, DC + AC refinements
+    to Al=0) exercises every G.2 path — successive approximation, EOB
+    runs, correction bits — and any entropy-layer bug breaks equality."""
+    from comic_text_detector_spark.multimodal.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(3)
+    for shape in [(16, 16, 3), (21, 37, 3), (8, 8, 1), (1, 1, 3),
+                  (7, 100, 3), (33, 9, 1)]:
+        img = rng.randint(0, 256, shape, np.uint8)
+        src = img[:, :, 0] if shape[2] == 1 else img
+        for q in (50, 90, 100):
+            base = decode_jpeg_pixels(encode_jpeg_baseline(src, q, "444"))
+            prog = decode_jpeg_pixels(encode_jpeg_progressive(src, q))
+            assert prog is not None and np.array_equal(base, prog), (shape, q)
+
+
+def test_progressive_dispatcher_and_letterbox(spark):
+    from comic_text_detector_spark.multimodal.jpeg import (
+        encode_jpeg_progressive,
+    )
+    from comic_text_detector_spark.multimodal.pixels import (
+        decode_image_pixels,
+        letterbox_images,
+    )
+
+    img = np.tile(np.array([10, 200, 90], np.uint8)[None, None], (20, 40, 1))
+    pj = encode_jpeg_progressive(img, 95)
+    assert decode_image_pixels(pj).shape == (20, 40, 3)
+    df = spark.createDataFrame([("p", pj)], "media_id string, media binary")
+    row = letterbox_images(df, size=64).collect()[0]
+    assert row.ok and (row.out_w, row.out_h) == (64, 32)
+
+
+def test_progressive_truncation_and_fuzz_never_crash():
+    from comic_text_detector_spark.multimodal.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    full = bytearray(encode_jpeg_progressive(_rand(16, 24), 85))
+    for cut in (len(full) // 3, len(full) // 2, len(full) - 3):
+        out = decode_jpeg_pixels(bytes(full[:cut]))
+        assert out is None or out.shape == (16, 24, 3)
+    for _ in range(200):
+        mut = bytearray(full)
+        for _ in range(rng.randint(1, 6)):
+            mut[rng.randint(2, len(mut))] = rng.randint(0, 256)
+        out = decode_jpeg_pixels(bytes(mut))
+        assert out is None or (
+            isinstance(out, np.ndarray) and out.dtype == np.uint8
+        )
