@@ -1955,6 +1955,37 @@ def _pack_sequences_oracle() -> str:
     )
 
 
+def _q_pagerank_hosts(spark, sf_dir):
+    """Link-graph authority scoring (crawl harvest prioritization):
+    integer-deterministic PageRank over a deterministic host graph derived
+    from doc_ids — 3 unrolled iterations replayed bit-for-bit by the SQL
+    oracle (operators/graph.py::pagerank/pagerank_sql; exact bigint rank
+    units, floor-quantized contributions)."""
+    from comic_text_detector_spark.operators.graph import pagerank
+
+    edges = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 50).cast("string")
+        ).alias("dst"),
+    )
+    return pagerank(edges, n_iter=3).select(
+        F.col("node").cast("string").alias("node"), "rank"
+    )
+
+
+def _pagerank_oracle() -> str:
+    from comic_text_detector_spark.operators.graph import pagerank_sql
+
+    edges = (
+        "SELECT 'h' || (doc_id % 50)::VARCHAR AS src,"
+        " 'h' || ((doc_id * 7 + 3) % 50)::VARCHAR AS dst FROM documents"
+    )
+    return pagerank_sql(edges, n_iter=3)
+
+
 def _q_lm_score(spark, sf_dir):
     """CCNet-shape LM quality scoring: a stupid-backoff bigram LM trained
     in-Spark on the documents corpus, every document scored by mean
@@ -2454,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_quality_logit": _q_train_quality_logit,
         "u8_label_maps": _q_u8_label_maps,
         "lm_score_docs": _q_lm_score,
+        "pagerank_hosts": _q_pagerank_hosts,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -2747,6 +2779,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_split": _pack_sequences_split_oracle(),
         "train_quality_logit": _train_quality_oracle(),
         "u8_label_maps": _u8_label_maps_oracle(),
+        "pagerank_hosts": _pagerank_oracle(),
         "lm_score_docs": __import__(
             "comic_text_detector_spark.operators.lm", fromlist=["lm_score_sql"]
         ).lm_score_sql(),

@@ -36,3 +36,36 @@ def test_dedup_keep_representatives(spark):
         r.doc_id for r in dedup_keep_representatives(docs, pairs, "doc_id").collect()
     )
     assert kept == [0, 1, 2, 4]  # 3 and 5 collapse into 0's cluster
+
+
+def test_pagerank_planted_star(spark):
+    """Star graph: every leaf links to the hub — the hub must dominate,
+    leaves tie exactly (integer determinism), mass accounting sane."""
+    from comic_text_detector_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(f"leaf{i}", "hub") for i in range(9)] + [("hub", "leaf0")],
+        "src string, dst string",
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, n_iter=5).collect()}
+    assert ranks["hub"] > ranks["leaf0"] > ranks["leaf1"]  # leaf0 gets hub's link
+    assert len({ranks[f"leaf{i}"] for i in range(1, 9)}) == 1  # exact tie
+    assert sum(ranks.values()) <= 1_000_000  # dangling leak only shrinks
+
+
+def test_pagerank_deterministic_and_cycle_uniform(spark):
+    from comic_text_detector_spark.operators.graph import pagerank
+
+    cyc = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 6}") for i in range(6)],
+        "src string, dst string",
+    )
+    a = sorted(map(tuple, pagerank(cyc, n_iter=4).collect()))
+    b = sorted(map(tuple, pagerank(cyc.repartition(5), n_iter=4).collect()))
+    assert a == b
+    assert len({r for _, r in a}) == 1  # symmetric cycle → identical ranks
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pagerank(spark.createDataFrame([], "src string, dst string"))
