@@ -178,6 +178,44 @@ def main() -> None:
             "quantizer trains on ~10^5 vectors while only the single "
             "assignment pass in ivf_topk touches the full corpus.",
         ),
+        (
+            "token_counts_v3 (pair-merge BPE)",
+            e._q_token_counts_v3(spark, sf),
+            "The ENTIRE BPE tokenizer is one Project over the scan — 40 "
+            "literal replaces inside whole-stage codegen, zero exchanges, "
+            "zero Python. The two-step projection keeps the replace chain "
+            "single-evaluated (CollapseProject leaves multi-referenced "
+            "non-trivial exprs alone).",
+        ),
+        (
+            "lm_score (bigram LM scoring)",
+            e._q_lm_score(spark, sf),
+            "Model-as-data joins: corpus tokens join the unigram/bigram "
+            "count tables on their n-gram keys (shuffled equi-joins with "
+            "map-side partial aggregation for the counts; the model side "
+            "is broadcast when it fits, shuffled when a 10^8-gram model "
+            "does not) plus ONE per-doc window for the lag. No driver "
+            "state beyond the single N scalar.",
+        ),
+        (
+            "pagerank iteration",
+            __import__(
+                "comic_text_detector_spark.operators.graph",
+                fromlist=["pagerank"],
+            ).pagerank(
+                spark.createDataFrame(
+                    [(f"h{i}", f"h{(i * 7 + 3) % 20}") for i in range(20)],
+                    "src string, dst string",
+                ),
+                n_iter=1,
+            ),
+            "One iteration = one shuffle: ranks join edges on src "
+            "(broadcast here at toy size; co-located when edges are "
+            "pre-partitioned by src at scale), contributions aggregate by "
+            "dst with map-side partials, and the round is localCheckpoint"
+            "-ed so the logical plan cannot grow with the iteration count "
+            "(the plan shows the checkpoint scan, not 3 nested joins).",
+        ),
     ]
     out = [
         "# PLANS — physical-plan audits (explain-and-iterate evidence)\n",
