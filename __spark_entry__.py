@@ -1955,6 +1955,106 @@ def _pack_sequences_oracle() -> str:
     )
 
 
+def _linked_pages(spark, sf_dir):
+    """Fixture: documents wrapped as pages with two planted <a href>
+    elements each (hosts derived from doc_id) — built with pure exprs so
+    the oracle constructs the identical html."""
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.col("text"),
+            F.lit('</p><a class="x" href="https://h'),
+            ((F.col("doc_id") * 7 + 3) % 50).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit('">anchor '),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit('</a><a href="https://h'),
+            ((F.col("doc_id") * 13 + 1) % 50).cast("string"),
+            F.lit('.example/q">read more</a></body></html>'),
+        ).alias("html"),
+    )
+
+
+_LINKS_FIXTURE_SQL = (
+    "SELECT 'https://h' || (doc_id % 50)::VARCHAR || '.example/d/' ||"
+    " doc_id::VARCHAR AS url,"
+    " '<html><body><p>' || text || '</p><a class=\"x\" href=\"https://h' ||"
+    " ((doc_id * 7 + 3) % 50)::VARCHAR || '.example/p/' ||"
+    " doc_id::VARCHAR || '\">anchor ' || (doc_id % 10)::VARCHAR ||"
+    " '</a><a href=\"https://h' || ((doc_id * 13 + 1) % 50)::VARCHAR ||"
+    " '.example/q\">read more</a></body></html>' AS html FROM documents"
+)
+
+_LINKS_SQL = (
+    "SELECT t.url AS src_url, regexp_extract(t.tag, 'href=\"([^\"]*)\"', 1)"
+    " AS href, regexp_extract(t.tag, '>([^<]*)</a>', 1) AS anchor,"
+    " regexp_extract(regexp_extract(t.tag, 'href=\"([^\"]*)\"', 1),"
+    " '^[a-zA-Z]+://([^/?#]+)', 1) AS dst_host FROM ("
+    " SELECT url, unnest(regexp_extract_all(html,"
+    " '<a [^>]*href=\"[^\"]*\"[^>]*>[^<]*</a>', 0)) AS tag FROM ("
+    + _LINKS_FIXTURE_SQL
+    + ")) t"
+)
+
+
+def _q_extract_links(spark, sf_dir):
+    """Hyperlink extraction as pure column exprs (functions/links.py):
+    every planted <a href> element becomes a (src_url, href, anchor,
+    dst_host) row; the oracle rebuilds the same pages and replays the
+    same RE2∩Java regexes."""
+    from comic_text_detector_spark.functions.links import extract_links
+
+    return extract_links(_linked_pages(spark, sf_dir))
+
+
+def _q_anchor_stats(spark, sf_dir):
+    """Anchor-text aggregation per destination host: link counts, unique
+    anchors, most-frequent anchor (deterministic tie break)."""
+    from comic_text_detector_spark.functions.links import (
+        anchor_stats,
+        extract_links,
+    )
+
+    return anchor_stats(extract_links(_linked_pages(spark, sf_dir)))
+
+
+def _q_link_pagerank(spark, sf_dir):
+    """END-TO-END crawl-graph composition: extract real <a href> links
+    from html → host-level edges → integer-deterministic PageRank. The
+    oracle is the link-extraction SQL fed into the unrolled pagerank
+    replay — the whole extraction→graph pipeline verified in one query."""
+    from comic_text_detector_spark.functions.links import extract_links
+    from comic_text_detector_spark.operators.graph import pagerank
+
+    links = extract_links(_linked_pages(spark, sf_dir))
+    edges = links.select(
+        F.regexp_extract(
+            F.col("src_url"), "^[a-zA-Z]+://([^/?#]+)", 1
+        ).alias("src"),
+        F.col("dst_host").alias("dst"),
+    )
+    return pagerank(edges, n_iter=3).select(
+        F.col("node").cast("string").alias("node"), "rank"
+    )
+
+
+def _link_pagerank_oracle() -> str:
+    from comic_text_detector_spark.operators.graph import pagerank_sql
+
+    edges = (
+        "SELECT regexp_extract(src_url, '^[a-zA-Z]+://([^/?#]+)', 1)"
+        " AS src, dst_host AS dst FROM (" + _LINKS_SQL + ")"
+    )
+    return pagerank_sql(edges, n_iter=3)
+
+
 def _q_pagerank_hosts(spark, sf_dir):
     """Link-graph authority scoring (crawl harvest prioritization):
     integer-deterministic PageRank over a deterministic host graph derived
@@ -2486,6 +2586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u8_label_maps": _q_u8_label_maps,
         "lm_score_docs": _q_lm_score,
         "pagerank_hosts": _q_pagerank_hosts,
+        "extract_links": _q_extract_links,
+        "anchor_stats_hosts": _q_anchor_stats,
+        "link_pagerank": _q_link_pagerank,
         "w1_reading_order": _q_w1_reading_order,
         "x1_coalesce_spans": _q_x1_coalesce_spans,
         "x2_interval_xor": _q_x2_interval_xor,
@@ -2780,6 +2883,20 @@ def oracle_sql() -> dict[str, str]:
         "train_quality_logit": _train_quality_oracle(),
         "u8_label_maps": _u8_label_maps_oracle(),
         "pagerank_hosts": _pagerank_oracle(),
+        "extract_links": _LINKS_SQL,
+        "anchor_stats_hosts": (
+            "WITH l AS (" + _LINKS_SQL + "), "
+            "c AS (SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS c"
+            " FROM l GROUP BY dst_host, anchor), "
+            "r AS (SELECT dst_host, anchor, c, row_number() OVER ("
+            " PARTITION BY dst_host ORDER BY c DESC, anchor DESC) AS rn,"
+            " sum(c) OVER (PARTITION BY dst_host) AS n_links,"
+            " count(*) OVER (PARTITION BY dst_host) AS nu FROM c) "
+            "SELECT dst_host, CAST(n_links AS BIGINT) AS n_links,"
+            " CAST(nu AS BIGINT) AS n_unique_anchors,"
+            " anchor AS top_anchor FROM r WHERE rn = 1"
+        ),
+        "link_pagerank": _link_pagerank_oracle(),
         "lm_score_docs": __import__(
             "comic_text_detector_spark.operators.lm", fromlist=["lm_score_sql"]
         ).lm_score_sql(),
