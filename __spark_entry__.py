@@ -1993,12 +1993,12 @@ _LINKS_FIXTURE_SQL = (
 )
 
 _LINKS_SQL = (
-    "SELECT t.url AS src_url, regexp_extract(t.tag, 'href=\"([^\"]*)\"', 1)"
+    "SELECT t.url AS src_url, regexp_extract(t.tag, 'href=\"([^\">]*)\"', 1)"
     " AS href, regexp_extract(t.tag, '>([^<]*)</a>', 1) AS anchor,"
-    " regexp_extract(regexp_extract(t.tag, 'href=\"([^\"]*)\"', 1),"
+    " regexp_extract(regexp_extract(t.tag, 'href=\"([^\">]*)\"', 1),"
     " '^[a-zA-Z]+://([^/?#]+)', 1) AS dst_host FROM ("
     " SELECT url, unnest(regexp_extract_all(html,"
-    " '<a [^>]*href=\"[^\"]*\"[^>]*>[^<]*</a>', 0)) AS tag FROM ("
+    " '<a [^>]*href=\"[^\">]*\"[^>]*>[^<]*</a>', 0)) AS tag FROM ("
     + _LINKS_FIXTURE_SQL
     + ")) t"
 )
@@ -2033,11 +2033,11 @@ def _q_link_pagerank(spark, sf_dir):
     from comic_text_detector_spark.functions.links import extract_links
     from comic_text_detector_spark.operators.graph import pagerank
 
+    from comic_text_detector_spark.functions.links import link_host
+
     links = extract_links(_linked_pages(spark, sf_dir))
     edges = links.select(
-        F.regexp_extract(
-            F.col("src_url"), "^[a-zA-Z]+://([^/?#]+)", 1
-        ).alias("src"),
+        link_host(F.col("src_url")).alias("src"),
         F.col("dst_host").alias("dst"),
     )
     return pagerank(edges, n_iter=3).select(

@@ -20,8 +20,8 @@ from pyspark.sql import functions as F
 
 # a whole <a ... href="..." ...>anchor</a> element (both-dialect-safe:
 # negated classes instead of lazy quantifiers)
-A_TAG = '<a [^>]*href="[^"]*"[^>]*>[^<]*</a>'
-HREF = 'href="([^"]*)"'
+A_TAG = '<a [^>]*href="[^">]*"[^>]*>[^<]*</a>'
+HREF = 'href="([^">]*)"'
 ANCHOR = '>([^<]*)</a>'
 HOST = "^[a-zA-Z]+://([^/?#]+)"
 

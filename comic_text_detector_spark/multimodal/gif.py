@@ -187,6 +187,8 @@ def _decode(data: bytes) -> np.ndarray | None:
             frame = frame.reshape(fh, fw)
             if iflags & 0x40:
                 frame = _deinterlace(frame)
+            if int(frame.max()) >= len(palette):
+                return None  # out-of-palette index: refuse, never fabricate
             np_pal = palette
             # background canvas: bg color index if the GCT has it
             if gct is not None and bg_idx < len(gct):
@@ -198,8 +200,7 @@ def _decode(data: bytes) -> np.ndarray | None:
             fh_c = min(fh, max(0, sh - top))
             if fw_c and fh_c:
                 sub = frame[:fh_c, :fw_c]
-                safe = np.minimum(sub, len(np_pal) - 1)
-                rgb = np_pal[safe]
+                rgb = np_pal[sub]
                 if transparent is not None:
                     keep = sub != transparent
                     region = canvas[top : top + fh_c, left : left + fw_c]

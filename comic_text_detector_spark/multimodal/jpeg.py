@@ -402,22 +402,18 @@ def _decode_scan(frame, scan_comps, scan, quant, huff_dc, huff_ac, dri):
     planes = []
     for cs, _, _, _, h, v in order:
         arr = idct_blocks(np.stack(blocks[cs]))
-        bw, bh = mcus_x * h, mcus_y * v  # block grid
-        # blocks are emitted MCU-major: reorder into the plane raster
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
-        bi = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for by in range(v):
-                    for bx in range(h):
-                        plane[
-                            (my * v + by) * 8 : (my * v + by) * 8 + 8,
-                            (mx * h + bx) * 8 : (mx * h + bx) * 8 + 8,
-                        ] = arr[bi]
-                        bi += 1
-        # nearest upsample to full resolution, crop to frame dims
-        plane = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
-        planes.append(plane[:height, :width])
+        cols, rows = mcus_x * h, mcus_y * v  # block grid
+        # blocks were emitted MCU-major: permute into raster block order
+        ry = np.arange(rows * cols) // cols
+        cx = np.arange(rows * cols) % cols
+        mcu_major = ((ry // v) * mcus_x + cx // h) * (h * v) + (
+            ry % v
+        ) * h + cx % h
+        planes.append(
+            _assemble_plane(
+                arr[mcu_major], rows, cols, v, h, vmax, hmax, height, width
+            )
+        )
 
     return _planes_to_image(planes)
 
@@ -444,6 +440,19 @@ def _split_segments(scan: bytes) -> list[bytes]:
         j += 1
     segments.append(bytes(cur))
     return segments
+
+
+def _assemble_plane(pix, rows, cols, v, h, vmax, hmax, height, width):
+    """(rows*cols, 8, 8) RASTER-ordered sample blocks → full-resolution
+    cropped component plane (tile, nearest-upsample, crop) — shared by
+    the baseline and progressive paths."""
+    plane = (
+        pix.reshape(rows, cols, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(rows * 8, cols * 8)
+    )
+    plane = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
+    return plane[:height, :width]
 
 
 def _planes_to_image(planes: list[np.ndarray]) -> np.ndarray:
@@ -651,13 +660,9 @@ def _decode_progressive(frame, scans, quant):
         for zpos, ridx in enumerate(ZIGZAG):
             raster[:, ridx] = flat[:, zpos]
         pix = idct_blocks((raster * qtab).reshape(-1, 8, 8))
-        plane = (
-            pix.reshape(rows, cols, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(rows * 8, cols * 8)
+        planes.append(
+            _assemble_plane(pix, rows, cols, v, h, vmax, hmax, height, width)
         )
-        plane = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
-        planes.append(plane[:height, :width])
     return _planes_to_image(planes)
 
 

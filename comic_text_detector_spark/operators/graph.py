@@ -109,9 +109,12 @@ def pagerank(
     iterative graph algorithm): ranks live as integers; each edge
     contributes ``floor(rank(src) / outdeg(src))``; the damped update is
     ``base + floor(damping_milli * Σcontrib / 1000)`` with
-    ``base = floor((1000 - damping_milli) * scale / (1000 * N))`` — every
-    step exact bigint math, so an UNROLLED SQL replay matches bit-for-bit
-    (``pagerank_sql``) and results are independent of partitioning.
+    ``base = floor((1000 - damping_milli) * scale / (1000 * N))``. The
+    divisions run through IEEE doubles, which are exact for these
+    integer operands as long as ``1000 * scale`` stays below 2^53 —
+    enforced by a ``scale`` cap — so an UNROLLED SQL replay matches
+    bit-for-bit (``pagerank_sql``) and results are independent of
+    partitioning.
     Dangling nodes (no out-links) leak their mass — documented, standard
     for the simple formulation; total mass therefore shrinks slightly
     rather than being redistributed.
@@ -124,6 +127,10 @@ def pagerank(
     co-locates."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not 0 < scale <= (1 << 53) // 1000:
+        # beyond this the double divisions stop being exact integer math
+        # and the bit-for-bit contract above would silently break
+        raise ValueError(f"scale must be in (0, 2^53/1000], got {scale}")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().localCheckpoint()

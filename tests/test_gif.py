@@ -102,3 +102,22 @@ def test_dispatcher_and_letterbox_over_gif(spark):
     )
     row = letterbox_images(df, size=64).collect()[0]
     assert row.ok and (row.out_w, row.out_h) == (64, 32)
+
+
+def test_out_of_palette_index_refused():
+    """Literal codes above the palette size must refuse, never fabricate
+    pixels from a clamped palette entry (review finding)."""
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 1, 0x81, 0, 0)
+        + bytes([10, 20, 30, 100, 110, 120, 0, 0, 0, 0, 0, 0])
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+        + bytes([3])  # min code 3: literals 0-7, palette only 4 entries
+    )
+    acc = n = 0
+    for code in (8, 5, 0, 9):  # CLEAR, literal 5 (out of range), 0, EOI
+        acc |= code << n
+        n += 4
+    data = bytes([(acc >> (8 * i)) & 0xFF for i in range((n + 7) // 8)])
+    gif += bytes([len(data)]) + data + b"\x00\x3b"
+    assert decode_gif_pixels(gif) is None

@@ -49,3 +49,15 @@ def test_anchor_stats_counts_and_tiebreak(spark):
     assert out["h1"].n_unique_anchors == 3
     assert out["h1"].top_anchor == "click"
     assert out["h2"].top_anchor == "y"
+
+
+def test_href_containing_gt_yields_no_row(spark):
+    """Drop-not-fake (review finding): a '>' inside the href value must
+    yield NO row, not a corrupted anchor."""
+    df = spark.createDataFrame(
+        [("u", b'<a href="https://x.example/a>b">click</a>'
+              b'<a href="https://ok.example/p">fine</a>')],
+        "url string, html binary",
+    )
+    rows = extract_links(df).collect()
+    assert [r.href for r in rows] == ["https://ok.example/p"]
