@@ -2381,6 +2381,26 @@ def _q_token_counts_v2(spark, sf_dir):
     return token_count_vocab(_t(spark, sf_dir, "documents"))
 
 
+def _q_train_bpe_merges(spark, sf_dir):
+    """DISTRIBUTED BPE TOKENIZER TRAINING: learn the merges table itself
+    from the corpus (each round: adjacent-pair counts via one explode +
+    groupBy, global argmax with deterministic tie break, ONE literal
+    replace rewrites the whole corpus). The oracle replays all 4 rounds
+    as unrolled CTE quartets — the learning loop itself is
+    value-verified, like the quality-classifier trainer
+    (functions/textstats.py::train_bpe_merges/train_bpe_sql)."""
+    from comic_text_detector_spark.functions.textstats import (
+        train_bpe_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = train_bpe_merges(docs, n_merges=4)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(m)],
+        "rank int, a string, b string, c long",
+    ).select(F.col("rank").cast("bigint").alias("rank"), "a", "b", "c")
+
+
 def _q_token_counts_v3(spark, sf_dir):
     """TRUE pair-merge BPE token count (the real LLM-budget accounting;
     upgrade over the greedy vocab scan): boundary-encode + one literal
@@ -2574,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logit": _q_quality_logit,
         "token_counts_v2": _q_token_counts_v2,
         "token_counts_v3": _q_token_counts_v3,
+        "train_bpe_merges_docs": _q_train_bpe_merges,
         "lang_id_v2": _q_lang_id_v2,
         "f19_f25_mini_box_warp": _q_f19_f25_mini_box_warp,
         "rotated_iou_axis": _q_rotated_iou_axis,
@@ -2872,6 +2893,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs_md5": _minhash_md5_oracle(),
         "token_counts_v2": _token_vocab_oracle(),
         "token_counts_v3": _token_bpe_oracle(),
+        "train_bpe_merges_docs": __import__(
+            "comic_text_detector_spark.functions.textstats",
+            fromlist=["train_bpe_sql"],
+        ).train_bpe_sql("coalesce(text, '')", 4),
         "lang_id_v2": _lang_ngram_oracle(),
         "f19_f25_mini_box_warp": _mini_box_warp_oracle(),
         "rotated_iou_axis": _rotated_iou_axis_oracle(),

@@ -187,7 +187,10 @@ def _bpe_boundary_string(text: Column) -> Column:
 
 
 def token_count_bpe(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: tuple[tuple[str, str], ...] | None = None,
 ) -> DataFrame:
     """True byte-pair-encoding token count — the real LLM-budget
     accounting that ``token_count_vocab``'s greedy longest-match
@@ -196,9 +199,11 @@ def token_count_bpe(
     ``_bpe_boundary_string``), so the whole tokenizer runs JVM-side
     inside whole-stage codegen, shuffle-free at any corpus size, and the
     DuckDB oracle replays the identical string algebra bit-for-bit
-    (``bpe_chain_sql``). Output: (id, n_tokens_bpe)."""
+    (``bpe_chain_sql``). ``merges`` overrides the embedded table — e.g.
+    one LEARNED by ``train_bpe_merges`` (any valid-training-order table
+    keeps the replay equivalence). Output: (id, n_tokens_bpe)."""
     s = _bpe_boundary_string(F.col(text_col))
-    for a, b in BPE_MERGES:
+    for a, b in (merges if merges is not None else BPE_MERGES):
         s = F.replace(
             s,
             F.lit(BPE_SEP + a + BPE_SEP + BPE_SEP + b + BPE_SEP),
@@ -215,7 +220,10 @@ def token_count_bpe(
     )
 
 
-def bpe_chain_sql(text_expr: str) -> str:
+def bpe_chain_sql(
+    text_expr: str,
+    merges: tuple[tuple[str, str], ...] | None = None,
+) -> str:
     """The IDENTICAL boundary-encode + merge-replace chain as an ANSI SQL
     expression (DuckDB dialect: \\1 backrefs, 'gs' regexp flags) — the
     oracle twin of ``token_count_bpe``'s ``_bpe_s`` column."""
@@ -224,7 +232,7 @@ def bpe_chain_sql(text_expr: str) -> str:
         f"('{sep}{sep}' || regexp_replace(replace({text_expr}, '{sep}', ''),"
         f" '(.)', '\\1{sep}{sep}', 'gs'))"
     )
-    for a, b in BPE_MERGES:
+    for a, b in (merges if merges is not None else BPE_MERGES):
         s = (
             f"replace({s}, '{sep}{a}{sep}{sep}{b}{sep}',"
             f" '{sep}{a}{b}{sep}')"
@@ -484,3 +492,115 @@ def reading_order_weight(
         dx = x1
     grid_idx = gy * 4 + gx
     return grid_idx.cast("double") * (page_w * page_h) + F.lit(1.2) * dx + y1
+
+
+def bpe_encode_sql(text_expr: str) -> str:
+    """Just the boundary-encode step of ``bpe_chain_sql`` (DuckDB
+    dialect) — shared by the scoring chain and the trainer oracle."""
+    sep = BPE_SEP
+    return (
+        f"('{sep}{sep}' || regexp_replace(replace({text_expr}, '{sep}', ''),"
+        f" '(.)', '\\1{sep}{sep}', 'gs'))"
+    )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> list[tuple[str, str, int]]:
+    """LEARN a BPE merges table from the corpus, in Spark — the training
+    counterpart of ``token_count_bpe``: each round counts all adjacent
+    symbol pairs (one explode + one map-side-combined groupBy), takes the
+    global argmax (count desc, then lexicographic pair — deterministic
+    tie break; ONE row to the driver per round, the model-to-driver
+    discipline), and applies the merge to the whole corpus as ONE literal
+    replace over the boundary encoding. Returns [(a, b, count), ...] in
+    training order — by construction a valid-training-order table, so it
+    plugs straight into ``token_count_bpe(merges=...)`` with the replay
+    equivalence intact.
+
+    Corpus state is ``localCheckpoint``-ed per round (iterative DataFrame
+    loops grow their logical plan otherwise); each round is one shuffle.
+    Stops early if no adjacent pair remains."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    sep2 = BPE_SEP + BPE_SEP
+    sdf = df.select(
+        _bpe_boundary_string(F.col(text_col)).alias("s")
+    ).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        syms = F.filter(
+            F.split(F.col("s"), sep2), lambda x: x != F.lit("")
+        )
+        pairs = sdf.select(syms.alias("y")).select(
+            F.explode(
+                F.when(
+                    F.size("y") >= 2,
+                    F.zip_with(
+                        F.slice("y", 1, F.size("y") - 1),
+                        F.slice("y", 2, F.size("y") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("a"), b.alias("b")
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p")
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.count("*").cast("long").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0].a, best[0].b, int(best[0].c)
+        merges.append((a, b, c))
+        sdf = sdf.select(
+            F.replace(
+                F.col("s"),
+                F.lit(BPE_SEP + a + sep2 + b + BPE_SEP),
+                F.lit(BPE_SEP + a + b + BPE_SEP),
+            ).alias("s")
+        ).localCheckpoint()
+    return merges
+
+
+def train_bpe_sql(
+    text_expr: str, n_merges: int, source: str = "documents"
+) -> str:
+    """Unrolled oracle twin of ``train_bpe_merges``: per round one
+    symbols/pairs/argmax/rewrite CTE quartet; emits (rank, a, b, c)."""
+    sep = BPE_SEP
+    parts = [
+        f"t0 AS (SELECT {bpe_encode_sql(text_expr)} AS s FROM {source}) "
+    ]
+    selects = []
+    for i in range(1, n_merges + 1):
+        prev = f"t{i - 1}"
+        parts.append(
+            f", y{i} AS (SELECT list_filter(string_split(s, '{sep}{sep}'),"
+            f" x -> x <> '') AS y FROM {prev})"
+            f", q{i} AS (SELECT y, unnest(generate_series(1,"
+            f" greatest(len(y) - 1, 0))) AS i FROM y{i})"
+            f", p{i} AS (SELECT y[i] AS a, y[i + 1] AS b,"
+            f" CAST(count(*) AS BIGINT) AS c FROM q{i} GROUP BY y[i],"
+            f" y[i + 1])"
+            f", b{i} AS (SELECT a, b, c FROM p{i}"
+            f" ORDER BY c DESC, a, b LIMIT 1)"
+            f", t{i} AS (SELECT replace(s,"
+            f" '{sep}' || (SELECT a FROM b{i}) || '{sep}{sep}' ||"
+            f" (SELECT b FROM b{i}) || '{sep}',"
+            f" '{sep}' || (SELECT a || b FROM b{i}) || '{sep}') AS s"
+            f" FROM {prev})"
+        )
+        selects.append(
+            f"SELECT {i} AS rank, a, b, c FROM b{i}"
+        )
+    return (
+        "WITH " + "".join(parts) + " " + " UNION ALL ".join(selects)
+        + " ORDER BY rank"
+    )

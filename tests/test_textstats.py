@@ -136,3 +136,55 @@ def test_token_count_bpe_spark_known_values(spark):
     got = {r.doc_id: r.n_tokens_bpe for r in token_count_bpe(df).collect()}
     for k, t in rows:
         assert got[k] == len(bpe_reference_encode(t or "")), (k, t)
+
+
+def test_train_bpe_merges_learns_and_applies(spark):
+    """The learned merges are textbook BPE on a planted corpus, come out
+    in valid training order, and plug into token_count_bpe."""
+    from comic_text_detector_spark.functions.textstats import (
+        bpe_reference_encode,
+        token_count_bpe,
+        train_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "the the theatre"), ("b", "then the thermos")],
+        "doc_id string, text string",
+    )
+    m = train_bpe_merges(df, n_merges=4)
+    assert [(a, b) for a, b, _ in m[:3]] == [
+        ("h", "e"), ("t", "he"), (" ", "the")
+    ]
+    assert m[0][2] == 6  # 'he' occurs 6 times
+    # valid training order: every multi-char side was created earlier
+    created = set()
+    for a, b, _ in m:
+        for side in (a, b):
+            assert len(side) == 1 or side in created, (side, m)
+        created.add(a + b)
+    learned = tuple((a, b) for a, b, _ in m)
+    out = {r.doc_id: r.n_tokens_bpe
+           for r in token_count_bpe(df, merges=learned).collect()}
+    # count matches an independent priority-loop replay over the same table
+    import comic_text_detector_spark.functions.textstats as TS
+
+    orig = TS.BPE_MERGES
+    try:
+        TS.BPE_MERGES = learned
+        assert out["a"] == len(bpe_reference_encode("the the theatre"))
+        assert out["b"] == len(bpe_reference_encode("then the thermos"))
+    finally:
+        TS.BPE_MERGES = orig
+
+
+def test_train_bpe_merges_stops_when_dry(spark):
+    from comic_text_detector_spark.functions.textstats import (
+        train_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "ab"), ("b", "")], "doc_id string, text string"
+    )
+    # 'ab' has one pair; after merging it nothing remains
+    m = train_bpe_merges(df, n_merges=5)
+    assert [(a, b) for a, b, _ in m] == [("a", "b")]
