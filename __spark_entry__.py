@@ -2086,6 +2086,19 @@ def _pagerank_oracle() -> str:
     return pagerank_sql(edges, n_iter=3)
 
 
+_BM25_TERMS = ("the", "data", "of", "and", "with")
+
+
+def _q_bm25(spark, sf_dir):
+    """Okapi BM25 corpus search (operators/retrieval.py): per-term
+    micro-quantized scores, exact bigint sums, broadcast document
+    frequencies — the oracle replays the identical float expression
+    tree."""
+    from comic_text_detector_spark.operators.retrieval import bm25_score
+
+    return bm25_score(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
 def _q_lm_score(spark, sf_dir):
     """CCNet-shape LM quality scoring: a stupid-backoff bigram LM trained
     in-Spark on the documents corpus, every document scored by mean
@@ -2606,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_quality_logit": _q_train_quality_logit,
         "u8_label_maps": _q_u8_label_maps,
         "lm_score_docs": _q_lm_score,
+        "bm25_docs": _q_bm25,
         "pagerank_hosts": _q_pagerank_hosts,
         "extract_links": _q_extract_links,
         "anchor_stats_hosts": _q_anchor_stats,
@@ -2908,6 +2922,10 @@ def oracle_sql() -> dict[str, str]:
         "train_quality_logit": _train_quality_oracle(),
         "u8_label_maps": _u8_label_maps_oracle(),
         "pagerank_hosts": _pagerank_oracle(),
+        "bm25_docs": __import__(
+            "comic_text_detector_spark.operators.retrieval",
+            fromlist=["bm25_sql"],
+        ).bm25_sql(_BM25_TERMS),
         "extract_links": _LINKS_SQL,
         "anchor_stats_hosts": (
             "WITH l AS (" + _LINKS_SQL + "), "
