@@ -64,6 +64,21 @@ def main(argv: list[str], spark=None) -> int:
         "model (default: deterministic md5-derived weights)",
     )
     p.add_argument(
+        "--min-lm-score",
+        type=float,
+        default=None,
+        help="if set, train a stupid-backoff bigram LM on --lm-reference "
+        "(a parquet of reference text; default: the benchmark set) and "
+        "drop docs whose mean milli-quantized log10 probability falls "
+        "below this floor (CCNet-style perplexity filtering)",
+    )
+    p.add_argument(
+        "--lm-reference",
+        default=None,
+        help="parquet of reference text for --min-lm-score (needs the "
+        "--text-col column); defaults to the --benchmark parquet",
+    )
+    p.add_argument(
         "--cut-dup-spans",
         action="store_true",
         help="find cross-document verbatim passages (substring_dup_spans) "
@@ -161,6 +176,30 @@ def main(argv: list[str], spark=None) -> int:
         low = quality_logit(
             clean, args.id_col, args.text_col, weights=weights
         ).filter(F.col("logit") < args.min_logit)
+        clean = clean.join(low.select(args.id_col), args.id_col, "left_anti")
+
+    # optional stage 1e: LM perplexity floor (CCNet shape) — a bigram LM
+    # trained on the reference corpus scores every doc; low scorers leave
+    # via an anti-join (wordless docs are unscored and keep their fate)
+    if args.min_lm_score is not None:
+        from comic_text_detector_spark.operators.lm import (
+            lm_score,
+            train_bigram_lm,
+        )
+
+        ref = (
+            spark.read.parquet(args.lm_reference)
+            if args.lm_reference
+            else bench
+        )
+        uni, big = train_bigram_lm(
+            ref.withColumn("_lm_id", F.monotonically_increasing_id()),
+            id_col="_lm_id",
+            text_col=args.text_col,
+        )
+        low = lm_score(
+            clean, uni, big, id_col=args.id_col, text_col=args.text_col
+        ).filter(F.col("score") < args.min_lm_score)
         clean = clean.join(low.select(args.id_col), args.id_col, "left_anti")
 
     # stage 2 + 3 fuse into one zero-exchange scan: quality floor, then the

@@ -108,3 +108,34 @@ def test_deterministic_across_repartition(spark):
         map(tuple, lm_score(docs.repartition(7), uni, big).collect())
     )
     assert a == b
+
+
+def test_curate_job_min_lm_score(spark, tmp_path):
+    """--min-lm-score: docs far from the reference LM leave; fluent docs
+    stay (the CCNet perplexity-floor stage wired into the job)."""
+    from jobs import curate_job
+
+    docs = spark.createDataFrame(
+        [
+            ("http://h/fluent", "the cat sat on the mat", "en"),
+            ("http://h/junk", "zxqj vvkw qqpl mmzn ttrb", "en"),
+        ],
+        "url string, text string, lang string",
+    )
+    corpus, bench = str(tmp_path / "c"), str(tmp_path / "b")
+    docs.write.parquet(corpus)
+    spark.createDataFrame(
+        [("the cat sat on the mat and the dog ran to the house",)],
+        "text string",
+    ).write.parquet(bench)
+    out = str(tmp_path / "out")
+    assert curate_job.main(
+        [
+            "--input", corpus, "--benchmark", bench, "--output", out,
+            "--rates", '{"en": 1.0}', "--max-shared-ngrams", "99",
+            "--min-lm-score", "-1.0",
+        ],
+        spark=spark,
+    ) == 0
+    kept = {r.url for r in spark.read.parquet(f"{out}/curated").collect()}
+    assert kept == {"http://h/fluent"}
