@@ -26,8 +26,8 @@ JSON — nothing is hidden; see BASELINE.md for the full methodology.
 
 Bad-hour fallback: some hours the hypervisor throttles even half
 occupancy (observed 4 -> 16 burn ceilings down to 0.78). A round whose
-4 -> 16 ceiling falls below CTD_BENCH_FB_CEILING also measures the
-LOWEST-occupancy N -> 4N pair (2 -> 8, its own same-input corpus); the
+4 -> 16 ceiling falls below CTD_BENCH_FB_CEILING also measures a
+lower-occupancy N -> 4N pair (3 -> 12, its own same-input corpus); the
 headline `scaling.efficiency` is the best-evidenced quotient of the run
 with its pair labeled in `scaling.levels`, and every measured round/pair
 stays in `per_round`.
@@ -67,9 +67,12 @@ SCALE_LO = int(os.environ.get("CTD_SCALE_LO", "4"))
 SCALE_HI = int(os.environ.get("CTD_SCALE_HI", "16"))
 SCALE_REPLICAS = int(os.environ.get("CTD_BENCH_SCALE_REPLICAS", "128"))
 # fallback pair for hours when the hypervisor throttles even half
-# occupancy: 2 -> 8 cores on a half-size (same-input-within-pair) corpus
-FB_LO, FB_HI = 2, 8
-FB_REPLICAS = int(os.environ.get("CTD_BENCH_FB_REPLICAS", "64"))
+# occupancy: 3 -> 12 cores on a smaller (same-input-within-pair) corpus.
+# NOT 2 -> 8: the Spark driver's fixed thread share handicaps very small
+# lo levels (engine@2 measured ~82% of the raw kernel@2) and would
+# INFLATE the quotient past 1.0 — see BASELINE.md driver-share artifact
+FB_LO, FB_HI = 3, 12
+FB_REPLICAS = int(os.environ.get("CTD_BENCH_FB_REPLICAS", "96"))
 # a round whose 4->16 burn ceiling is below this also measures the
 # lower-occupancy fallback pair (see BASELINE.md round-4 methodology)
 FB_CEILING = float(os.environ.get("CTD_BENCH_FB_CEILING", "0.88"))
