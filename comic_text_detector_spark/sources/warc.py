@@ -39,10 +39,13 @@ def _maybe_gunzip(data: bytes) -> bytes:
     return out.getvalue()
 
 
-def parse_warc(data: bytes) -> list[tuple[str, str, bytes]]:
-    """bytes of a WARC file → [(url, warc_date, html_payload)] for response
-    records. Tolerant: malformed records are skipped, the scan resyncs on
-    the next ``WARC/`` marker."""
+def parse_warc(
+    data: bytes, record_types: tuple[bytes, ...] = (b"response",)
+) -> list[tuple[str, str, bytes]]:
+    """bytes of a WARC file → [(url, warc_date, payload)] for records of
+    the requested types (``response`` for crawls, ``conversion`` for WET
+    extracts). Tolerant: malformed records are skipped, the scan resyncs
+    on the next ``WARC/`` marker."""
     data = _maybe_gunzip(data)
     out: list[tuple[str, str, bytes]] = []
     pos = 0
@@ -65,7 +68,7 @@ def parse_warc(data: bytes) -> list[tuple[str, str, bytes]]:
             continue
         body = data[hdr_end + 4 : hdr_end + 4 + length]
         pos = hdr_end + 4 + length
-        if headers.get(b"warc-type") != b"response":
+        if headers.get(b"warc-type") not in record_types:
             continue
         url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
         ts = headers.get(b"warc-date", b"").decode("ascii", "replace")
@@ -111,4 +114,124 @@ def read_warc(spark: SparkSession, glob: str) -> DataFrame:
     rows = bf.mapInArrow(split_records, WARC_DOCS_DDL)
     return rows.select(
         "url", F.to_timestamp("warc_ts").alias("warc_ts"), "html"
+    )
+
+
+# ---------------------------------------------------------------------------
+# WET output (the Common-Crawl *.warc.wet convention: extracted plain text
+# as WARC `conversion` records) — the ecosystem-standard sink for exactly
+# what this engine produces, so downstream consumers of CC WET files can
+# read this engine's output unchanged.
+
+
+def _wet_record(url: str, ts: str, text: str) -> bytes:
+    payload = text.encode("utf-8")
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode("ascii", "replace")
+    return hdr + payload + b"\r\n\r\n"
+
+
+def wet_files(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: str | None = None,
+    compress: bool = True,
+) -> DataFrame:
+    """Extracted rows → one gzipped WET payload per PARTITION:
+    (part_id, n_records, wet) with ``wet`` the complete ``*.warc.wet(.gz)``
+    bytes (warcinfo header record + one ``conversion`` record per doc).
+    The partition is the file-sized unit, mirroring how read_warc treats
+    one file as one task; callers persist the blobs with any binary sink.
+    Null/absent timestamps stamp the epoch (deterministic output — the
+    engine never invents wall-clock times)."""
+    import gzip as _gzip
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.col(url_col).alias("url"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+        (
+            F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            if ts_col
+            else F.lit(None).cast("string")
+        ).alias("ts"),
+        F.spark_partition_id().alias("part_id"),
+    ]
+
+    def kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        chunks: list[bytes] = []
+        n = 0
+        part = 0
+        info = (
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"Content-Type: application/warc-fields\r\n"
+            b"Content-Length: 32\r\n\r\n"
+            b"software: ctd-spark wet writer\r\n\r\n"
+        )
+        for pdf in batches:
+            for url, text, ts, pid in zip(
+                pdf["url"], pdf["text"], pdf["ts"], pdf["part_id"]
+            ):
+                part = int(pid)
+                chunks.append(
+                    _wet_record(
+                        str(url), ts if ts else "1970-01-01T00:00:00Z",
+                        str(text),
+                    )
+                )
+                n += 1
+        body = info + b"".join(chunks)
+        if compress:
+            body = _gzip.compress(body, compresslevel=6, mtime=0)
+        yield pd.DataFrame(
+            {"part_id": [part], "n_records": [n], "wet": [body]}
+        )
+
+    return df.select(*cols).mapInPandas(
+        kernel, "part_id int, n_records bigint, wet binary"
+    )
+
+
+def read_wet(spark: SparkSession, glob: str) -> DataFrame:
+    """WET files → (url, warc_ts, text): the read side of ``wet_files``
+    (and of real Common Crawl ``*.warc.wet.gz`` segments)."""
+    from pyspark.sql import functions as F
+
+    bf = spark.read.format("binaryFile").load(glob).select("content")
+
+    def split_records(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls: list[str] = []
+            tss: list[str] = []
+            texts: list[str] = []
+            for blob in batch.column("content").to_pylist():
+                for url, ts, body in parse_warc(
+                    blob, record_types=(b"conversion",)
+                ):
+                    urls.append(url)
+                    tss.append(ts)
+                    texts.append(body.decode("utf-8", "replace"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, type=pa.string()),
+                    pa.array(tss, type=pa.string()),
+                    pa.array(texts, type=pa.string()),
+                ],
+                names=["url", "warc_ts", "text"],
+            )
+
+    rows = bf.mapInArrow(split_records, "url string, warc_ts string, text string")
+    return rows.select(
+        "url", F.to_timestamp("warc_ts").alias("warc_ts"), "text"
     )

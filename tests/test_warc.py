@@ -59,3 +59,42 @@ def test_read_warc_to_extraction(spark, tmp_path):
     out = {r.url: r.text for r in extract_fused(docs).collect()}
     for r in rows:
         assert out[r["url"]] == r["text"]
+
+
+def test_wet_roundtrip(spark, tmp_path):
+    """Extract-shaped rows → WET blobs → parse back: byte-identical text
+    per url, timestamps preserved, warcinfo skipped."""
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.sources.warc import (
+        parse_warc,
+        read_wet,
+        wet_files,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("https://a.example/1", "hello extracted world", "2024-03-01 10:00:00"),
+            ("https://a.example/2", "unicode: héllo → done", "2024-03-01 11:30:00"),
+            ("https://a.example/3", "", None),
+        ],
+        "url string, text string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts")).repartition(1)
+
+    blobs = wet_files(docs, ts_col="ts").collect()
+    assert len(blobs) == 1 and blobs[0].n_records == 3
+    recs = parse_warc(bytes(blobs[0].wet), record_types=(b"conversion",))
+    by_url = {u: (ts, body) for u, ts, body in recs}
+    assert by_url["https://a.example/1"][1] == b"hello extracted world"
+    assert by_url["https://a.example/1"][0] == "2024-03-01T10:00:00Z"
+    assert by_url["https://a.example/2"][1].decode() == "unicode: héllo → done"
+    assert by_url["https://a.example/3"] == ("1970-01-01T00:00:00Z", b"")
+
+    # file round-trip through the Spark reader
+    out = tmp_path / "seg.warc.wet.gz"
+    out.write_bytes(bytes(blobs[0].wet))
+    back = {r.url: r.text for r in read_wet(spark, str(out)).collect()}
+    assert back["https://a.example/1"] == "hello extracted world"
+    assert back["https://a.example/2"] == "unicode: héllo → done"
+    # response-record reader ignores conversion records entirely
+    assert parse_warc(bytes(blobs[0].wet)) == []
