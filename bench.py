@@ -290,7 +290,6 @@ def main() -> None:
     spark = get_session(CPUS)
     ensure_corpus(spark)
     ensure_corpus(spark, SCALE_CORPUS_PATH, SCALE_REPLICAS)
-    ensure_corpus(spark, FB_CORPUS_PATH, FB_REPLICAS)
     ensure_skewed_corpus(spark)
     warm_session(spark, CPUS, CORPUS_PATH)
     flag_sec, n_docs = time_extract(spark, trials=3)
@@ -344,12 +343,15 @@ def main() -> None:
                     break
             rt0 = time.time()
 
-            def measure_pair(plo, phi, path):
+            def measure_pair(plo, phi, path, replicas):
                 ceil = cpu_ceiling(plo, phi)
                 rates: dict[int, float] = {}
                 nd = 0
                 for cores in (plo, phi):
                     s = get_session(cores)
+                    # the fallback corpus is generated lazily, only in
+                    # rounds that actually trigger the fallback
+                    ensure_corpus(s, path, replicas)
                     warm_session(s, cores, path)
                     sec, nd = time_extract(s, trials=2, path=path)
                     rates[cores] = nd / sec
@@ -365,14 +367,14 @@ def main() -> None:
                     "corpus_docs": nd,
                 }
 
-            entry_main = measure_pair(lo, hi, SCALE_CORPUS_PATH)
+            entry_main = measure_pair(lo, hi, SCALE_CORPUS_PATH, SCALE_REPLICAS)
             per_round.append(entry_main)
             # bad-hour fallback: when the hypervisor throttles even half
             # occupancy (low 4->16 burn ceiling), also evidence the
             # lowest-occupancy N->4N pair the host can still support
             if entry_main["ceiling"] < FB_CEILING:
                 per_round.append(
-                    measure_pair(FB_LO, FB_HI, FB_CORPUS_PATH)
+                    measure_pair(FB_LO, FB_HI, FB_CORPUS_PATH, FB_REPLICAS)
                 )
             s = get_session(CPUS)
             warm_session(s, CPUS, CORPUS_PATH, frac=0.02)
@@ -386,6 +388,11 @@ def main() -> None:
         # is labeled in `levels` and every measured round/pair is listed
         best = max(per_round, key=lambda r: r["efficiency"])
         blo, bhi = best["pair"]
+        # a parallel efficiency above 1.0 is a measurement artifact (the
+        # local-mode driver-share bias documented in BASELINE.md); the
+        # published headline is capped at 1.0 with the raw value kept
+        # beside it — per_round always carries every raw quotient
+        headline = min(best["efficiency"], 1.0)
         same_pair = [
             r["efficiency"] for r in per_round if r["pair"] == best["pair"]
         ]
@@ -394,13 +401,18 @@ def main() -> None:
             "levels": best["pair"],
             f"docs_per_sec@{blo}": best[f"docs_per_sec@{blo}"],
             f"docs_per_sec@{bhi}": best[f"docs_per_sec@{bhi}"],
-            "efficiency": best["efficiency"],
+            "efficiency": headline,
             "median_efficiency": round(_median(same_pair), 3),
             # what ANY pure-python work scales at on this single host
             # (few-core turbo / hypervisor steal); see BASELINE.md
             f"host_cpu_ceiling_{blo}_to_{bhi}": best["ceiling"],
             "efficiency_vs_host_ceiling": round(
                 best["efficiency"] / best["ceiling"], 3
+            ),
+            **(
+                {"raw_efficiency": best["efficiency"], "headline_capped": True}
+                if best["efficiency"] > 1.0
+                else {}
             ),
             # the kernel's own no-Spark multiprocessing scaling on this
             # host: Spark efficiency / kernel efficiency ≈ orchestration

@@ -228,10 +228,7 @@ def bpe_chain_sql(
     expression (DuckDB dialect: \\1 backrefs, 'gs' regexp flags) — the
     oracle twin of ``token_count_bpe``'s ``_bpe_s`` column."""
     sep = BPE_SEP
-    s = (
-        f"('{sep}{sep}' || regexp_replace(replace({text_expr}, '{sep}', ''),"
-        f" '(.)', '\\1{sep}{sep}', 'gs'))"
-    )
+    s = bpe_encode_sql(text_expr)
     for a, b in (merges if merges is not None else BPE_MERGES):
         s = (
             f"replace({s}, '{sep}{a}{sep}{sep}{b}{sep}',"

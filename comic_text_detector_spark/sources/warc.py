@@ -72,8 +72,12 @@ def parse_warc(
             continue
         url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
         ts = headers.get(b"warc-date", b"").decode("ascii", "replace")
-        # strip the HTTP response envelope when present
-        if body.startswith(b"HTTP/"):
+        # strip the HTTP envelope from RESPONSE records only — a WET
+        # conversion record whose extracted text begins with "HTTP/" is
+        # plain text, not an envelope
+        if headers.get(b"warc-type") == b"response" and body.startswith(
+            b"HTTP/"
+        ):
             http_end = body.find(b"\r\n\r\n")
             body = body[http_end + 4 :] if http_end != -1 else b""
         if url:
@@ -124,17 +128,33 @@ def read_warc(spark: SparkSession, glob: str) -> DataFrame:
 # read this engine's output unchanged.
 
 
+def _wet_uri(url: str) -> str:
+    """WARC-Target-URI must be an ASCII URI with no framing hazards:
+    percent-encode non-ASCII (IRIs arrive from read_warc's utf-8 decode)
+    and control characters; already-percent-encoded bytes pass through."""
+    from urllib.parse import quote
+
+    return quote(url, safe=":/?#[]@!$&'()*+,;=%~-._")
+
+
 def _wet_record(url: str, ts: str, text: str) -> bytes:
+    import hashlib
+
     payload = text.encode("utf-8")
+    # deterministic record id (the engine never invents wall-clock or
+    # random state): uuid-shaped md5 of the record identity
+    rid = hashlib.md5(f"{url}\x00{ts}".encode()).hexdigest()
+    rec_id = f"<urn:uuid:{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:32]}>"
     hdr = (
         "WARC/1.0\r\n"
         "WARC-Type: conversion\r\n"
-        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Record-ID: {rec_id}\r\n"
+        f"WARC-Target-URI: {_wet_uri(url)}\r\n"
         f"WARC-Date: {ts}\r\n"
         "Content-Type: text/plain\r\n"
         f"Content-Length: {len(payload)}\r\n"
         "\r\n"
-    ).encode("ascii", "replace")
+    ).encode("ascii")
     return hdr + payload + b"\r\n\r\n"
 
 
@@ -173,11 +193,16 @@ def wet_files(
         chunks: list[bytes] = []
         n = 0
         part = 0
+        fields = b"software: ctd-spark wet writer\r\n"
         info = (
             b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"WARC-Record-ID: "
+            b"<urn:uuid:00000000-0000-0000-0000-000000000000>\r\n"
+            b"WARC-Date: 1970-01-01T00:00:00Z\r\n"
             b"Content-Type: application/warc-fields\r\n"
-            b"Content-Length: 32\r\n\r\n"
-            b"software: ctd-spark wet writer\r\n\r\n"
+            + f"Content-Length: {len(fields)}\r\n\r\n".encode()
+            + fields
+            + b"\r\n\r\n"
         )
         for pdf in batches:
             for url, text, ts, pid in zip(
@@ -194,9 +219,12 @@ def wet_files(
         body = info + b"".join(chunks)
         if compress:
             body = _gzip.compress(body, compresslevel=6, mtime=0)
-        yield pd.DataFrame(
-            {"part_id": [part], "n_records": [n], "wet": [body]}
-        )
+        if n > 0:  # empty partitions emit no blob: a spurious
+            # (part_id=0, empty) row would collide with the real
+            # partition 0 under one-file-per-part_id writers
+            yield pd.DataFrame(
+                {"part_id": [part], "n_records": [n], "wet": [body]}
+            )
 
     return df.select(*cols).mapInPandas(
         kernel, "part_id int, n_records bigint, wet binary"

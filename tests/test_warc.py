@@ -98,3 +98,34 @@ def test_wet_roundtrip(spark, tmp_path):
     assert back["https://a.example/2"] == "unicode: héllo → done"
     # response-record reader ignores conversion records entirely
     assert parse_warc(bytes(blobs[0].wet)) == []
+
+
+def test_wet_http_prefixed_text_and_iri_urls(spark, tmp_path):
+    """Review findings: conversion-record text starting with 'HTTP/' must
+    survive intact (the envelope strip is response-only), non-ASCII urls
+    percent-encode, and empty partitions emit no blob."""
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.sources.warc import (
+        parse_warc,
+        wet_files,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("https://exämple.com/über", "HTTP/1.1 is a protocol, actually"),
+        ],
+        "url string, text string",
+    ).repartition(4)  # 3 partitions end up empty
+    blobs = wet_files(docs).collect()
+    assert len(blobs) == 1  # empty partitions emit nothing
+    recs = parse_warc(bytes(blobs[0].wet), record_types=(b"conversion",))
+    assert len(recs) == 1
+    url, _, body = recs[0]
+    assert body == b"HTTP/1.1 is a protocol, actually"
+    assert url == "https://ex%C3%A4mple.com/%C3%BCber"
+    # both mandatory record ids present (warcinfo + conversion)
+    import gzip
+
+    raw = gzip.decompress(bytes(blobs[0].wet))
+    assert raw.count(b"WARC-Record-ID:") == 2  # warcinfo + conversion
