@@ -762,6 +762,46 @@ def _plane_blocks(plane: np.ndarray, bw_blocks: int, bh_blocks: int,
     return q.reshape(-1, 64)[:, ZIGZAG]
 
 
+def _prep_planes(arr: np.ndarray, subsampling: str):
+    """Shared encoder front half: (h, w, 1|3)/(h, w) uint8 →
+    (h, w, comps=[(cid, h, v, tq)], planes) with RGB→YCbCr conversion and
+    box-mean chroma downsampling."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if ch not in (1, 3) or not h or not w:
+        raise ValueError("need (h, w, 1|3) uint8 with positive dims")
+    if ch == 1:
+        return h, w, [(1, 1, 1, 0)], [arr[:, :, 0]]
+    sh, sv = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+    comps = [(1, sh, sv, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes = [np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+              for p in (y, cb, cr)]
+    if (sh, sv) != (1, 1):
+        for idx in (1, 2):
+            p = planes[idx].astype(np.float64)
+            ph = -(-h // sv) * sv
+            pw = -(-w // sh) * sh
+            pad = np.empty((ph, pw))
+            pad[:h, :w] = p
+            if w < pw:
+                pad[:h, w:] = p[:, -1:]
+            if h < ph:
+                pad[h:, :] = pad[h - 1 : h, :]
+            down = pad.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+            planes[idx] = np.clip(np.floor(down + 0.5), 0, 255).astype(
+                np.uint8
+            )
+    return h, w, comps, planes
+
+
 def encode_jpeg_baseline(
     arr: np.ndarray,
     quality: int = 90,
@@ -775,44 +815,9 @@ def encode_jpeg_baseline(
     (chroma box-mean downsampled). ``restart_interval`` > 0 emits DRI +
     RSTn markers every that many MCUs. ``force_16bit_dqt`` writes Pq=1
     quantization tables (decoder-coverage knob)."""
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, ch = arr.shape
-    if ch not in (1, 3) or not h or not w:
-        raise ValueError("need (h, w, 1|3) uint8 with positive dims")
+    h, w, comps, planes = _prep_planes(arr, subsampling)
+    ch = len(comps)
     qlum, qchrom = _quality_tables(quality)
-
-    if ch == 1:
-        comps = [(1, 1, 1, 0)]
-        planes = [arr[:, :, 0]]
-    else:
-        sh, sv = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
-        comps = [(1, sh, sv, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-        r = arr[:, :, 0].astype(np.float64)
-        g = arr[:, :, 1].astype(np.float64)
-        b = arr[:, :, 2].astype(np.float64)
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        planes = [np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
-                  for p in (y, cb, cr)]
-        if (sh, sv) != (1, 1):
-            for idx in (1, 2):
-                p = planes[idx].astype(np.float64)
-                ph = -(-h // sv) * sv
-                pw = -(-w // sh) * sh
-                pad = np.empty((ph, pw))
-                pad[:h, :w] = p
-                if w < pw:
-                    pad[:h, w:] = p[:, -1:]
-                if h < ph:
-                    pad[h:, :] = pad[h - 1 : h, :]
-                down = pad.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
-                planes[idx] = np.clip(np.floor(down + 0.5), 0, 255).astype(
-                    np.uint8
-                )
-
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -1021,36 +1026,29 @@ def _emit_ac_refine(bw, band, al, eob):
             eob.flush(bw)
 
 
-def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
     """(h, w, 1|3) or (h, w) uint8 → progressive (SOF2) JPEG with the
     classic scan script: DC first at Al=1 (interleaved), per-component
     spectral bands 1-5 / 6-63 at Al=1, then DC and AC refinements to
-    Al=0. Same quantization/Huffman machinery as the baseline encoder;
-    no chroma subsampling (see module section comment)."""
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, ch = arr.shape
-    if ch not in (1, 3) or not h or not w:
-        raise ValueError("need (h, w, 1|3) uint8 with positive dims")
+    Al=0. Supports 444/422/420 — interleaved DC scans follow the padded
+    MCU grid while AC scans walk each component's REAL block grid, the
+    same layout split the decoder implements."""
+    h, w, comps, planes = _prep_planes(arr, subsampling)
+    ch = len(comps)
     qlum, qchrom = _quality_tables(quality)
-    if ch == 1:
-        comps = [(1, 0)]
-        planes = [arr[:, :, 0]]
-    else:
-        comps = [(1, 0), (2, 1), (3, 1)]
-        r, g, b = (arr[:, :, k].astype(np.float64) for k in range(3))
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        planes = [np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
-                  for p in (y, cb, cr)]
-    bw_blocks, bh_blocks = -(-w // 8), -(-h // 8)
-    qz = [
-        _plane_blocks(p, bw_blocks, bh_blocks, qlum if tq == 0 else qchrom)
-        for p, (_, tq) in zip(planes, comps)
-    ]
-    n_blocks = bw_blocks * bh_blocks
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    grids = []  # (qz, padded_cols, real_rows, real_cols) per component
+    for (cid, cch, cv, tq), plane in zip(comps, planes):
+        pcols, prows = mcus_x * cch, mcus_y * cv
+        qz = _plane_blocks(plane, pcols, prows, qlum if tq == 0 else qchrom)
+        cw = -(-(w * cch) // hmax)
+        chh = -(-(h * cv) // vmax)
+        grids.append((qz, pcols, -(-chh // 8), -(-cw // 8)))
 
     def sos(scomps, ss, se, ah, al, body: bytes) -> bytes:
         payload = bytes([len(scomps)])
@@ -1061,51 +1059,95 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
             b"\xff\xda" + struct.pack(">H", len(payload) + 2) + payload + body
         )
 
+    def dc_units(ci):
+        """Block indices of component ci in DC-scan order: interleaved
+        MCU order for a multi-component frame, real raster otherwise."""
+        qz, pcols, br, bc = grids[ci]
+        _, cch, cv, _ = comps[ci]
+        if ch > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for by in range(cv):
+                        for bx in range(cch):
+                            yield (my * cv + by) * pcols + mx * cch + bx
+        else:
+            for m in range(br * bc):
+                ry, cx = divmod(m, bc)
+                yield ry * pcols + cx
+
     scans: list[bytes] = []
     # 1. DC first, interleaved, Al=1 (arithmetic >> matches the decoder's
     # pred << Al | refinement-bit reconstruction for negatives)
     bw = _BitWriter()
-    preds = [0] * len(comps)
-    for m in range(n_blocks):
-        for ci in range(len(comps)):
-            d = int(qz[ci][m][0]) >> 1
-            diff = d - preds[ci]
-            preds[ci] = d
-            s = abs(diff).bit_length()
-            code, ln = _ENC_DC_CODES[s]
+    preds = [0] * ch
+    if ch > 1:
+        iters = [dc_units(ci) for ci in range(ch)]
+        for _m in range(mcus_x * mcus_y):
+            for ci in range(ch):
+                _, cch, cv, _ = comps[ci]
+                for _ in range(cch * cv):
+                    bi = next(iters[ci])
+                    d = int(grids[ci][0][bi][0]) >> 1
+                    diff = d - preds[ci]
+                    preds[ci] = d
+                    sdc = abs(diff).bit_length()
+                    code, ln = _ENC_DC_CODES[sdc]
+                    bw.write(code, ln)
+                    if sdc:
+                        bw.write(
+                            diff if diff > 0 else diff + (1 << sdc) - 1, sdc
+                        )
+    else:
+        for bi in dc_units(0):
+            d = int(grids[0][0][bi][0]) >> 1
+            diff = d - preds[0]
+            preds[0] = d
+            sdc = abs(diff).bit_length()
+            code, ln = _ENC_DC_CODES[sdc]
             bw.write(code, ln)
-            if s:
-                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            if sdc:
+                bw.write(diff if diff > 0 else diff + (1 << sdc) - 1, sdc)
     bw.flush()
     scans.append(
-        sos([(cid, 0) for cid, _ in comps], 0, 0, 0, 1, bytes(bw.out))
+        sos([(cid, 0) for cid, *_ in comps], 0, 0, 0, 1, bytes(bw.out))
     )
-    # 2. per-component first AC bands at Al=1
+    # 2. per-component first AC bands at Al=1 (REAL block grid)
     for ss, se in ((1, 5), (6, 63)):
-        for ci, (cid, _) in enumerate(comps):
+        for ci, (cid, *_rest) in enumerate(comps):
+            qz, pcols, br, bc = grids[ci]
             bw = _BitWriter()
             eob = _EobRun()
-            for m in range(n_blocks):
-                _emit_ac_first(bw, qz[ci][m][ss : se + 1], 1, eob)
+            for m in range(br * bc):
+                ry, cx = divmod(m, bc)
+                _emit_ac_first(bw, qz[ry * pcols + cx][ss : se + 1], 1, eob)
             eob.flush(bw)
             bw.flush()
             scans.append(sos([(cid, 0x01 if ci else 0x00)], ss, se, 0, 1,
                              bytes(bw.out)))
-    # 3. DC refinement to Al=0: one raw bit per block, interleaved
+    # 3. DC refinement to Al=0: one raw bit per block, same DC order
     bw = _BitWriter()
-    for m in range(n_blocks):
-        for ci in range(len(comps)):
-            bw.write(int(qz[ci][m][0]) & 1, 1)
+    if ch > 1:
+        iters = [dc_units(ci) for ci in range(ch)]
+        for _m in range(mcus_x * mcus_y):
+            for ci in range(ch):
+                _, cch, cv, _ = comps[ci]
+                for _ in range(cch * cv):
+                    bw.write(int(grids[ci][0][next(iters[ci])][0]) & 1, 1)
+    else:
+        for bi in dc_units(0):
+            bw.write(int(grids[0][0][bi][0]) & 1, 1)
     bw.flush()
-    scans.append(sos([(cid, 0) for cid, _ in comps], 0, 0, 1, 0,
+    scans.append(sos([(cid, 0) for cid, *_ in comps], 0, 0, 1, 0,
                      bytes(bw.out)))
     # 4. per-component AC refinements to Al=0
     for ss, se in ((1, 5), (6, 63)):
-        for ci, (cid, _) in enumerate(comps):
+        for ci, (cid, *_rest) in enumerate(comps):
+            qz, pcols, br, bc = grids[ci]
             bw = _BitWriter()
             eob = _EobRun()
-            for m in range(n_blocks):
-                _emit_ac_refine(bw, qz[ci][m][ss : se + 1], 0, eob)
+            for m in range(br * bc):
+                ry, cx = divmod(m, bc)
+                _emit_ac_refine(bw, qz[ry * pcols + cx][ss : se + 1], 0, eob)
             eob.flush(bw)
             bw.flush()
             scans.append(sos([(cid, 0x01 if ci else 0x00)], ss, se, 1, 0,
@@ -1119,9 +1161,9 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
     for tq, tab in ((0, qlum),) + (((1, qchrom),) if ch == 3 else ()):
         zz = tab.reshape(-1)[ZIGZAG]
         out += seg(0xDB, bytes([tq]) + bytes(int(v) for v in zz))
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
-    for cid, tq in comps:
-        sof += bytes([cid, 0x11, tq])
+    sof = struct.pack(">BHHB", 8, h, w, ch)
+    for cid, cch, cv, tq in comps:
+        sof += bytes([cid, (cch << 4) | cv, tq])
     out += seg(0xC2, sof)
     for tc, th, bits, vals in (
         (0, 0, _ENC_DC_BITS, _ENC_DC_VALS),
@@ -1130,7 +1172,7 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
         ((1, 1, _ENC_AC_BITS, _ENC_AC_VALS),) if ch == 3 else ()
     ):
         out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + vals)
-    for s in scans:
-        out += s
+    for sc in scans:
+        out += sc
     out += b"\xff\xd9"
     return bytes(out)

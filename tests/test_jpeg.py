@@ -271,13 +271,19 @@ def test_progressive_equals_baseline_bit_exact():
 
     rng = np.random.RandomState(3)
     for shape in [(16, 16, 3), (21, 37, 3), (8, 8, 1), (1, 1, 3),
-                  (7, 100, 3), (33, 9, 1)]:
+                  (7, 100, 3), (33, 9, 1), (17, 19, 3)]:
         img = rng.randint(0, 256, shape, np.uint8)
         src = img[:, :, 0] if shape[2] == 1 else img
-        for q in (50, 90, 100):
-            base = decode_jpeg_pixels(encode_jpeg_baseline(src, q, "444"))
-            prog = decode_jpeg_pixels(encode_jpeg_progressive(src, q))
-            assert prog is not None and np.array_equal(base, prog), (shape, q)
+        subs = ("444",) if shape[2] == 1 else ("444", "422", "420")
+        for sub in subs:
+            for q in (50, 90, 100):
+                base = decode_jpeg_pixels(encode_jpeg_baseline(src, q, sub))
+                prog = decode_jpeg_pixels(
+                    encode_jpeg_progressive(src, q, sub)
+                )
+                assert prog is not None and np.array_equal(base, prog), (
+                    shape, sub, q,
+                )
 
 
 def test_progressive_dispatcher_and_letterbox(spark):
