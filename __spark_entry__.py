@@ -2086,6 +2086,39 @@ def _pagerank_oracle() -> str:
     return pagerank_sql(edges, n_iter=3)
 
 
+def _q_schedule_frontier(spark, sf_dir):
+    """Politeness-aware frontier scheduling: md5 host-affine worker
+    assignment + deterministic per-host fetch slots spaced by the
+    politeness delay (operators/curation.py::schedule_frontier)."""
+    from comic_text_detector_spark.operators.curation import (
+        schedule_frontier,
+    )
+
+    urls = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return schedule_frontier(urls, n_workers=8, per_host_delay_ms=1500)
+
+
+_FRONTIER_ORACLE = (
+    "WITH u AS (SELECT 'https://h' || (doc_id % 40)::VARCHAR ||"
+    " '.example/p/' || doc_id::VARCHAR AS url FROM documents), "
+    "k AS (SELECT url,"
+    " regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1) AS host,"
+    " md5('frontier:' || url) AS okey FROM u), "
+    "s AS (SELECT url, host,"
+    " CAST(('0x'||substr(md5(host),1,8))::BIGINT % 8 AS INT) AS worker,"
+    " CAST(row_number() OVER (PARTITION BY host ORDER BY okey, url) - 1"
+    " AS BIGINT) AS slot FROM k) "
+    "SELECT url, host, worker, slot, slot * 1500 AS fetch_at_ms FROM s"
+)
+
+
 _BM25_TERMS = ("the", "data", "of", "and", "with")
 
 
@@ -2620,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u8_label_maps": _q_u8_label_maps,
         "lm_score_docs": _q_lm_score,
         "bm25_docs": _q_bm25,
+        "schedule_frontier": _q_schedule_frontier,
         "pagerank_hosts": _q_pagerank_hosts,
         "extract_links": _q_extract_links,
         "anchor_stats_hosts": _q_anchor_stats,
@@ -2922,6 +2956,7 @@ def oracle_sql() -> dict[str, str]:
         "train_quality_logit": _train_quality_oracle(),
         "u8_label_maps": _u8_label_maps_oracle(),
         "pagerank_hosts": _pagerank_oracle(),
+        "schedule_frontier": _FRONTIER_ORACLE,
         "bm25_docs": __import__(
             "comic_text_detector_spark.operators.retrieval",
             fromlist=["bm25_sql"],

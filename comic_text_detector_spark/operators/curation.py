@@ -621,3 +621,53 @@ def contaminated_docs(
         .groupBy("id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def schedule_frontier(
+    df: DataFrame,
+    url_col: str = "url",
+    host_col: str | None = None,
+    n_workers: int = 64,
+    per_host_delay_ms: int = 1000,
+) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: (url, host, worker,
+    slot, fetch_at_ms). Every url of a host lands on the SAME worker
+    (md5 host affinity — politeness needs one rate-limit owner per host),
+    urls within a host take deterministic md5-ordered slots, and
+    ``fetch_at_ms = slot * per_host_delay_ms`` spaces same-host fetches.
+
+    Pure column exprs + one host-keyed window — a single exchange on the
+    host key. Zipf-headed hosts are fine: the window only sorts each
+    host's own urls, and the md5 order key makes the schedule
+    reproducible across runs/engines/partitionings (the same property
+    ``hash_sample`` gives mixtures). The per-worker load is
+    hash-balanced; a genuinely mega-host saturates its one worker BY
+    DESIGN — that is the politeness constraint, not a skew bug."""
+    if n_workers <= 0:
+        raise ValueError(f"n_workers must be positive, got {n_workers}")
+    host = (
+        F.col(host_col)
+        if host_col
+        else F.regexp_extract(F.col(url_col), r"^[a-zA-Z]+://([^/?#]+)", 1)
+    )
+    w = Window.partitionBy("host").orderBy(F.col("okey"), F.col("url"))
+    return (
+        df.select(
+            F.col(url_col).alias("url"),
+            host.alias("host"),
+            F.md5(F.concat_ws(":", F.lit("frontier"), F.col(url_col))).alias(
+                "okey"
+            ),
+        )
+        .withColumn(
+            "worker", (md5_long(F.col("host")) % n_workers).cast("int")
+        )
+        .withColumn("slot", (F.row_number().over(w) - 1).cast("bigint"))
+        .select(
+            "url",
+            "host",
+            "worker",
+            "slot",
+            (F.col("slot") * per_host_delay_ms).alias("fetch_at_ms"),
+        )
+    )

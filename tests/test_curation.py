@@ -466,3 +466,42 @@ def test_curate_job_min_logit(spark, tmp_path):
     ) == 0
     kept = {r.url for r in spark.read.parquet(f"{out}/curated").collect()}
     assert kept == {"http://h/clean1", "http://h/clean2"}
+
+
+def test_schedule_frontier_politeness(spark):
+    """Host affinity (one worker owns each host), deterministic slots,
+    delay spacing, repartition invariance."""
+    import pytest
+
+    from comic_text_detector_spark.operators.curation import (
+        schedule_frontier,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 3}.example/p/{i}",) for i in range(30)],
+        "url string",
+    )
+    out = schedule_frontier(urls, n_workers=4, per_host_delay_ms=500).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    assert set(by_host) == {"h0.example", "h1.example", "h2.example"}
+    for host, rows in by_host.items():
+        assert len({r.worker for r in rows}) == 1  # one owner per host
+        slots = sorted(r.slot for r in rows)
+        assert slots == list(range(10))  # dense slots from 0
+        for r in rows:
+            assert r.fetch_at_ms == r.slot * 500
+    # determinism across repartitionings
+    a = sorted(map(tuple, out))
+    b = sorted(
+        map(
+            tuple,
+            schedule_frontier(
+                urls.repartition(7), n_workers=4, per_host_delay_ms=500
+            ).collect(),
+        )
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        schedule_frontier(urls, n_workers=0)
