@@ -92,3 +92,42 @@ def session_counts_stream(
             "n_events",
         )
     )
+
+
+def extract_to_wet_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Streaming ingest straight to the ecosystem sink: documents arriving
+    as files → in-batch as-of dedup → fused extraction → one
+    ``*.warc.wet.gz`` blob row per partition per micro-batch, appended as
+    parquet ``(batch_id, part_id, n_records, wet)``. Batch ids make the
+    segments resumable/attributable (the streaming commit log provides
+    exactly-once per batch); a downstream packager concatenates or
+    renames blobs into CC-layout segment files."""
+    from ..operators.dedup import asof_dedup
+    from ..sources.warc import wet_files
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .parquet(input_dir)
+        .withWatermark("warc_ts", watermark)
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = extract_fused(asof_dedup(batch_df))
+        wet_files(extracted).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(output_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

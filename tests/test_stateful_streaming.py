@@ -195,3 +195,40 @@ def test_neardup_stream_ignores_shingleless_docs(spark, tmp_path):
     )
     rows = banded_simhash(df).collect()  # batch mode: same kernel
     assert {r.url for r in rows} == {"d"}  # only the shingled doc banded
+
+
+def test_extract_to_wet_stream(spark, tmp_path):
+    """Streaming → WET: micro-batches land as parseable conversion-record
+    blobs whose text round-trips byte-identically."""
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.fixtures import wrap_html_expr
+    from comic_text_detector_spark.sources.warc import parse_warc
+    from comic_text_detector_spark.streaming.stream_extract import (
+        extract_to_wet_stream,
+    )
+
+    in_dir, out_dir, ck = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    docs = spark.createDataFrame(
+        [(f"u{i}", f"stream doc {i} body text") for i in range(6)],
+        "url string, text string",
+    ).select(
+        "url",
+        F.to_timestamp(F.lit("2024-05-01 00:00:00")).alias("warc_ts"),
+        wrap_html_expr(F.col("text")).alias("html"),
+    )
+    docs.write.parquet(in_dir)
+    q = extract_to_wet_stream(spark, in_dir, out_dir, ck)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    assert sum(r.n_records for r in rows) == 6
+    texts = {}
+    for r in rows:
+        for url, _, body in parse_warc(
+            bytes(r.wet), record_types=(b"conversion",)
+        ):
+            texts[url] = body.decode()
+    assert texts["u3"] == "stream doc 3 body text"
+    assert len(texts) == 6
