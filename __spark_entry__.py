@@ -2110,7 +2110,9 @@ _FRONTIER_ORACLE = (
     " '.example/p/' || doc_id::VARCHAR AS url FROM documents), "
     "k AS (SELECT url,"
     " regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1) AS host,"
-    " md5('frontier:' || url) AS okey FROM u), "
+    " md5('frontier:' || url) AS okey FROM u WHERE"
+    " coalesce(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1), '')"
+    " <> ''), "
     "s AS (SELECT url, host,"
     " CAST(('0x'||substr(md5(host),1,8))::BIGINT % 8 AS INT) AS worker,"
     " CAST(row_number() OVER (PARTITION BY host ORDER BY okey, url) - 1"

@@ -904,8 +904,8 @@ def synthesize_jpeg_real(
 # Progressive encoder (golden-file synthesis) — the decoder's exact mirror:
 # every scan emitter walks blocks with the same pointer-advance semantics as
 # the corresponding decode procedure, so correction-bit ordering is
-# consistent by construction. 4:4:4 / grayscale only (padded block grid ==
-# real grid); the DECODER handles subsampled progressive files regardless.
+# consistent by construction. Supports 444/422/420: interleaved DC scans
+# follow the padded MCU grid, AC scans each component's REAL block grid.
 
 
 class _EobRun:
@@ -1059,54 +1059,38 @@ def encode_jpeg_progressive(
             b"\xff\xda" + struct.pack(">H", len(payload) + 2) + payload + body
         )
 
-    def dc_units(ci):
-        """Block indices of component ci in DC-scan order: interleaved
-        MCU order for a multi-component frame, real raster otherwise."""
-        qz, pcols, br, bc = grids[ci]
-        _, cch, cv, _ = comps[ci]
+    def dc_order():
+        """(component, block-index) pairs in DC-scan order — the ONE
+        definition both DC scans consume: interleaved MCU order for a
+        multi-component frame (per MCU, each component's cv x cch blocks
+        in the padded grid), plain real-grid raster for grayscale."""
         if ch > 1:
             for my in range(mcus_y):
                 for mx in range(mcus_x):
-                    for by in range(cv):
-                        for bx in range(cch):
-                            yield (my * cv + by) * pcols + mx * cch + bx
+                    for ci, (_, cch, cv, _) in enumerate(comps):
+                        pcols = grids[ci][1]
+                        for by in range(cv):
+                            for bx in range(cch):
+                                yield ci, (my * cv + by) * pcols + mx * cch + bx
         else:
-            for m in range(br * bc):
-                ry, cx = divmod(m, bc)
-                yield ry * pcols + cx
+            _, _, br, bc = grids[0]
+            for m in range(br * bc):  # pcols == bc for grayscale
+                yield 0, m
 
     scans: list[bytes] = []
     # 1. DC first, interleaved, Al=1 (arithmetic >> matches the decoder's
     # pred << Al | refinement-bit reconstruction for negatives)
     bw = _BitWriter()
     preds = [0] * ch
-    if ch > 1:
-        iters = [dc_units(ci) for ci in range(ch)]
-        for _m in range(mcus_x * mcus_y):
-            for ci in range(ch):
-                _, cch, cv, _ = comps[ci]
-                for _ in range(cch * cv):
-                    bi = next(iters[ci])
-                    d = int(grids[ci][0][bi][0]) >> 1
-                    diff = d - preds[ci]
-                    preds[ci] = d
-                    sdc = abs(diff).bit_length()
-                    code, ln = _ENC_DC_CODES[sdc]
-                    bw.write(code, ln)
-                    if sdc:
-                        bw.write(
-                            diff if diff > 0 else diff + (1 << sdc) - 1, sdc
-                        )
-    else:
-        for bi in dc_units(0):
-            d = int(grids[0][0][bi][0]) >> 1
-            diff = d - preds[0]
-            preds[0] = d
-            sdc = abs(diff).bit_length()
-            code, ln = _ENC_DC_CODES[sdc]
-            bw.write(code, ln)
-            if sdc:
-                bw.write(diff if diff > 0 else diff + (1 << sdc) - 1, sdc)
+    for ci, bi in dc_order():
+        d = int(grids[ci][0][bi][0]) >> 1
+        diff = d - preds[ci]
+        preds[ci] = d
+        sdc = abs(diff).bit_length()
+        code, ln = _ENC_DC_CODES[sdc]
+        bw.write(code, ln)
+        if sdc:
+            bw.write(diff if diff > 0 else diff + (1 << sdc) - 1, sdc)
     bw.flush()
     scans.append(
         sos([(cid, 0) for cid, *_ in comps], 0, 0, 0, 1, bytes(bw.out))
@@ -1126,16 +1110,8 @@ def encode_jpeg_progressive(
                              bytes(bw.out)))
     # 3. DC refinement to Al=0: one raw bit per block, same DC order
     bw = _BitWriter()
-    if ch > 1:
-        iters = [dc_units(ci) for ci in range(ch)]
-        for _m in range(mcus_x * mcus_y):
-            for ci in range(ch):
-                _, cch, cv, _ = comps[ci]
-                for _ in range(cch * cv):
-                    bw.write(int(grids[ci][0][next(iters[ci])][0]) & 1, 1)
-    else:
-        for bi in dc_units(0):
-            bw.write(int(grids[0][0][bi][0]) & 1, 1)
+    for ci, bi in dc_order():
+        bw.write(int(grids[ci][0][bi][0]) & 1, 1)
     bw.flush()
     scans.append(sos([(cid, 0) for cid, *_ in comps], 0, 0, 1, 0,
                      bytes(bw.out)))

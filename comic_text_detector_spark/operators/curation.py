@@ -638,18 +638,17 @@ def schedule_frontier(
 
     Pure column exprs + one host-keyed window — a single exchange on the
     host key. Zipf-headed hosts are fine: the window only sorts each
-    host's own urls, and the md5 order key makes the schedule
+    host's own urls (hostless rows are excluded — see inline note), and
+    the md5 order key makes the schedule
     reproducible across runs/engines/partitionings (the same property
     ``hash_sample`` gives mixtures). The per-worker load is
     hash-balanced; a genuinely mega-host saturates its one worker BY
     DESIGN — that is the politeness constraint, not a skew bug."""
     if n_workers <= 0:
         raise ValueError(f"n_workers must be positive, got {n_workers}")
-    host = (
-        F.col(host_col)
-        if host_col
-        else F.regexp_extract(F.col(url_col), r"^[a-zA-Z]+://([^/?#]+)", 1)
-    )
+    from .salting import host_of
+
+    host = F.col(host_col) if host_col else host_of(F.col(url_col))
     w = Window.partitionBy("host").orderBy(F.col("okey"), F.col("url"))
     return (
         df.select(
@@ -659,6 +658,12 @@ def schedule_frontier(
                 "okey"
             ),
         )
+        # urls with no extractable host (relative/malformed — common link
+        # extractor output) are EXCLUDED rather than collapsed into one
+        # giant host='' group that would serialize unrelated urls onto a
+        # single worker with politeness gaps and a one-task window sort;
+        # callers resolve relative urls before scheduling
+        .filter(F.coalesce(F.col("host"), F.lit("")) != "")
         .withColumn(
             "worker", (md5_long(F.col("host")) % n_workers).cast("int")
         )

@@ -15,8 +15,12 @@ from pyspark.sql import functions as F
 
 
 def host_of(url_col) -> F.Column:
-    """Host extraction as a column expr: scheme://host/..."""
-    return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)", 1)
+    """Host extraction as a column expr: scheme://host[/?#]... — THE
+    shared host key for salting and frontier scheduling (one definition,
+    or hot-host salting and politeness ownership could disagree on the
+    same url). Case-insensitive scheme; host ends at '/', '?' or '#';
+    no match (relative/malformed url) yields ''."""
+    return F.regexp_extract(url_col, r"^[a-zA-Z]+://([^/?#]+)", 1)
 
 
 def hot_hosts(

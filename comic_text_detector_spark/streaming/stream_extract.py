@@ -24,33 +24,19 @@ from ..plans.extract import extract_fused
 from ..schemas import DOCUMENTS_SCHEMA
 
 
-def extract_stream(
+def _file_stream(
     spark: SparkSession,
     input_dir: str,
-    output_dir: str,
     checkpoint_dir: str,
-    watermark: str = "1 hour",
+    handle_batch,
     available_now: bool = True,
 ):
-    """File-stream extraction.
-
-    Duplicate captures of one url are resolved WITHIN each micro-batch by
-    the same as-of rule as the batch path (latest warc_ts wins) — streaming
-    dropDuplicates would keep an arbitrary capture. Cross-batch duplicates
-    are a documented streaming caveat (exactly-once per url across the whole
-    table is the batch runner's job); the watermark bounds replay state.
-    """
-    from ..operators.dedup import asof_dedup
-
-    stream = (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .parquet(input_dir)
-        .withWatermark("warc_ts", watermark)
-    )
-
-    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        extract_fused(asof_dedup(batch_df)).write.mode("append").parquet(output_dir)
-
+    """Shared scaffolding for the foreachBatch file-stream pipelines:
+    schema-pinned parquet file source → per-batch sink → checkpointed
+    trigger. No watermark here — a foreachBatch-only pipeline has no
+    stateful operator for a watermark to act on (the windowed/session
+    streams below are where watermarks do real work)."""
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(input_dir)
     writer = (
         stream.writeStream.foreachBatch(handle_batch)
         .option("checkpointLocation", checkpoint_dir)
@@ -58,6 +44,35 @@ def extract_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def extract_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """File-stream extraction.
+
+    Duplicate captures of one url are resolved WITHIN each micro-batch by
+    the same as-of rule as the batch path (latest warc_ts wins) — streaming
+    dropDuplicates would keep an arbitrary capture. Cross-batch duplicates
+    are a documented streaming caveat (exactly-once per url across the
+    whole table is the batch runner's job). Delivery is AT-LEAST-ONCE on
+    crash replay: the blind append can re-commit a batch whose checkpoint
+    did not; the WET stream below shows the idempotent per-batch
+    overwrite pattern, and the batch runner remains the exactly-once
+    path.
+    """
+    from ..operators.dedup import asof_dedup
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        extract_fused(asof_dedup(batch_df)).write.mode("append").parquet(output_dir)
+
+    return _file_stream(
+        spark, input_dir, checkpoint_dir, handle_batch, available_now
+    )
 
 
 def windowed_counts_stream(
@@ -99,35 +114,34 @@ def extract_to_wet_stream(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
-    watermark: str = "1 hour",
     available_now: bool = True,
 ):
     """Streaming ingest straight to the ecosystem sink: documents arriving
     as files → in-batch as-of dedup → fused extraction → one
-    ``*.warc.wet.gz`` blob row per partition per micro-batch, appended as
-    parquet ``(batch_id, part_id, n_records, wet)``. Batch ids make the
-    segments resumable/attributable (the streaming commit log provides
-    exactly-once per batch); a downstream packager concatenates or
-    renames blobs into CC-layout segment files."""
+    ``*.warc.wet.gz`` blob row per partition per micro-batch, written as
+    parquet partitioned by ``batch_id`` with DYNAMIC PARTITION OVERWRITE
+    — a replayed batch overwrites its own partition instead of appending
+    duplicates, making delivery idempotent (exactly-once per batch id).
+    Capture timestamps ride through to the WARC-Date headers; a
+    downstream packager concatenates or renames blobs into CC-layout
+    segment files."""
     from ..operators.dedup import asof_dedup
     from ..sources.warc import wet_files
 
-    stream = (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .parquet(input_dir)
-        .withWatermark("warc_ts", watermark)
-    )
-
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        extracted = extract_fused(asof_dedup(batch_df))
-        wet_files(extracted).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        ).write.mode("append").parquet(output_dir)
+        deduped = asof_dedup(batch_df)
+        extracted = extract_fused(deduped).join(
+            deduped.select("url", "warc_ts"), "url"
+        )
+        (
+            wet_files(extracted, ts_col="warc_ts")
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
 
-    writer = (
-        stream.writeStream.foreachBatch(handle_batch)
-        .option("checkpointLocation", checkpoint_dir)
+    return _file_stream(
+        spark, input_dir, checkpoint_dir, handle_batch, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

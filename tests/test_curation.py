@@ -505,3 +505,16 @@ def test_schedule_frontier_politeness(spark):
     assert a == b
     with pytest.raises(ValueError):
         schedule_frontier(urls, n_workers=0)
+
+
+def test_schedule_frontier_excludes_hostless(spark):
+    from comic_text_detector_spark.operators.curation import (
+        schedule_frontier,
+    )
+
+    urls = spark.createDataFrame(
+        [("https://ok.example/p",), ("relative/path",), ("",), (None,)],
+        "url string",
+    )
+    out = schedule_frontier(urls, n_workers=4).collect()
+    assert [r.url for r in out] == ["https://ok.example/p"]

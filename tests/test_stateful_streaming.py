@@ -225,10 +225,16 @@ def test_extract_to_wet_stream(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     assert sum(r.n_records for r in rows) == 6
     texts = {}
+    dates = set()
     for r in rows:
-        for url, _, body in parse_warc(
+        for url, ts, body in parse_warc(
             bytes(r.wet), record_types=(b"conversion",)
         ):
             texts[url] = body.decode()
+            dates.add(ts)
     assert texts["u3"] == "stream doc 3 body text"
     assert len(texts) == 6
+    # capture timestamps ride through to WARC-Date (not the epoch default)
+    assert dates == {"2024-05-01T00:00:00Z"}
+    # batch_id partitioning (idempotent overwrite unit) present
+    assert {r.batch_id for r in rows} == {0}
