@@ -2086,6 +2086,76 @@ def _pagerank_oracle() -> str:
     return pagerank_sql(edges, n_iter=3)
 
 
+def _q_parse_robots(spark, sf_dir):
+    """robots.txt PARSING (the front half of the robots pipeline —
+    operators/curation.py::parse_robots_rules feeds robots_filter): RFC
+    9309 group semantics replayed relationally (lag + running-sum group
+    ids, agents x rules join). Fixture robots files are built from
+    doc_ids with multi-agent groups, comments, empty Disallow and
+    ignorable directives."""
+    from comic_text_detector_spark.operators.curation import (
+        parse_robots_rules,
+    )
+
+    robots = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select(
+            F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias(
+                "host"
+            ),
+            F.concat(
+                F.lit("# generated\nUser-agent: *\nDisallow: /private"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("\nAllow: /private"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("/ok\n\nUser-agent: bot"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("\nUser-agent: Extra\nDisallow: /\nDisallow:\n"),
+                F.lit("Crawl-delay: 5\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    return parse_robots_rules(robots)
+
+
+_PARSE_ROBOTS_ORACLE = (
+    "WITH src AS (SELECT 'h' || doc_id::VARCHAR AS host,"
+    " '# generated' || chr(10) || 'User-agent: *' || chr(10) ||"
+    " 'Disallow: /private' || (doc_id % 5)::VARCHAR || chr(10) ||"
+    " 'Allow: /private' || (doc_id % 5)::VARCHAR || '/ok' || chr(10) ||"
+    " chr(10) || 'User-agent: bot' || (doc_id % 3)::VARCHAR || chr(10) ||"
+    " 'User-agent: Extra' || chr(10) || 'Disallow: /' || chr(10) ||"
+    " 'Disallow:' || chr(10) || 'Crawl-delay: 5' || chr(10) AS txt"
+    " FROM documents WHERE doc_id < 30), "
+    "lines AS (SELECT host, generate_subscripts(ls, 1) AS pos,"
+    " trim(replace(regexp_replace(unnest(ls), '#.*$', ''),"
+    " chr(13), '')) AS line FROM"
+    " (SELECT host, string_split(coalesce(txt, ''), chr(10)) AS ls"
+    " FROM src)), "
+    "parsed AS (SELECT host, pos,"
+    " lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS directive,"
+    " trim(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)$', 1)) AS value"
+    " FROM lines WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:',"
+    " 1)) IN ('user-agent', 'allow', 'disallow')), "
+    "g AS (SELECT *,"
+    " CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END AS is_ua"
+    " FROM parsed), "
+    "g2 AS (SELECT *, CASE WHEN is_ua = 1 AND"
+    " coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY pos), 0) = 0"
+    " THEN 1 ELSE 0 END AS group_start FROM g), "
+    "g3 AS (SELECT *, sum(group_start) OVER (PARTITION BY host"
+    " ORDER BY pos ROWS UNBOUNDED PRECEDING) AS group_id FROM g2), "
+    "agents AS (SELECT host, group_id, lower(value) AS agent FROM g3"
+    " WHERE is_ua = 1), "
+    "rules AS (SELECT host, group_id, value AS path_prefix,"
+    " directive = 'allow' AS allow FROM g3"
+    " WHERE is_ua = 0 AND value <> '') "
+    "SELECT a.host, a.agent, r.path_prefix, r.allow"
+    " FROM agents a JOIN rules r USING (host, group_id)"
+)
+
+
 def _q_schedule_frontier(spark, sf_dir):
     """Politeness-aware frontier scheduling: md5 host-affine worker
     assignment + deterministic per-host fetch slots spaced by the
@@ -2656,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs": _q_lm_score,
         "bm25_docs": _q_bm25,
         "schedule_frontier": _q_schedule_frontier,
+        "parse_robots": _q_parse_robots,
         "pagerank_hosts": _q_pagerank_hosts,
         "extract_links": _q_extract_links,
         "anchor_stats_hosts": _q_anchor_stats,
@@ -2959,6 +3030,7 @@ def oracle_sql() -> dict[str, str]:
         "u8_label_maps": _u8_label_maps_oracle(),
         "pagerank_hosts": _pagerank_oracle(),
         "schedule_frontier": _FRONTIER_ORACLE,
+        "parse_robots": _PARSE_ROBOTS_ORACLE,
         "bm25_docs": __import__(
             "comic_text_detector_spark.operators.retrieval",
             fromlist=["bm25_sql"],

@@ -676,3 +676,76 @@ def schedule_frontier(
             (F.col("slot") * per_host_delay_ms).alias("fetch_at_ms"),
         )
     )
+
+
+def parse_robots_rules(
+    df: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Raw robots.txt content → (host, agent, path_prefix, allow) rule
+    rows, completing the robots pipeline from crawl bytes to
+    ``robots_filter``: filter the output to the crawler's product token
+    (or '*') and feed it straight in.
+
+    RFC 9309 group semantics, relationally: comments strip, lines trim;
+    CONSECUTIVE ``User-agent`` lines open a group (a run's first
+    user-agent line — detected with one lag window — starts a new group
+    id via a running sum); every Allow/Disallow line after them belongs
+    to ALL those agents (agents × rules join within the group). Agent
+    tokens lowercase per §2.2.1's case-insensitive match. Empty-value
+    ``Disallow:`` lines match nothing (the classic allow-everything
+    idiom) and emit no row; unknown directives are ignored.
+
+    Pure column exprs + two host-keyed windows — robots files are tiny,
+    so at crawl scale this is one narrow shuffle over the distinct-host
+    table, not the corpus."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(txt_col), F.lit("")), "\n")
+        ).alias("pos", "raw"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(
+            F.regexp_replace(F.regexp_replace("raw", "#.*$", ""), "\r", "")
+        ).alias("line"),
+    )
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.lower(
+            F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)
+        ).alias("directive"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
+            "value"
+        ),
+    ).filter(
+        F.col("directive").isin("user-agent", "allow", "disallow")
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = parsed.withColumn(
+        "is_ua", (F.col("directive") == "user-agent").cast("int")
+    ).withColumn(
+        "group_start",
+        (
+            (F.col("is_ua") == 1)
+            & (F.coalesce(F.lag("is_ua").over(w), F.lit(0)) == 0)
+        ).cast("int"),
+    ).withColumn("group_id", F.sum("group_start").over(w))
+    agents = grouped.filter(F.col("is_ua") == 1).select(
+        "host", "group_id", F.lower(F.col("value")).alias("agent")
+    )
+    rules = grouped.filter(
+        (F.col("is_ua") == 0) & (F.col("value") != "")
+    ).select(
+        "host",
+        "group_id",
+        F.col("value").alias("path_prefix"),
+        (F.col("directive") == "allow").alias("allow"),
+        "pos",
+    )
+    return agents.join(rules, ["host", "group_id"]).select(
+        "host", "agent", "path_prefix", "allow"
+    )

@@ -518,3 +518,53 @@ def test_schedule_frontier_excludes_hostless(spark):
     )
     out = schedule_frontier(urls, n_workers=4).collect()
     assert [r.url for r in out] == ["https://ok.example/p"]
+
+
+def test_parse_robots_rules(spark):
+    """RFC 9309 group semantics: multi-agent groups share rules, empty
+    Disallow drops, unknown directives/comments ignored, case folded,
+    and the parsed rows feed robots_filter end-to-end."""
+    from comic_text_detector_spark.operators.curation import (
+        parse_robots_rules,
+        robots_filter,
+    )
+
+    txt = (
+        "# banner\r\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "\n"
+        "User-agent: GoodBot\n"
+        "User-agent: OtherBot\n"
+        "Disallow: /\n"
+        "Disallow:\n"
+        "Crawl-delay: 5\n"
+        "Sitemap: https://h1/x.xml\n"
+    )
+    df = spark.createDataFrame(
+        [("h1", txt), ("empty", None), ("norules", "User-agent: *\n")],
+        "host string, robots_txt string",
+    )
+    rows = sorted(map(tuple, parse_robots_rules(df).collect()))
+    assert rows == [
+        ("h1", "*", "/private", False),
+        ("h1", "*", "/private/ok", True),
+        ("h1", "goodbot", "/", False),
+        ("h1", "otherbot", "/", False),
+    ]
+
+    # parsed rules drive the filter: /private blocked, /private/ok carved
+    rules = parse_robots_rules(df).filter(F.col("agent") == "*").select(
+        "host", "path_prefix", "allow"
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://h1/private/x", "h1"),
+            ("https://h1/private/ok", "h1"),
+            ("https://h1/public", "h1"),
+        ],
+        "url string, host string",
+    )
+    kept = {r.url for r in robots_filter(urls, rules).collect()}
+    assert kept == {"https://h1/private/ok", "https://h1/public"}
