@@ -678,35 +678,23 @@ def schedule_frontier(
     )
 
 
-def parse_robots_rules(
-    df: DataFrame,
-    host_col: str = "host",
-    txt_col: str = "robots_txt",
+def _robots_parsed(
+    df: DataFrame, host_col: str, txt_col: str
 ) -> DataFrame:
-    """Raw robots.txt content → (host, agent, path_prefix, allow) rule
-    rows, completing the robots pipeline from crawl bytes to
-    ``robots_filter``: filter the output to the crawler's product token
-    (or '*') and feed it straight in.
-
-    RFC 9309 group semantics, relationally: comments strip, lines trim;
-    CONSECUTIVE ``User-agent`` lines open a group (a run's first
-    user-agent line — detected with one lag window — starts a new group
-    id via a running sum); every Allow/Disallow line after them belongs
-    to ALL those agents (agents × rules join within the group). Agent
-    tokens lowercase per §2.2.1's case-insensitive match. Empty-value
-    ``Disallow:`` lines match nothing (the classic allow-everything
-    idiom) and emit no row; unknown directives are ignored.
-
-    Pure column exprs + two host-keyed windows — robots files are tiny,
-    so at crawl scale this is one narrow shuffle over the distinct-host
-    table, not the corpus."""
+    """(host, fkey, pos, directive, value, is_ua, group_id) for every
+    recognized robots.txt line. ``fkey`` (md5 of the file content) keys
+    the windows so two fetches of one host (http/https, refetch) parse
+    as separate files instead of interleaving nondeterministically —
+    a host with several distinct files yields the union of their rules."""
     lines = df.select(
         F.col(host_col).alias("host"),
+        F.md5(F.coalesce(F.col(txt_col), F.lit(""))).alias("fkey"),
         F.posexplode(
             F.split(F.coalesce(F.col(txt_col), F.lit("")), "\n")
         ).alias("pos", "raw"),
     ).select(
         "host",
+        "fkey",
         "pos",
         F.trim(
             F.regexp_replace(F.regexp_replace("raw", "#.*$", ""), "\r", "")
@@ -714,6 +702,7 @@ def parse_robots_rules(
     )
     parsed = lines.select(
         "host",
+        "fkey",
         "pos",
         F.lower(
             F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)
@@ -724,28 +713,88 @@ def parse_robots_rules(
     ).filter(
         F.col("directive").isin("user-agent", "allow", "disallow")
     )
-    w = Window.partitionBy("host").orderBy("pos")
-    grouped = parsed.withColumn(
-        "is_ua", (F.col("directive") == "user-agent").cast("int")
-    ).withColumn(
-        "group_start",
-        (
-            (F.col("is_ua") == 1)
-            & (F.coalesce(F.lag("is_ua").over(w), F.lit(0)) == 0)
-        ).cast("int"),
-    ).withColumn("group_id", F.sum("group_start").over(w))
-    agents = grouped.filter(F.col("is_ua") == 1).select(
-        "host", "group_id", F.lower(F.col("value")).alias("agent")
+    w = Window.partitionBy("host", "fkey").orderBy("pos")
+    return (
+        parsed.withColumn(
+            "is_ua", (F.col("directive") == "user-agent").cast("int")
+        )
+        .withColumn(
+            "group_start",
+            (
+                (F.col("is_ua") == 1)
+                & (F.coalesce(F.lag("is_ua").over(w), F.lit(0)) == 0)
+            ).cast("int"),
+        )
+        .withColumn("group_id", F.sum("group_start").over(w))
     )
-    rules = grouped.filter(
-        (F.col("is_ua") == 0) & (F.col("value") != "")
-    ).select(
-        "host",
-        "group_id",
-        F.col("value").alias("path_prefix"),
-        (F.col("directive") == "allow").alias("allow"),
-        "pos",
+
+
+def parse_robots_rules(
+    df: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Raw robots.txt content → (host, agent, path_prefix, allow) rule
+    rows — the front half of the robots pipeline (see
+    ``robots_rules_for_agent`` for the RFC group-selection bridge into
+    ``robots_filter``).
+
+    RFC 9309 group semantics, relationally: comments strip, lines trim;
+    CONSECUTIVE ``User-agent`` lines open a group (one lag window + a
+    running sum assign group ids); every Allow/Disallow line after them
+    belongs to ALL those agents — materialized in ONE pass as a
+    ``collect_set`` of the group's agents over the group window, exploded
+    onto each rule row (no self-join, duplicate User-agent lines dedup).
+    Agent tokens lowercase per §2.2.1; empty-value ``Disallow:`` lines
+    match nothing (the classic allow-everything idiom) and emit no row;
+    rules before any User-agent line belong to nobody and drop; unknown
+    directives are ignored. Robots files are tiny, so at crawl scale this
+    is a narrow shuffle over the distinct-host table, not the corpus."""
+    g = _robots_parsed(df, host_col, txt_col)
+    gw = Window.partitionBy("host", "fkey", "group_id")
+    return (
+        g.withColumn(
+            "agents",
+            F.collect_set(
+                F.when(F.col("is_ua") == 1, F.lower(F.col("value")))
+            ).over(gw),
+        )
+        .filter((F.col("is_ua") == 0) & (F.col("value") != ""))
+        .select(
+            "host",
+            F.explode("agents").alias("agent"),
+            F.col("value").alias("path_prefix"),
+            (F.col("directive") == "allow").alias("allow"),
+        )
     )
-    return agents.join(rules, ["host", "group_id"]).select(
-        "host", "agent", "path_prefix", "allow"
+
+
+def robots_rules_for_agent(
+    df: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """RFC 9309 §2.2.1 group selection for one crawler: per host, obey
+    the crawler's OWN group when one exists — even an EMPTY one, which
+    means crawl-everything, NOT fall back — else the ``*`` group.
+    (Filtering ``parse_robots_rules`` to ``agent IN (token, '*')`` would
+    wrongly union the wildcard group with the specific one.) Returns
+    (host, path_prefix, allow) ready for ``robots_filter``."""
+    token = agent.lower()
+    g = _robots_parsed(df, host_col, txt_col)
+    # group PRESENCE comes from the user-agent lines themselves, so an
+    # agent group with zero rules still suppresses the '*' fallback
+    specific_hosts = (
+        g.filter((F.col("is_ua") == 1) & (F.lower(F.col("value")) == token))
+        .select("host")
+        .distinct()
     )
+    rules = parse_robots_rules(df, host_col, txt_col)
+    own = rules.filter(F.col("agent") == token).join(
+        specific_hosts, "host", "left_semi"
+    )
+    fallback = rules.filter(F.col("agent") == "*").join(
+        specific_hosts, "host", "left_anti"
+    )
+    return own.unionByName(fallback).select("host", "path_prefix", "allow")

@@ -568,3 +568,57 @@ def test_parse_robots_rules(spark):
     )
     kept = {r.url for r in robots_filter(urls, rules).collect()}
     assert kept == {"https://h1/private/ok", "https://h1/public"}
+
+
+def test_robots_rules_for_agent_group_selection(spark):
+    """RFC 9309 §2.2.1: a crawler's own group REPLACES the wildcard group
+    — even an empty own group means crawl-everything, not fallback; and
+    duplicate hosts/files parse independently (no interleaving)."""
+    from comic_text_detector_spark.operators.curation import (
+        parse_robots_rules,
+        robots_rules_for_agent,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # goodbot has its own (laxer) group; '*' must NOT apply to it
+            ("h1", "User-agent: *\nDisallow: /\n\n"
+                   "User-agent: GoodBot\nDisallow: /private\n"),
+            # emptybot's group has no rules: crawl-all, NOT '*' fallback
+            ("h2", "User-agent: *\nDisallow: /\n\nUser-agent: EmptyBot\n"),
+            # no specific group: '*' applies
+            ("h3", "User-agent: *\nDisallow: /blocked\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    good = {(r.host, r.path_prefix, r.allow)
+            for r in robots_rules_for_agent(df, "GoodBot").collect()}
+    assert good == {
+        ("h1", "/private", False),  # own group replaces '*'
+        ("h2", "/", False),         # no own group on h2 -> '*' fallback
+        ("h3", "/blocked", False),
+    }
+    empty = {(r.host, r.path_prefix)
+             for r in robots_rules_for_agent(df, "emptybot").collect()}
+    # h2 absent: own EMPTY group suppresses the '*' fallback (crawl-all);
+    # h1/h3 have no emptybot group -> '*' fallback applies
+    assert empty == {("h1", "/"), ("h3", "/blocked")}
+    other = {(r.host, r.path_prefix)
+             for r in robots_rules_for_agent(df, "stranger").collect()}
+    assert other == {("h1", "/"), ("h2", "/"), ("h3", "/blocked")}
+
+    # duplicate host rows (two files) parse per-file: rules are the union,
+    # never a cross-file interleaving, and repeated runs agree
+    two = spark.createDataFrame(
+        [("h", "User-agent: a\nDisallow: /x\n"),
+         ("h", "User-agent: b\nDisallow: /y\n")],
+        "host string, robots_txt string",
+    )
+    got = {(r.agent, r.path_prefix) for r in parse_robots_rules(two).collect()}
+    assert got == {("a", "/x"), ("b", "/y")}
+    # duplicate User-agent lines dedup
+    dup = spark.createDataFrame(
+        [("h", "User-agent: *\nUser-Agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string",
+    )
+    assert parse_robots_rules(dup).count() == 1
