@@ -1993,12 +1993,12 @@ _LINKS_FIXTURE_SQL = (
 )
 
 _LINKS_SQL = (
-    "SELECT t.url AS src_url, regexp_extract(t.tag, 'href=\"([^\">]*)\"', 1)"
+    "SELECT t.url AS src_url, regexp_extract(t.tag, ' href=\"([^\">]*)\"', 1)"
     " AS href, regexp_extract(t.tag, '>([^<]*)</a>', 1) AS anchor,"
-    " regexp_extract(regexp_extract(t.tag, 'href=\"([^\">]*)\"', 1),"
+    " regexp_extract(regexp_extract(t.tag, ' href=\"([^\">]*)\"', 1),"
     " '^[a-zA-Z]+://([^/?#]+)', 1) AS dst_host FROM ("
     " SELECT url, unnest(regexp_extract_all(html,"
-    " '<a [^>]*href=\"[^\">]*\"[^>]*>[^<]*</a>', 0)) AS tag FROM ("
+    " '<a ([^>]* )?href=\"[^\">]*\"[^>]*>[^<]*</a>', 0)) AS tag FROM ("
     + _LINKS_FIXTURE_SQL
     + ")) t"
 )

@@ -19,9 +19,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # a whole <a ... href="..." ...>anchor</a> element (both-dialect-safe:
-# negated classes instead of lazy quantifiers)
-A_TAG = '<a [^>]*href="[^">]*"[^>]*>[^<]*</a>'
-HREF = 'href="([^">]*)"'
+# negated classes instead of lazy quantifiers). The attribute name is
+# anchored at a space boundary — `([^>]* )?href=` / ` href=` — so that
+# `data-href="a"` can never satisfy the `href` match (the unanchored
+# `[^>]*href=` form silently extracted the WRONG attribute's value,
+# violating drop-not-fake; the tag always starts '<a ' so a real href is
+# always space-preceded inside the matched tag).
+A_TAG = '<a ([^>]* )?href="[^">]*"[^>]*>[^<]*</a>'
+HREF = ' href="([^">]*)"'
 ANCHOR = '>([^<]*)</a>'
 HOST = "^[a-zA-Z]+://([^/?#]+)"
 

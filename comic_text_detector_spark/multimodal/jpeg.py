@@ -343,6 +343,14 @@ def _decode(data: bytes) -> np.ndarray | None:
 
 def _decode_scan(frame, scan_comps, scan, quant, huff_dc, huff_ac, dri):
     height, width, comps = frame
+    if len(scan_comps) == 1:
+        # T.81 A.2.2: a one-component scan is NON-interleaved — one data
+        # unit per MCU over the real ceil(w/8) x ceil(h/8) block grid —
+        # regardless of the sampling factors declared in the SOF (some
+        # transcoders keep a 2x2 luma factor on grayscale). Normalizing
+        # (h,v) to (1,1) makes the interleaved walk below degenerate to
+        # exactly that raster walk (hmax=vmax=1, one block per MCU).
+        comps = [(cid, 1, 1, tq) for cid, _h, _v, tq in comps]
     by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
     hmax = max(h for _, h, _, _ in comps)
     vmax = max(v for _, _, v, _ in comps)

@@ -321,3 +321,22 @@ def test_progressive_truncation_and_fuzz_never_crash():
         assert out is None or (
             isinstance(out, np.ndarray) and out.dtype == np.uint8
         )
+
+
+def test_single_component_scan_ignores_sof_sampling_factors():
+    """T.81 A.2.2 (advice finding): a one-component scan is NON-interleaved
+    regardless of declared SOF sampling factors — some transcoders keep the
+    2x2 luma factor on grayscale. Patch the SOF0 sampling byte of our own
+    grayscale output from 0x11 to 0x22: the entropy stream (already a
+    raster block walk) must decode to pixels identical to the unpatched
+    file, not scrambled tiles or a refusal."""
+    g = np.random.RandomState(3).randint(0, 256, (21, 37), np.uint8)
+    data = encode_jpeg_baseline(g, 90)
+    i = data.find(b"\xff\xc0")
+    # SOF0 layout: marker(2) len(2) precision(1) h(2) w(2) ncomps(1)
+    # comp_id(1) hv(1) tq(1) → sampling byte at i+11
+    assert i > 0 and data[i + 11] == 0x11
+    patched = data[: i + 11] + b"\x22" + data[i + 12 :]
+    base = decode_jpeg_pixels(data)
+    dec = decode_jpeg_pixels(patched)
+    assert dec is not None and np.array_equal(dec, base)

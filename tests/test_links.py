@@ -32,6 +32,25 @@ def test_extract_links_planted(spark):
     assert all(r.src_url == "u1" for r in rows)
 
 
+def test_data_href_not_mistaken_for_href(spark):
+    """Drop-not-fake (advice finding): `data-href="a"` must never satisfy
+    the href match — the attribute name is anchored at a space boundary,
+    so the real href wins and a tag with ONLY data-href yields no row."""
+    df = spark.createDataFrame(
+        [("u", b'<a data-href="decoy" href="https://real.example/p">x</a>'
+              b'<a data-href="only-decoy">y</a>'
+              b'<a href="https://plain.example/q">z</a>')],
+        "url string, html binary",
+    )
+    rows = extract_links(df).collect()
+    assert sorted(r.href for r in rows) == [
+        "https://plain.example/q", "https://real.example/p",
+    ]
+    by_href = {r.href: r for r in rows}
+    assert by_href["https://real.example/p"].anchor == "x"
+    assert by_href["https://real.example/p"].dst_host == "real.example"
+
+
 def test_anchor_stats_counts_and_tiebreak(spark):
     links = spark.createDataFrame(
         [
