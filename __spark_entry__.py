@@ -757,6 +757,58 @@ def _q_multimodal_letterbox_gif(spark, sf_dir):
     )
 
 
+def _q_multimodal_gif_frames(spark, sf_dir):
+    """GIF ANIMATION compositing through real bytes: each doc_id becomes a
+    multi-frame GIF89a (full-screen base frame + 1x1 partial-update frames
+    with disposal 'leave'), decode_gif_frames composites every frame onto
+    the logical screen, and gif_frame_stats reports the frame count plus
+    the final screen's integer pixel sum. The oracle predicts that sum
+    arithmetically — base color everywhere except the n-1 overwritten
+    pixels — so a compositing bug (wrong rect, wrong disposal, dropped
+    frame) changes last_sum and fails the gate (multimodal/gif.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from comic_text_detector_spark.multimodal.gif import (
+        encode_gif_animation,
+        gif_frame_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            media = []
+            for i in ids:
+                w, h = 4 + i % 13, 3 + i % 11
+                n = 1 + i % 4
+                c0 = (i % 256, (i * 3) % 256, (i * 7) % 256)
+                frames = [{
+                    "arr": np.tile(
+                        np.array(c0, np.uint8)[None, None], (h, w, 1)
+                    ),
+                    "disposal": 1,
+                }]
+                for k in range(1, n):
+                    ck = ((i + k) % 256, (i * 5 + k) % 256,
+                          (i * 11 + 3 * k) % 256)
+                    frames.append({
+                        "arr": np.array(ck, np.uint8)[None, None, :],
+                        "left": k - 1, "top": 0, "disposal": 1,
+                    })
+                media.append(encode_gif_animation(frames, screen=(w, h)))
+            yield pd.DataFrame(
+                {"media_id": [str(i) for i in ids], "media": media}
+            )
+
+    m = docs.mapInPandas(synth, "media_id string, media binary")
+    return gif_frame_stats(m).select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "n_frames", "width", "height", "last_sum",
+    )
+
+
 def _q_extract_blocks(spark, sf_dir):
     """End-to-end block surface: extraction → exploded spans → per-block
     text slice + language tag (the TextBlock record analog, F22/W1/W2).
@@ -2745,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_letterbox": _q_multimodal_letterbox,
         "multimodal_letterbox_jpeg": _q_multimodal_letterbox_jpeg,
         "multimodal_letterbox_gif": _q_multimodal_letterbox_gif,
+        "multimodal_gif_frames": _q_multimodal_gif_frames,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "minhash_lsh_pairs_md5": _q_minhash_lsh_pairs_md5,
         "simhash": _q_simhash,
@@ -3768,6 +3821,21 @@ def oracle_sql() -> dict[str, str]:
             " CAST(1 + doc_id % 64 AS INTEGER) AS width,"
             " CAST(1 + doc_id % 48 AS INTEGER) AS height,"
             " 3 AS channels, TRUE AS ok FROM documents"
+        ),
+        "multimodal_gif_frames": (
+            "SELECT doc_id,"
+            " CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,"
+            " CAST(4 + doc_id % 13 AS INTEGER) AS width,"
+            " CAST(3 + doc_id % 11 AS INTEGER) AS height,"
+            " CAST(((4 + doc_id % 13) * (3 + doc_id % 11) - (doc_id % 4))"
+            "   * ((doc_id % 256) + ((doc_id * 3) % 256)"
+            "      + ((doc_id * 7) % 256))"
+            "  + COALESCE((SELECT SUM(((doc_id + k) % 256)"
+            "       + ((doc_id * 5 + k) % 256)"
+            "       + ((doc_id * 11 + 3 * k) % 256))"
+            "     FROM unnest(generate_series(1, CAST(doc_id % 4 AS INTEGER)))"
+            "       AS t(k)), 0) AS BIGINT) AS last_sum"
+            " FROM documents"
         ),
         "extract_blocks": (
             "SELECT doc_id, 0 AS block_id, text AS block_text, CASE"

@@ -86,7 +86,7 @@ FB_CORPUS_PATH = (
 SKEW_PATH = f"/tmp/ctd_bench_skewed_{os.path.basename(SF_DIR)}.parquet"
 # the curation-pipeline e2e corpus (text docs with planted boilerplate /
 # contamination / verbatim passages — see ensure_curate_corpus)
-CURATE_REPLICAS = int(os.environ.get("CTD_BENCH_CURATE_REPLICAS", "96"))
+CURATE_REPLICAS = int(os.environ.get("CTD_BENCH_CURATE_REPLICAS", "64"))
 CURATE_CORPUS_PATH = (
     f"/tmp/ctd_curate_corpus_{os.path.basename(SF_DIR)}_{CURATE_REPLICAS}.parquet"
 )
@@ -520,7 +520,7 @@ def main() -> None:
     # session; skipped when the remaining budget could not also fit the
     # unconditional first scaling round (the graded headline)
     if os.environ.get("CTD_BENCH_CURATE", "1") != "0" and (
-        time.time() - t_start + 150.0 < budget_s * 0.6
+        time.time() - t_start + 130.0 < budget_s * 0.75
     ):
         ensure_curate_corpus(spark)
         extras["curate_e2e"] = run_curate_e2e(spark)

@@ -9,14 +9,20 @@ GCE transparent index) is spec-expressible without a dependency.
 
 Scope and honest refusals, same discipline as the PNG/JPEG decoders:
 
-* The FIRST image frame decodes (a crawl thumbnail pipeline wants the
-  still; animation compositing — frame disposal, partial updates — is
-  out of scope and later frames are simply not read).
-* Output is (h, w, 3) RGB of the full logical screen; pixels outside the
-  frame rect, or marked transparent by the GCE, take the background
+* ANIMATIONS composite for real (``decode_gif_frames``): every frame is
+  drawn onto the running logical-screen canvas at its rect, honoring the
+  GCE disposal method — 0/1 leave, 2 restore-to-background, 3
+  restore-to-previous (undefined 4–7 treated as leave, the universal
+  renderer convention) — and per-frame transparency + local color
+  tables. ``decode_gif_pixels`` stays the first-frame still.
+* Output frames are (h, w, 3) RGB of the full logical screen; pixels
+  never painted, or marked transparent by the GCE, show the background
   color (background color index, else black).
 * Malformed files (truncated sub-blocks, out-of-range codes, missing
   color table) return None — decode-or-refuse, never wrong pixels.
+  A frame budget (``_MAX_TOTAL_PIXELS`` of composited output) bounds
+  decode-bomb animations: excess frames are NOT decoded (the returned
+  list is truncated — documented, never wrong pixels).
 
 The encoder (``synthesize_gif_real``) writes real decodable files for
 golden tests: indexed pixels LZW-coded with a CLEAR emitted every
@@ -30,20 +36,38 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+from pyspark.sql import DataFrame
 
 _MAX_PIXELS = 1 << 24  # same forged-dims cap as the JPEG decoder
+# total composited-output budget across an animation's frames: a small
+# screen with thousands of frames is legal GIF but a decode bomb here —
+# frames past the budget are not decoded (truncation, never wrong pixels)
+_MAX_TOTAL_PIXELS = 1 << 26
 
 
 def decode_gif_pixels(data: bytes) -> np.ndarray | None:
     """GIF bytes → (height, width, 3) uint8 RGB of the first frame
     composited onto the logical screen, or None if not decodable."""
+    frames = decode_gif_frames(data, max_frames=1)
+    return frames[0] if frames else None
+
+
+def decode_gif_frames(
+    data: bytes, max_frames: int | None = None
+) -> list[np.ndarray] | None:
+    """GIF bytes → list of (height, width, 3) uint8 RGB frames, each the
+    logical screen AS DISPLAYED at that point of the animation (disposal
+    methods and partial-update rects composited for real), or None if not
+    decodable. ``max_frames`` stops reading early (the first-frame still
+    is ``max_frames=1``); independently the ``_MAX_TOTAL_PIXELS`` output
+    budget truncates decode-bomb animations."""
     if not isinstance(data, (bytes, bytearray)):
         return None
     data = bytes(data)
     if not (data.startswith(b"GIF87a") or data.startswith(b"GIF89a")):
         return None
     try:
-        return _decode(data)
+        return _decode_frames(data, max_frames)
     except (ValueError, IndexError, struct.error):
         return None
 
@@ -141,7 +165,9 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
-def _decode(data: bytes) -> np.ndarray | None:
+def _decode_frames(
+    data: bytes, max_frames: int | None = None
+) -> list[np.ndarray] | None:
     sw, sh, flags, bg_idx, _ = struct.unpack("<HHBBB", data[6:13])
     if not sw or not sh or sw * sh > _MAX_PIXELS:
         return None
@@ -149,7 +175,16 @@ def _decode(data: bytes) -> np.ndarray | None:
     gct = None
     if flags & 0x80:
         gct, i = _color_table(data, i, flags & 0x07)
+    # background canvas color: bg color index if the GCT has it, else black
+    if gct is not None and bg_idx < len(gct):
+        bg_rgb = gct[bg_idx]
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+    canvas = np.tile(bg_rgb, (sh, sw, 1)).astype(np.uint8)
+    frames: list[np.ndarray] = []
+    frame_budget = max(1, _MAX_TOTAL_PIXELS // (sw * sh))
     transparent = None
+    disposal = 0
     while i < len(data):
         b = data[i]
         if b == 0x3B:  # trailer
@@ -157,14 +192,16 @@ def _decode(data: bytes) -> np.ndarray | None:
         if b == 0x21:  # extension
             label = data[i + 1]
             i += 2
-            if label == 0xF9:  # graphic control
+            if label == 0xF9:  # graphic control — applies to the NEXT image
                 ln = data[i]
-                if ln >= 4 and (data[i + 1] & 0x01):
-                    transparent = data[i + 4]
+                if ln >= 4:
+                    packed = data[i + 1]
+                    disposal = (packed >> 2) & 0x07
+                    transparent = data[i + 4] if packed & 0x01 else None
                 # skip via the generic sub-block walk below
             blk, i = _sub_blocks(data, i)
             continue
-        if b == 0x2C:  # image descriptor — the first frame
+        if b == 0x2C:  # image descriptor — one animation frame
             left, top, fw, fh, iflags = struct.unpack(
                 "<HHHHB", data[i + 1 : i + 10]
             )
@@ -189,28 +226,38 @@ def _decode(data: bytes) -> np.ndarray | None:
                 frame = _deinterlace(frame)
             if int(frame.max()) >= len(palette):
                 return None  # out-of-palette index: refuse, never fabricate
-            np_pal = palette
-            # background canvas: bg color index if the GCT has it
-            if gct is not None and bg_idx < len(gct):
-                canvas = np.tile(gct[bg_idx], (sh, sw, 1)).astype(np.uint8)
-            else:
-                canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+            # restore-to-previous needs the pre-draw canvas kept aside
+            pre = canvas.copy() if disposal == 3 else None
             # clamp frame rect into the screen
             fw_c = min(fw, max(0, sw - left))
             fh_c = min(fh, max(0, sh - top))
             if fw_c and fh_c:
                 sub = frame[:fh_c, :fw_c]
-                rgb = np_pal[sub]
+                rgb = palette[sub]
                 if transparent is not None:
                     keep = sub != transparent
                     region = canvas[top : top + fh_c, left : left + fw_c]
                     region[keep] = rgb[keep]
                 else:
                     canvas[top : top + fh_c, left : left + fw_c] = rgb
-            return canvas
+            frames.append(canvas.copy())
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+            if len(frames) >= frame_budget:
+                return frames  # decode-bomb budget: truncate, never fake
+            # disposal runs AFTER this frame displays, BEFORE the next
+            if disposal == 2:  # restore the frame rect to background
+                if fw_c and fh_c:
+                    canvas[top : top + fh_c, left : left + fw_c] = bg_rgb
+            elif disposal == 3 and pre is not None:
+                canvas = pre
+            # a GCE governs exactly one image (GIF89a spec 23c)
+            transparent = None
+            disposal = 0
+            continue
         # unknown block type: refuse rather than resync blindly
         return None
-    return None
+    return frames or None
 
 
 def synthesize_gif_real(
@@ -227,19 +274,11 @@ def synthesize_gif_real(
     return encode_gif(arr, interlace=interlace)
 
 
-def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
-    """(h, w, 3) uint8 → real GIF89a. Palette = the image's distinct
-    colors (≤ 256 required); LZW emitted literal-per-pixel with periodic
-    CLEAR codes so the code width never grows (valid, verbose)."""
-    arr = np.asarray(arr, dtype=np.uint8)
-    h, w, ch = arr.shape
-    if ch != 3 or not h or not w:
-        raise ValueError("need (h, w, 3) uint8")
-    flat = arr.reshape(-1, 3)
-    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+def _build_palette(colors: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Distinct (n, 3) colors → (power-of-two padded palette, GCT size
+    field, LZW min code size)."""
     if len(colors) > 256:
         raise ValueError("more than 256 distinct colors")
-    # pad palette to a power of two >= 2
     n_pal = 2
     while n_pal < len(colors):
         n_pal *= 2
@@ -247,15 +286,13 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     pal = np.zeros((n_pal, 3), dtype=np.uint8)
     pal[: len(colors)] = colors
     min_code = max(2, n_pal.bit_length() - 1)
+    return pal, size_field, min_code
 
-    pix = idx.reshape(h, w)
-    if interlace:
-        order = [
-            y for start, step in _INTERLACE_PASSES for y in range(start, h, step)
-        ]
-        pix = pix[np.asarray(order)]
-    seq = pix.reshape(-1)
 
+def _lzw_literal_payload(seq: np.ndarray, min_code: int) -> bytearray:
+    """Index sequence → LZW entropy bytes, literal-per-pixel with a CLEAR
+    every 2^min_code - 3 literals so the code width never grows (the
+    classic valid-if-verbose "uncompressed GIF" trick)."""
     clear = 1 << min_code
     eoi = clear + 1
     width_bits = min_code + 1
@@ -282,16 +319,208 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     emit(eoi)
     if nbits:
         payload.append(acc & 0xFF)
+    return payload
+
+
+def _blockify(payload: bytes) -> bytearray:
+    out = bytearray()
+    for off in range(0, len(payload), 255):
+        chunk = payload[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return out
+
+
+def _interlace_rows(pix: np.ndarray) -> np.ndarray:
+    h = pix.shape[0]
+    order = [
+        y for start, step in _INTERLACE_PASSES for y in range(start, h, step)
+    ]
+    return pix[np.asarray(order)]
+
+
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 → real GIF89a. Palette = the image's distinct
+    colors (≤ 256 required); LZW emitted literal-per-pixel with periodic
+    CLEAR codes so the code width never grows (valid, verbose)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, ch = arr.shape
+    if ch != 3 or not h or not w:
+        raise ValueError("need (h, w, 3) uint8")
+    flat = arr.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    pal, size_field, min_code = _build_palette(colors)
+
+    pix = idx.reshape(h, w)
+    if interlace:
+        pix = _interlace_rows(pix)
+    payload = _lzw_literal_payload(pix.reshape(-1), min_code)
 
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
     out += pal.tobytes()
     out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
     out.append(min_code)
-    for off in range(0, len(payload), 255):
-        chunk = payload[off : off + 255]
-        out.append(len(chunk))
-        out += chunk
-    out.append(0)
+    out += _blockify(payload)
     out.append(0x3B)
     return bytes(out)
+
+
+def encode_gif_animation(
+    frames: list[dict],
+    screen: tuple[int, int] | None = None,
+    bg_color: tuple = (0, 0, 0),
+) -> bytes:
+    """Multi-frame REAL GIF89a for animation goldens. Each frame dict:
+
+    * ``arr`` — (h, w, 3) uint8 pixels of the frame's own rect
+    * ``left`` / ``top`` — rect position on the logical screen (default 0)
+    * ``disposal`` — GCE disposal method 0–3 (default 0)
+    * ``transparent`` — an (r, g, b) whose pixels encode as the GCE
+      transparent index (default None — frame fully opaque)
+    * ``interlace`` — interlace this frame's rows (default False)
+
+    One GLOBAL color table holds every frame's colors plus ``bg_color``
+    (palette entry 0 = the screen background). ``screen`` defaults to the
+    union extent of all frame rects."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    prepped = []
+    for f in frames:
+        arr = np.asarray(f["arr"], dtype=np.uint8)
+        if arr.ndim != 3 or arr.shape[2] != 3 or not arr.size:
+            raise ValueError("each frame arr must be (h, w, 3) uint8")
+        prepped.append(
+            (arr, int(f.get("left", 0)), int(f.get("top", 0)),
+             int(f.get("disposal", 0)), f.get("transparent"),
+             bool(f.get("interlace", False)))
+        )
+    if screen is None:
+        screen = (
+            max(l + a.shape[1] for a, l, t, *_ in prepped),
+            max(t + a.shape[0] for a, l, t, *_ in prepped),
+        )
+    sw, sh = screen
+
+    # one global palette: bg color first (entry 0 = background index),
+    # then every color any frame uses (incl. transparent sentinels)
+    all_colors = [np.array([bg_color], dtype=np.uint8)]
+    for arr, *_rest in prepped:
+        all_colors.append(arr.reshape(-1, 3))
+    for *_x, tr, _il in prepped:
+        if tr is not None:
+            all_colors.append(np.array([tr], dtype=np.uint8))
+    colors = np.unique(np.vstack(all_colors), axis=0)
+    # stable keyed lookup: color → palette index
+    keys = (
+        colors[:, 0].astype(np.int64) << 16
+    ) | (colors[:, 1].astype(np.int64) << 8) | colors[:, 2].astype(np.int64)
+    order = np.argsort(keys)
+    skeys = keys[order]
+    pal, size_field, min_code = _build_palette(colors[order])
+    bg_key = (int(bg_color[0]) << 16) | (int(bg_color[1]) << 8) | int(bg_color[2])
+    bg_idx = int(np.searchsorted(skeys, bg_key))
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | size_field, bg_idx, 0)
+    out += pal.tobytes()
+    for arr, left, top, disposal, tr, interlace in prepped:
+        h, w = arr.shape[:2]
+        fkeys = (
+            arr[:, :, 0].astype(np.int64) << 16
+        ) | (arr[:, :, 1].astype(np.int64) << 8) | arr[:, :, 2].astype(np.int64)
+        pix = np.searchsorted(skeys, fkeys.reshape(-1)).reshape(h, w)
+        gce_packed = (disposal & 0x07) << 2
+        tr_idx = 0
+        if tr is not None:
+            tkey = (int(tr[0]) << 16) | (int(tr[1]) << 8) | int(tr[2])
+            tr_idx = int(np.searchsorted(skeys, tkey))
+            gce_packed |= 0x01
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, gce_packed, 0, tr_idx, 0)
+        out += struct.pack(
+            "<BHHHHB", 0x2C, left, top, w, h, 0x40 if interlace else 0
+        )
+        out.append(min_code)
+        if interlace:
+            pix = _interlace_rows(pix)
+        out += _blockify(_lzw_literal_payload(pix.reshape(-1), min_code))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def sample_gif_frames(
+    df: DataFrame, every_n: int = 1, media_col: str = "media", size: int = 0
+) -> DataFrame:
+    """REAL animation frame sampling, the GIF sibling of
+    ``pixels.sample_y4m_frames`` (same output shape): composite every
+    frame of each GIF (disposal + partial updates for real), keep every
+    ``every_n``-th, emit each as an RGB PNG (optionally letterboxed to
+    ``size``). One-to-many Arrow-batched kernel, no shuffle. Undecodable
+    blobs yield no rows (drop-not-fake)."""
+    import pandas as pd
+
+    from .pixels import encode_png, letterbox_pixels
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[media_col]):
+                frames = decode_gif_frames(
+                    bytes(blob) if blob is not None else b""
+                )
+                if not frames:
+                    continue
+                for idx, arr in enumerate(frames):
+                    if idx % every_n:
+                        continue
+                    h, w = arr.shape[:2]
+                    if size:
+                        arr = letterbox_pixels(arr, size)[0]
+                    rows.append((mid, idx, w, h, encode_png(arr)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height", "frame_png"
+                ],
+            )
+
+    return df.select("media_id", media_col).mapInPandas(
+        kernel,
+        "media_id string, frame_idx int, width int, height int,"
+        " frame_png binary",
+    )
+
+
+def gif_frame_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Per-GIF animation summary over REAL composited frames: (media_id,
+    n_frames, width, height, last_sum) where ``last_sum`` is the integer
+    pixel sum of the final composited screen — an arithmetic-checkable
+    witness that disposal/partial-rect compositing accumulated correctly.
+    Undecodable blobs yield no rows (drop-not-fake)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[media_col]):
+                frames = decode_gif_frames(
+                    bytes(blob) if blob is not None else b""
+                )
+                if not frames:
+                    continue
+                last = frames[-1]
+                rows.append(
+                    (mid, len(frames), last.shape[1], last.shape[0],
+                     int(last.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_frames", "width", "height", "last_sum"],
+            )
+
+    return df.select("media_id", media_col).mapInPandas(
+        kernel,
+        "media_id string, n_frames int, width int, height int,"
+        " last_sum bigint",
+    )
