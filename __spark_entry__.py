@@ -2256,6 +2256,24 @@ def _q_bm25(spark, sf_dir):
     return bm25_score(_t(spark, sf_dir, "documents"), _BM25_TERMS)
 
 
+# a word pair that genuinely occurs ADJACENT in some synthetic docs and
+# scattered in many others — so n_phrase, proximity, and the bag leg all
+# take non-trivial values across the corpus
+_BM25_PHRASE = ("table", "hash")
+
+
+def _q_bm25_phrase(spark, sf_dir):
+    """Positional BM25 — phrase + proximity scoring
+    (operators/retrieval.py::bm25_phrase): exact ordered-adjacent phrase
+    counts via the (doc, pos−j) anchor groupBy, per-pair min ordered gap
+    via a running-max window, every component micro-quantized; the oracle
+    recomputes the positions from the raw token list and replays the
+    identical expression tree."""
+    from comic_text_detector_spark.operators.retrieval import bm25_phrase
+
+    return bm25_phrase(_t(spark, sf_dir, "documents"), _BM25_PHRASE)
+
+
 def _q_lm_score(spark, sf_dir):
     """CCNet-shape LM quality scoring: a stupid-backoff bigram LM trained
     in-Spark on the documents corpus, every document scored by mean
@@ -2777,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u8_label_maps": _q_u8_label_maps,
         "lm_score_docs": _q_lm_score,
         "bm25_docs": _q_bm25,
+        "bm25_phrase": _q_bm25_phrase,
         "schedule_frontier": _q_schedule_frontier,
         "parse_robots": _q_parse_robots,
         "pagerank_hosts": _q_pagerank_hosts,
@@ -3088,6 +3107,10 @@ def oracle_sql() -> dict[str, str]:
             "comic_text_detector_spark.operators.retrieval",
             fromlist=["bm25_sql"],
         ).bm25_sql(_BM25_TERMS),
+        "bm25_phrase": __import__(
+            "comic_text_detector_spark.operators.retrieval",
+            fromlist=["bm25_phrase_sql"],
+        ).bm25_phrase_sql(_BM25_PHRASE),
         "extract_links": _LINKS_SQL,
         "anchor_stats_hosts": (
             "WITH l AS (" + _LINKS_SQL + "), "

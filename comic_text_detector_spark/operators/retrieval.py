@@ -23,7 +23,7 @@ the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,6 +39,26 @@ def bm25_score(
     bag of ``query_terms`` (documents matching no term are absent —
     same contract as the other scorers). ``dl`` is the whitespace token
     count used for length normalization."""
+    return _bm25_micro(docs, query_terms, id_col, text_col, k1, b).select(
+        F.col("id").alias(id_col),
+        "dl",
+        "n_hit_terms",
+        (F.col("bag_micro") / F.lit(1e6)).alias("score"),
+    )
+
+
+def _bm25_micro(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, dl, n_hit_terms, bag_micro): the bag-BM25 micro-int sum before
+    the final division — shared by ``bm25_score`` (divides straight away)
+    and ``bm25_phrase`` (adds phrase/proximity micro components first so
+    the whole score stays one exact bigint + a single division)."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted(set(query_terms))
@@ -77,13 +97,7 @@ def bm25_score(
         .groupBy("id", "dl")
         .agg(
             F.count("*").cast("long").alias("n_hit_terms"),
-            F.sum("m").alias("sum_micro"),
-        )
-        .select(
-            F.col("id").alias(id_col),
-            "dl",
-            "n_hit_terms",
-            (F.col("sum_micro") / F.lit(1e6)).alias("score"),
+            F.sum("m").alias("bag_micro"),
         )
     )
 
@@ -120,4 +134,215 @@ def bm25_sql(
         f"SELECT id AS {id_col}, dl, CAST(count(*) AS BIGINT)"
         " AS n_hit_terms, sum(m) / 1000000.0 AS score"
         " FROM scored GROUP BY id, dl"
+    )
+
+
+def bm25_phrase(
+    docs: DataFrame,
+    phrase: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    phrase_weight: float = 1.0,
+    prox_weight: float = 0.5,
+) -> DataFrame:
+    """Positional BM25: the bag score plus PHRASE and PROXIMITY signals —
+    the ranking shape a corpus-audit user reaches for after bag-of-words
+    (find the documents that contain the query *as a phrase*, rank looser
+    co-occurrences below them by how close the terms sit).
+
+    (id, dl, n_hit_terms, n_phrase, score) where
+
+    * ``n_phrase`` = exact ordered-adjacent occurrences of ``phrase``
+      (every term at consecutive token positions, duplicates allowed);
+    * score = bag_bm25 + phrase_weight · n_phrase +
+      prox_weight · Σ_pairs 1/min_gap, one addend per ADJACENT phrase
+      pair (t_j, t_{j+1}), where min_gap is the smallest positive token
+      distance from a t_j occurrence to a LATER t_{j+1} occurrence
+      (adjacent = gap 1 = full credit; a pair never co-occurring in order
+      contributes 0).
+
+    Determinism contract (house pattern): every component quantizes to
+    integer MICRO units — the bag sum from ``bm25_score``'s term tree,
+    the phrase bonus as n_phrase · round(1e6·w), each pair's boost as
+    round(1e6·w / gap) — so the total is one exact bigint and a single
+    IEEE division, replayed bit-for-bit by ``bm25_phrase_sql``.
+
+    Scale shape: positions come from ONE posexplode filtered to the
+    phrase's terms at the scan (|phrase| postings per doc survive, not
+    dl); phrase occurrences are a keyed groupBy on (doc, pos − j) —
+    an anchor completes when all |phrase| roles appear — and each pair's
+    min gap is one per-doc window over the pair's own postings (positions
+    ascend, so "latest preceding t_j" is a running MAX — no IGNORE NULLS
+    dialect dependence). No window over full documents, no self-join of
+    position lists."""
+    terms = list(phrase)
+    if len(terms) < 2:
+        raise ValueError("phrase needs at least 2 terms")
+    if any(not t for t in terms):
+        raise ValueError("phrase terms must be non-empty")
+    n_terms = len(terms)
+    uniq = sorted(set(terms))
+
+    bag = _bm25_micro(docs, tuple(terms), id_col, text_col, k1, b)
+
+    # positional postings: token index in the raw split (1-based, empties
+    # keep their slot so positions match the oracle's list indexes)
+    post = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("pos0", "w"),
+    ).select(
+        "id", (F.col("pos0") + 1).alias("pos"), "w"
+    ).filter(F.col("w").isin(uniq))
+
+    # exact phrase occurrences: a posting of terms[j] at pos votes for
+    # anchor pos-j with role j; an anchor with all roles is a phrase hit
+    roles = F.filter(
+        F.array(*[
+            F.when(F.col("w") == t, F.lit(j)) for j, t in enumerate(terms)
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    anch = post.select("id", "pos", F.explode(roles).alias("j")).select(
+        "id", (F.col("pos") - F.col("j")).alias("anchor"), "j"
+    )
+    nphr = (
+        anch.groupBy("id", "anchor")
+        .agg(F.count_distinct("j").alias("nj"))
+        .filter(F.col("nj") == n_terms)
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_phrase"))
+    )
+
+    # per adjacent pair: min ordered gap via a running max of the left
+    # term's positions (frame excludes the current row so a repeated-term
+    # pair measures the distance between consecutive occurrences)
+    wnd = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pair_mins = []
+    for jp in range(n_terms - 1):
+        a, t_b = terms[jp], terms[jp + 1]
+        stream = post.filter(F.col("w").isin([a, t_b]))
+        prev_a = F.max(
+            F.when(F.col("w") == a, F.col("pos"))
+        ).over(wnd)
+        pair_mins.append(
+            stream.withColumn("prev_a", prev_a)
+            .filter((F.col("w") == t_b) & F.col("prev_a").isNotNull())
+            .groupBy("id")
+            .agg(F.min(F.col("pos") - F.col("prev_a")).alias("gap"))
+            .select(
+                "id",
+                F.round(F.lit(1e6 * prox_weight) / F.col("gap"))
+                .cast("long")
+                .alias("pm"),
+            )
+        )
+    prox = pair_mins[0]
+    for p in pair_mins[1:]:
+        prox = prox.unionByName(p)
+    prox = prox.groupBy("id").agg(F.sum("pm").alias("prox_micro"))
+
+    phrase_micro = int(round(1e6 * phrase_weight))
+    total_micro = (
+        F.col("bag_micro")
+        + F.coalesce(F.col("n_phrase"), F.lit(0)) * F.lit(phrase_micro)
+        + F.coalesce(F.col("prox_micro"), F.lit(0))
+    )
+    return (
+        bag.join(nphr, "id", "left")
+        .join(prox, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "dl",
+            "n_hit_terms",
+            F.coalesce(F.col("n_phrase"), F.lit(0))
+            .cast("long")
+            .alias("n_phrase"),
+            (total_micro / F.lit(1e6)).alias("score"),
+        )
+    )
+
+
+def bm25_phrase_sql(
+    phrase: tuple[str, ...],
+    source: str = "documents",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    phrase_weight: float = 1.0,
+    prox_weight: float = 0.5,
+) -> str:
+    """Oracle twin of ``bm25_phrase``: positions recomputed from the raw
+    token list, identical micro quantization and expression tree."""
+    terms = list(phrase)
+    n_terms = len(terms)
+    uniq = sorted(set(terms))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    phrase_micro = int(round(1e6 * phrase_weight))
+    role_rows = ", ".join(
+        f"({j}, '" + t.replace("'", "''") + "')" for j, t in enumerate(terms)
+    )
+    pair_ctes = []
+    for jp in range(n_terms - 1):
+        a = terms[jp].replace("'", "''")
+        t_b = terms[jp + 1].replace("'", "''")
+        pair_ctes.append(
+            f"g{jp} AS (SELECT id, CAST(round({1e6 * prox_weight!r}"
+            " / gap) AS BIGINT) AS pm FROM (SELECT id,"
+            " min(pos - prev_a) AS gap FROM ("
+            f"SELECT id, pos, w, max(CASE WHEN w = '{a}' THEN pos END)"
+            " OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN UNBOUNDED"
+            " PRECEDING AND 1 PRECEDING) AS prev_a"
+            f" FROM post WHERE w IN ('{a}', '{t_b}'))"
+            f" WHERE w = '{t_b}' AND prev_a IS NOT NULL GROUP BY id))"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM g{jp}" for jp in range(n_terms - 1))
+    bag_terms = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(set(terms))
+    )
+    return (
+        "WITH toks AS (SELECT id, w FROM (SELECT "
+        f"{id_col} AS id, unnest(string_split(coalesce(text, ''), ' '))"
+        f" AS w FROM {source}) WHERE w <> ''), "
+        "dl AS (SELECT id, CAST(count(*) AS BIGINT) AS dl FROM toks"
+        " GROUP BY id), "
+        "tot AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl), "
+        f"tf AS (SELECT id, w, CAST(count(*) AS BIGINT) AS tf FROM toks"
+        f" WHERE w IN ({bag_terms}) GROUP BY id, w), "
+        "dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf"
+        " GROUP BY w), "
+        "scored AS (SELECT tf.id, dl.dl, CAST(round("
+        " ln((CAST((SELECT n FROM tot) AS DOUBLE) - df + 0.5)"
+        " / (df + 0.5) + 1.0)"
+        f" * (tf * {k1 + 1.0}) / (tf + {k1} * (1.0 - {b} + {b} * dl /"
+        " (CAST((SELECT tot FROM tot) AS DOUBLE) /"
+        " CAST((SELECT n FROM tot) AS DOUBLE))))"
+        " * 1000000.0) AS BIGINT) AS m"
+        " FROM tf JOIN dfreq USING (w) JOIN dl ON dl.id = tf.id), "
+        "bag AS (SELECT id, dl, CAST(count(*) AS BIGINT) AS n_hit_terms,"
+        " sum(m) AS bag_micro FROM scored GROUP BY id, dl), "
+        "post AS (SELECT id, i AS pos, list_extract(ts, i) AS w FROM"
+        f" (SELECT {id_col} AS id,"
+        f" string_split(coalesce(text, ''), ' ') AS ts FROM {source}),"
+        " unnest(generate_series(1, len(ts))) AS u(i)"
+        f" WHERE list_extract(ts, i) IN ({in_list})), "
+        "anch AS (SELECT id, pos - j AS anchor, j FROM post"
+        f" JOIN (VALUES {role_rows}) AS m(j, t) ON post.w = m.t), "
+        "nphr AS (SELECT id, CAST(count(*) AS BIGINT) AS n_phrase FROM"
+        " (SELECT id, anchor FROM anch GROUP BY id, anchor"
+        f" HAVING count(DISTINCT j) = {n_terms}) GROUP BY id), "
+        + ", ".join(pair_ctes) + ", "
+        f"prox AS (SELECT id, sum(pm) AS prox_micro FROM ({union})"
+        " GROUP BY id) "
+        f"SELECT bag.id AS {id_col}, dl, n_hit_terms,"
+        " COALESCE(n_phrase, 0) AS n_phrase,"
+        f" (bag_micro + COALESCE(n_phrase, 0) * {phrase_micro}"
+        " + COALESCE(prox_micro, 0)) / 1000000.0 AS score"
+        " FROM bag LEFT JOIN nphr ON bag.id = nphr.id"
+        " LEFT JOIN prox ON bag.id = prox.id"
     )

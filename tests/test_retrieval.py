@@ -64,3 +64,83 @@ def test_bm25_ranking_and_contracts(spark):
     out = {r.doc_id: r.score
            for r in bm25_score(docs, ("rare", "common")).collect()}
     assert out["r"] > out["c"]
+
+
+def test_bm25_phrase_adjacent_beats_scattered(spark):
+    """The planted ranking the phrase/proximity scorer exists for: same
+    bag of terms, but adjacent > near > far-scattered > one-term-only."""
+    from comic_text_detector_spark.operators.retrieval import bm25_phrase
+
+    docs = spark.createDataFrame(
+        [
+            ("adj", "x x alpha beta x x x x"),
+            ("near", "x x alpha x beta x x x"),
+            ("far", "alpha x x x x x x beta"),
+            ("one", "alpha x x x x x x x"),
+            ("none", "x y z"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in
+           bm25_phrase(docs, ("alpha", "beta")).collect()}
+    assert "none" not in out  # no query term → absent
+    # identical bag stats (same tf/dl) → ordering decided by phrase+prox
+    assert out["adj"].score > out["near"].score > out["far"].score
+    assert out["far"].score > out["one"].score
+    assert out["adj"].n_phrase == 1
+    assert out["near"].n_phrase == 0 and out["far"].n_phrase == 0
+    # phrase bonus 1.0 and prox 0.5/gap: adj gap 1, near gap 2, far gap 7
+    # (each component micro-quantized, per the determinism contract)
+    assert out["adj"].score - out["far"].score == pytest.approx(
+        (1_000_000 + 500_000 - round(1e6 * 0.5 / 7)) / 1e6, abs=1e-9
+    )
+
+
+def test_bm25_phrase_counts_and_order(spark):
+    from comic_text_detector_spark.operators.retrieval import bm25_phrase
+
+    docs = spark.createDataFrame(
+        [
+            ("two", "alpha beta x alpha beta"),
+            ("rev", "beta alpha"),  # wrong order: no phrase, no ordered gap
+            ("tri", "a b c x a b x c"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in
+           bm25_phrase(docs, ("alpha", "beta")).collect()}
+    assert out["two"].n_phrase == 2
+    assert out["rev"].n_phrase == 0
+    # rev has no alpha-before-beta pair → no proximity either: its score
+    # equals the pure bag score
+    from comic_text_detector_spark.operators.retrieval import bm25_score
+
+    bag = {r.doc_id: r for r in
+           bm25_score(docs, ("alpha", "beta")).collect()}
+    assert out["rev"].score == pytest.approx(bag["rev"].score, abs=1e-9)
+
+    tri = {r.doc_id: r for r in
+           bm25_phrase(docs, ("a", "b", "c")).collect()}
+    assert tri["tri"].n_phrase == 1  # only the first a-b-c run is adjacent
+
+
+def test_bm25_phrase_repeated_term(spark):
+    from comic_text_detector_spark.operators.retrieval import bm25_phrase
+
+    docs = spark.createDataFrame(
+        [("dup", "w w x w"), ("single", "w x y")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in bm25_phrase(docs, ("w", "w")).collect()}
+    assert out["dup"].n_phrase == 1  # positions (1,2) — only adjacent run
+    assert out["single"].n_phrase == 0
+
+
+def test_bm25_phrase_contracts(spark):
+    from comic_text_detector_spark.operators.retrieval import bm25_phrase
+
+    docs = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        bm25_phrase(docs, ("only",))
+    with pytest.raises(ValueError):
+        bm25_phrase(docs, ("a", ""))
