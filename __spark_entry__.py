@@ -2138,6 +2138,73 @@ def _pagerank_oracle() -> str:
     return pagerank_sql(edges, n_iter=3)
 
 
+def _q_pagerank_incremental(spark, sf_dir):
+    """RECRAWL-DELTA PageRank (operators/graph.py::pagerank_incremental):
+    the previous crawl's 3-iteration ranks warm-start a 2-iteration
+    restart over the merged graph — adds from a second host formula
+    (introducing hosts g* that never existed before), removes killing
+    every edge whose source doc_id is a multiple of 50. The oracle
+    replays previous phase + delta merge + restart as one unrolled query,
+    bit-for-bit. Nothing rescans the historical crawl — only the previous
+    ranks table and the delta edges move."""
+    from comic_text_detector_spark.operators.graph import (
+        pagerank,
+        pagerank_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    prev_e = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 50).cast("string")
+        ).alias("dst"),
+    )
+    add_e = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("g"), ((F.col("doc_id") * 13 + 1) % 20).cast("string")
+        ).alias("dst"),
+    )
+    rem_e = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 50).cast("string")
+        ).alias("dst"),
+    )
+    prev_r = pagerank(prev_e, n_iter=3)
+    return pagerank_incremental(
+        prev_e, prev_r, add_e, rem_e, n_iter=2
+    ).select(F.col("node").cast("string").alias("node"), "rank")
+
+
+def _pagerank_incremental_oracle() -> str:
+    from comic_text_detector_spark.operators.graph import (
+        pagerank_incremental_sql,
+    )
+
+    prev = (
+        "SELECT 'h' || (doc_id % 50)::VARCHAR AS src,"
+        " 'h' || ((doc_id * 7 + 3) % 50)::VARCHAR AS dst FROM documents"
+    )
+    add = (
+        "SELECT 'h' || (doc_id % 50)::VARCHAR AS src,"
+        " 'g' || ((doc_id * 13 + 1) % 20)::VARCHAR AS dst FROM documents"
+        " WHERE doc_id % 3 = 0"
+    )
+    rem = (
+        "SELECT 'h' || (doc_id % 50)::VARCHAR AS src,"
+        " 'h' || ((doc_id * 7 + 3) % 50)::VARCHAR AS dst FROM documents"
+        " WHERE doc_id % 50 = 0"
+    )
+    return pagerank_incremental_sql(prev, add, rem, prev_iters=3, n_iter=2)
+
+
 def _q_parse_robots(spark, sf_dir):
     """robots.txt PARSING (the front half of the robots pipeline —
     operators/curation.py::parse_robots_rules feeds robots_filter): RFC
@@ -2799,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schedule_frontier": _q_schedule_frontier,
         "parse_robots": _q_parse_robots,
         "pagerank_hosts": _q_pagerank_hosts,
+        "pagerank_incremental": _q_pagerank_incremental,
         "extract_links": _q_extract_links,
         "anchor_stats_hosts": _q_anchor_stats,
         "link_pagerank": _q_link_pagerank,
@@ -3101,6 +3169,7 @@ def oracle_sql() -> dict[str, str]:
         "train_quality_logit": _train_quality_oracle(),
         "u8_label_maps": _u8_label_maps_oracle(),
         "pagerank_hosts": _pagerank_oracle(),
+        "pagerank_incremental": _pagerank_incremental_oracle(),
         "schedule_frontier": _FRONTIER_ORACLE,
         "parse_robots": _PARSE_ROBOTS_ORACLE,
         "bm25_docs": __import__(
