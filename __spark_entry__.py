@@ -2461,6 +2461,48 @@ def _train_quality_oracle() -> str:
     )
 
 
+def _q_train_quality_logit_topk(spark, sf_dir):
+    """BOUNDED-COLLECT trainer variant: 2^20 hash buckets with
+    max_updates_per_iter=8 — each iteration updates only the 8 largest-
+    |gradient| buckets (deterministic order, distributed orderBy+limit),
+    so the driver collect stays ≤8 rows no matter the hash dim (a cap
+    that genuinely BINDS at this corpus' vocabulary, cutting most of the
+    occupied buckets each round). The
+    oracle replays the same top-k cut with untouched weights carried
+    forward by an anti-join (operators/quality_train.py)."""
+    from comic_text_detector_spark.operators.quality_train import (
+        train_quality_logit,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        "text",
+        (F.col("doc_id") % 2).alias("label"),
+    )
+    w = train_quality_logit(
+        docs, id_col="id", label_col="label",
+        n_buckets=1 << 20, n_iter=3, max_updates_per_iter=8,
+    )
+    rows = sorted(w.items())
+    if not rows:
+        return spark.createDataFrame([], "b long, mw long")
+    return spark.createDataFrame(rows, "b long, mw long")
+
+
+def _train_quality_topk_oracle() -> str:
+    from comic_text_detector_spark.operators.quality_train import (
+        train_quality_logit_sql,
+    )
+
+    inner = train_quality_logit_sql(1 << 20, 3, max_updates=8)
+    assert inner.startswith("WITH ")
+    return (
+        "WITH labeled AS (SELECT doc_id AS id, text,"
+        " CAST(doc_id % 2 AS BIGINT) AS y FROM documents), "
+        + inner[len("WITH "):]
+    )
+
+
 def _q_pack_sequences_split(spark, sf_dir):
     """Packing with long-document splitting (what pretraining pipelines do
     instead of giving over-budget docs a lonely pack): docs over the
@@ -2859,6 +2901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "pack_sequences_split": _q_pack_sequences_split,
         "train_quality_logit": _q_train_quality_logit,
+        "train_quality_logit_topk": _q_train_quality_logit_topk,
         "u8_label_maps": _q_u8_label_maps,
         "lm_score_docs": _q_lm_score,
         "bm25_docs": _q_bm25,
@@ -3167,6 +3210,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_oracle(),
         "pack_sequences_split": _pack_sequences_split_oracle(),
         "train_quality_logit": _train_quality_oracle(),
+        "train_quality_logit_topk": _train_quality_topk_oracle(),
         "u8_label_maps": _u8_label_maps_oracle(),
         "pagerank_hosts": _pagerank_oracle(),
         "pagerank_incremental": _pagerank_incremental_oracle(),

@@ -73,13 +73,38 @@ def train_quality_logit(
     n_iter: int = 5,
     lr_num: int = 2,
     lr_den: int = 1,
+    max_updates_per_iter: int | None = None,
 ) -> dict[int, int]:
     """Fit bucket → integer milliweight by batch gradient descent (see
     module docstring for the integer-determinism contract). The returned
     dict plugs straight into ``curation.quality_logit(weights=...)`` and
-    serializes as the ``curate_job --logit-weights`` JSON."""
+    serializes as the ``curate_job --logit-weights`` JSON.
+
+    The per-iteration driver collect is one row per OCCUPIED gradient
+    bucket, so its size is bounded by min(n_buckets, distinct words in
+    the sample). ``max_updates_per_iter`` caps it hard: each iteration
+    updates only the k buckets with the largest |gradient| (deterministic
+    total order — |g| desc, then g, then b — via a distributed
+    orderBy+limit, a TakeOrderedAndProject, no global sort), leaving the
+    rest of the model untouched that round — greedy coordinate-style
+    descent, still integer-deterministic and oracle-replayable. Without
+    the cap, ``n_buckets`` is asserted ≤ 2^19 (the documented bound at
+    which a dense-vocabulary sample could push a multi-hundred-k-row
+    collect per iteration)."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if max_updates_per_iter is None:
+        if n_buckets > (1 << 19):
+            raise ValueError(
+                f"n_buckets={n_buckets} > 2^19: the uncapped per-iteration"
+                " gradient collect could reach one row per bucket — pass"
+                " max_updates_per_iter (top-k-by-|gradient| updates) for"
+                " large hash spaces"
+            )
+    elif max_updates_per_iter < 1:
+        raise ValueError(
+            f"max_updates_per_iter must be >= 1, got {max_updates_per_iter}"
+        )
     feats = _features(df, id_col, text_col, label_col, n_buckets)
     feats = feats.persist()
     n_docs = feats.select("id").distinct().count()
@@ -111,7 +136,7 @@ def train_quality_logit(
                 ).cast("long").alias("p"),
                 "y",
             )
-            grads = (
+            gdf = (
                 feats.join(p, "id")
                 .groupBy("b")
                 .agg(
@@ -119,8 +144,12 @@ def train_quality_logit(
                         (F.col("p") - 1000 * feats["y"]) * F.col("x")
                     ).alias("g")
                 )
-                .collect()
             )
+            if max_updates_per_iter is not None:
+                gdf = gdf.orderBy(
+                    F.abs(F.col("g")).desc(), F.col("g"), F.col("b")
+                ).limit(max_updates_per_iter)
+            grads = gdf.collect()
             for r in grads:
                 upd = math.floor(lr_num * r.g / (lr_den * n_docs))
                 w = weights.get(r.b, 0) - upd
@@ -139,12 +168,16 @@ def train_quality_logit_sql(
     lr_num: int = 2,
     lr_den: int = 1,
     source: str = "labeled",
+    max_updates: int | None = None,
 ) -> str:
     """The UNROLLED oracle twin of ``train_quality_logit``: one
     logits/probs/gradients/weights CTE quartet per iteration over a
     ``source`` relation with columns (id, text, y). Returns SQL selecting
     the final (b, mw) nonzero weights. DuckDB dialect; every intermediate
-    is integer except the quantized sigmoid, mirroring the Spark loop."""
+    is integer except the quantized sigmoid, mirroring the Spark loop.
+    ``max_updates`` mirrors ``max_updates_per_iter``: the gradient CTE is
+    cut to the top-k by (|g| desc, g, b) and untouched buckets carry
+    their previous weight forward via an anti-join."""
     sep_feats = (
         "words AS (SELECT id, y, unnest(string_split(coalesce(text, ''),"
         " ' ')) AS w FROM "
@@ -170,11 +203,27 @@ def train_quality_logit_sql(
             f", g{i} AS (SELECT f.b,"
             f" sum((p.p - 1000 * f.y) * f.x) AS g"
             f" FROM feats f JOIN p{i} p USING (id) GROUP BY f.b)"
-            f", w{i} AS (SELECT g.b,"
-            f" coalesce(w.mw, 0) - CAST(floor({lr_num} * g.g /"
-            f" ({lr_den} * (SELECT n FROM nd))) AS BIGINT) AS mw"
-            f" FROM g{i} g LEFT JOIN {prev} w USING (b))"
         )
+        gsrc = f"g{i}"
+        if max_updates is not None:
+            parts.append(
+                f", gk{i} AS (SELECT b, g FROM g{i}"
+                f" ORDER BY abs(g) DESC, g, b LIMIT {max_updates})"
+            )
+            gsrc = f"gk{i}"
+        upd = (
+            f"SELECT g.b, coalesce(w.mw, 0) -"
+            f" CAST(floor({lr_num} * g.g /"
+            f" ({lr_den} * (SELECT n FROM nd))) AS BIGINT) AS mw"
+            f" FROM {gsrc} g LEFT JOIN {prev} w USING (b)"
+        )
+        if max_updates is not None:
+            # untouched buckets carry their previous weight forward
+            upd += (
+                f" UNION ALL SELECT w.b, w.mw FROM {prev} w"
+                f" ANTI JOIN {gsrc} g USING (b)"
+            )
+        parts.append(f", w{i} AS ({upd})")
     parts.append(
         f" SELECT b, mw FROM w{n_iter} WHERE mw <> 0"
     )

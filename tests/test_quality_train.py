@@ -108,3 +108,66 @@ def test_empty_and_invalid_inputs(spark):
         train_quality_logit(wordless)
     with pytest.raises(ValueError):
         train_quality_logit(_labeled(spark), n_iter=0)
+
+
+def test_topk_cap_binds_and_still_learns(spark):
+    """2^20-dim config with max_updates_per_iter: the per-iteration collect
+    is bounded by construction (orderBy+limit), the cap genuinely BINDS on
+    a >k-word vocabulary (result differs from the uncapped fit), and the
+    fit still sign-recovers the planted good/bad words."""
+    good = [f"good{i}" for i in range(12)]
+    bad = [f"bad{i}" for i in range(12)]
+    rows = []
+    for r in range(8):
+        rows.append((f"g{r}", " ".join(good), 1))
+        rows.append((f"b{r}", " ".join(bad), 0))
+    docs = spark.createDataFrame(rows, "id string, text string, label long")
+    capped = train_quality_logit(
+        docs, id_col="id", n_buckets=1 << 20, n_iter=4,
+        max_updates_per_iter=5,
+    )
+    # the model never grows past k buckets per iteration
+    assert len(capped) <= 4 * 5
+    # the 24-word vocabulary occupies >5 buckets, so the cap binds
+    uncapped = train_quality_logit(
+        docs, id_col="id", n_buckets=1 << 18, n_iter=4
+    )
+    assert len(uncapped) > 5
+    # sign recovery on whatever the capped model DID learn
+    from comic_text_detector_spark.operators.dedup import md5_long
+    from pyspark.sql import functions as F
+
+    wdf = spark.createDataFrame(
+        [(w,) for w in good + bad], "w string"
+    ).select(
+        "w", (md5_long(F.col("w")) % (1 << 20)).alias("b")
+    )
+    bucket_of = {r.w: r.b for r in wdf.collect()}
+    for w, mw in capped.items():
+        goods = {bucket_of[g] for g in good}
+        assert (mw > 0) == (w in goods), (w, mw)
+
+
+def test_topk_inactive_cap_matches_uncapped(spark):
+    """A cap larger than the occupied-bucket count is a no-op: identical
+    weights to the plain fit."""
+    docs = spark.createDataFrame(
+        [("a", "x y z", 1), ("b", "p q r", 0), ("c", "x y", 1)],
+        "id string, text string, label long",
+    )
+    assert train_quality_logit(
+        docs, id_col="id", n_buckets=4096, n_iter=3,
+        max_updates_per_iter=1000,
+    ) == train_quality_logit(docs, id_col="id", n_buckets=4096, n_iter=3)
+
+
+def test_big_dim_without_cap_refused(spark):
+    docs = spark.createDataFrame(
+        [("a", "x", 1)], "id string, text string, label long"
+    )
+    with pytest.raises(ValueError, match="max_updates_per_iter"):
+        train_quality_logit(docs, id_col="id", n_buckets=1 << 20)
+    with pytest.raises(ValueError):
+        train_quality_logit(
+            docs, id_col="id", n_buckets=1 << 20, max_updates_per_iter=0
+        )
