@@ -2682,16 +2682,38 @@ def _q_train_bpe_merges(spark, sf_dir):
     """DISTRIBUTED BPE TOKENIZER TRAINING: learn the merges table itself
     from the corpus (each round: adjacent-pair counts via one explode +
     groupBy, global argmax with deterministic tie break, ONE literal
-    replace rewrites the whole corpus). The oracle replays all 4 rounds
-    as unrolled CTE quartets — the learning loop itself is
-    value-verified, like the quality-classifier trainer
+    replace rewrites the whole corpus). Runs the BATCHED trainer
+    (batch_window=4 — several provably-non-interacting merges learned per
+    corpus pass) while the oracle replays the SEQUENTIAL algorithm as 4
+    unrolled CTE quartets — so the gate itself proves the batched path
+    learns the identical table
     (functions/textstats.py::train_bpe_merges/train_bpe_sql)."""
     from comic_text_detector_spark.functions.textstats import (
         train_bpe_merges,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    m = train_bpe_merges(docs, n_merges=4)
+    m = train_bpe_merges(docs, n_merges=4, batch_window=4)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(m)],
+        "rank int, a string, b string, c long",
+    ).select(F.col("rank").cast("bigint").alias("rank"), "a", "b", "c")
+
+
+def _q_train_bpe_words(spark, sf_dir):
+    """DICTIONARY-MODE BPE training (the Sennrich / production shape —
+    functions/textstats.py::train_bpe_merges_words): one corpus pass to
+    the (word, freq) dictionary, then every merge round runs over the
+    tiny distinct-word table with frequency-weighted pair counts. Runs
+    batched (batch_window=4); the oracle replays the sequential
+    dictionary rounds unrolled — batching equivalence and the weighted
+    counts both value-verified."""
+    from comic_text_detector_spark.functions.textstats import (
+        train_bpe_merges_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = train_bpe_merges_words(docs, n_merges=4, batch_window=4)
     return spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(m)],
         "rank int, a string, b string, c long",
@@ -2892,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_v2": _q_token_counts_v2,
         "token_counts_v3": _q_token_counts_v3,
         "train_bpe_merges_docs": _q_train_bpe_merges,
+        "train_bpe_words_docs": _q_train_bpe_words,
         "lang_id_v2": _q_lang_id_v2,
         "f19_f25_mini_box_warp": _q_f19_f25_mini_box_warp,
         "rotated_iou_axis": _q_rotated_iou_axis,
@@ -3201,6 +3224,10 @@ def oracle_sql() -> dict[str, str]:
             "comic_text_detector_spark.functions.textstats",
             fromlist=["train_bpe_sql"],
         ).train_bpe_sql("coalesce(text, '')", 4),
+        "train_bpe_words_docs": __import__(
+            "comic_text_detector_spark.functions.textstats",
+            fromlist=["train_bpe_words_sql"],
+        ).train_bpe_words_sql(4),
         "lang_id_v2": _lang_ngram_oracle(),
         "f19_f25_mini_box_warp": _mini_box_warp_oracle(),
         "rotated_iou_axis": _rotated_iou_axis_oracle(),

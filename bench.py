@@ -524,6 +524,45 @@ def main() -> None:
     ):
         ensure_curate_corpus(spark)
         extras["curate_e2e"] = run_curate_e2e(spark)
+    # BPE trainer cost evidence (VERDICT r4 item 6), three shapes on the
+    # same sample: full-text sequential (one job per merge — the r4
+    # implementation), full-text batched (several provably-safe merges
+    # per corpus pass, identical table — modest gains when the top-pair
+    # region is tied within-word chains), and DICTIONARY mode (one corpus
+    # pass to (word, freq), all rounds over the tiny distinct-word table
+    # — the production/100 TB shape; table differs only by never crossing
+    # whitespace). Batched runs FIRST so sequential gets the warmer JIT.
+    if os.environ.get("CTD_BENCH_BPE", "1") != "0" and (
+        time.time() - t_start + 60.0 < budget_s * 0.8
+    ):
+        from comic_text_detector_spark.functions.textstats import (
+            train_bpe_merges,
+            train_bpe_merges_words,
+        )
+
+        bpe_docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .limit(1500).repartition(CPUS).persist()
+        )
+        bpe_docs.count()
+        n_m = 24
+        t0 = time.time()
+        m_b = train_bpe_merges(bpe_docs, n_merges=n_m, batch_window=16)
+        t_b = time.time() - t0
+        t0 = time.time()
+        m_s = train_bpe_merges(bpe_docs, n_merges=n_m, batch_window=1)
+        t_s = time.time() - t0
+        t0 = time.time()
+        train_bpe_merges_words(bpe_docs, n_merges=40, batch_window=8)
+        t_w = time.time() - t0
+        bpe_docs.unpersist()
+        extras["bpe_train"] = {
+            "merges": n_m,
+            "sequential_sec": round(t_s, 2),
+            "batched_sec": round(t_b, 2),
+            "batched_identical": m_b == m_s,
+            "dictionary_40merges_sec": round(t_w, 2),
+        }
     spark.stop()
 
     # ---- interleaved lo/hi scaling rounds (same input: the scale corpus).

@@ -505,33 +505,126 @@ def train_bpe_merges(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 4,
+    batch_window: int = 1,
 ) -> list[tuple[str, str, int]]:
     """LEARN a BPE merges table from the corpus, in Spark — the training
     counterpart of ``token_count_bpe``: each round counts all adjacent
     symbol pairs (one explode + one map-side-combined groupBy), takes the
-    global argmax (count desc, then lexicographic pair — deterministic
-    tie break; ONE row to the driver per round, the model-to-driver
-    discipline), and applies the merge to the whole corpus as ONE literal
-    replace over the boundary encoding. Returns [(a, b, count), ...] in
-    training order — by construction a valid-training-order table, so it
-    plugs straight into ``token_count_bpe(merges=...)`` with the replay
-    equivalence intact.
+    globally ranked pairs (count desc, then lexicographic — deterministic
+    tie break), and applies the chosen merges to the whole corpus as
+    literal replaces over the boundary encoding. Returns
+    [(a, b, count), ...] in training order — by construction a
+    valid-training-order table, so it plugs straight into
+    ``token_count_bpe(merges=...)`` with the replay equivalence intact.
 
-    Corpus state is ``localCheckpoint``-ed per round (iterative DataFrame
-    loops grow their logical plan otherwise); each round is one shuffle.
+    ``batch_window=1`` is the textbook sequential loop: one argmax row to
+    the driver, one rewrite, one Spark job per merge. ``batch_window=k``
+    learns SEVERAL merges per corpus pass — the 40-merge-vocab cost fix —
+    while producing the IDENTICAL merge table, because a batch only
+    extends across merges that are *provably* what the sequential loop
+    would have picked next, judged from the one ranked count table:
+
+    * candidates are taken in the exact sequential ranking (c desc, a, b),
+      and the batch stops at the first candidate sharing a symbol with an
+      accepted merge — merging (a,b) only changes counts of pairs touching
+      a or b, so a symbol-disjoint next candidate keeps its exact count,
+      and disjointness also makes the replaces textually non-overlapping
+      (an overlap would need a shared boundary symbol);
+    * every pair's count can only DECREASE under a disjoint merge, and
+      brand-new pairs (x, ab)/(ab, y) inherit counts bounded by their
+      progenitors' (x, a)/(b, y) — so no unseen pair can EXCEED the next
+      candidate's count. But an inherited count can TIE it, and the new
+      pair's lexicographic key is arbitrary (merging (c,u) turns a tied
+      (u,st) into (cu,st), which beats a tied candidate (st,o) on lex) —
+      so a candidate is only accepted when NO unaccepted visible pair
+      with count ≥ the candidate's shares a symbol with the batch (such
+      a pair is the only possible progenitor of a tie-winning new pair,
+      and count ≥ candidate > horizon keeps it visible);
+    * ...UNLESS the merged string ``a+b`` collides with an
+      already-existing symbol (then existing (x, ab) counts can
+      INCREASE). Multi-char symbols only ever come from merges, so
+      freshness is an exact driver-side check against the
+      produced-symbol set; a collision ends the batch;
+    * candidates at or below the collected slice's horizon (the
+      (window+1)-th row's count) end the batch — ties beyond the slice
+      would be invisible.
+
+    The per-round driver collect is ≤ window+1 rows; the per-round corpus
+    work is one count pass + ONE rewrite projection applying the whole
+    accepted batch. Corpus state is ``localCheckpoint``-ed per round
+    (iterative DataFrame loops grow their logical plan otherwise).
     Stops early if no adjacent pair remains."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    sep2 = BPE_SEP + BPE_SEP
+    if batch_window < 1:
+        raise ValueError(f"batch_window must be >= 1, got {batch_window}")
     sdf = df.select(
-        _bpe_boundary_string(F.col(text_col)).alias("s")
+        _bpe_boundary_string(F.col(text_col)).alias("s"),
+        F.lit(1).cast("long").alias("freq"),
     ).localCheckpoint()
+    return _train_bpe_loop(sdf, n_merges, batch_window)
+
+
+def train_bpe_merges_words(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+    batch_window: int = 1,
+) -> list[tuple[str, str, int]]:
+    """DICTIONARY-MODE BPE training — the classic Sennrich shape and the
+    100 TB path: ONE corpus pass builds the (distinct word, frequency)
+    dictionary, then every merge round runs over that dictionary with
+    pair counts weighted by word frequency. At web scale the dictionary
+    is millions of rows where the corpus is billions, so 40 (or 50k)
+    rounds cost ~nothing after the single corpus scan — this is how
+    production BPE trainers are actually built.
+
+    SEMANTIC DIFFERENCE from ``train_bpe_merges`` (documented, not a
+    bug): merges can never cross whitespace, because words are counted in
+    isolation — pairs like (x, ' ') don't exist here. Whenever no
+    space-crossing pair would win a round (the overwhelmingly common
+    case — real tokenizers pre-split on whitespace for exactly this
+    reason), the learned table is IDENTICAL to the full-text trainer's
+    (equality-tested). The table is valid-training-order and plugs into
+    ``token_count_bpe`` the same way.
+
+    ``batch_window`` composes: the provable-batch argument of
+    ``train_bpe_merges`` only uses count monotonicity, which holds
+    unchanged for frequency-weighted counts."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if batch_window < 1:
+        raise ValueError(f"batch_window must be >= 1, got {batch_window}")
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select(_bpe_boundary_string(F.col("w")).alias("s"), "freq")
+        .localCheckpoint()
+    )
+    return _train_bpe_loop(words, n_merges, batch_window)
+
+
+def _train_bpe_loop(
+    sdf: DataFrame, n_merges: int, batch_window: int
+) -> list[tuple[str, str, int]]:
+    """Shared merge-learning loop over (s boundary-string, freq) rows —
+    full-text mode passes freq=1 per document, dictionary mode one row
+    per distinct word with its corpus frequency."""
+    sep2 = BPE_SEP + BPE_SEP
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    produced = set()  # every multi-char symbol string a merge has created
+    while len(merges) < n_merges:
+        window = min(batch_window, n_merges - len(merges))
         syms = F.filter(
             F.split(F.col("s"), sep2), lambda x: x != F.lit("")
         )
-        pairs = sdf.select(syms.alias("y")).select(
+        pairs = sdf.select(syms.alias("y"), "freq").select(
             F.explode(
                 F.when(
                     F.size("y") >= 2,
@@ -543,26 +636,57 @@ def train_bpe_merges(
                         ),
                     ),
                 ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-            ).alias("p")
+            ).alias("p"),
+            "freq",
         )
-        best = (
+        top = (
             pairs.groupBy("p.a", "p.b")
-            .agg(F.count("*").cast("long").alias("c"))
+            .agg(F.sum("freq").cast("long").alias("c"))
             .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(window + 1)
             .collect()
         )
-        if not best:
+        if not top:
             break
-        a, b, c = best[0].a, best[0].b, int(best[0].c)
-        merges.append((a, b, c))
-        sdf = sdf.select(
-            F.replace(
-                F.col("s"),
+        # counts at or below the horizon may have invisible ties — a
+        # fully-visible slice (fewer rows than asked) has no horizon
+        guard = int(top[window].c) if len(top) > window else 0
+        batch: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for pos, row in enumerate(top[:window]):
+            a, b, c = row.a, row.b, int(row.c)
+            if c <= guard or a in used or b in used:
+                break
+            # tie guard: any unaccepted visible pair with count >= c that
+            # touches the batch could transform into a new pair TYING c
+            # with an arbitrary (possibly winning) lex key — unprovable
+            # without a recount, so the batch ends here. Rows above `pos`
+            # are all accepted (or the loop broke), so scan the rest.
+            if any(
+                int(q.c) >= c and (q.a in used or q.b in used)
+                for q in top[pos + 1 :]
+            ):
+                break
+            batch.append((a, b, c))
+            used.update((a, b))
+            fresh = (a + b) not in produced
+            produced.add(a + b)
+            if not fresh:
+                break  # (x, a+b) counts can now increase: re-count first
+        if not batch:  # horizon too tight for even one merge: it IS the
+            batch = [  # sequential argmax, always safe alone
+                (top[0].a, top[0].b, int(top[0].c))
+            ]
+            produced.add(top[0].a + top[0].b)
+        merges.extend(batch)
+        col = F.col("s")
+        for a, b, _c in batch:  # disjoint symbols: replaces can't overlap
+            col = F.replace(
+                col,
                 F.lit(BPE_SEP + a + sep2 + b + BPE_SEP),
                 F.lit(BPE_SEP + a + b + BPE_SEP),
-            ).alias("s")
-        ).localCheckpoint()
+            )
+        sdf = sdf.select(col.alias("s"), "freq").localCheckpoint()
     return merges
 
 
@@ -593,6 +717,47 @@ def train_bpe_sql(
             f" (SELECT b FROM b{i}) || '{sep}',"
             f" '{sep}' || (SELECT a || b FROM b{i}) || '{sep}') AS s"
             f" FROM {prev})"
+        )
+        selects.append(
+            f"SELECT {i} AS rank, a, b, c FROM b{i}"
+        )
+    return (
+        "WITH " + "".join(parts) + " " + " UNION ALL ".join(selects)
+        + " ORDER BY rank"
+    )
+
+
+def train_bpe_words_sql(
+    n_merges: int, source: str = "documents", text_col: str = "text"
+) -> str:
+    """Unrolled oracle twin of ``train_bpe_merges_words``: the word
+    dictionary built once, then per round a symbols/pairs/argmax/rewrite
+    CTE quartet with frequency-weighted counts; emits (rank, a, b, c)."""
+    sep = BPE_SEP
+    parts = [
+        "words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM"
+        f" (SELECT unnest(string_split(coalesce({text_col}, ''), ' '))"
+        f" AS w FROM {source}) WHERE w <> '' GROUP BY w), "
+        f"t0 AS (SELECT {bpe_encode_sql('w')} AS s, freq FROM words) "
+    ]
+    selects = []
+    for i in range(1, n_merges + 1):
+        prev = f"t{i - 1}"
+        parts.append(
+            f", y{i} AS (SELECT list_filter(string_split(s, '{sep}{sep}'),"
+            f" x -> x <> '') AS y, freq FROM {prev})"
+            f", q{i} AS (SELECT y, freq, unnest(generate_series(1,"
+            f" greatest(len(y) - 1, 0))) AS i FROM y{i})"
+            f", p{i} AS (SELECT y[i] AS a, y[i + 1] AS b,"
+            f" CAST(sum(freq) AS BIGINT) AS c FROM q{i} GROUP BY y[i],"
+            f" y[i + 1])"
+            f", b{i} AS (SELECT a, b, c FROM p{i}"
+            f" ORDER BY c DESC, a, b LIMIT 1)"
+            f", t{i} AS (SELECT replace(s,"
+            f" '{sep}' || (SELECT a FROM b{i}) || '{sep}{sep}' ||"
+            f" (SELECT b FROM b{i}) || '{sep}',"
+            f" '{sep}' || (SELECT a || b FROM b{i}) || '{sep}') AS s,"
+            f" freq FROM {prev})"
         )
         selects.append(
             f"SELECT {i} AS rank, a, b, c FROM b{i}"

@@ -188,3 +188,124 @@ def test_train_bpe_merges_stops_when_dry(spark):
     # 'ab' has one pair; after merging it nothing remains
     m = train_bpe_merges(df, n_merges=5)
     assert [(a, b) for a, b, _ in m] == [("a", "b")]
+
+
+def test_train_bpe_batched_identical_to_sequential_random(spark):
+    """The batched trainer's whole point: IDENTICAL merge tables to the
+    sequential loop, fewer corpus passes. Randomized small corpora over a
+    tiny alphabet maximize pair-count ties, symbol collisions, and
+    interacting merges — every case where the batch must stop early."""
+    import random
+
+    from comic_text_detector_spark.functions.textstats import (
+        train_bpe_merges,
+    )
+
+    rng = random.Random(7)
+    for trial in range(6):
+        docs = [
+            (" ".join(
+                "".join(rng.choice("ab c") for _ in range(rng.randint(1, 9)))
+                for _ in range(rng.randint(1, 6))
+            ),)
+            for _ in range(12)
+        ]
+        df = spark.createDataFrame(docs, "text string")
+        seq = train_bpe_merges(df, n_merges=6, batch_window=1)
+        for window in (2, 4, 8):
+            got = train_bpe_merges(df, n_merges=6, batch_window=window)
+            assert got == seq, (trial, window, got, seq)
+
+
+def test_train_bpe_batched_adversarial_cases(spark):
+    from comic_text_detector_spark.functions.textstats import (
+        train_bpe_merges,
+    )
+
+    cases = [
+        # overlapping self-pair runs: (a,a) merges left-to-right
+        [("aaaa aaa aa",), ("aaaaa",)],
+        # interacting top pairs sharing a symbol: batch must stop at 2nd
+        [("abc abc abc",), ("bcd bcd",)],
+        # merged string collides with later adjacency: "ab" created, then
+        # text containing x+"ab" adjacencies through a different route
+        [("ab ab ab a b a b",), ("cab cab",)],
+        # exact count ties everywhere
+        [("xy xy pq pq",), ("xy pq",)],
+    ]
+    for docs in cases:
+        df = spark.createDataFrame(docs, "text string")
+        seq = train_bpe_merges(df, n_merges=5, batch_window=1)
+        for window in (2, 3, 5):
+            got = train_bpe_merges(df, n_merges=5, batch_window=window)
+            assert got == seq, (docs, window, got, seq)
+
+
+def test_train_bpe_batched_contracts(spark):
+    import pytest
+
+    from comic_text_detector_spark.functions.textstats import (
+        train_bpe_merges,
+    )
+
+    df = spark.createDataFrame([("ab",)], "text string")
+    with pytest.raises(ValueError):
+        train_bpe_merges(df, batch_window=0)
+
+
+def test_train_bpe_words_matches_fulltext_without_spaces(spark):
+    """Single-word documents have no space symbol, so dictionary mode
+    (frequency-weighted distinct words) must equal the full-text trainer
+    exactly — the weighting is just deduplication."""
+    from comic_text_detector_spark.functions.textstats import (
+        train_bpe_merges,
+        train_bpe_merges_words,
+    )
+
+    docs = [("banana",)] * 4 + [("bandana",)] * 3 + [("cabana",)] * 2
+    df = spark.createDataFrame(docs, "text string")
+    full = train_bpe_merges(df, n_merges=6)
+    words = train_bpe_merges_words(df, n_merges=6)
+    assert words == full
+    # and batching composes in dictionary mode too
+    assert train_bpe_merges_words(df, n_merges=6, batch_window=4) == words
+
+
+def test_train_bpe_words_never_crosses_whitespace(spark):
+    """The documented semantic difference: a corpus whose full-text
+    argmax is a space pair diverges — dictionary-mode merges never
+    contain the space symbol."""
+    from comic_text_detector_spark.functions.textstats import (
+        train_bpe_merges,
+        train_bpe_merges_words,
+    )
+
+    df = spark.createDataFrame([("x y x y x y x y",)] * 3, "text string")
+    full = train_bpe_merges(df, n_merges=2)
+    words = train_bpe_merges_words(df, n_merges=2)
+    assert any(" " in a or " " in b for a, b, _ in full)
+    assert all(" " not in a and " " not in b for a, b, _ in words)
+
+
+def test_train_bpe_words_batched_identical_random(spark):
+    import random
+
+    from comic_text_detector_spark.functions.textstats import (
+        train_bpe_merges_words,
+    )
+
+    rng = random.Random(11)
+    for _ in range(4):
+        docs = [
+            (" ".join(
+                "".join(rng.choice("abc") for _ in range(rng.randint(2, 7)))
+                for _ in range(rng.randint(1, 5))
+            ),)
+            for _ in range(10)
+        ]
+        df = spark.createDataFrame(docs, "text string")
+        seq = train_bpe_merges_words(df, n_merges=5, batch_window=1)
+        for window in (2, 5):
+            assert train_bpe_merges_words(
+                df, n_merges=5, batch_window=window
+            ) == seq
