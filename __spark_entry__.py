@@ -678,6 +678,93 @@ def _q_multimodal_letterbox(spark, sf_dir):
     )
 
 
+def _synth_wav_bytes(i: int) -> bytes:
+    """Deterministic golden WAV for doc_id ``i`` — three format variants
+    (16-bit mono w/ varying rate, 16-bit stereo, 8-bit mono) whose samples
+    are closed-form modular arithmetic, so the oracle recomputes every
+    feature without parsing a byte."""
+    from comic_text_detector_spark.multimodal.wav import synthesize_wav
+
+    n = 120 + i % 101
+    k = i % 3
+    c0 = [((i * 31 + 7 * t * t) % 2001) - 1000 for t in range(n)]
+    if k == 0:
+        return synthesize_wav([c0], 8000 + (i % 5) * 1000, 16)
+    if k == 1:
+        c1 = [((i * 17 + 13 * t) % 2001) - 1000 for t in range(n)]
+        return synthesize_wav([c0, c1], 16000, 16)
+    return synthesize_wav(
+        [[((i + 5 * t) % 256) - 128 for t in range(n)]], 11025, 8
+    )
+
+
+def _wav_media_df(spark, sf_dir):
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [str(i) for i in ids],
+                    "media": [_synth_wav_bytes(i) for i in ids],
+                }
+            )
+
+    return docs.mapInPandas(synth, "media_id string, media binary")
+
+
+def _q_audio_features(spark, sf_dir):
+    """Audio made real: each doc_id becomes a genuine RIFF PCM WAV
+    (mono/stereo, 8/16-bit, samples from closed-form arithmetic), the
+    kernel parses the ACTUAL bytes back (multimodal/wav.py), and the
+    oracle predicts every feature — duration, peak, exact energy,
+    floor-milli RMS, zero crossings — from the same formulas. A byte-level
+    parser bug (chunk walk, sample width, channel de-interleave) fails the
+    value hash."""
+    from comic_text_detector_spark.multimodal.wav import decode_audio_features
+
+    return decode_audio_features(_wav_media_df(spark, sf_dir)).select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "sample_rate", "channels", "bits", "n_frames", "duration_ms",
+        "peak", "sum_sq", "rms_milli", "zero_crossings", "ok",
+    )
+
+
+def _q_audio_frame_energy(spark, sf_dir):
+    """Windowed channel-0 energy over real decoded WAV samples (64-sample
+    frames, exact bigint energy) — the one-to-many audio UDTF shape, same
+    contract as video frame sampling."""
+    from comic_text_detector_spark.multimodal.wav import wav_frame_energy
+
+    return wav_frame_energy(_wav_media_df(spark, sf_dir), frame_len=64).select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "frame_idx", "n", "energy",
+    )
+
+
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher-style heuristic quality battery (operators/curation.py::
+    gopher_quality): word/line stats, duplicate-line fractions,
+    bullet/ellipsis/symbol ratios, stopword presence — one codegen'd
+    Project, every count exact, every fraction one IEEE division, replayed
+    verbatim by the DuckDB list-function oracle."""
+    from comic_text_detector_spark.operators.curation import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+def _q_chunk_docs(spark, sf_dir):
+    """Sliding-window training chunking (operators/packing.py::
+    chunk_sliding): 32-token windows, stride 24 — closed-form window
+    count, one Project + one sequence-explode, zero shuffle."""
+    from comic_text_detector_spark.operators.packing import chunk_sliding
+
+    return chunk_sliding(_t(spark, sf_dir, "documents"), chunk=32, stride=24)
+
+
 def _q_multimodal_letterbox_jpeg(spark, sf_dir):
     """F5/F6 over the dominant crawl format: each doc_id becomes a REAL
     baseline JPEG (SOF0 sequential Huffman, synthesized and decoded by the
@@ -2951,6 +3038,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_letterbox_jpeg": _q_multimodal_letterbox_jpeg,
         "multimodal_letterbox_gif": _q_multimodal_letterbox_gif,
         "multimodal_gif_frames": _q_multimodal_gif_frames,
+        "audio_features": _q_audio_features,
+        "audio_frame_energy": _q_audio_frame_energy,
+        "gopher_quality": _q_gopher_quality,
+        "chunk_docs": _q_chunk_docs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "minhash_lsh_pairs_md5": _q_minhash_lsh_pairs_md5,
         "simhash": _q_simhash,
@@ -3999,6 +4090,138 @@ def oracle_sql() -> dict[str, str]:
             "     FROM unnest(generate_series(1, CAST(doc_id % 4 AS INTEGER)))"
             "       AS t(k)), 0) AS BIGINT) AS last_sum"
             " FROM documents"
+        ),
+        "audio_features": (
+            "WITH p AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS k,"
+            " CAST(120 + doc_id % 101 AS BIGINT) AS n,"
+            " CAST(CASE CAST(doc_id % 3 AS INTEGER)"
+            "  WHEN 0 THEN 8000 + (doc_id % 5) * 1000"
+            "  WHEN 1 THEN 16000 ELSE 11025 END AS BIGINT) AS rate"
+            " FROM documents),"
+            " s AS (SELECT p.doc_id, p.k, p.n, p.rate, t,"
+            "  CASE WHEN p.k = 2 THEN ((p.doc_id + 5*t) % 256) - 128"
+            "   ELSE ((p.doc_id*31 + 7*t*t) % 2001) - 1000 END AS s0,"
+            "  CASE WHEN p.k = 1 THEN ((p.doc_id*17 + 13*t) % 2001) - 1000"
+            "   END AS s1"
+            "  FROM p, unnest(generate_series(0, p.n - 1)) AS g(t)),"
+            " z AS (SELECT doc_id, k, n, rate, s0, s1,"
+            "  lag(s0) OVER (PARTITION BY doc_id ORDER BY t) AS prev FROM s)"
+            " SELECT doc_id,"
+            "  CAST(max(rate) AS INTEGER) AS sample_rate,"
+            "  CAST(max(CASE WHEN k = 1 THEN 2 ELSE 1 END) AS INTEGER)"
+            "   AS channels,"
+            "  CAST(max(CASE WHEN k = 2 THEN 8 ELSE 16 END) AS INTEGER)"
+            "   AS bits,"
+            "  max(n) AS n_frames,"
+            "  CAST((max(n) * 1000) // max(rate) AS BIGINT) AS duration_ms,"
+            "  CAST(max(greatest(abs(s0), coalesce(abs(s1), 0))) AS INTEGER)"
+            "   AS peak,"
+            "  CAST(sum(s0*s0 + coalesce(s1*s1, 0)) AS BIGINT) AS sum_sq,"
+            "  CAST(floor(sqrt(CAST(sum(s0*s0 + coalesce(s1*s1, 0)) AS BIGINT)"
+            "   / (max(n) * max(CASE WHEN k = 1 THEN 2 ELSE 1 END)))"
+            "   * 1000) AS BIGINT) AS rms_milli,"
+            "  CAST(sum(CASE WHEN prev * s0 < 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS zero_crossings,"
+            "  TRUE AS ok"
+            " FROM z GROUP BY doc_id"
+        ),
+        "audio_frame_energy": (
+            "WITH p AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS k,"
+            " CAST(120 + doc_id % 101 AS BIGINT) AS n FROM documents),"
+            " s AS (SELECT p.doc_id, t,"
+            "  CASE WHEN p.k = 2 THEN ((p.doc_id + 5*t) % 256) - 128"
+            "   ELSE ((p.doc_id*31 + 7*t*t) % 2001) - 1000 END AS s0"
+            "  FROM p, unnest(generate_series(0, p.n - 1)) AS g(t))"
+            " SELECT doc_id, CAST(t // 64 AS INTEGER) AS frame_idx,"
+            "  CAST(count(*) AS INTEGER) AS n,"
+            "  CAST(sum(s0*s0) AS BIGINT) AS energy"
+            " FROM s GROUP BY doc_id, t // 64"
+        ),
+        "gopher_quality": (
+            "WITH arr AS (SELECT doc_id,"
+            " list_filter(string_split(coalesce(text, ''), chr(10)),"
+            "  l -> l <> '') AS lines,"
+            " list_filter(string_split(coalesce(text, ''), ' '),"
+            "  w -> w <> '') AS words"
+            " FROM documents),"
+            " c AS (SELECT doc_id,"
+            "  len(lines) AS n_lines,"
+            "  len(lines) - len(list_distinct(lines)) AS n_dup_lines,"
+            "  CAST(coalesce(list_sum(list_transform(lines, l -> length(l))), 0)"
+            "   AS BIGINT) AS line_chars,"
+            "  CAST(coalesce(list_sum(list_transform(lines, l -> length(l))), 0)"
+            "   - coalesce(list_sum(list_transform(list_distinct(lines),"
+            "      l -> length(l))), 0) AS BIGINT) AS dup_line_chars,"
+            "  len(list_filter(lines, l -> starts_with(l, '- ')"
+            "   OR starts_with(l, '* ') OR starts_with(l, '•'))) AS n_bullet,"
+            "  len(list_filter(lines, l -> ends_with(l, '...')"
+            "   OR ends_with(l, '…'))) AS n_ellipsis,"
+            "  len(words) AS n_words,"
+            "  CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)"
+            "   AS BIGINT) AS word_chars,"
+            "  len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))"
+            "   AS n_alpha_words,"
+            "  len(list_filter(words, w -> contains(w, '#')"
+            "   OR contains(w, '…'))) AS n_sym_words,"
+            "  len(list_intersect(list_distinct(list_transform(words,"
+            "   w -> lower(w))), ['the','be','to','of','and','that','have',"
+            "   'with'])) AS n_stop_kinds"
+            " FROM arr),"
+            " m AS (SELECT *,"
+            "  CAST(CASE WHEN n_words > 0 THEN (word_chars * 1000) // n_words"
+            "   ELSE 0 END AS BIGINT) AS mean_word_len_milli,"
+            "  CASE WHEN n_lines > 0 THEN n_dup_lines / n_lines"
+            "   ELSE 0.0 END AS dup_line_frac,"
+            "  CASE WHEN line_chars > 0 THEN dup_line_chars / line_chars"
+            "   ELSE 0.0 END AS dup_line_char_frac,"
+            "  CASE WHEN n_lines > 0 THEN n_bullet / n_lines"
+            "   ELSE 0.0 END AS bullet_line_frac,"
+            "  CASE WHEN n_lines > 0 THEN n_ellipsis / n_lines"
+            "   ELSE 0.0 END AS ellipsis_line_frac,"
+            "  CASE WHEN n_words > 0 THEN n_sym_words / n_words"
+            "   ELSE 0.0 END AS sym_word_frac,"
+            "  CASE WHEN n_words > 0 THEN n_alpha_words / n_words"
+            "   ELSE 0.0 END AS alpha_word_frac"
+            " FROM c)"
+            " SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,"
+            "  CAST(n_lines AS INTEGER) AS n_lines, mean_word_len_milli,"
+            "  dup_line_frac, dup_line_char_frac, bullet_line_frac,"
+            "  ellipsis_line_frac, sym_word_frac, alpha_word_frac,"
+            "  CAST(n_stop_kinds AS INTEGER) AS n_stop_kinds,"
+            "  (n_words >= 50 AND n_words <= 100000"
+            "   AND mean_word_len_milli >= 3000"
+            "   AND mean_word_len_milli <= 10000"
+            "   AND (CASE WHEN n_words > 0 THEN n_sym_words / n_words"
+            "    ELSE 0.0 END) < 0.1"
+            "   AND (CASE WHEN n_lines > 0 THEN n_bullet / n_lines"
+            "    ELSE 0.0 END) < 0.9"
+            "   AND (CASE WHEN n_lines > 0 THEN n_ellipsis / n_lines"
+            "    ELSE 0.0 END) < 0.3"
+            "   AND (CASE WHEN n_lines > 0 THEN n_dup_lines / n_lines"
+            "    ELSE 0.0 END) < 0.3"
+            "   AND (CASE WHEN line_chars > 0 THEN dup_line_chars / line_chars"
+            "    ELSE 0.0 END) < 0.2"
+            "   AND (CASE WHEN n_words > 0 THEN n_alpha_words / n_words"
+            "    ELSE 0.0 END) >= 0.8"
+            "   AND n_stop_kinds >= 2) AS keep"
+            " FROM m"
+        ),
+        "chunk_docs": (
+            "WITH w AS (SELECT doc_id,"
+            " list_filter(string_split(coalesce(text, ''), ' '),"
+            "  x -> x <> '') AS words FROM documents),"
+            " n AS (SELECT doc_id, words, len(words) AS n FROM w"
+            "  WHERE len(words) > 0),"
+            " k AS (SELECT doc_id, words, unnest(generate_series(0,"
+            "  CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END))"
+            "  AS chunk_id FROM n)"
+            " SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,"
+            "  CAST(chunk_id * 24 AS INTEGER) AS start_word,"
+            "  CAST(len(list_slice(words, chunk_id * 24 + 1,"
+            "   chunk_id * 24 + 32)) AS INTEGER) AS n_tokens,"
+            "  array_to_string(list_slice(words, chunk_id * 24 + 1,"
+            "   chunk_id * 24 + 32), ' ') AS chunk_text"
+            " FROM k"
         ),
         "extract_blocks": (
             "SELECT doc_id, 0 AS block_id, text AS block_text, CASE"

@@ -798,3 +798,131 @@ def robots_rules_for_agent(
         specific_hosts, "host", "left_anti"
     )
     return own.unionByName(fallback).select("host", "path_prefix", "allow")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_milli: int = 3000,
+    max_mean_word_len_milli: int = 10_000,
+    max_sym_word_frac: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_kinds: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1), the
+    standard heuristic battery a web-corpus pipeline runs before any
+    learned filter: word-count bounds, mean word length, symbol-word and
+    bullet/ellipsis line ratios, duplicate-line row/char fractions, the
+    alphabetic-word fraction, and the 8-stopword presence count.
+
+    Everything is pure column expressions over the line/word arrays — no
+    explode, no shuffle, no UDF: a single whole-stage-codegen Project that
+    is embarrassingly parallel at any corpus size. All counts are exact
+    integers; every fraction is ONE IEEE division of two exact ints and
+    ``mean_word_len_milli`` is an exact integer ``div``, so the output
+    (and the ``keep`` verdict) is value-checkable bit-for-bit against an
+    independent engine.
+
+    Duplicate-line fractions exclude EMPTY lines (same discipline as
+    ``line_freq_dedup`` — paragraph breaks are structure, not content;
+    counting them would flag every multi-paragraph document). Documents
+    with no words or no nonempty lines fail ``keep`` outright.
+    """
+    stop = F.array(*[F.lit(s) for s in
+                     ("the", "be", "to", "of", "and", "that", "have", "with")])
+    zero = F.lit(0).cast("long")
+    chars = lambda arr: F.aggregate(arr, zero, lambda a, x: a + F.length(x))  # noqa: E731
+
+    arrays = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+            lambda l: l != "",
+        ).alias("lines"),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+            lambda w: w != "",
+        ).alias("words"),
+    )
+    counts = arrays.select(
+        id_col,
+        F.size("lines").alias("n_lines"),
+        (F.size("lines") - F.size(F.array_distinct("lines"))).alias("n_dup_lines"),
+        chars(F.col("lines")).alias("line_chars"),
+        (chars(F.col("lines")) - chars(F.array_distinct("lines"))).alias("dup_line_chars"),
+        F.size(
+            F.filter(
+                F.col("lines"),
+                lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("•"),
+            )
+        ).alias("n_bullet"),
+        F.size(
+            F.filter(
+                F.col("lines"),
+                lambda l: l.endswith("...") | l.endswith("…"),
+            )
+        ).alias("n_ellipsis"),
+        F.size("words").alias("n_words"),
+        chars(F.col("words")).alias("word_chars"),
+        F.size(
+            F.filter(F.col("words"), lambda w: w.rlike("[A-Za-z]"))
+        ).alias("n_alpha_words"),
+        F.size(
+            F.filter(
+                F.col("words"),
+                lambda w: w.contains("#") | w.contains("…"),
+            )
+        ).alias("n_sym_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(F.col("words"), F.lower)), stop
+            )
+        ).alias("n_stop_kinds"),
+    )
+    nl = F.col("n_lines").cast("double")
+    nw = F.col("n_words").cast("double")
+    mean_milli = F.expr("word_chars * 1000 div n_words")
+    metrics = counts.select(
+        "*",
+        F.when(F.col("n_words") > 0, mean_milli)
+        .otherwise(F.lit(0)).cast("long").alias("mean_word_len_milli"),
+        F.when(F.col("n_lines") > 0, F.col("n_dup_lines") / nl)
+        .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(F.col("line_chars") > 0,
+               F.col("dup_line_chars") / F.col("line_chars").cast("double"))
+        .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+        F.when(F.col("n_lines") > 0, F.col("n_bullet") / nl)
+        .otherwise(F.lit(0.0)).alias("bullet_line_frac"),
+        F.when(F.col("n_lines") > 0, F.col("n_ellipsis") / nl)
+        .otherwise(F.lit(0.0)).alias("ellipsis_line_frac"),
+        F.when(F.col("n_words") > 0, F.col("n_sym_words") / nw)
+        .otherwise(F.lit(0.0)).alias("sym_word_frac"),
+        F.when(F.col("n_words") > 0, F.col("n_alpha_words") / nw)
+        .otherwise(F.lit(0.0)).alias("alpha_word_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len_milli") >= min_mean_word_len_milli)
+        & (F.col("mean_word_len_milli") <= max_mean_word_len_milli)
+        & (F.col("sym_word_frac") < max_sym_word_frac)
+        & (F.col("bullet_line_frac") < max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") < max_ellipsis_line_frac)
+        & (F.col("dup_line_frac") < max_dup_line_frac)
+        & (F.col("dup_line_char_frac") < max_dup_line_char_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stop_kinds") >= min_stop_kinds)
+    )
+    return metrics.select(
+        id_col, "n_words", "n_lines", "mean_word_len_milli",
+        "dup_line_frac", "dup_line_char_frac", "bullet_line_frac",
+        "ellipsis_line_frac", "sym_word_frac", "alpha_word_frac",
+        "n_stop_kinds", keep.alias("keep"),
+    )

@@ -144,3 +144,54 @@ def pack_stats(
         F.sum(tokens_col).cast("bigint").alias("pack_tokens"),
         (F.sum(tokens_col) / F.lit(float(budget))).alias("fill_ratio"),
     )
+
+
+def chunk_sliding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window document chunking — the step BEFORE packing when
+    documents exceed the training context: split each document's word
+    stream into windows of ``chunk`` tokens advancing by ``stride``
+    (``chunk - stride`` tokens of overlap preserve cross-boundary
+    context, the standard pretraining windowing).
+
+    Window count is closed-form — ``1 + ceil((n - chunk)/stride)`` for
+    n > chunk else 1 — so the plan is one Project + one explode of a
+    ``sequence()``: no shuffle, no UDF, embarrassingly parallel, and the
+    DuckDB oracle replays it with ``generate_series`` + list slicing.
+    With ``stride <= chunk`` (enforced) the last window always starts
+    before the stream's end, so no empty chunk is ever emitted.
+    Documents with no words yield no chunks (drop-not-fake; callers see
+    them vanish rather than receive an empty training row).
+
+    Emits (id, chunk_id, start_word, n_tokens, chunk_text).
+    """
+    if not 1 <= stride <= chunk:
+        raise ValueError("need 1 <= stride <= chunk")
+    words = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+            lambda w: w != "",
+        ).alias("words"),
+    ).filter(F.size("words") > 0)
+    n = F.size("words")
+    n_chunks = F.when(n <= chunk, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(f"(size(words) - {chunk} + {stride} - 1) div {stride}")
+    )
+    ks = words.select(
+        id_col, "words",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("words"), F.col("chunk_id") * stride + 1, chunk)
+    return ks.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id") * stride).cast("int").alias("start_word"),
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -85,6 +85,19 @@ def main(argv: list[str], spark=None) -> int:
         "and CUT them from every doc (Lee et al. 2022 span-level dedup) "
         "after line-level dedup",
     )
+    p.add_argument(
+        "--gopher",
+        action="store_true",
+        help="apply the Gopher heuristic quality battery (Rae et al. 2021 "
+        "§A1.1) as a document filter after the learned floors",
+    )
+    p.add_argument(
+        "--gopher-min-words",
+        type=int,
+        default=50,
+        help="minimum word count for --gopher (the other thresholds use "
+        "the published defaults)",
+    )
     p.add_argument("--dup-k", type=int, default=20)
     p.add_argument("--dup-min-len", type=int, default=50)
     p.add_argument("--ngram", type=int, default=5)
@@ -201,6 +214,19 @@ def main(argv: list[str], spark=None) -> int:
             clean, uni, big, id_col=args.id_col, text_col=args.text_col
         ).filter(F.col("score") < args.min_lm_score)
         clean = clean.join(low.select(args.id_col), args.id_col, "left_anti")
+
+    # optional stage 1f: Gopher heuristic battery — docs failing any of the
+    # Rae et al. rules (word bounds, word length, symbol/bullet/ellipsis,
+    # duplicate lines, stopword presence) leave via an anti-join; the
+    # battery itself is a zero-shuffle Project so the stage's only
+    # exchange is the join back
+    if args.gopher:
+        from comic_text_detector_spark.operators.curation import gopher_quality
+
+        bad = gopher_quality(
+            clean, args.id_col, args.text_col, min_words=args.gopher_min_words
+        ).filter(~F.col("keep")).select(args.id_col)
+        clean = clean.join(bad, args.id_col, "left_anti")
 
     # stage 2 + 3 fuse into one zero-exchange scan: quality floor, then the
     # deterministic per-language mixture sample

@@ -622,3 +622,75 @@ def test_robots_rules_for_agent_group_selection(spark):
         "host string, robots_txt string",
     )
     assert parse_robots_rules(dup).count() == 1
+
+
+class TestGopherQuality:
+    def _run(self, spark, rows):
+        from comic_text_detector_spark.operators.curation import gopher_quality
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in gopher_quality(df).collect()}
+
+    def test_planted_verdicts(self, spark):
+        good = " ".join(
+            ["the quick brown fox jumps over that lazy dog and runs off"] * 6
+        )
+        bullets = "\n".join(f"- item {i} of the and that have" for i in range(20))
+        dups = "\n".join(["the same line of the and that have with words"] * 10)
+        out = self._run(
+            spark,
+            [
+                (1, good),
+                (2, bullets + "\n" + good),
+                (3, dups),
+                (4, ""),
+                (5, None),
+            ],
+        )
+        assert out[1]["keep"] is True
+        assert out[1]["n_stop_kinds"] >= 2
+        # 20 bullet lines of 21 nonempty lines > 0.9 bullet fraction
+        assert out[2]["bullet_line_frac"] > 0.9 and out[2]["keep"] is False
+        # 10 identical lines → 9/10 duplicate rows, 90% duplicate chars
+        assert out[3]["dup_line_frac"] == 0.9
+        assert out[3]["keep"] is False
+        assert out[4]["keep"] is False and out[4]["n_words"] == 0
+        assert out[5]["keep"] is False
+
+    def test_word_stats_exact(self, spark):
+        # "aa bbb  cc" → words [aa,bbb,cc] (empty token filtered),
+        # word_chars 7, mean milli = 7000 div 3 = 2333
+        out = self._run(spark, [(1, "aa bbb  cc")])
+        assert out[1]["n_words"] == 3
+        assert out[1]["mean_word_len_milli"] == 2333
+        # symbol + alpha fractions: one '#' word of three
+        out = self._run(spark, [(2, "ab #tag 12")])
+        assert out[2]["sym_word_frac"] == 1 / 3
+        assert out[2]["alpha_word_frac"] == 2 / 3
+
+
+def test_curate_job_gopher_stage(spark, tmp_path):
+    """--gopher drops rule-violating docs inside the job pipeline."""
+    from jobs import curate_job
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog and runs off"] * 6
+    )
+    bullets = "\n".join(f"- item {i} of the and that have" for i in range(30))
+    docs = spark.createDataFrame(
+        [("http://h/good", good, "en"), ("http://h/bullets", bullets, "en")],
+        "url string, text string, lang string",
+    )
+    corpus, bench = str(tmp_path / "c"), str(tmp_path / "b")
+    docs.write.parquet(corpus)
+    spark.createDataFrame([("zz qq ww",)], "text string").write.parquet(bench)
+    out = str(tmp_path / "out")
+    assert curate_job.main(
+        [
+            "--input", corpus, "--benchmark", bench, "--output", out,
+            "--rates", '{"en": 1.0}', "--gopher", "--gopher-min-words", "10",
+        ],
+        spark=spark,
+    ) == 0
+    kept = {r.url for r in spark.read.parquet(f"{out}/curated").collect()}
+    assert kept == {"http://h/good"}

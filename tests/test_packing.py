@@ -163,3 +163,59 @@ def test_pack_split_long_default_schema_unchanged(spark):
 
     df = spark.createDataFrame([(1, 10)], "doc_id int, n_tokens int")
     assert "part" not in pack_sequences(df, budget=8).columns
+
+
+class TestChunkSliding:
+    def _chunks(self, spark, text, chunk=8, stride=6):
+        from comic_text_detector_spark.operators.packing import chunk_sliding
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = chunk_sliding(df, chunk=chunk, stride=stride).collect()
+        return sorted(rows, key=lambda r: r["chunk_id"])
+
+    def test_window_math(self, spark):
+        words = [f"w{i}" for i in range(20)]
+        rows = self._chunks(spark, " ".join(words), chunk=8, stride=6)
+        # 1 + ceil((20-8)/6) = 3 windows at starts 0, 6, 12
+        assert [r["start_word"] for r in rows] == [0, 6, 12]
+        assert [r["n_tokens"] for r in rows] == [8, 8, 8]
+        assert rows[1]["chunk_text"].split(" ") == words[6:14]
+        # overlap tokens are shared between consecutive windows
+        assert rows[0]["chunk_text"].split(" ")[6:] == rows[1][
+            "chunk_text"
+        ].split(" ")[:2]
+
+    def test_short_doc_single_window(self, spark):
+        rows = self._chunks(spark, "a b c", chunk=8, stride=6)
+        assert len(rows) == 1 and rows[0]["n_tokens"] == 3
+
+    def test_boundary_one_past_chunk(self, spark):
+        rows = self._chunks(spark, " ".join("x" * 1 for _ in range(9)),
+                            chunk=8, stride=6)
+        assert len(rows) == 2 and rows[1]["n_tokens"] == 3  # words 6..8
+
+    def test_exact_partition_when_stride_equals_chunk(self, spark):
+        words = [f"w{i}" for i in range(24)]
+        rows = self._chunks(spark, " ".join(words), chunk=8, stride=8)
+        assert [r["n_tokens"] for r in rows] == [8, 8, 8]
+        # disjoint cover: concatenation reconstructs the stream exactly
+        assert " ".join(r["chunk_text"] for r in rows) == " ".join(words)
+
+    def test_empty_doc_dropped(self, spark):
+        from comic_text_detector_spark.operators.packing import chunk_sliding
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "  ")], "doc_id long, text string"
+        )
+        assert chunk_sliding(df).count() == 0
+
+    def test_bad_stride_rejected(self, spark):
+        import pytest as _pt
+
+        from comic_text_detector_spark.operators.packing import chunk_sliding
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pt.raises(ValueError):
+            chunk_sliding(df, chunk=8, stride=9)
+        with _pt.raises(ValueError):
+            chunk_sliding(df, chunk=8, stride=0)
