@@ -756,6 +756,26 @@ def _q_gopher_quality(spark, sf_dir):
     return gopher_quality(_t(spark, sf_dir, "documents"))
 
 
+def _q_bloom_new_urls(spark, sf_dir):
+    """Incremental-crawl dedup via a sharded relational Bloom prefilter
+    (operators/dedup.py::bloom_new_keys): which of the increment's keys
+    has the base corpus never seen. The bloom (xxhash64 probes, bit_or
+    word aggregate, k broadcast-join lookups) is performance-only — the
+    output is the EXACT set difference, so the oracle is a plain
+    anti-join; a false-negative bug in the bit arithmetic would drop keys
+    and fail the row count."""
+    from comic_text_detector_spark.operators.dedup import bloom_new_keys
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 < 4).select(
+        F.concat(F.lit("k"), (F.col("doc_id") % 400).cast("string")).alias("url")
+    )
+    incr = docs.select(
+        F.concat(F.lit("k"), (F.col("doc_id") % 600).cast("string")).alias("url")
+    )
+    return bloom_new_keys(base, incr, "url")
+
+
 def _q_chunk_docs(spark, sf_dir):
     """Sliding-window training chunking (operators/packing.py::
     chunk_sliding): 32-token windows, stride 24 — closed-form window
@@ -3042,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frame_energy": _q_audio_frame_energy,
         "gopher_quality": _q_gopher_quality,
         "chunk_docs": _q_chunk_docs,
+        "bloom_new_urls": _q_bloom_new_urls,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "minhash_lsh_pairs_md5": _q_minhash_lsh_pairs_md5,
         "simhash": _q_simhash,
@@ -4205,6 +4226,13 @@ def oracle_sql() -> dict[str, str]:
             "    ELSE 0.0 END) >= 0.8"
             "   AND n_stop_kinds >= 2) AS keep"
             " FROM m"
+        ),
+        "bloom_new_urls": (
+            "WITH b AS (SELECT DISTINCT 'k' || CAST(doc_id % 400 AS VARCHAR)"
+            "  AS url FROM documents WHERE doc_id % 5 < 4),"
+            " i AS (SELECT DISTINCT 'k' || CAST(doc_id % 600 AS VARCHAR)"
+            "  AS url FROM documents)"
+            " SELECT url FROM i WHERE url NOT IN (SELECT url FROM b)"
         ),
         "chunk_docs": (
             "WITH w AS (SELECT doc_id,"

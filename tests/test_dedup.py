@@ -224,3 +224,65 @@ def test_portable_hash_parity_adversarial_texts(spark):
     )
     assert sig == dsig  # docs with <3 words have no signature on either side
     assert sh == dsh
+
+
+class TestBloomNewKeys:
+    def test_exact_under_heavy_fp(self, spark):
+        """A deliberately tiny filter (2 buckets x 64 bits) pushes nearly
+        every key down the candidate path — the output must STILL be the
+        exact set difference (the bloom is performance-only)."""
+        from pyspark.sql import functions as F
+
+        from comic_text_detector_spark.operators.dedup import bloom_new_keys
+
+        base = spark.range(0, 300).select(
+            F.concat(F.lit("k"), F.col("id")).alias("url")
+        )
+        incr = spark.range(200, 400).select(
+            F.concat(F.lit("k"), F.col("id")).alias("url")
+        )
+        exp = sorted(f"k{i}" for i in range(300, 400))
+        for kwargs in ({}, {"n_buckets": 2, "bits_per_bucket": 64, "k": 2}):
+            got = sorted(
+                r["url"]
+                for r in bloom_new_keys(base, incr, "url", **kwargs).collect()
+            )
+            assert got == exp
+
+    def test_no_false_negatives_ever(self, spark):
+        """Every base key queried back must be recognized (bloom property:
+        zero false negatives), so re-presenting the base yields nothing."""
+        from pyspark.sql import functions as F
+
+        from comic_text_detector_spark.operators.dedup import bloom_new_keys
+
+        base = spark.range(0, 500).select(
+            F.concat(F.lit("u"), F.col("id")).alias("url")
+        )
+        assert bloom_new_keys(base, base, "url").count() == 0
+
+    def test_nulls_dropped_and_empty_base(self, spark):
+        from comic_text_detector_spark.operators.dedup import bloom_new_keys
+
+        base = spark.createDataFrame([], "url string")
+        incr = spark.createDataFrame(
+            [("a",), (None,), ("b",), ("a",)], "url string"
+        )
+        got = sorted(r["url"] for r in bloom_new_keys(base, incr, "url").collect())
+        assert got == ["a", "b"]  # distinct, null dropped, all new
+
+    def test_prefilter_splits_without_shuffle(self, spark):
+        """The bloom lookup side is k broadcast joins — the candidate
+        anti-join is the only exchange keyed by data volume."""
+        from pyspark.sql import functions as F
+
+        from comic_text_detector_spark.operators.dedup import bloom_new_keys
+
+        base = spark.range(0, 200).select(
+            F.concat(F.lit("k"), F.col("id")).alias("url")
+        )
+        incr = spark.range(100, 300).select(
+            F.concat(F.lit("k"), F.col("id")).alias("url")
+        )
+        plan = bloom_new_keys(base, incr, "url")._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 4  # the k probe joins
