@@ -756,6 +756,19 @@ def _q_gopher_quality(spark, sf_dir):
     return gopher_quality(_t(spark, sf_dir, "documents"))
 
 
+def _q_temperature_sample(spark, sf_dir):
+    """α-temperature mixture rebalancing (operators/curation.py::
+    temperature_sample): rarest language keeps all docs, common ones
+    downsample at sqrt(n_min/n_l) — exact counts, one correctly-rounded
+    sqrt, md5-portable keep decision, so DuckDB selects the same rows."""
+    from comic_text_detector_spark.operators.curation import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(docs, by="lang", alpha=0.5).select(
+        "doc_id", "lang", "rate"
+    )
+
+
 def _q_bloom_new_urls(spark, sf_dir):
     """Incremental-crawl dedup via a sharded relational Bloom prefilter
     (operators/dedup.py::bloom_new_keys): which of the increment's keys
@@ -1408,6 +1421,25 @@ def _q_minhash_lsh_pairs_md5(spark, sf_dir):
         max_bucket_size=1 << 20,  # exact all-pairs semantics for the oracle
         hash_fn="md5",
     ).withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+
+
+def _q_neardup_survivors(spark, sf_dir):
+    """END-TO-END fuzzy dedup (operators/dedup.py::neardup_survivors):
+    minhash-LSH pairs → connected components → one canonical doc per
+    cluster + all unpaired docs. Runs in portable-md5 mode with the
+    bucket cap lifted so the ENTIRE composition — shingles, 64 minhashes,
+    banding, bucket join, transitive clustering, survivor anti-join — is
+    replayed by one DuckDB query (the minhash oracle nested inside a
+    recursive-CC CTE)."""
+    from comic_text_detector_spark.operators.dedup import neardup_survivors
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return neardup_survivors(
+        docs, "doc_id", "text",
+        max_bucket_size=1 << 20, hash_fn="md5",
+    )
 
 
 def _q_simhash_md5(spark, sf_dir):
@@ -3063,8 +3095,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "chunk_docs": _q_chunk_docs,
         "bloom_new_urls": _q_bloom_new_urls,
+        "temperature_sample": _q_temperature_sample,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "minhash_lsh_pairs_md5": _q_minhash_lsh_pairs_md5,
+        "neardup_survivors": _q_neardup_survivors,
         "simhash": _q_simhash,
         "simhash_md5": _q_simhash_md5,
         "simhash_pairs": _q_simhash_pairs,
@@ -3330,6 +3364,22 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "minhash_lsh_pairs_md5": _minhash_md5_oracle(),
+        "neardup_survivors": (
+            "WITH RECURSIVE"
+            " pairs AS (SELECT doc_a a, doc_b b FROM ("
+            + _minhash_md5_oracle()
+            + ") q),"
+            " edges AS (SELECT a src, b dst FROM pairs"
+            "  UNION SELECT b, a FROM pairs),"
+            " nodes AS (SELECT DISTINCT src id FROM edges),"
+            " reach AS ("
+            "  SELECT id, id comp FROM nodes"
+            "  UNION"
+            "  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),"
+            " members AS (SELECT id, min(comp) rep FROM reach GROUP BY id)"
+            " SELECT doc_id FROM documents"
+            " WHERE doc_id NOT IN (SELECT id FROM members WHERE id <> rep)"
+        ),
         "token_counts_v2": _token_vocab_oracle(),
         "token_counts_v3": _token_bpe_oracle(),
         "train_bpe_merges_docs": __import__(
@@ -4226,6 +4276,17 @@ def oracle_sql() -> dict[str, str]:
             "    ELSE 0.0 END) >= 0.8"
             "   AND n_stop_kinds >= 2) AS keep"
             " FROM m"
+        ),
+        "temperature_sample": (
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents"
+            "  GROUP BY lang),"
+            " m AS (SELECT min(n) AS n_min FROM c),"
+            " r AS (SELECT lang, sqrt(CAST(n_min AS BIGINT)"
+            "  / CAST(n AS BIGINT)) AS rate FROM c, m)"
+            " SELECT d.doc_id, d.lang, r.rate"
+            " FROM documents d JOIN r USING (lang)"
+            " WHERE ('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)),"
+            "  1, 8))::BIGINT / 4294967296.0 < r.rate"
         ),
         "bloom_new_urls": (
             "WITH b AS (SELECT DISTINCT 'k' || CAST(doc_id % 400 AS VARCHAR)"

@@ -926,3 +926,47 @@ def gopher_quality(
         "ellipsis_line_frac", "sym_word_frac", "alpha_word_frac",
         "n_stop_kinds", keep.alias("keep"),
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    by: str = "lang",
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the XLM/mT5 α-sampling
+    recipe): sample group ``l`` at rate ``(p_l/p_min)^(α-1)`` so the
+    rarest group keeps everything and common groups are downsampled
+    toward the flattened distribution ``q_l ∝ p_l^α`` — the standard way
+    a multilingual corpus is rebalanced without hand-written rates
+    (``hash_sample``'s ``rates=`` is the manual cousin).
+
+    Deterministic end to end: group counts are exact; for the default
+    α = 0.5 the rate is ``sqrt(n_min/n_l)`` — one IEEE division of two
+    exact bigints and one correctly-rounded sqrt, bit-identical in any
+    IEEE engine (general α goes through ``pow``, which engines only
+    guarantee to ~1 ulp — fine for sampling, not for oracles). The
+    keep decision reuses ``hash_uniform`` (md5-portable), so re-runs,
+    repartitionings, and independent engines select the SAME rows.
+
+    Scale: one groupBy over the grouping column (map-side partials), a
+    scalar min, and a broadcast join of the group-rate table (one row
+    per group) back onto the corpus — the corpus itself is never
+    shuffled. Emits the kept rows plus their group ``rate`` for audit.
+    """
+    counts = df.groupBy(by).agg(F.count("*").alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__n_min"))
+    if alpha == 0.5:
+        rate = F.sqrt(F.col("__n_min") / F.col("__n"))
+    else:
+        rate = F.pow(F.col("__n") / F.col("__n_min"), F.lit(alpha - 1.0))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        by, rate.alias("rate")
+    )
+    u = hash_uniform(F.col(key_col), salt)
+    return (
+        df.join(F.broadcast(rates), by)
+        .filter(u < F.col("rate"))
+        .select(*df.columns, "rate")
+    )

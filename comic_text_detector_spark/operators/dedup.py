@@ -600,3 +600,42 @@ def bloom_new_keys(
         "left_anti",
     )
     return definite_new.unionByName(confirmed_new)
+
+
+def neardup_survivors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 32,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """End-to-end fuzzy dedup: banded minhash-LSH candidate pairs →
+    distributed connected components → keep ONE canonical document per
+    near-dup cluster (the minimum id, the deterministic representative)
+    plus every unpaired document. This is the full Lee-et-al/CCNet
+    near-dup REMOVAL story as one operator — what `dedup_job` chains by
+    hand — and the survivor set is what a training pipeline actually
+    feeds downstream.
+
+    Scale: pairs are linear in corpus size (star-capped hot buckets, one
+    signature pass — see ``bucket_pairs``), components converge in
+    O(log diameter) pointer-jump rounds with checkpointed lineage, and
+    the final step is one anti-join keyed by the LOSER set (cluster
+    members minus reps — tiny next to the corpus at real dup rates).
+    With ``hash_fn='md5'`` the whole pipeline is engine-portable and the
+    survivor set is value-checkable in SQL.
+    """
+    from .graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n,
+        max_bucket_size, hash_fn,
+    )
+    cc = connected_components(pairs)
+    losers = cc.filter(F.col("id") != F.col("cluster_rep")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.select(id_col).distinct().join(losers, id_col, "left_anti")

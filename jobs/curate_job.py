@@ -86,6 +86,14 @@ def main(argv: list[str], spark=None) -> int:
         "after line-level dedup",
     )
     p.add_argument(
+        "--temperature-alpha",
+        type=float,
+        default=None,
+        help="if set, replace the manual --rates mixture with α-temperature "
+        "rebalancing over --lang-col (rarest group keeps all, common "
+        "groups sample at (p/p_min)^(α-1))",
+    )
+    p.add_argument(
         "--gopher",
         action="store_true",
         help="apply the Gopher heuristic quality battery (Rae et al. 2021 "
@@ -229,13 +237,26 @@ def main(argv: list[str], spark=None) -> int:
         clean = clean.join(bad, args.id_col, "left_anti")
 
     # stage 2 + 3 fuse into one zero-exchange scan: quality floor, then the
-    # deterministic per-language mixture sample
+    # deterministic per-language mixture sample — manual --rates, or the
+    # automatic α-temperature rebalancing when --temperature-alpha is set
+    # (rates derived from the post-filter language counts themselves)
     good = clean.filter(
         quality_score(F.col(args.text_col)) >= F.lit(args.min_quality)
     )
-    curated = hash_sample(
-        good, args.id_col, rates_by=args.lang_col, rates=rates, salt=args.salt
-    )
+    if args.temperature_alpha is not None:
+        from comic_text_detector_spark.operators.curation import (
+            temperature_sample,
+        )
+
+        curated = temperature_sample(
+            good, by=args.lang_col, alpha=args.temperature_alpha,
+            key_col=args.id_col, salt=args.salt,
+        ).drop("rate")
+    else:
+        curated = hash_sample(
+            good, args.id_col, rates_by=args.lang_col, rates=rates,
+            salt=args.salt,
+        )
     curated.write.mode("overwrite").parquet(f"{args.output}/curated")
 
     n_out = spark.read.parquet(f"{args.output}/curated").count()

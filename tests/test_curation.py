@@ -694,3 +694,73 @@ def test_curate_job_gopher_stage(spark, tmp_path):
     ) == 0
     kept = {r.url for r in spark.read.parquet(f"{out}/curated").collect()}
     assert kept == {"http://h/good"}
+
+
+class TestTemperatureSample:
+    def _df(self, spark):
+        rows = [(i, "en" if i < 400 else ("es" if i < 480 else "de"))
+                for i in range(500)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_rates_follow_alpha(self, spark):
+        import math
+
+        from comic_text_detector_spark.operators.curation import (
+            temperature_sample,
+        )
+
+        out = temperature_sample(self._df(spark), by="lang", alpha=0.5)
+        rates = {r["lang"]: r["rate"] for r in out.select("lang", "rate").distinct().collect()}
+        # n_min = 20 (de): de keeps everything, en at sqrt(20/400)
+        assert rates["de"] == 1.0
+        assert rates["en"] == math.sqrt(20 / 400)
+        assert rates["es"] == math.sqrt(20 / 80)
+        kept = out.groupBy("lang").count().collect()
+        by_lang = {r["lang"]: r["count"] for r in kept}
+        assert by_lang["de"] == 20  # rate 1.0 keeps all
+
+    def test_deterministic_across_repartition(self, spark):
+        from comic_text_detector_spark.operators.curation import (
+            temperature_sample,
+        )
+
+        df = self._df(spark)
+        a = sorted(r["doc_id"] for r in temperature_sample(df).collect())
+        b = sorted(
+            r["doc_id"] for r in temperature_sample(df.repartition(13)).collect()
+        )
+        assert a == b
+
+    def test_alpha_one_keeps_everything(self, spark):
+        from comic_text_detector_spark.operators.curation import (
+            temperature_sample,
+        )
+
+        df = self._df(spark)
+        assert temperature_sample(df, alpha=1.0).count() == 500
+
+
+def test_curate_job_temperature_mixture(spark, tmp_path):
+    """--temperature-alpha rebalances the mixture from live counts."""
+    from jobs import curate_job
+
+    text = " ".join(["plain words that are fine"] * 5)
+    rows = [(f"http://h/en{i}", text, "en") for i in range(40)] + [
+        ("http://h/de0", text, "de")
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string, lang string")
+    corpus, bench = str(tmp_path / "c"), str(tmp_path / "b")
+    docs.write.parquet(corpus)
+    spark.createDataFrame([("zz qq ww",)], "text string").write.parquet(bench)
+    out = str(tmp_path / "out")
+    assert curate_job.main(
+        [
+            "--input", corpus, "--benchmark", bench, "--output", out,
+            "--temperature-alpha", "0.5",
+        ],
+        spark=spark,
+    ) == 0
+    kept = spark.read.parquet(f"{out}/curated")
+    by_lang = {r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()}
+    assert by_lang.get("de") == 1          # rarest keeps everything
+    assert 0 < by_lang.get("en", 0) < 40   # common language downsampled

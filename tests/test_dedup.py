@@ -286,3 +286,58 @@ class TestBloomNewKeys:
         )
         plan = bloom_new_keys(base, incr, "url")._jdf.queryExecution().executedPlan().toString()
         assert plan.count("BroadcastHashJoin") >= 4  # the k probe joins
+
+
+class TestNeardupSurvivors:
+    def test_cluster_collapses_to_min_id(self, spark):
+        from comic_text_detector_spark.operators.dedup import neardup_survivors
+
+        body = " ".join(f"w{i}" for i in range(60))
+        rows = [
+            (10, body),                       # near-dup cluster {10, 11, 12}
+            (11, body + " extra"),
+            (12, "w0 " + body),
+            (20, " ".join(f"q{i}" for i in range(60))),  # unique
+            (30, "short"),                    # too short to shingle-collide
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            r["doc_id"] for r in neardup_survivors(df, hash_fn="md5").collect()
+        )
+        assert got == [10, 20, 30]
+
+    def test_transitive_chain_single_survivor(self, spark):
+        """A~B and B~C imply one cluster even if A and C share no band."""
+        from comic_text_detector_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            neardup_survivors,
+        )
+
+        w = [f"t{i}" for i in range(40)]
+        a = " ".join(w)
+        b = " ".join(w[:20] + ["X"] + w[20:])   # close to a
+        c = " ".join(w[:10] + ["Y", "Z", "Q", "R"] + w[10:])  # closer to a/b head
+        df = spark.createDataFrame(
+            [(1, a), (2, b), (3, c)], "doc_id long, text string"
+        )
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(df, "doc_id", "text", hash_fn="md5").collect()
+        }
+        surv = sorted(
+            r["doc_id"] for r in neardup_survivors(df, hash_fn="md5").collect()
+        )
+        if pairs >= {(1, 2), (2, 3)} or pairs >= {(1, 2), (1, 3)}:
+            assert surv == [1]  # one transitive cluster
+        # whatever the LSH emitted, survivors = docs minus non-min members
+        from comic_text_detector_spark.operators.graph import connected_components
+
+        if pairs:
+            losers = {
+                r["id"]
+                for r in connected_components(
+                    minhash_lsh_pairs(df, "doc_id", "text", hash_fn="md5")
+                ).collect()
+                if r["id"] != r["cluster_rep"]
+            }
+            assert surv == sorted({1, 2, 3} - losers)
