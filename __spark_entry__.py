@@ -2377,6 +2377,56 @@ def _q_parse_robots(spark, sf_dir):
     return parse_robots_rules(robots)
 
 
+def _robots_extras_df(spark, sf_dir):
+    """Fixture robots.txt per host exercising crawl-delay group scoping
+    (a bogus delay closes the 'fast' UA run; 'slow' opens a fresh group),
+    invalid-value drops, and file-global sitemap records."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("\nDisallow: /x\n"),
+                F.lit("User-agent: fast\nCrawl-delay: bogus\n"),
+                F.lit("User-agent: slow\nCrawl-delay: 10\n"),
+                F.lit("Sitemap: https://h"),
+                F.col("doc_id").cast("string"),
+                F.lit("/sm"),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit(".xml\nSitemap: https://h"),
+                F.col("doc_id").cast("string"),
+                F.lit("/sm0.xml\n"),
+            ).alias("robots_txt"),
+        )
+    )
+
+
+def _q_robots_crawl_delay(spark, sf_dir):
+    """Group-scoped Crawl-delay from raw robots.txt bytes
+    (operators/curation.py::robots_crawl_delay): decimal seconds → exact
+    half-up milli; bogus values drop (so agent 'fast' gets NO delay
+    row); the oracle predicts every row from the fixture arithmetic."""
+    from comic_text_detector_spark.operators.curation import (
+        robots_crawl_delay,
+    )
+
+    return robots_crawl_delay(_robots_extras_df(spark, sf_dir))
+
+
+def _q_robots_sitemaps(spark, sf_dir):
+    """File-global Sitemap records (operators/curation.py::
+    robots_sitemaps), distinct per host — the two fixture lines collapse
+    to one when doc_id % 4 == 0."""
+    from comic_text_detector_spark.operators.curation import robots_sitemaps
+
+    return robots_sitemaps(_robots_extras_df(spark, sf_dir))
+
+
 _PARSE_ROBOTS_ORACLE = (
     "WITH src AS (SELECT 'h' || doc_id::VARCHAR AS host,"
     " '# generated' || chr(10) || 'User-agent: *' || chr(10) ||"
@@ -3070,6 +3120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": _q_bm25_phrase,
         "schedule_frontier": _q_schedule_frontier,
         "parse_robots": _q_parse_robots,
+        "robots_crawl_delay": _q_robots_crawl_delay,
+        "robots_sitemaps": _q_robots_sitemaps,
         "pagerank_hosts": _q_pagerank_hosts,
         "pagerank_incremental": _q_pagerank_incremental,
         "extract_links": _q_extract_links,
@@ -4276,6 +4328,24 @@ def oracle_sql() -> dict[str, str]:
             "    ELSE 0.0 END) >= 0.8"
             "   AND n_stop_kinds >= 2) AS keep"
             " FROM m"
+        ),
+        "robots_crawl_delay": (
+            "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40)"
+            " SELECT 'h' || CAST(doc_id AS VARCHAR) AS host, '*' AS agent,"
+            "  CAST((doc_id % 7) * 1000 + (doc_id % 10) * 100 AS BIGINT)"
+            "  AS delay_milli FROM d"
+            " UNION ALL"
+            " SELECT 'h' || CAST(doc_id AS VARCHAR), 'slow',"
+            "  CAST(10000 AS BIGINT) FROM d"
+        ),
+        "robots_sitemaps": (
+            "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40)"
+            " SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,"
+            "  'https://h' || CAST(doc_id AS VARCHAR) || '/sm'"
+            "   || CAST(doc_id % 4 AS VARCHAR) || '.xml' AS sitemap FROM d"
+            " UNION"
+            " SELECT 'h' || CAST(doc_id AS VARCHAR),"
+            "  'https://h' || CAST(doc_id AS VARCHAR) || '/sm0.xml' FROM d"
         ),
         "temperature_sample": (
             "WITH c AS (SELECT lang, count(*) AS n FROM documents"

@@ -679,13 +679,23 @@ def schedule_frontier(
 
 
 def _robots_parsed(
-    df: DataFrame, host_col: str, txt_col: str
+    df: DataFrame,
+    host_col: str,
+    txt_col: str,
+    directives: tuple[str, ...] = ("user-agent", "allow", "disallow"),
 ) -> DataFrame:
     """(host, fkey, pos, directive, value, is_ua, group_id) for every
     recognized robots.txt line. ``fkey`` (md5 of the file content) keys
     the windows so two fetches of one host (http/https, refetch) parse
     as separate files instead of interleaving nondeterministically —
-    a host with several distinct files yields the union of their rules."""
+    a host with several distinct files yields the union of their rules.
+
+    ``directives`` controls which lines participate in the group-boundary
+    windows: the rules parse keeps the RFC trio only (so a Sitemap line
+    between two User-agent lines does NOT split their group — non-group
+    records are transparent per RFC 9309 §2.2.2), while the crawl-delay
+    parse adds ``crawl-delay`` so a delay line closes a User-agent run
+    exactly like a rule line does."""
     lines = df.select(
         F.col(host_col).alias("host"),
         F.md5(F.coalesce(F.col(txt_col), F.lit(""))).alias("fkey"),
@@ -710,9 +720,7 @@ def _robots_parsed(
         F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
             "value"
         ),
-    ).filter(
-        F.col("directive").isin("user-agent", "allow", "disallow")
-    )
+    ).filter(F.col("directive").isin(*directives))
     w = Window.partitionBy("host", "fkey").orderBy("pos")
     return (
         parsed.withColumn(
@@ -969,4 +977,83 @@ def temperature_sample(
         df.join(F.broadcast(rates), by)
         .filter(u < F.col("rate"))
         .select(*df.columns, "rate")
+    )
+
+
+def robots_sitemaps(
+    df: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, sitemap) from raw robots.txt bytes. Sitemap records are
+    FILE-GLOBAL, not group-scoped (sitemaps protocol: the directive is
+    independent of any User-agent group), so this is a plain line parse —
+    no windows. Values keep their case (they are URLs); empty values and
+    unrecognized lines drop. Distinct per (host, sitemap): a sitemap
+    listed twice, or by two fetched copies of the file, emits once."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.split(F.coalesce(F.col(txt_col), F.lit("")), "\n")
+        ).alias("raw"),
+    ).select(
+        "host",
+        F.trim(
+            F.regexp_replace(F.regexp_replace("raw", "#.*$", ""), "\r", "")
+        ).alias("line"),
+    )
+    return (
+        lines.filter(
+            F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))
+            == "sitemap"
+        )
+        .select(
+            "host",
+            F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
+                "sitemap"
+            ),
+        )
+        .filter(F.col("sitemap") != "")
+        .distinct()
+    )
+
+
+def robots_crawl_delay(
+    df: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, agent, delay_milli) from raw robots.txt bytes — the
+    politeness knob ``schedule_frontier`` consumes. Crawl-delay is
+    GROUP-scoped by crawler convention (it rides the same User-agent
+    groups as Allow/Disallow; the group machinery includes ``crawl-delay``
+    in the boundary windows so a delay line closes a User-agent run like
+    a rule line does). Seconds parse as decimals and quantize half-up to
+    exact milli integers; unparseable or negative values drop (a bogus
+    delay must not silently become 0 — drop-not-fake). Several delays
+    for one (host, agent) — refetches, repeated groups — keep the MAX
+    (the conservative politeness choice, documented)."""
+    g = _robots_parsed(
+        df, host_col, txt_col,
+        directives=("user-agent", "allow", "disallow", "crawl-delay"),
+    )
+    gw = Window.partitionBy("host", "fkey", "group_id")
+    d = F.expr("try_cast(value AS DOUBLE)")
+    return (
+        g.withColumn(
+            "agents",
+            F.collect_set(
+                F.when(F.col("is_ua") == 1, F.lower(F.col("value")))
+            ).over(gw),
+        )
+        .filter(F.col("directive") == "crawl-delay")
+        .withColumn("d", d)
+        .filter(F.col("d").isNotNull() & (F.col("d") >= 0))
+        .select(
+            "host",
+            F.explode("agents").alias("agent"),
+            F.floor(F.col("d") * 1000 + 0.5).cast("bigint").alias("delay_milli"),
+        )
+        .groupBy("host", "agent")
+        .agg(F.max("delay_milli").alias("delay_milli"))
     )

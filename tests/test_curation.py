@@ -764,3 +764,66 @@ def test_curate_job_temperature_mixture(spark, tmp_path):
     by_lang = {r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()}
     assert by_lang.get("de") == 1          # rarest keeps everything
     assert 0 < by_lang.get("en", 0) < 40   # common language downsampled
+
+
+class TestRobotsExtras:
+    def test_sitemap_line_does_not_split_ua_group(self, spark):
+        """RFC 9309 §2.2.2: non-group records are transparent — a Sitemap
+        between two User-agent lines must leave them one group for the
+        RULES parse; the crawl-delay parse still scopes by its own runs."""
+        from comic_text_detector_spark.operators.curation import (
+            parse_robots_rules,
+            robots_sitemaps,
+        )
+
+        txt = (
+            "User-agent: a\nSitemap: https://h/s.xml\nUser-agent: b\n"
+            "Disallow: /x\n"
+        )
+        df = spark.createDataFrame(
+            [("h", txt)], "host string, robots_txt string"
+        )
+        rules = {
+            (r["agent"], r["path_prefix"])
+            for r in parse_robots_rules(df).collect()
+        }
+        assert rules == {("a", "/x"), ("b", "/x")}
+        sm = robots_sitemaps(df).collect()
+        assert [(r["host"], r["sitemap"]) for r in sm] == [
+            ("h", "https://h/s.xml")
+        ]
+
+    def test_crawl_delay_scoping_and_validation(self, spark):
+        from comic_text_detector_spark.operators.curation import (
+            robots_crawl_delay,
+        )
+
+        txt = (
+            "User-agent: a\r\nCrawl-delay: 0.25\r\n"
+            "User-agent: b\nCrawl-delay: -3\n"      # negative → drop
+            "User-agent: c\nCrawl-delay: soon\n"    # bogus → drop
+        )
+        df = spark.createDataFrame(
+            [("h", txt)], "host string, robots_txt string"
+        )
+        got = {
+            (r["agent"], r["delay_milli"])
+            for r in robots_crawl_delay(df).collect()
+        }
+        assert got == {("a", 250)}
+
+    def test_delay_max_across_files(self, spark):
+        """Two fetched copies of a host's file keep the MAX delay."""
+        from comic_text_detector_spark.operators.curation import (
+            robots_crawl_delay,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("h", "User-agent: *\nCrawl-delay: 2\n"),
+                ("h", "User-agent: *\nCrawl-delay: 5\n"),
+            ],
+            "host string, robots_txt string",
+        )
+        got = robots_crawl_delay(df).collect()
+        assert [(r["agent"], r["delay_milli"]) for r in got] == [("*", 5000)]
