@@ -2512,6 +2512,21 @@ def _q_bm25(spark, sf_dir):
     return bm25_score(_t(spark, sf_dir, "documents"), _BM25_TERMS)
 
 
+def _q_bm25_index(spark, sf_dir):
+    """BM25 over a PREBUILT inverted index (operators/retrieval.py::
+    build_inverted_index + bm25_from_index): postings and lengths
+    relations replace the corpus scan; scores are bit-identical to the
+    direct path by construction (shared scoring tail), so the SAME
+    DuckDB oracle as bm25_docs must match."""
+    from comic_text_detector_spark.operators.retrieval import (
+        bm25_from_index,
+        build_inverted_index,
+    )
+
+    postings, lengths = build_inverted_index(_t(spark, sf_dir, "documents"))
+    return bm25_from_index(postings, lengths, _BM25_TERMS)
+
+
 # a word pair that genuinely occurs ADJACENT in some synthetic docs and
 # scattered in many others — so n_phrase, proximity, and the bag leg all
 # take non-trivial values across the corpus
@@ -3118,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs": _q_lm_score,
         "bm25_docs": _q_bm25,
         "bm25_phrase": _q_bm25_phrase,
+        "bm25_index": _q_bm25_index,
         "schedule_frontier": _q_schedule_frontier,
         "parse_robots": _q_parse_robots,
         "robots_crawl_delay": _q_robots_crawl_delay,
@@ -3465,6 +3481,12 @@ def oracle_sql() -> dict[str, str]:
             "comic_text_detector_spark.operators.retrieval",
             fromlist=["bm25_phrase_sql"],
         ).bm25_phrase_sql(_BM25_PHRASE),
+        # same oracle as bm25_docs: the index path must reproduce the
+        # direct path bit-for-bit
+        "bm25_index": __import__(
+            "comic_text_detector_spark.operators.retrieval",
+            fromlist=["bm25_sql"],
+        ).bm25_sql(_BM25_TERMS),
         "extract_links": _LINKS_SQL,
         "anchor_stats_hosts": (
             "WITH l AS (" + _LINKS_SQL + "), "

@@ -77,6 +77,22 @@ def _bm25_micro(
         raise ValueError("no documents with at least one token")
     qt = toks.filter(F.col("w").isin(list(terms)))
     tf = qt.groupBy("id", "w").agg(F.count("*").cast("long").alias("tf"))
+    return _bm25_micro_from(tf, dl, n_docs, tot_tokens, k1, b)
+
+
+def _bm25_micro_from(
+    tf: DataFrame,
+    dl: DataFrame,
+    n_docs: int,
+    tot_tokens: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The shared scoring tail from precomputed relations — ``tf`` rows
+    (id, w, tf) already filtered to the query terms, ``dl`` rows (id, dl)
+    over the WHOLE corpus. Both the direct path (``_bm25_micro``) and the
+    index path (``bm25_from_index``) end here, so their float expression
+    trees are identical by construction."""
     dfreq = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
     avgdl = F.lit(float(tot_tokens)) / F.lit(float(n_docs))
     idf = F.log(
@@ -346,3 +362,117 @@ def bm25_phrase_sql(
         " FROM bag LEFT JOIN nphr ON bag.id = nphr.id"
         " LEFT JOIN prox ON bag.id = prox.id"
     )
+
+
+def build_inverted_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, lengths): the two relations a materialized text index
+    consists of — postings (w, id, tf) for EVERY term, lengths (id, dl)
+    for every tokenful document. Built once, queried many times: the
+    index-build pays the corpus explode ONCE, after which every query
+    touches |q| terms' postings instead of re-scanning 100 TB of text
+    (the Lucene segment model, relationally)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    lengths = toks.groupBy("id").agg(F.count("*").cast("long").alias("dl"))
+    postings = toks.groupBy("w", "id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    return postings, lengths
+
+
+def bm25_from_index(
+    postings: DataFrame,
+    lengths: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over a prebuilt index — same output (and bit-identical scores,
+    via the shared ``_bm25_micro_from`` tail) as ``bm25_score`` run
+    directly on the corpus, but the corpus text is never touched: tf rows
+    come from the postings relation filtered to the query terms, document
+    stats from the lengths relation. Two scalars reach the driver."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    totals = lengths.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    n_docs, tot_tokens = int(totals.n or 0), int(totals.tot or 0)
+    if n_docs == 0:
+        raise ValueError("empty index")
+    tf = postings.filter(F.col("w").isin(list(terms)))
+    return _bm25_micro_from(tf, lengths, n_docs, tot_tokens, k1, b).select(
+        F.col("id").alias(id_col),
+        "dl",
+        "n_hit_terms",
+        (F.col("bag_micro") / F.lit(1e6)).alias("score"),
+    )
+
+
+def write_inverted_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_term_buckets: int = 64,
+) -> None:
+    """Materialize the index: postings laid out hash-partitioned by term
+    (``term_bucket=NN`` directories, Hive-style) so a query's read prunes
+    to |q| buckets of the term space instead of scanning every posting;
+    lengths beside them; a one-row meta relation records the bucket count
+    (the reader must probe with the SAME bucketing)."""
+    spark = docs.sparkSession
+    postings, lengths = build_inverted_index(docs, id_col, text_col)
+    postings.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("w"), F.lit(n_term_buckets))
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+    lengths.write.mode("overwrite").parquet(f"{path}/lengths")
+    spark.createDataFrame(
+        [(int(n_term_buckets),)], "n_term_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bm25_from_index_path(
+    spark,
+    path: str,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Query a materialized index: compute the query terms' buckets (a
+    |q|-row driver job — xxhash64 is JVM-side), read ONLY those
+    ``term_bucket=`` partitions (PartitionFilters prune the rest), then
+    score through the shared tail. The corpus itself is never read."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    nb = int(
+        spark.read.parquet(f"{path}/meta").collect()[0]["n_term_buckets"]
+    )
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in terms], "w string")
+            .select(F.pmod(F.xxhash64("w"), F.lit(nb)).alias("b"))
+            .collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("w").isin(terms))
+        .select("w", "id", "tf")
+    )
+    lengths = spark.read.parquet(f"{path}/lengths")
+    return bm25_from_index(postings, lengths, tuple(terms), id_col, k1, b)

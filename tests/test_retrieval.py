@@ -144,3 +144,72 @@ def test_bm25_phrase_contracts(spark):
         bm25_phrase(docs, ("only",))
     with pytest.raises(ValueError):
         bm25_phrase(docs, ("a", ""))
+
+
+class TestInvertedIndex:
+    def _docs(self, spark):
+        rows = [
+            (1, "spark shuffles data across the cluster"),
+            (2, "spark spark spark tiny"),
+            (3, "an unrelated document about gardens"),
+            (4, "data data everywhere and not a byte to keep"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_index_path_matches_direct_bit_for_bit(self, spark):
+        from comic_text_detector_spark.operators.retrieval import (
+            bm25_from_index,
+            bm25_score,
+            build_inverted_index,
+        )
+
+        docs = self._docs(spark)
+        terms = ("spark", "data")
+        direct = {
+            r["doc_id"]: (r["dl"], r["n_hit_terms"], r["score"])
+            for r in bm25_score(docs, terms).collect()
+        }
+        postings, lengths = build_inverted_index(docs)
+        via_index = {
+            r["doc_id"]: (r["dl"], r["n_hit_terms"], r["score"])
+            for r in bm25_from_index(postings, lengths, terms).collect()
+        }
+        assert via_index == direct  # exact, including the float scores
+        assert set(direct) == {1, 2, 4}
+
+    def test_write_read_prunes_term_partitions(self, spark, tmp_path):
+        from comic_text_detector_spark.operators.retrieval import (
+            bm25_from_index_path,
+            bm25_score,
+            write_inverted_index,
+        )
+
+        docs = self._docs(spark)
+        path = str(tmp_path / "idx")
+        write_inverted_index(docs, path, n_term_buckets=16)
+        got = bm25_from_index_path(spark, path, ("spark", "data"))
+        direct = {
+            r["doc_id"]: r["score"]
+            for r in bm25_score(docs, ("spark", "data")).collect()
+        }
+        assert {r["doc_id"]: r["score"] for r in got.collect()} == direct
+        # the postings scan must carry a term_bucket partition filter
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "term_bucket" in plan and "PartitionFilters: [" in plan
+
+    def test_empty_query_and_empty_index(self, spark, tmp_path):
+        import pytest as _pt
+
+        from comic_text_detector_spark.operators.retrieval import (
+            bm25_from_index,
+            build_inverted_index,
+        )
+
+        docs = self._docs(spark)
+        postings, lengths = build_inverted_index(docs)
+        with _pt.raises(ValueError):
+            bm25_from_index(postings, lengths, ())
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        p2, l2 = build_inverted_index(empty)
+        with _pt.raises(ValueError):
+            bm25_from_index(p2, l2, ("x",))
