@@ -1656,6 +1656,27 @@ def _q_host_stats(spark, sf_dir):
     )
 
 
+def _q_cap_per_host(spark, sf_dir):
+    """Deterministic per-host document cap (operators/curation.py::
+    cap_per_host): md5-ordered uniform draw of at most 10 docs per host
+    over the synthesized 23-host url space — the anti-domination stage;
+    the oracle replays the identical window."""
+    from comic_text_detector_spark.operators.curation import cap_per_host
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://w"),
+            F.pmod(F.col("doc_id"), F.lit(23)).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return cap_per_host(docs, "url", cap=10).select(
+        "doc_id", "host", "host_rank"
+    )
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus docs (doc_id >= 20) sharing any
     word 5-gram with the 'benchmark' slice (doc_id < 20), with the count of
@@ -3108,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "hash_sample": _q_hash_sample,
         "host_stats": _q_host_stats,
+        "cap_per_host": _q_cap_per_host,
         "line_freq_dedup": _q_line_freq_dedup,
         "normalize_urls": _q_normalize_urls,
         "word_doc_freq": _q_word_doc_freq,
@@ -4350,6 +4372,21 @@ def oracle_sql() -> dict[str, str]:
             "    ELSE 0.0 END) >= 0.8"
             "   AND n_stop_kinds >= 2) AS keep"
             " FROM m"
+        ),
+        "cap_per_host": (
+            "WITH u AS (SELECT doc_id,"
+            " 'https://w' || CAST(doc_id % 23 AS VARCHAR)"
+            "  || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url"
+            " FROM documents),"
+            " h AS (SELECT doc_id, url,"
+            "  regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1) AS host"
+            "  FROM u),"
+            " r AS (SELECT doc_id, host, CAST(row_number() OVER ("
+            "  PARTITION BY host"
+            "  ORDER BY md5('hostcap:' || url) ASC, url ASC) AS INT)"
+            "  AS host_rank FROM h)"
+            " SELECT doc_id, host, host_rank FROM r"
+            " WHERE host = '' OR host_rank <= 10"
         ),
         "robots_crawl_delay": (
             "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40)"

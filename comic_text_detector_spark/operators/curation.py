@@ -1057,3 +1057,44 @@ def robots_crawl_delay(
         .groupBy("host", "agent")
         .agg(F.max("delay_milli").alias("delay_milli"))
     )
+
+
+def cap_per_host(
+    df: DataFrame,
+    url_col: str = "url",
+    cap: int = 1000,
+    salt: str = "hostcap",
+) -> DataFrame:
+    """Anti-domination cap: keep at most ``cap`` documents per host — the
+    curation stage that stops one mirror farm or wiki dump from owning a
+    mixture slice. Selection is a DETERMINISTIC uniform draw, not "first
+    cap by ingest order": rows rank by the md5 hex digest of
+    ``salt:url`` (repartition/re-run/engine invariant, same property as
+    ``hash_sample``), so the kept subset is a reproducible random sample
+    of each host's pages.
+
+    One window keyed by host (the per-host cut needs per-host order —
+    a single exchange; hot hosts are exactly the rows being cut, and the
+    window's rank short-circuits at ``cap`` per partition group).
+    HOSTLESS rows (relative/malformed urls, ``host_of`` = '') pass
+    through UNCAPPED: they are not one pseudo-host, and silently capping
+    them as a group would drop unrelated documents (the
+    regexp-no-match-groups-junk trap).
+
+    Emits the surviving rows plus ``host`` and ``host_rank`` for audit.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from .salting import host_of
+
+    with_host = df.withColumn("host", host_of(F.col(url_col)))
+    order_key = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(url_col).cast("string"))
+    )
+    w = Window.partitionBy("host").orderBy(order_key.asc(), F.col(url_col).asc())
+    ranked = with_host.withColumn(
+        "host_rank", F.row_number().over(w).cast("int")
+    )
+    return ranked.filter(
+        (F.col("host") == "") | (F.col("host_rank") <= cap)
+    )

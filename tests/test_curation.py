@@ -827,3 +827,46 @@ class TestRobotsExtras:
         )
         got = robots_crawl_delay(df).collect()
         assert [(r["agent"], r["delay_milli"]) for r in got] == [("*", 5000)]
+
+
+class TestCapPerHost:
+    def _df(self, spark):
+        rows = [(f"https://big.example/p{i}",) for i in range(30)] + [
+            ("https://small.example/only",),
+            ("relative/path/no/host",),
+            ("also-no-host",),
+        ]
+        return spark.createDataFrame(rows, "url string")
+
+    def test_cap_binds_and_hostless_pass(self, spark):
+        from comic_text_detector_spark.operators.curation import cap_per_host
+
+        out = cap_per_host(self._df(spark), cap=5).collect()
+        by_host = {}
+        for r in out:
+            by_host.setdefault(r["host"], []).append(r)
+        assert len(by_host["big.example"]) == 5
+        assert len(by_host["small.example"]) == 1
+        assert len(by_host[""]) == 2  # hostless rows are never capped
+
+    def test_deterministic_uniform_selection(self, spark):
+        from comic_text_detector_spark.operators.curation import cap_per_host
+
+        df = self._df(spark)
+        a = sorted(r["url"] for r in cap_per_host(df, cap=5).collect())
+        b = sorted(
+            r["url"] for r in cap_per_host(df.repartition(7), cap=5).collect()
+        )
+        assert a == b
+        # selection is hash-ordered, not ingest-ordered: the kept five are
+        # (overwhelmingly) not simply p0..p4
+        kept_big = [u for u in a if "big.example" in u]
+        assert kept_big != [f"https://big.example/p{i}" for i in range(5)]
+
+    def test_bad_cap_rejected(self, spark):
+        import pytest as _pt
+
+        from comic_text_detector_spark.operators.curation import cap_per_host
+
+        with _pt.raises(ValueError):
+            cap_per_host(self._df(spark), cap=0)
