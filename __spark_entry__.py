@@ -1439,7 +1439,7 @@ def _q_neardup_survivors(spark, sf_dir):
     return neardup_survivors(
         docs, "doc_id", "text",
         max_bucket_size=1 << 20, hash_fn="md5",
-    )
+    ).select("doc_id")
 
 
 def _q_simhash_md5(spark, sf_dir):
@@ -4306,10 +4306,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gopher_quality": (
             "WITH arr AS (SELECT doc_id,"
-            " list_filter(string_split(coalesce(text, ''), chr(10)),"
-            "  l -> l <> '') AS lines,"
-            " list_filter(string_split(coalesce(text, ''), ' '),"
-            "  w -> w <> '') AS words"
+            " list_filter(string_split("
+            "  regexp_replace(coalesce(text, ''), '\\r\\n?', chr(10), 'g'),"
+            "  chr(10)), l -> l <> '') AS lines,"
+            " list_filter(regexp_split_to_array("
+            "  regexp_replace(coalesce(text, ''), '\\r\\n?', chr(10), 'g'),"
+            "  '[ \\t\\n]+'), w -> w <> '') AS words"
             " FROM documents),"
             " c AS (SELECT doc_id,"
             "  len(lines) AS n_lines,"

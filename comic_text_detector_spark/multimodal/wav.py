@@ -28,6 +28,7 @@ import math
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -38,10 +39,12 @@ AUDIO_FEATURES_DDL = (
 )
 FRAME_ENERGY_DDL = "media_id string, frame_idx int, n int, energy bigint"
 
-# sanity caps against forged headers (same discipline as the JPEG
-# pixel-count cap): a declared geometry larger than the actual payload is
-# truncated to the payload; a payload over the cap is refused outright
-MAX_DATA_BYTES = 1 << 28  # 256 MiB of PCM per clip
+# cap against both forged headers AND legitimately huge clips: samples are
+# held as int64 numpy arrays (8 bytes/sample — never per-sample Python
+# ints), so a clip at the cap costs ~256 MiB resident inside the Arrow
+# worker; a declared size larger than the actual payload is truncated to
+# whole frames, a payload over the cap is refused outright
+MAX_DATA_BYTES = 1 << 26  # 64 MiB of PCM per clip
 
 
 def synthesize_wav(
@@ -88,8 +91,10 @@ def parse_wav(data: bytes) -> dict | None:
     data size clipped to the actual bytes — whole trailing frames only).
 
     Returns ``{sample_rate, channels, bits, frames}`` where ``frames`` is
-    a list of per-channel sample lists (signed ints; 8-bit samples are
-    de-offset by 128 so silence is 0 in every width).
+    a list of per-channel int64 numpy arrays (signed; 8-bit samples are
+    de-offset by 128 so silence is 0 in every width). Arrays, not Python
+    lists — a list of boxed ints would cost ~28 bytes per sample and a
+    single near-cap clip would balloon to gigabytes in the worker.
     """
     if data is None:
         return None
@@ -121,13 +126,12 @@ def parse_wav(data: bytes) -> dict | None:
         return None
     bytes_per_frame = nch * (bits // 8)
     n_frames = len(pcm) // bytes_per_frame
+    raw = pcm[: n_frames * bytes_per_frame]
     if bits == 16:
-        flat = struct.unpack(
-            "<%dh" % (n_frames * nch), pcm[: n_frames * bytes_per_frame]
-        )
+        flat = np.frombuffer(raw, dtype="<i2").astype(np.int64)
     else:
-        flat = [b - 128 for b in pcm[: n_frames * bytes_per_frame]]
-    frames = [list(flat[c::nch]) for c in range(nch)]
+        flat = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    frames = [flat[c::nch] for c in range(nch)]
     return {
         "sample_rate": rate, "channels": nch, "bits": bits, "frames": frames,
     }
@@ -139,13 +143,15 @@ def wav_features(parsed: dict) -> dict:
     strict sign flips (product < 0, zeros break a crossing) on channel 0
     — the conventional mono reduction, documented so the oracle replays
     the same choice."""
-    ch = parsed["frames"]
+    ch = [np.asarray(c, dtype=np.int64) for c in parsed["frames"]]
     n_frames = len(ch[0])
     n_samples = n_frames * len(ch)
-    sum_sq = sum(s * s for c in ch for s in c)
-    peak = max((abs(s) for c in ch for s in c), default=0)
+    # vectorized exact integer arithmetic: per-sample squares ≤ 2^30, so
+    # an int64 dot stays exact up to ~2^33 samples — far past the byte cap
+    sum_sq = int(sum(int(np.dot(c, c)) for c in ch))
+    peak = int(max((int(np.abs(c).max()) for c in ch if c.size), default=0))
     c0 = ch[0]
-    zc = sum(1 for i in range(1, n_frames) if c0[i - 1] * c0[i] < 0)
+    zc = int(np.count_nonzero(c0[:-1] * c0[1:] < 0)) if n_frames > 1 else 0
     rms_milli = (
         math.floor(math.sqrt(sum_sq / n_samples) * 1000.0) if n_samples else 0
     )
@@ -211,13 +217,13 @@ def wav_frame_energy(
                 parsed = parse_wav(media)
                 if parsed is None:
                     continue
-                c0 = parsed["frames"][0]
+                c0 = np.asarray(parsed["frames"][0], dtype=np.int64)
                 for w in range((len(c0) + frame_len - 1) // frame_len):
                     seg = c0[w * frame_len : (w + 1) * frame_len]
                     out["media_id"].append(mid)
                     out["frame_idx"].append(w)
                     out["n"].append(len(seg))
-                    out["energy"].append(sum(s * s for s in seg))
+                    out["energy"].append(int(np.dot(seg, seg)))
             if out["media_id"]:  # empty pandas frames break Arrow typing
                 yield pd.DataFrame(out)
 

@@ -842,22 +842,27 @@ def gopher_quality(
     ``line_freq_dedup`` — paragraph breaks are structure, not content;
     counting them would flag every multi-paragraph document). Documents
     with no words or no nonempty lines fail ``keep`` outright.
+
+    Line endings normalize first (CRLF/CR → LF) so Windows-crawled pages
+    score like Unix ones (a trailing ``\\r`` would defeat the ellipsis
+    check and make ``\\r``-only lines count as content), and WORDS split
+    on [space, tab, newline] runs — splitting on spaces alone would fuse
+    the last word of each line with the first of the next, wrecking the
+    word stats for exactly the line-structured documents the battery
+    exists to judge.
     """
     stop = F.array(*[F.lit(s) for s in
                      ("the", "be", "to", "of", "and", "that", "have", "with")])
     zero = F.lit(0).cast("long")
     chars = lambda arr: F.aggregate(arr, zero, lambda a, x: a + F.length(x))  # noqa: E731
 
+    norm = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), "\\r\\n?", "\n"
+    )
     arrays = df.select(
         F.col(id_col),
-        F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
-            lambda l: l != "",
-        ).alias("lines"),
-        F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
-            lambda w: w != "",
-        ).alias("words"),
+        F.filter(F.split(norm, "\n"), lambda l: l != "").alias("lines"),
+        F.filter(F.split(norm, "[ \\t\\n]+"), lambda w: w != "").alias("words"),
     )
     counts = arrays.select(
         id_col,
@@ -962,7 +967,14 @@ def temperature_sample(
     scalar min, and a broadcast join of the group-rate table (one row
     per group) back onto the corpus — the corpus itself is never
     shuffled. Emits the kept rows plus their group ``rate`` for audit.
+
+    NULL group labels (undetected language — common in crawl data) are
+    EXCLUDED up front, from both the counts and the output: counting
+    them would let a handful of unlabeled docs set ``n_min`` and crush
+    every real group's rate, while their rows silently vanished in the
+    equi-join anyway. Callers decide unlabeled docs' fate explicitly.
     """
+    df = df.filter(F.col(by).isNotNull())
     counts = df.groupBy(by).agg(F.count("*").alias("__n"))
     nmin = counts.agg(F.min("__n").alias("__n_min"))
     if alpha == 0.5:
@@ -1076,10 +1088,13 @@ def cap_per_host(
     One window keyed by host (the per-host cut needs per-host order —
     a single exchange; hot hosts are exactly the rows being cut, and the
     window's rank short-circuits at ``cap`` per partition group).
-    HOSTLESS rows (relative/malformed urls, ``host_of`` = '') pass
-    through UNCAPPED: they are not one pseudo-host, and silently capping
-    them as a group would drop unrelated documents (the
-    regexp-no-match-groups-junk trap).
+    HOSTLESS rows (relative/malformed/NULL urls — ``host_of`` yields ''
+    or NULL) pass through UNCAPPED with ``host_rank`` NULL: they are not
+    one pseudo-host, and silently capping them as a group would drop
+    unrelated documents (the regexp-no-match-groups-junk trap). They are
+    also split out BEFORE the window — the same skew discipline as
+    ``schedule_frontier`` — so millions of relative urls never serialize
+    into one window-sort task.
 
     Emits the surviving rows plus ``host`` and ``host_rank`` for audit.
     """
@@ -1087,14 +1102,19 @@ def cap_per_host(
         raise ValueError("cap must be >= 1")
     from .salting import host_of
 
-    with_host = df.withColumn("host", host_of(F.col(url_col)))
+    with_host = df.withColumn(
+        "host", F.coalesce(host_of(F.col(url_col)), F.lit(""))
+    )
+    hostless = with_host.filter(F.col("host") == "").withColumn(
+        "host_rank", F.lit(None).cast("int")
+    )
     order_key = F.md5(
         F.concat_ws(":", F.lit(salt), F.col(url_col).cast("string"))
     )
     w = Window.partitionBy("host").orderBy(order_key.asc(), F.col(url_col).asc())
-    ranked = with_host.withColumn(
-        "host_rank", F.row_number().over(w).cast("int")
+    capped = (
+        with_host.filter(F.col("host") != "")
+        .withColumn("host_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("host_rank") <= cap)
     )
-    return ranked.filter(
-        (F.col("host") == "") | (F.col("host_rank") <= cap)
-    )
+    return capped.unionByName(hostless)

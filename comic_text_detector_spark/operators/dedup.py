@@ -506,30 +506,30 @@ def build_bloom(
     correctness.
     """
     key = F.col(key_col)
-    probes = [
-        F.pmod(F.xxhash64(F.lit(j), key), F.lit(bits_per_bucket)).alias(f"p{j}")
-        for j in range(k)
-    ]
+    # ONE corpus scan: the k probe positions travel as an array column and
+    # explode (a union of k per-probe branches would physically re-scan
+    # the base relation k times — Spark does not dedupe common subplans)
     rows = base.filter(key.isNotNull()).select(
-        F.pmod(F.xxhash64(key), F.lit(n_buckets)).alias("bucket"), *probes
+        F.pmod(F.xxhash64(key), F.lit(n_buckets)).alias("bucket"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(j), key), F.lit(bits_per_bucket))
+                    for j in range(k)
+                ]
+            )
+        ).alias("p"),
     )
     # pyspark's shiftleft() only takes a literal shift amount — go through
     # a named column + F.expr for the column-valued shift
-    per_probe = [
-        rows.select(
-            "bucket",
-            (F.col(f"p{j}") / 64).cast("long").alias("word"),
-            (F.col(f"p{j}") % 64).cast("int").alias("bit"),
-        ).select(
-            "bucket", "word",
-            F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("m"),
-        )
-        for j in range(k)
-    ]
-    allp = per_probe[0]
-    for p in per_probe[1:]:
-        allp = allp.unionByName(p)
-    return allp.groupBy("bucket", "word").agg(F.bit_or("m").alias("bits"))
+    words = rows.select(
+        "bucket",
+        (F.col("p") / 64).cast("long").alias("word"),
+        (F.col("p") % 64).cast("int").alias("bit"),
+    ).select(
+        "bucket", "word", F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("m")
+    )
+    return words.groupBy("bucket", "word").agg(F.bit_or("m").alias("bits"))
 
 
 def bloom_new_keys(
@@ -627,15 +627,15 @@ def neardup_survivors(
     members minus reps — tiny next to the corpus at real dup rates).
     With ``hash_fn='md5'`` the whole pipeline is engine-portable and the
     survivor set is value-checkable in SQL.
+
+    Returns the FULL surviving rows (the downstream-feedable corpus),
+    via the same ``dedup_keep_representatives`` tail ``dedup_job`` uses —
+    one definition of the survivor invariant.
     """
-    from .graph import connected_components
+    from .graph import dedup_keep_representatives
 
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_n,
         max_bucket_size, hash_fn,
     )
-    cc = connected_components(pairs)
-    losers = cc.filter(F.col("id") != F.col("cluster_rep")).select(
-        F.col("id").alias(id_col)
-    )
-    return df.select(id_col).distinct().join(losers, id_col, "left_anti")
+    return dedup_keep_representatives(df, pairs, id_col)

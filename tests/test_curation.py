@@ -870,3 +870,49 @@ class TestCapPerHost:
 
         with _pt.raises(ValueError):
             cap_per_host(self._df(spark), cap=0)
+
+
+def test_temperature_sample_null_group_cannot_poison_rates(spark):
+    """A handful of NULL-lang docs must not become n_min and crush the
+    real groups' rates (review finding): nulls are excluded up front."""
+    from comic_text_detector_spark.operators.curation import temperature_sample
+
+    rows = [(i, "en") for i in range(400)] + [
+        (1000, None), (1001, None), (1002, "de"), (1003, "de")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, by="lang", alpha=0.5)
+    rates = {r["lang"]: r["rate"] for r in out.select("lang", "rate").distinct().collect()}
+    assert rates["de"] == 1.0            # n_min = 2 (de), NOT the nulls
+    assert abs(rates["en"] - (2 / 400) ** 0.5) < 1e-12
+    assert out.filter("lang IS NULL").count() == 0
+
+
+def test_cap_per_host_null_urls_pass_unranked(spark):
+    from comic_text_detector_spark.operators.curation import cap_per_host
+
+    rows = [("https://h.example/a",), ("https://h.example/b",), (None,), (None,)]
+    df = spark.createDataFrame(rows, "url string")
+    out = cap_per_host(df, cap=1).collect()
+    nulls = [r for r in out if r["url"] is None]
+    assert len(nulls) == 2 and all(r["host_rank"] is None for r in nulls)
+    assert sum(1 for r in out if r["host"] == "h.example") == 1
+
+
+def test_gopher_line_structured_and_crlf(spark):
+    """One word per line must count as N words, not one fused token; CRLF
+    endings must not defeat the ellipsis check (review finding)."""
+    from comic_text_detector_spark.operators.curation import gopher_quality
+
+    one_per_line = "\n".join(
+        ["the", "be", "to", "of", "and"] + [f"w{i}" for i in range(95)]
+    )
+    crlf = "good line one...\r\nsecond line also fine...\r\n"
+    df = spark.createDataFrame(
+        [(1, one_per_line), (2, crlf)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[1]["n_words"] == 100      # not 1
+    assert out[1]["n_stop_kinds"] == 5
+    assert out[2]["ellipsis_line_frac"] == 1.0
+    assert out[2]["n_lines"] == 2        # the trailing \r\n adds no line

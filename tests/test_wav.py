@@ -23,7 +23,7 @@ def test_roundtrip_16bit_stereo():
     assert p["sample_rate"] == 44100
     assert p["channels"] == 2
     assert p["bits"] == 16
-    assert p["frames"] == [c0, c1]  # de-interleave is exact
+    assert [c.tolist() for c in p["frames"]] == [c0, c1]  # de-interleave exact
 
 
 def test_roundtrip_8bit_offset():
@@ -31,7 +31,7 @@ def test_roundtrip_8bit_offset():
     c0 = [-128, -1, 0, 1, 127]
     p = parse_wav(synthesize_wav([c0], 8000, 8))
     assert p["bits"] == 8
-    assert p["frames"] == [c0]
+    assert [c.tolist() for c in p["frames"]] == [c0]
 
 
 def test_odd_data_chunk_padding():
@@ -41,7 +41,7 @@ def test_odd_data_chunk_padding():
     wav = synthesize_wav([c0], 8000, 8)
     assert len(wav) % 2 == 0
     p = parse_wav(wav)
-    assert p["frames"] == [c0]
+    assert [c.tolist() for c in p["frames"]] == [c0]
 
 
 def test_extra_chunks_tolerated():
@@ -52,7 +52,7 @@ def test_extra_chunks_tolerated():
     i = wav.index(b"data")
     spliced = wav[:i] + b"LIST" + struct.pack("<I", 4) + b"INFO" + wav[i:]
     spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
-    assert parse_wav(spliced)["frames"] == [c0]
+    assert [c.tolist() for c in parse_wav(spliced)["frames"]] == [c0]
 
 
 def test_refusals():
@@ -75,7 +75,7 @@ def test_truncated_data_clips_whole_frames():
     # drop the last 5 bytes: declared size now exceeds payload; the last
     # partial frame (and the whole frame it straddles) must vanish
     p = parse_wav(wav[:-5])
-    assert p["frames"] == [[1, 2], [5, 6]]
+    assert [c.tolist() for c in p["frames"]] == [[1, 2], [5, 6]]
 
 
 def test_features_integer_exact():
