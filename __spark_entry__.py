@@ -1442,6 +1442,32 @@ def _q_neardup_survivors(spark, sf_dir):
     ).select("doc_id")
 
 
+def _q_neardup_incremental(spark, sf_dir):
+    """Incremental near-dup candidates (operators/dedup.py::
+    neardup_incremental_pairs): the snapshot slice (doc_id % 4 == 0)
+    finds its near-dups against the indexed base slice WITHOUT
+    recomputing base signatures — base bands come from
+    ``banded_signatures`` as a stored index would supply them. With the
+    cap lifted the emitted set is exactly every banded pair touching the
+    snapshot, which the oracle computes from the full-corpus pipeline
+    plus the membership restriction."""
+    from comic_text_detector_spark.operators.dedup import (
+        banded_signatures,
+        neardup_incremental_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    incr = docs.filter(F.col("doc_id") % 4 == 0)
+    base_bands = banded_signatures(base, "doc_id", "text", hash_fn="md5")
+    return neardup_incremental_pairs(
+        base_bands, incr, "doc_id", "text",
+        max_bucket_size=1 << 20, hash_fn="md5",
+    )
+
+
 def _q_simhash_md5(spark, sf_dir):
     """Portable 60-bit simhash fingerprints (md5 base hash) — bit-identical
     to the DuckDB oracle's sign-sum computation."""
@@ -3189,6 +3215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "minhash_lsh_pairs_md5": _q_minhash_lsh_pairs_md5,
         "neardup_survivors": _q_neardup_survivors,
+        "neardup_incremental": _q_neardup_incremental,
         "simhash": _q_simhash,
         "simhash_md5": _q_simhash_md5,
         "simhash_pairs": _q_simhash_pairs,
@@ -3228,12 +3255,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _minhash_md5_oracle() -> str:
+def _minhash_md5_oracle(
+    pair_where: str = "", alias_a: str = "doc_a", alias_b: str = "doc_b"
+) -> str:
     """DuckDB re-computation of the ENTIRE portable-hash minhash-LSH
     pipeline: word 3-shingles → 31-bit md5-derived base hash → 64
     permutation mins → 16 band md5s → bucket self-join. Constants come from
     the same ``_mh_consts`` the Spark operator uses, so the two engines run
-    literally the same arithmetic."""
+    literally the same arithmetic. ``pair_where`` appends an extra
+    condition on the emitted pair (the incremental query restricts to
+    pairs touching the snapshot side)."""
     from comic_text_detector_spark.operators.dedup import _MERSENNE, _mh_consts
 
     mins = []
@@ -3257,9 +3288,9 @@ def _minhash_md5_oracle() -> str:
         " ('0x'||substr(md5(s),1,8))::BIGINT % 2147483648 AS h FROM sh), "
         f"sig AS (SELECT doc_id, {', '.join(mins)} FROM h GROUP BY doc_id), "
         "banded AS (" + " UNION ALL ".join(band_branches) + ") "
-        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"SELECT DISTINCT a.doc_id AS {alias_a}, b.doc_id AS {alias_b} "
         "FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.bh = b.bh "
-        "AND a.doc_id < b.doc_id"
+        "AND a.doc_id < b.doc_id" + pair_where
     )
 
 
@@ -3454,6 +3485,11 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "minhash_lsh_pairs_md5": _minhash_md5_oracle(),
+        "neardup_incremental": _minhash_md5_oracle(
+            pair_where=" AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)",
+            alias_a="id_a",
+            alias_b="id_b",
+        ),
         "neardup_survivors": (
             "WITH RECURSIVE"
             " pairs AS (SELECT doc_a a, doc_b b FROM ("

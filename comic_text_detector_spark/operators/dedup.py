@@ -317,6 +317,28 @@ def minhash_lsh_pairs(
     default ``xxhash64`` the band hash is one JVM intrinsic over the band's
     signature columns (the fast path).
     """
+    banded = banded_signatures(
+        df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn
+    )
+    return bucket_pairs(
+        banded, ["band_id", "band_hash"], [], max_bucket_size
+    ).select("id_a", "id_b")
+
+
+def banded_signatures(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, band_id, band_hash) — the banded-LSH rows every minhash
+    consumer shares: ``minhash_lsh_pairs`` feeds them to ``bucket_pairs``
+    immediately; ``write_band_index`` materializes them so a later
+    snapshot can find near-dups against this corpus WITHOUT recomputing
+    its signatures (the incremental-crawl path)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
 
@@ -333,12 +355,13 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         "id", F.explode(F.array(*band_structs)).alias("tb")
-    ).select("id", F.col("tb.band_id").alias("band_id"), F.col("tb.band_hash").alias("band_hash"))
-    return bucket_pairs(
-        banded, ["band_id", "band_hash"], [], max_bucket_size
-    ).select("id_a", "id_b")
+    ).select(
+        "id",
+        F.col("tb.band_id").alias("band_id"),
+        F.col("tb.band_hash").alias("band_hash"),
+    )
 
 
 # simhash fingerprint width per base-hash mode: xxhash64 provides 64
@@ -639,3 +662,84 @@ def neardup_survivors(
         max_bucket_size, hash_fn,
     )
     return dedup_keep_representatives(df, pairs, id_col)
+
+
+def write_band_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Materialize a corpus's banded minhash signatures (partitioned by
+    ``band_id``) so later snapshots run ``neardup_incremental_pairs``
+    against it without recomputing the base corpus — the signature pass
+    is the expensive leg (shingle explode + 64 mins over every document),
+    and at 10^12 docs recomputing it per recrawl would dwarf the delta."""
+    banded_signatures(
+        df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn
+    ).write.mode("overwrite").partitionBy("band_id").parquet(path)
+
+
+def neardup_incremental_pairs(
+    base_bands: DataFrame,
+    incr: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 32,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup candidate pairs for a NEW snapshot against an indexed
+    base corpus — every pair with at least one increment member: within
+    the increment (via ``bucket_pairs``) plus increment x base (via a
+    keyed equi-join on (band_id, band_hash) against the stored band
+    index). Only the increment's signatures are computed; the base
+    corpus contributes its MATERIALIZED bands (``write_band_index``).
+
+    Hot-bucket discipline, same rationale as ``bucket_pairs``: a band
+    bucket larger than ``max_bucket_size`` on either side is truncated
+    to its ``max_bucket_size`` minimum ids for the cross join (boilerplate
+    template clusters would otherwise emit |incr ∩ bucket| x |base ∩
+    bucket| rows); near-identical members are still represented and the
+    downstream exact verify (``ngram_jaccard_pairs``) decides truth.
+    With the cap lifted the emitted set is EXACTLY "all banded pairs
+    touching the increment", which is what the oracle checks.
+
+    Pairs emit ordered (id_a < id_b), distinct; a document present in
+    both sides (recapture of the same id) never pairs with itself.
+    """
+    ib = banded_signatures(
+        incr, id_col, text_col, num_hashes, bands, shingle_n, hash_fn
+    ).persist()  # used by both the self-pair and cross-join legs
+    self_pairs = bucket_pairs(
+        ib, ["band_id", "band_hash"], [], max_bucket_size
+    ).select("id_a", "id_b")
+
+    def _capped(bands_df):
+        w = Window.partitionBy("band_id", "band_hash").orderBy(F.col("id").asc())
+        return (
+            bands_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
+
+    cross = (
+        _capped(ib)
+        .withColumnRenamed("id", "iid")
+        .join(
+            _capped(base_bands).withColumnRenamed("id", "bid"),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("iid") != F.col("bid"))
+        .select(
+            F.least("iid", "bid").alias("id_a"),
+            F.greatest("iid", "bid").alias("id_b"),
+        )
+    )
+    return self_pairs.unionByName(cross).distinct()

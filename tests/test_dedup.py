@@ -341,3 +341,64 @@ class TestNeardupSurvivors:
                 if r["id"] != r["cluster_rep"]
             }
             assert surv == sorted({1, 2, 3} - losers)
+
+
+class TestNeardupIncremental:
+    def test_matches_full_recompute_and_write_read(self, spark, tmp_path):
+        """The incremental pair set must equal 'all banded pairs touching
+        the increment' from a full-corpus run — including through the
+        materialized band-index write/read round trip."""
+        from pyspark.sql import functions as F
+
+        from comic_text_detector_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            neardup_incremental_pairs,
+            write_band_index,
+        )
+
+        body = " ".join(f"w{i}" for i in range(60))
+        rows = [
+            (1, body), (2, body + " x"),            # base near-dups
+            (3, " ".join(f"q{i}" for i in range(60))),
+            (10, "w9 " + body),                      # incr, near base 1/2
+            (11, "w9 " + body + " y"),               # incr, near 10
+            (12, " ".join(f"z{i}" for i in range(60))),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        base = docs.filter(F.col("doc_id") < 10)
+        incr = docs.filter(F.col("doc_id") >= 10)
+
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                docs, "doc_id", "text", max_bucket_size=1 << 20, hash_fn="md5"
+            ).collect()
+        }
+        expected = {p for p in full if p[0] >= 10 or p[1] >= 10}
+
+        path = str(tmp_path / "bands")
+        write_band_index(base, path, "doc_id", "text", hash_fn="md5")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in neardup_incremental_pairs(
+                spark.read.parquet(path), incr, "doc_id", "text",
+                max_bucket_size=1 << 20, hash_fn="md5",
+            ).collect()
+        }
+        assert got == expected
+        assert any(a < 10 or b < 10 for a, b in got)  # cross pairs exist
+        assert (10, 11) in got                        # within-incr pair
+
+    def test_recaptured_id_never_self_pairs(self, spark):
+        from comic_text_detector_spark.operators.dedup import (
+            banded_signatures,
+            neardup_incremental_pairs,
+        )
+
+        body = " ".join(f"w{i}" for i in range(40))
+        docs = spark.createDataFrame([(1, body)], "doc_id long, text string")
+        bands = banded_signatures(docs, "doc_id", "text", hash_fn="md5")
+        pairs = neardup_incremental_pairs(
+            bands, docs, "doc_id", "text", hash_fn="md5"
+        ).collect()
+        assert pairs == []
