@@ -165,3 +165,45 @@ def test_png_unfilter_roundtrip_property(w, h, ch, filters, seed):
     png = _png_with_filters(pixels, filters[:h])
     got = decode_png_pixels(png)
     assert got is not None and (got == pixels).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-32768, 32767), min_size=0, max_size=40),
+        min_size=1,
+        max_size=3,
+    ).filter(lambda chs: len({len(c) for c in chs}) == 1),
+    st.integers(1, 192000),
+    st.sampled_from([8, 16]),
+)
+def test_wav_roundtrip_property(channels, rate, bits):
+    """Any channel layout/rate/width: synthesize → parse recovers the
+    exact samples, and the features match an independent brute force."""
+    import math
+
+    from comic_text_detector_spark.multimodal.wav import (
+        parse_wav,
+        synthesize_wav,
+        wav_features,
+    )
+
+    if bits == 8:  # clamp into the 8-bit domain
+        channels = [[max(-128, min(127, s)) for s in c] for c in channels]
+    p = parse_wav(synthesize_wav(channels, rate, bits))
+    assert p is not None
+    assert [c.tolist() for c in p["frames"]] == channels
+    f = wav_features(p)
+    flat = [s for c in channels for s in c]
+    n = len(channels[0])
+    assert f["sum_sq"] == sum(s * s for s in flat)
+    assert f["peak"] == max((abs(s) for s in flat), default=0)
+    assert f["duration_ms"] == n * 1000 // rate
+    c0 = channels[0]
+    assert f["zero_crossings"] == sum(
+        1 for i in range(1, n) if c0[i - 1] * c0[i] < 0
+    )
+    if flat:
+        assert f["rms_milli"] == math.floor(
+            math.sqrt(sum(s * s for s in flat) / len(flat)) * 1000.0
+        )
