@@ -238,3 +238,62 @@ def test_extract_to_wet_stream(spark, tmp_path):
     assert dates == {"2024-05-01T00:00:00Z"}
     # batch_id partitioning (idempotent overwrite unit) present
     assert {r.batch_id for r in rows} == {0}
+
+
+def test_stateful_frontier_slots_continue_across_batches(spark, tmp_path):
+    """Per-host slot counters must survive micro-batch boundaries: batch 2
+    schedules AFTER batch 1's slots, never bursting the host at slot 0
+    again; worker assignment matches the batch operator's md5 affinity."""
+    from comic_text_detector_spark.operators.dedup import md5_long
+    from comic_text_detector_spark.streaming.stateful_frontier import (
+        stateful_frontier_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("url string").parquet(in_dir)
+        q = (
+            stateful_frontier_stream(stream, n_workers=8, per_host_delay_ms=500)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [(f"https://a.example/p{i}",) for i in range(3)] + [
+        ("https://b.example/only",),
+        ("no-host-relative-url",),
+    ]
+    spark.createDataFrame(b1, "url string").write.parquet(in_dir)
+    run_once()
+    out1 = spark.read.parquet(out_dir).collect()
+    a1 = sorted(r["slot"] for r in out1 if r["host"] == "a.example")
+    assert a1 == [0, 1, 2]
+    assert [r["slot"] for r in out1 if r["host"] == "b.example"] == [0]
+    assert all(r["host"] != "" for r in out1)  # hostless excluded
+    assert all(
+        r["fetch_at_ms"] == r["slot"] * 500 for r in out1
+    )
+
+    # batch 2: two more a.example urls → slots 3, 4 (state carried)
+    b2 = [("https://a.example/q1",), ("https://a.example/q2",)]
+    spark.createDataFrame(b2, "url string").write.mode("append").parquet(in_dir)
+    run_once()
+    out2 = spark.read.parquet(out_dir).collect()
+    a2 = sorted(r["slot"] for r in out2 if r["host"] == "a.example")
+    assert a2 == [0, 1, 2, 3, 4]
+
+    # worker affinity matches the batch operator's md5_long % n_workers
+    expected_worker = spark.range(1).select(
+        (md5_long(F.lit("a.example")) % 8).cast("int").alias("w")
+    ).collect()[0]["w"]
+    assert all(
+        r["worker"] == expected_worker
+        for r in out2
+        if r["host"] == "a.example"
+    )
