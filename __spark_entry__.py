@@ -2474,6 +2474,72 @@ def _q_robots_sitemaps(spark, sf_dir):
     return robots_sitemaps(_robots_extras_df(spark, sf_dir))
 
 
+def _sitemap_fixture_df(spark, sf_dir):
+    """Synthetic sitemap XML per host: entries with lastmod, without,
+    with surrounding whitespace + &amp; entities, a loc-less block (must
+    drop), an invalid lastmod ('soon' → NULL date, raw string kept), and
+    a sitemapindex entry (kind='sitemap')."""
+    i = F.col("doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(i < 40)
+        .select(
+            F.concat(F.lit("h"), i.cast("string")).alias("host"),
+            F.concat(
+                F.lit("<urlset>\n<url><loc>https://h"), i.cast("string"),
+                F.lit("/p0</loc><lastmod>2024-0"),
+                (1 + i % 9).cast("string"),
+                F.lit("-15</lastmod></url>\n<url><loc>\n  https://h"),
+                i.cast("string"),
+                F.lit("/p1?a=1&amp;b="), (i % 5).cast("string"),
+                F.lit(" </loc></url>\n<url><lastmod>2020-01-01</lastmod>"
+                      "</url>\n<url><loc>https://h"),
+                i.cast("string"),
+                F.lit("/p2</loc><lastmod>soon</lastmod></url>\n</urlset>\n"
+                      "<sitemapindex><sitemap><loc>https://h"),
+                i.cast("string"),
+                F.lit("/more"), (i % 3).cast("string"),
+                F.lit(".xml</loc></sitemap></sitemapindex>"),
+            ).alias("sitemap_xml"),
+        )
+    )
+
+
+def _q_parse_sitemap(spark, sf_dir):
+    """Sitemap XML parsing (operators/curation.py::parse_sitemap): pure
+    regexp block extraction, page vs index kinds, entity decode,
+    whitespace trim, invalid-lastmod → NULL date; oracle predicts every
+    row from the fixture arithmetic."""
+    from comic_text_detector_spark.operators.curation import parse_sitemap
+
+    return parse_sitemap(_sitemap_fixture_df(spark, sf_dir))
+
+
+def _q_refetch_candidates(spark, sf_dir):
+    """Recrawl decision (operators/curation.py::refetch_candidates):
+    sitemap-listed pages absent from the crawl state refetch as
+    never_crawled; pages whose lastmod postdates our capture refetch as
+    modified; unknown lastmod is NOT evidence of modification."""
+    from comic_text_detector_spark.operators.curation import (
+        parse_sitemap,
+        refetch_candidates,
+    )
+
+    rows = parse_sitemap(_sitemap_fixture_df(spark, sf_dir))
+    i = F.col("doc_id")
+    crawled = (
+        _t(spark, sf_dir, "documents")
+        .filter((i < 40) & (i % 2 == 0))
+        .select(
+            F.concat(F.lit("https://h"), i.cast("string"), F.lit("/p0")).alias(
+                "url"
+            ),
+            F.lit("2024-05-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        )
+    )
+    return refetch_candidates(rows, crawled)
+
+
 _PARSE_ROBOTS_ORACLE = (
     "WITH src AS (SELECT 'h' || doc_id::VARCHAR AS host,"
     " '# generated' || chr(10) || 'User-agent: *' || chr(10) ||"
@@ -3186,6 +3252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_robots": _q_parse_robots,
         "robots_crawl_delay": _q_robots_crawl_delay,
         "robots_sitemaps": _q_robots_sitemaps,
+        "parse_sitemap": _q_parse_sitemap,
+        "refetch_candidates": _q_refetch_candidates,
         "pagerank_hosts": _q_pagerank_hosts,
         "pagerank_incremental": _q_pagerank_incremental,
         "extract_links": _q_extract_links,
@@ -4410,6 +4478,34 @@ def oracle_sql() -> dict[str, str]:
             "    ELSE 0.0 END) >= 0.8"
             "   AND n_stop_kinds >= 2) AS keep"
             " FROM m"
+        ),
+        "parse_sitemap": (
+            "WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40)"
+            " SELECT 'h' || CAST(i AS VARCHAR) AS host, 'url' AS kind,"
+            "  'https://h' || CAST(i AS VARCHAR) || '/p0' AS loc,"
+            "  '2024-0' || CAST(1 + i % 9 AS VARCHAR) || '-15' AS lastmod,"
+            "  CAST('2024-0' || CAST(1 + i % 9 AS VARCHAR) || '-15' AS DATE)"
+            "   AS lastmod_date FROM d"
+            " UNION ALL SELECT 'h' || CAST(i AS VARCHAR), 'url',"
+            "  'https://h' || CAST(i AS VARCHAR) || '/p1?a=1&b='"
+            "   || CAST(i % 5 AS VARCHAR), NULL, NULL FROM d"
+            " UNION ALL SELECT 'h' || CAST(i AS VARCHAR), 'url',"
+            "  'https://h' || CAST(i AS VARCHAR) || '/p2', 'soon', NULL FROM d"
+            " UNION ALL SELECT 'h' || CAST(i AS VARCHAR), 'sitemap',"
+            "  'https://h' || CAST(i AS VARCHAR) || '/more'"
+            "   || CAST(i % 3 AS VARCHAR) || '.xml', NULL, NULL FROM d"
+        ),
+        "refetch_candidates": (
+            "WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40)"
+            " SELECT 'https://h' || CAST(i AS VARCHAR) || '/p0' AS url,"
+            "  CASE WHEN i % 2 <> 0 THEN 'never_crawled'"
+            "   ELSE 'modified' END AS reason"
+            " FROM d WHERE i % 2 <> 0 OR (1 + i % 9) >= 5"
+            " UNION ALL SELECT 'https://h' || CAST(i AS VARCHAR)"
+            "  || '/p1?a=1&b=' || CAST(i % 5 AS VARCHAR), 'never_crawled'"
+            "  FROM d"
+            " UNION ALL SELECT 'https://h' || CAST(i AS VARCHAR) || '/p2',"
+            "  'never_crawled' FROM d"
         ),
         "cap_per_host": (
             "WITH u AS (SELECT doc_id,"

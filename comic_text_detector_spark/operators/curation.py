@@ -1118,3 +1118,100 @@ def cap_per_host(
         .filter(F.col("host_rank") <= cap)
     )
     return capped.unionByName(hostless)
+
+
+def parse_sitemap(
+    df: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Sitemap XML → (host, kind, loc, lastmod, lastmod_date) rows — the
+    step after ``robots_sitemaps`` in the frontier pipeline (sitemaps
+    protocol: ``<urlset>`` files list pages, ``<sitemapindex>`` files
+    list MORE sitemaps; ``kind`` says which, so a driver loop can fetch
+    and re-parse index targets).
+
+    Pure column expressions: ``regexp_extract_all`` pulls each
+    ``<url>``/``<sitemap>`` block ((?s) so entries may span lines), one
+    explode per kind, then per-block ``<loc>``/``<lastmod>`` extraction —
+    no XML library, no UDF, linear in file bytes and oracle-replayable.
+    Blocks without a ``<loc>`` drop (a sitemap entry without a url is
+    nothing); missing ``<lastmod>`` yields NULL (unknown, not epoch).
+    ``lastmod_date`` parses the W3C datetime's date prefix; an
+    unparseable value leaves the raw string and a NULL date
+    (drop-not-fake). Gzipped sitemaps are the caller's concern (inflate
+    before this operator); XML entities in loc (&amp;) are decoded for
+    the url column."""
+    blocks = []
+    for kind, tag in (("url", "url"), ("sitemap", "sitemap")):
+        b = df.select(
+            F.col(host_col).alias("host"),
+            F.lit(kind).alias("kind"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(xml_col), F.lit("")),
+                    F.lit(f"(?s)<{tag}>(.*?)</{tag}>"),
+                    1,
+                )
+            ).alias("block"),
+        )
+        blocks.append(b)
+    allb = blocks[0].unionByName(blocks[1])
+    loc = F.regexp_extract("block", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract("block", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    return (
+        allb.select(
+            "host",
+            "kind",
+            F.replace(
+                F.replace(loc, F.lit("&amp;"), F.lit("&")),
+                F.lit("&apos;"), F.lit("'"),
+            ).alias("loc"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+        )
+        .filter(F.col("loc") != "")
+        .withColumn(
+            "lastmod_date",
+            # try_to_date: ANSI mode makes to_date THROW on junk values;
+            # an unparseable lastmod must yield NULL, not fail the scan
+            F.expr("try_to_date(substring(lastmod, 1, 10), 'yyyy-MM-dd')"),
+        )
+    )
+
+
+def refetch_candidates(
+    sitemap_rows: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Which sitemap-listed pages does a recrawl fetch? (url, reason)
+    where reason ∈ {'never_crawled', 'modified'}: pages absent from the
+    crawl state, or whose sitemap ``lastmod_date`` is strictly after the
+    date of our last capture. Unknown lastmod (NULL) is NOT treated as
+    modified — the sitemap gave no evidence; politeness-first recrawl
+    policy refetches on schedule, not on absence of information.
+
+    One left join keyed by url (the crawl-state side aggregates to its
+    latest capture first — map-side combinable); linear at any scale.
+    """
+    latest = crawled.groupBy(F.col(url_col).alias("loc")).agg(
+        F.max(ts_col).alias("last_ts")
+    )
+    s = sitemap_rows.filter(F.col("kind") == "url").select("loc").distinct()
+    j = s.join(latest, "loc", "left")
+    page_dates = sitemap_rows.filter(F.col("kind") == "url").groupBy("loc").agg(
+        F.max("lastmod_date").alias("lastmod_date")
+    )
+    j = j.join(page_dates, "loc", "left")
+    return (
+        j.withColumn(
+            "reason",
+            F.when(F.col("last_ts").isNull(), F.lit("never_crawled")).when(
+                F.col("lastmod_date") > F.to_date("last_ts"),
+                F.lit("modified"),
+            ),
+        )
+        .filter(F.col("reason").isNotNull())
+        .select(F.col("loc").alias(url_col), "reason")
+    )

@@ -916,3 +916,62 @@ def test_gopher_line_structured_and_crlf(spark):
     assert out[1]["n_stop_kinds"] == 5
     assert out[2]["ellipsis_line_frac"] == 1.0
     assert out[2]["n_lines"] == 2        # the trailing \r\n adds no line
+
+
+class TestSitemaps:
+    def test_parse_blocks_entities_and_kinds(self, spark):
+        from comic_text_detector_spark.operators.curation import parse_sitemap
+
+        xml = (
+            "<urlset>\n"
+            "  <url>\n    <loc>  https://h/a?x=1&amp;y=2  </loc>\n"
+            "    <lastmod>2024-03-05T10:00:00Z</lastmod>\n  </url>\n"
+            "  <url><lastmod>2024-01-01</lastmod></url>\n"  # no loc → drop
+            "  <url><loc>https://h/b</loc><lastmod>junk</lastmod></url>\n"
+            "</urlset>\n"
+            "<sitemapindex><sitemap><loc>https://h/s1.xml</loc></sitemap>"
+            "</sitemapindex>"
+        )
+        df = spark.createDataFrame([("h", xml)], "host string, sitemap_xml string")
+        rows = {r["loc"]: r for r in parse_sitemap(df).collect()}
+        assert set(rows) == {"https://h/a?x=1&y=2", "https://h/b", "https://h/s1.xml"}
+        a = rows["https://h/a?x=1&y=2"]
+        assert a["kind"] == "url" and str(a["lastmod_date"]) == "2024-03-05"
+        assert rows["https://h/b"]["lastmod"] == "junk"
+        assert rows["https://h/b"]["lastmod_date"] is None
+        assert rows["https://h/s1.xml"]["kind"] == "sitemap"
+
+    def test_refetch_unknown_lastmod_is_not_modified(self, spark):
+        from comic_text_detector_spark.operators.curation import (
+            parse_sitemap,
+            refetch_candidates,
+        )
+
+        xml = (
+            "<urlset>"
+            "<url><loc>https://h/seen-nolastmod</loc></url>"
+            "<url><loc>https://h/seen-old</loc>"
+            "<lastmod>2020-01-01</lastmod></url>"
+            "<url><loc>https://h/seen-new</loc>"
+            "<lastmod>2030-01-01</lastmod></url>"
+            "<url><loc>https://h/unseen</loc></url>"
+            "</urlset>"
+        )
+        rows = parse_sitemap(
+            spark.createDataFrame([("h", xml)], "host string, sitemap_xml string")
+        )
+        crawled = spark.createDataFrame(
+            [
+                ("https://h/seen-nolastmod", "2024-01-01 00:00:00"),
+                ("https://h/seen-old", "2024-01-01 00:00:00"),
+                ("https://h/seen-new", "2024-01-01 00:00:00"),
+            ],
+            "url string, warc_ts string",
+        ).selectExpr("url", "CAST(warc_ts AS TIMESTAMP) AS warc_ts")
+        got = {
+            r["url"]: r["reason"] for r in refetch_candidates(rows, crawled).collect()
+        }
+        assert got == {
+            "https://h/seen-new": "modified",
+            "https://h/unseen": "never_crawled",
+        }
