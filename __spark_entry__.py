@@ -745,6 +745,45 @@ def _q_audio_frame_energy(spark, sf_dir):
     )
 
 
+def _q_charset_decode(spark, sf_dir):
+    """Charset sniff + decode over REAL synthesized bytes
+    (functions/charset.py): BOM'd utf-8, BOM'd utf-16-le, declared
+    windows-1252 with curly quotes, and undeclared high-byte text that
+    fails utf-8 validation into the cp1252 fallback — the oracle
+    predicts (charset, text) per doc including the non-ASCII chars."""
+    import pandas as pd
+
+    from comic_text_detector_spark.functions.charset import decode_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = [int(x) for x in pdf["doc_id"]]
+            media = []
+            for i in ids:
+                k = i % 4
+                if k == 0:
+                    media.append(b"\xef\xbb\xbf" + f"txt{i} caf\xe9".encode())
+                elif k == 1:
+                    media.append(b"\xff\xfe" + f"u16 {i}".encode("utf-16-le"))
+                elif k == 2:
+                    media.append(
+                        b'<meta charset="windows-1252">'
+                        + b"\x93" + f"q{i}".encode("ascii") + b"\x94"
+                    )
+                else:
+                    media.append(f"plain {i} ".encode("ascii") + b"\xe9")
+            yield pd.DataFrame(
+                {"media_id": [str(i) for i in ids], "media": media}
+            )
+
+    m = docs.mapInPandas(synth, "media_id string, media binary")
+    return decode_pages(m).select(
+        F.col("media_id").cast("bigint").alias("doc_id"), "charset", "text"
+    )
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher-style heuristic quality battery (operators/curation.py::
     gopher_quality): word/line stats, duplicate-line fractions,
@@ -3277,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "audio_frame_energy": _q_audio_frame_energy,
         "gopher_quality": _q_gopher_quality,
+        "charset_decode": _q_charset_decode,
         "chunk_docs": _q_chunk_docs,
         "bloom_new_urls": _q_bloom_new_urls,
         "temperature_sample": _q_temperature_sample,
@@ -4407,6 +4447,21 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(count(*) AS INTEGER) AS n,"
             "  CAST(sum(s0*s0) AS BIGINT) AS energy"
             " FROM s GROUP BY doc_id, t // 64"
+        ),
+        "charset_decode": (
+            "SELECT doc_id,"
+            " CASE CAST(doc_id % 4 AS INTEGER)"
+            "  WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16-le'"
+            "  ELSE 'cp1252' END AS charset,"
+            " CASE CAST(doc_id % 4 AS INTEGER)"
+            "  WHEN 0 THEN 'txt' || CAST(doc_id AS VARCHAR)"
+            "   || ' caf' || chr(233)"
+            "  WHEN 1 THEN 'u16 ' || CAST(doc_id AS VARCHAR)"
+            "  WHEN 2 THEN '<meta charset=\"windows-1252\">' || chr(8220)"
+            "   || 'q' || CAST(doc_id AS VARCHAR) || chr(8221)"
+            "  ELSE 'plain ' || CAST(doc_id AS VARCHAR) || ' ' || chr(233)"
+            " END AS text"
+            " FROM documents"
         ),
         "gopher_quality": (
             "WITH arr AS (SELECT doc_id,"
