@@ -263,3 +263,173 @@ def read_wet(spark: SparkSession, glob: str) -> DataFrame:
     return rows.select(
         "url", F.to_timestamp("warc_ts").alias("warc_ts"), "text"
     )
+
+
+def _wat_payload(url: str, ts: str, title: str,
+                 hrefs: list, anchors: list) -> bytes:
+    """The WAT JSON envelope for one page — the Common Crawl metadata
+    shape (Envelope → Payload-Metadata → HTML-Metadata with Head/Links),
+    restricted to what the engine extracts: title + <a href> links.
+    Deterministic serialization (sorted keys, no whitespace, ascii)."""
+    import json
+
+    links = [
+        {"path": "A@/href", "url": h, "text": a}
+        for h, a in zip(hrefs, anchors)
+    ]
+    doc = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": url,
+                "WARC-Date": ts,
+                "WARC-Type": "response",
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Head": {"Title": title},
+                        "Links": links,
+                    }
+                }
+            },
+        }
+    }
+    return json.dumps(
+        doc, sort_keys=True, separators=(",", ":"), ensure_ascii=True
+    ).encode("ascii")
+
+
+def wat_files(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    ts_col: str | None = None,
+    compress: bool = True,
+) -> DataFrame:
+    """Crawled rows → one gzipped WAT payload per PARTITION: (part_id,
+    n_records, wat) with ``wat`` complete ``*.warc.wat(.gz)`` bytes
+    (warcinfo header + one ``metadata`` record of JSON per page) —
+    completing the Common Crawl format trio beside ``read_warc`` and
+    ``wet_files``. Title and links are extracted JVM-side with the SAME
+    regexes as ``functions/links.py`` (one definition of 'a link'), so
+    the WAT output and the link graph can never disagree; the kernel
+    only assembles bytes. Same partition-as-file and deterministic-id
+    discipline as ``wet_files``."""
+    import gzip as _gzip
+    import hashlib
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..functions.links import A_TAG, ANCHOR, HREF
+
+    h = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(h, F.lit(A_TAG), F.lit(0))
+    cols = [
+        F.col(url_col).alias("url"),
+        (
+            F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            if ts_col
+            else F.lit(None).cast("string")
+        ).alias("ts"),
+        F.regexp_extract(h, "<title>([^<]*)</title>", 1).alias("title"),
+        F.transform(tags, lambda t: F.regexp_extract(t, HREF, 1)).alias(
+            "hrefs"
+        ),
+        F.transform(tags, lambda t: F.regexp_extract(t, ANCHOR, 1)).alias(
+            "anchors"
+        ),
+        F.spark_partition_id().alias("part_id"),
+    ]
+
+    def kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        chunks: list[bytes] = []
+        n = 0
+        part = 0
+        fields = b"software: ctd-spark wat writer\r\n"
+        info = (
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"WARC-Record-ID: "
+            b"<urn:uuid:00000000-0000-0000-0000-000000000000>\r\n"
+            b"WARC-Date: 1970-01-01T00:00:00Z\r\n"
+            b"Content-Type: application/warc-fields\r\n"
+            + f"Content-Length: {len(fields)}\r\n\r\n".encode()
+            + fields
+            + b"\r\n\r\n"
+        )
+        for pdf in batches:
+            for url, ts, title, hrefs, anchors, pid in zip(
+                pdf["url"], pdf["ts"], pdf["title"], pdf["hrefs"],
+                pdf["anchors"], pdf["part_id"],
+            ):
+                part = int(pid)
+                ts = ts if ts else "1970-01-01T00:00:00Z"
+                payload = _wat_payload(
+                    str(url), ts, str(title), list(hrefs), list(anchors)
+                )
+                rid = hashlib.md5(f"wat:{url}\x00{ts}".encode()).hexdigest()
+                rec_id = (
+                    f"<urn:uuid:{rid[:8]}-{rid[8:12]}-{rid[12:16]}-"
+                    f"{rid[16:20]}-{rid[20:32]}>"
+                )
+                hdr = (
+                    "WARC/1.0\r\n"
+                    "WARC-Type: metadata\r\n"
+                    f"WARC-Record-ID: {rec_id}\r\n"
+                    f"WARC-Target-URI: {_wet_uri(str(url))}\r\n"
+                    f"WARC-Date: {ts}\r\n"
+                    "Content-Type: application/json\r\n"
+                    f"Content-Length: {len(payload)}\r\n"
+                    "\r\n"
+                ).encode("ascii")
+                chunks.append(hdr + payload + b"\r\n\r\n")
+                n += 1
+        body = info + b"".join(chunks)
+        if compress:
+            body = _gzip.compress(body, compresslevel=6, mtime=0)
+        if n > 0:  # empty partitions emit nothing (part-id collision)
+            yield pd.DataFrame(
+                {"part_id": [part], "n_records": [n], "wat": [body]}
+            )
+
+    return df.select(*cols).mapInPandas(
+        kernel, "part_id int, n_records bigint, wat binary"
+    )
+
+
+def read_wat(spark: SparkSession, glob: str) -> DataFrame:
+    """WAT files → (url, warc_ts, meta_json): the read side of
+    ``wat_files`` (metadata records; json stays a string for the caller
+    to ``from_json`` with their schema)."""
+    from pyspark.sql import functions as F
+
+    bf = spark.read.format("binaryFile").load(glob).select("content")
+
+    def split_records(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls: list[str] = []
+            tss: list[str] = []
+            metas: list[str] = []
+            for blob in batch.column("content").to_pylist():
+                for url, ts, body in parse_warc(
+                    blob, record_types=(b"metadata",)
+                ):
+                    urls.append(url)
+                    tss.append(ts)
+                    metas.append(body.decode("utf-8", "replace"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, type=pa.string()),
+                    pa.array(tss, type=pa.string()),
+                    pa.array(metas, type=pa.string()),
+                ],
+                names=["url", "warc_ts", "meta_json"],
+            )
+
+    rows = bf.mapInArrow(
+        split_records, "url string, warc_ts string, meta_json string"
+    )
+    return rows.select(
+        "url", F.to_timestamp("warc_ts").alias("warc_ts"), "meta_json"
+    )

@@ -129,3 +129,66 @@ def test_wet_http_prefixed_text_and_iri_urls(spark, tmp_path):
 
     raw = gzip.decompress(bytes(blobs[0].wet))
     assert raw.count(b"WARC-Record-ID:") == 2  # warcinfo + conversion
+
+
+class TestWat:
+    def test_wat_roundtrip_links_match_extractor(self, spark, tmp_path):
+        """wat_files → real blobs → read_wat: urls/timestamps survive and
+        the JSON Links equal functions/links.py's extraction verbatim
+        (one definition of 'a link')."""
+        import json
+
+        from comic_text_detector_spark.functions.links import extract_links
+        from comic_text_detector_spark.sources.warc import read_wat, wat_files
+
+        html1 = (
+            "<html><head><title>Page One</title></head><body>"
+            '<a href="https://x.example/a">first</a>'
+            '<a class="z" href="/rel">second</a>'
+            "<a data-href=\"bad\">no link</a></body></html>"
+        )
+        html2 = "<html><body>no links, no title</body></html>"
+        docs = spark.createDataFrame(
+            [
+                ("https://h.example/1", "2024-02-03 04:05:06", html1),
+                ("https://h.example/2", "2024-02-03 04:05:07", html2),
+            ],
+            "url string, warc_ts string, html string",
+        ).selectExpr("url", "CAST(warc_ts AS TIMESTAMP) AS warc_ts", "html")
+
+        blobs = wat_files(docs.repartition(1), ts_col="warc_ts")
+        out = str(tmp_path / "wat")
+        import os
+
+        os.makedirs(out)
+        for i, r in enumerate(blobs.collect()):
+            with open(f"{out}/part{i}.warc.wat.gz", "wb") as f:
+                f.write(bytes(r["wat"]))
+
+        back = read_wat(spark, f"{out}/*.warc.wat.gz")
+        rows = {r["url"]: r for r in back.collect()}
+        assert set(rows) == {"https://h.example/1", "https://h.example/2"}
+        assert str(rows["https://h.example/1"]["warc_ts"]).startswith(
+            "2024-02-03 04:05:06"
+        )
+        meta = json.loads(rows["https://h.example/1"]["meta_json"])
+        env = meta["Envelope"]
+        assert env["WARC-Header-Metadata"]["WARC-Type"] == "response"
+        hm = env["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+        assert hm["Head"]["Title"] == "Page One"
+        got_links = [(l["url"], l["text"]) for l in hm["Links"]]
+        exp_links = [
+            (r["href"], r["anchor"])
+            for r in extract_links(
+                docs.filter("url = 'https://h.example/1'")
+            ).collect()
+        ]
+        assert got_links == exp_links == [
+            ("https://x.example/a", "first"),
+            ("/rel", "second"),
+        ]
+        meta2 = json.loads(rows["https://h.example/2"]["meta_json"])
+        hm2 = meta2["Envelope"]["Payload-Metadata"][
+            "HTTP-Response-Metadata"
+        ]["HTML-Metadata"]
+        assert hm2["Links"] == [] and hm2["Head"]["Title"] == ""
