@@ -629,12 +629,16 @@ def schedule_frontier(
     host_col: str | None = None,
     n_workers: int = 64,
     per_host_delay_ms: int = 1000,
+    host_delays: DataFrame | None = None,
 ) -> DataFrame:
     """Politeness-aware crawl-frontier scheduling: (url, host, worker,
     slot, fetch_at_ms). Every url of a host lands on the SAME worker
     (md5 host affinity — politeness needs one rate-limit owner per host),
     urls within a host take deterministic md5-ordered slots, and
-    ``fetch_at_ms = slot * per_host_delay_ms`` spaces same-host fetches.
+    ``fetch_at_ms = slot * delay`` spaces same-host fetches — where
+    ``delay`` is the host's row in ``host_delays`` (host, delay_milli —
+    e.g. ``robots_crawl_delay`` output, broadcast: one row per polite
+    host) when given, else ``per_host_delay_ms``.
 
     Pure column exprs + one host-keyed window — a single exchange on the
     host key. Zipf-headed hosts are fine: the window only sorts each
@@ -650,7 +654,7 @@ def schedule_frontier(
 
     host = F.col(host_col) if host_col else host_of(F.col(url_col))
     w = Window.partitionBy("host").orderBy(F.col("okey"), F.col("url"))
-    return (
+    ranked = (
         df.select(
             F.col(url_col).alias("url"),
             host.alias("host"),
@@ -668,13 +672,21 @@ def schedule_frontier(
             "worker", (md5_long(F.col("host")) % n_workers).cast("int")
         )
         .withColumn("slot", (F.row_number().over(w) - 1).cast("bigint"))
-        .select(
-            "url",
+    )
+    delay = F.lit(per_host_delay_ms).cast("bigint")
+    if host_delays is not None:
+        ranked = ranked.join(
+            F.broadcast(host_delays.select("host", "delay_milli")),
             "host",
-            "worker",
-            "slot",
-            (F.col("slot") * per_host_delay_ms).alias("fetch_at_ms"),
+            "left",
         )
+        delay = F.coalesce(F.col("delay_milli"), delay)
+    return ranked.select(
+        "url",
+        "host",
+        "worker",
+        "slot",
+        (F.col("slot") * delay).alias("fetch_at_ms"),
     )
 
 

@@ -975,3 +975,84 @@ class TestSitemaps:
             "https://h/seen-new": "modified",
             "https://h/unseen": "never_crawled",
         }
+
+
+def test_frontier_job_e2e(spark, tmp_path):
+    """robots + sitemaps + crawl state → scheduled fetch plan: rules
+    block /private, the agent-specific crawl-delay spaces slots, refetch
+    decisions respect lastmod."""
+    import json
+
+    from jobs import frontier_job
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.example",
+                "User-agent: *\nDisallow: /private\nCrawl-delay: 1\n"
+                "User-agent: ctdbot\nDisallow: /private\nCrawl-delay: 3\n",
+            ),
+            ("b.example", "User-agent: *\nDisallow:\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    sitemaps = spark.createDataFrame(
+        [
+            (
+                "a.example",
+                "<urlset>"
+                "<url><loc>https://a.example/p1</loc></url>"
+                "<url><loc>https://a.example/p2</loc></url>"
+                "<url><loc>https://a.example/private/x</loc></url>"
+                "<url><loc>https://a.example/seen</loc>"
+                "<lastmod>2020-01-01</lastmod></url>"
+                "</urlset>",
+            ),
+            (
+                "b.example",
+                "<urlset><url><loc>https://b.example/q</loc></url></urlset>",
+            ),
+        ],
+        "host string, sitemap_xml string",
+    )
+    state = spark.createDataFrame(
+        [("https://a.example/seen", "2024-01-01 00:00:00")],
+        "url string, warc_ts string",
+    ).selectExpr("url", "CAST(warc_ts AS TIMESTAMP) AS warc_ts")
+
+    rdir, sdir, cdir = (
+        str(tmp_path / d) for d in ("robots", "sitemaps", "state")
+    )
+    robots.write.parquet(rdir)
+    sitemaps.write.parquet(sdir)
+    state.write.parquet(cdir)
+    out = str(tmp_path / "out")
+    assert frontier_job.main(
+        [
+            "--robots", rdir, "--sitemaps", sdir, "--output", out,
+            "--crawl-state", cdir, "--agent", "ctdbot",
+            "--default-delay-ms", "500",
+        ],
+        spark=spark,
+    ) == 0
+    sched = spark.read.parquet(f"{out}/schedule").collect()
+    urls = {r["url"] for r in sched}
+    # /private blocked; /seen unmodified → not refetched; p1/p2/q scheduled
+    assert urls == {
+        "https://a.example/p1", "https://a.example/p2", "https://b.example/q"
+    }
+    by_host = {}
+    for r in sched:
+        by_host.setdefault(r["host"], []).append(r)
+    # a.example uses the ctdbot-specific 3s delay, not '*'s 1s
+    a = sorted(by_host["a.example"], key=lambda r: r["slot"])
+    assert [r["fetch_at_ms"] for r in a] == [0, 3000]
+    # b.example has no crawl-delay → the default 500ms
+    assert [r["fetch_at_ms"] for r in by_host["b.example"]] == [0]
+    cand = spark.read.parquet(f"{out}/candidates").collect()
+    assert {r["url"]: r["reason"] for r in cand} == {
+        "https://a.example/p1": "never_crawled",
+        "https://a.example/p2": "never_crawled",
+        "https://a.example/private/x": "never_crawled",
+        "https://b.example/q": "never_crawled",
+    }
