@@ -675,11 +675,15 @@ def schedule_frontier(
     )
     delay = F.lit(per_host_delay_ms).cast("bigint")
     if host_delays is not None:
-        ranked = ranked.join(
-            F.broadcast(host_delays.select("host", "delay_milli")),
-            "host",
-            "left",
+        # collapse to ONE row per host before joining: a per-(host,agent)
+        # table like robots_crawl_delay's output would otherwise fan the
+        # join out and schedule every url once per agent row; max = the
+        # conservative politeness choice (callers pre-select their
+        # agent's row for exact semantics — see jobs/frontier_job.py)
+        one = host_delays.groupBy("host").agg(
+            F.max("delay_milli").alias("delay_milli")
         )
+        ranked = ranked.join(F.broadcast(one), "host", "left")
         delay = F.coalesce(F.col("delay_milli"), delay)
     return ranked.select(
         "url",
@@ -789,6 +793,27 @@ def parse_robots_rules(
     )
 
 
+def robots_agent_hosts(
+    df: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Hosts whose robots.txt declares a group for ``agent`` — presence
+    from the User-agent lines themselves (RFC 9309 §2.2.1: even an EMPTY
+    own group suppresses the ``*`` fallback). The shared building block
+    for rule selection AND crawl-delay selection, so the two stages of a
+    frontier job can never apply different group-selection semantics to
+    the same file."""
+    token = agent.lower()
+    g = _robots_parsed(df, host_col, txt_col)
+    return (
+        g.filter((F.col("is_ua") == 1) & (F.lower(F.col("value")) == token))
+        .select("host")
+        .distinct()
+    )
+
+
 def robots_rules_for_agent(
     df: DataFrame,
     agent: str,
@@ -802,14 +827,7 @@ def robots_rules_for_agent(
     wrongly union the wildcard group with the specific one.) Returns
     (host, path_prefix, allow) ready for ``robots_filter``."""
     token = agent.lower()
-    g = _robots_parsed(df, host_col, txt_col)
-    # group PRESENCE comes from the user-agent lines themselves, so an
-    # agent group with zero rules still suppresses the '*' fallback
-    specific_hosts = (
-        g.filter((F.col("is_ua") == 1) & (F.lower(F.col("value")) == token))
-        .select("host")
-        .distinct()
-    )
+    specific_hosts = robots_agent_hosts(df, agent, host_col, txt_col)
     rules = parse_robots_rules(df, host_col, txt_col)
     own = rules.filter(F.col("agent") == token).join(
         specific_hosts, "host", "left_semi"
@@ -1175,9 +1193,11 @@ def parse_sitemap(
         allb.select(
             "host",
             "kind",
+            # &amp; decodes LAST: the escaped sequence '&amp;apos;' must
+            # become the literal text '&apos;', not double-decode to "'"
             F.replace(
-                F.replace(loc, F.lit("&amp;"), F.lit("&")),
-                F.lit("&apos;"), F.lit("'"),
+                F.replace(loc, F.lit("&apos;"), F.lit("'")),
+                F.lit("&amp;"), F.lit("&"),
             ).alias("loc"),
             F.when(lastmod != "", lastmod).alias("lastmod"),
         )
@@ -1210,12 +1230,12 @@ def refetch_candidates(
     latest = crawled.groupBy(F.col(url_col).alias("loc")).agg(
         F.max(ts_col).alias("last_ts")
     )
-    s = sitemap_rows.filter(F.col("kind") == "url").select("loc").distinct()
-    j = s.join(latest, "loc", "left")
+    # one row per loc already — the distinct-loc frame IS this aggregate,
+    # so one scan of the sitemap rows and one join suffice
     page_dates = sitemap_rows.filter(F.col("kind") == "url").groupBy("loc").agg(
         F.max("lastmod_date").alias("lastmod_date")
     )
-    j = j.join(page_dates, "loc", "left")
+    j = page_dates.join(latest, "loc", "left")
     return (
         j.withColumn(
             "reason",

@@ -729,11 +729,20 @@ def neardup_incremental_pairs(
             .drop("__rn")
         )
 
+    # only base buckets the INCREMENT touches can produce pairs — the
+    # semi-join restricts the base side BEFORE its cap window, so the
+    # window sorts ~|increment's buckets| rows, not the whole 10^12-doc
+    # index (which would defeat the point of materializing it); on a
+    # band_id-partitioned index the join also prunes partitions
+    touched = ib.select("band_id", "band_hash").distinct()
+    base_touched = base_bands.join(
+        touched, ["band_id", "band_hash"], "left_semi"
+    )
     cross = (
         _capped(ib)
         .withColumnRenamed("id", "iid")
         .join(
-            _capped(base_bands).withColumnRenamed("id", "bid"),
+            _capped(base_touched).withColumnRenamed("id", "bid"),
             ["band_id", "band_hash"],
         )
         .filter(F.col("iid") != F.col("bid"))

@@ -324,7 +324,9 @@ def wat_files(
 
     from ..functions.links import A_TAG, ANCHOR, HREF
 
-    h = F.col(html_col).cast("string")
+    # null html must yield an empty page record, not a null array that
+    # crashes the kernel (wet_files applies the same coalesce to text)
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
     tags = F.regexp_extract_all(h, F.lit(A_TAG), F.lit(0))
     cols = [
         F.col(url_col).alias("url"),
@@ -365,8 +367,12 @@ def wat_files(
             ):
                 part = int(pid)
                 ts = ts if ts else "1970-01-01T00:00:00Z"
+                # the envelope carries the SAME percent-encoded URI as the
+                # WARC record header — a consumer cross-referencing the
+                # two must never see different URIs for one record
                 payload = _wat_payload(
-                    str(url), ts, str(title), list(hrefs), list(anchors)
+                    _wet_uri(str(url)), ts, str(title),
+                    list(hrefs), list(anchors),
                 )
                 rid = hashlib.md5(f"wat:{url}\x00{ts}".encode()).hexdigest()
                 rec_id = (

@@ -44,12 +44,12 @@ def main(argv: list[str], spark=None) -> int:
     p.add_argument("--default-delay-ms", type=int, default=1000)
     args = p.parse_args(argv)
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from comic_text_detector_spark.operators.curation import (
         parse_sitemap,
         refetch_candidates,
+        robots_agent_hosts,
         robots_crawl_delay,
         robots_filter,
         robots_rules_for_agent,
@@ -65,18 +65,23 @@ def main(argv: list[str], spark=None) -> int:
     robots = spark.read.parquet(args.robots)
     sitemaps = spark.read.parquet(args.sitemaps)
 
-    # stage 1: rules for our agent + per-host delay (own group's delay
-    # wins over '*' — the same §2.2.1 preference the rules use)
+    # stage 1: rules for our agent + per-host delay with the SAME §2.2.1
+    # group selection the rules use (robots_agent_hosts is the shared
+    # presence test): on a host where our agent has its OWN group, the
+    # '*' group's delay does NOT apply — even if the own group declares
+    # no delay (that means "no delay constraint", falling back to the
+    # job default, never to a group the RFC says to ignore)
     rules = robots_rules_for_agent(robots, args.agent)
-    delays = robots_crawl_delay(robots).filter(
-        F.col("agent").isin(args.agent.lower(), "*")
-    )
-    pref = Window.partitionBy("host").orderBy(
-        F.when(F.col("agent") == args.agent.lower(), 0).otherwise(1)
-    )
+    token = args.agent.lower()
+    own_hosts = robots_agent_hosts(robots, args.agent)
+    d = robots_crawl_delay(robots)
     delays = (
-        delays.withColumn("__p", F.row_number().over(pref))
-        .filter(F.col("__p") == 1)
+        d.filter(F.col("agent") == token)
+        .unionByName(
+            d.filter(F.col("agent") == "*").join(
+                own_hosts, "host", "left_anti"
+            )
+        )
         .select("host", "delay_milli")
     )
 
@@ -94,8 +99,12 @@ def main(argv: list[str], spark=None) -> int:
     n_candidates = candidates.count()
 
     # stage 4: robots filtering (blocked urls are an audit count, not a
-    # silent disappearance)
-    allowed = robots_filter(candidates, rules, url_col="url")
+    # silent disappearance). Materialized once — counting the frame AND
+    # scheduling from it would otherwise run the filter pipeline twice
+    robots_filter(candidates, rules, url_col="url").write.mode(
+        "overwrite"
+    ).parquet(f"{args.output}/allowed")
+    allowed = spark.read.parquet(f"{args.output}/allowed")
     n_allowed = allowed.count()
 
     # stage 5: politeness schedule with per-host crawl-delays

@@ -1056,3 +1056,48 @@ def test_frontier_job_e2e(spark, tmp_path):
         "https://a.example/private/x": "never_crawled",
         "https://b.example/q": "never_crawled",
     }
+
+
+def test_frontier_job_own_group_suppresses_star_delay(spark, tmp_path):
+    """RFC 9309 group selection for DELAYS too (review finding): a host
+    where our agent has its OWN group (even delay-less) must not inherit
+    the '*' group's Crawl-delay — the default applies instead."""
+    from jobs import frontier_job
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.example",
+                "User-agent: ctdbot\nDisallow: /x\n\n"
+                "User-agent: *\nCrawl-delay: 30\n",
+            ),
+        ],
+        "host string, robots_txt string",
+    )
+    sitemaps = spark.createDataFrame(
+        [
+            (
+                "a.example",
+                "<urlset><url><loc>https://a.example/p1</loc></url>"
+                "<url><loc>https://a.example/p2</loc></url></urlset>",
+            )
+        ],
+        "host string, sitemap_xml string",
+    )
+    rdir, sdir = str(tmp_path / "r"), str(tmp_path / "s")
+    robots.write.parquet(rdir)
+    sitemaps.write.parquet(sdir)
+    out = str(tmp_path / "out")
+    assert frontier_job.main(
+        [
+            "--robots", rdir, "--sitemaps", sdir, "--output", out,
+            "--agent", "ctdbot", "--default-delay-ms", "250",
+        ],
+        spark=spark,
+    ) == 0
+    sched = sorted(
+        spark.read.parquet(f"{out}/schedule").collect(),
+        key=lambda r: r["slot"],
+    )
+    # default 250ms spacing, NOT the '*' group's 30s
+    assert [r["fetch_at_ms"] for r in sched] == [0, 250]

@@ -192,3 +192,33 @@ class TestWat:
             "HTTP-Response-Metadata"
         ]["HTML-Metadata"]
         assert hm2["Links"] == [] and hm2["Head"]["Title"] == ""
+
+
+def test_wat_null_html_yields_empty_record(spark):
+    """NULL html must produce an empty-links record, not a kernel crash
+    (review finding), and the envelope URI must match the header's
+    percent-encoded form for non-ASCII urls."""
+    import gzip
+    import json
+
+    from comic_text_detector_spark.sources.warc import wat_files
+
+    docs = spark.createDataFrame(
+        [("https://h.example/café", None)], "url string, html string"
+    )
+    rows = wat_files(docs.repartition(1)).collect()
+    assert len(rows) == 1 and rows[0]["n_records"] == 1
+    body = gzip.decompress(bytes(rows[0]["wat"])).decode("utf-8")
+    # one metadata record; envelope URI == header URI (percent-encoded)
+    hdr_uri = [
+        ln.split(": ", 1)[1]
+        for ln in body.splitlines()
+        if ln.startswith("WARC-Target-URI: ")
+    ][0]
+    payload = json.loads(body[body.index('{"Envelope"'):body.rindex("}") + 1])
+    assert payload["Envelope"]["WARC-Header-Metadata"]["WARC-Target-URI"] == hdr_uri
+    assert "%C3%A9" in hdr_uri
+    hm = payload["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"][
+        "HTML-Metadata"
+    ]
+    assert hm["Links"] == [] and hm["Head"]["Title"] == ""
