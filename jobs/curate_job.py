@@ -86,6 +86,13 @@ def main(argv: list[str], spark=None) -> int:
         "after line-level dedup",
     )
     p.add_argument(
+        "--max-docs-per-host",
+        type=int,
+        default=0,
+        help="if > 0, keep at most this many docs per host (deterministic "
+        "md5-ordered uniform draw; requires --id-col to be a url)",
+    )
+    p.add_argument(
         "--temperature-alpha",
         type=float,
         default=None,
@@ -222,6 +229,15 @@ def main(argv: list[str], spark=None) -> int:
             clean, uni, big, id_col=args.id_col, text_col=args.text_col
         ).filter(F.col("score") < args.min_lm_score)
         clean = clean.join(low.select(args.id_col), args.id_col, "left_anti")
+
+    # optional stage 1e2: per-host anti-domination cap (deterministic
+    # uniform draw; hostless rows pass uncapped — see the operator)
+    if args.max_docs_per_host > 0:
+        from comic_text_detector_spark.operators.curation import cap_per_host
+
+        clean = cap_per_host(
+            clean, args.id_col, cap=args.max_docs_per_host
+        ).drop("host", "host_rank")
 
     # optional stage 1f: Gopher heuristic battery — docs failing any of the
     # Rae et al. rules (word bounds, word length, symbol/bullet/ellipsis,

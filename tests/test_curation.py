@@ -1101,3 +1101,27 @@ def test_frontier_job_own_group_suppresses_star_delay(spark, tmp_path):
     )
     # default 250ms spacing, NOT the '*' group's 30s
     assert [r["fetch_at_ms"] for r in sched] == [0, 250]
+
+
+def test_curate_job_host_cap_stage(spark, tmp_path):
+    from jobs import curate_job
+
+    text = " ".join(["sturdy words that pass the floor"] * 4)
+    rows = [(f"https://big.example/p{i}", text, "en") for i in range(20)] + [
+        ("https://small.example/x", text, "en")
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string, lang string")
+    corpus, bench = str(tmp_path / "c"), str(tmp_path / "b")
+    docs.write.parquet(corpus)
+    spark.createDataFrame([("zz qq ww",)], "text string").write.parquet(bench)
+    out = str(tmp_path / "out")
+    assert curate_job.main(
+        [
+            "--input", corpus, "--benchmark", bench, "--output", out,
+            "--rates", '{"en": 1.0}', "--max-docs-per-host", "5",
+        ],
+        spark=spark,
+    ) == 0
+    kept = [r["url"] for r in spark.read.parquet(f"{out}/curated").collect()]
+    assert sum(1 for u in kept if "big.example" in u) == 5
+    assert "https://small.example/x" in kept

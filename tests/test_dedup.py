@@ -402,3 +402,46 @@ class TestNeardupIncremental:
             bands, docs, "doc_id", "text", hash_fn="md5"
         ).collect()
         assert pairs == []
+
+
+def test_dedup_job_incremental_band_index(spark, tmp_path):
+    """Run 1 materializes the band index; run 2 (new snapshot) drops
+    docs that collide with base as dup_of_base and dedups the rest
+    within-snapshot via the normal verify pipeline."""
+    import json  # noqa: F401
+
+    from jobs import dedup_job
+
+    body = " ".join(f"w{i}" for i in range(80))
+    other = " ".join(f"q{i}" for i in range(80))
+    base_docs = spark.createDataFrame(
+        [("b1", body), ("b2", other)], "url string, text string"
+    )
+    incr_docs = spark.createDataFrame(
+        [
+            ("n1", body + " tail"),      # near-dup of base b1 → dropped
+            ("n2", " ".join(f"z{i}" for i in range(80))),  # fresh
+            ("n3", " ".join(f"z{i}" for i in range(80)) + " x"),  # ~n2
+        ],
+        "url string, text string",
+    )
+    base_in, base_out = str(tmp_path / "bi"), str(tmp_path / "bo")
+    incr_in, incr_out = str(tmp_path / "ii"), str(tmp_path / "io")
+    bands = str(tmp_path / "bands")
+    base_docs.write.parquet(base_in)
+    incr_docs.write.parquet(incr_in)
+
+    assert dedup_job.main(
+        ["--input", base_in, "--output", base_out,
+         "--band-index-out", bands],
+        spark=spark,
+    ) == 0
+    assert dedup_job.main(
+        ["--input", incr_in, "--output", incr_out,
+         "--base-band-index", bands, "--jaccard", "0.5"],
+        spark=spark,
+    ) == 0
+    dup = {r["url"] for r in spark.read.parquet(f"{incr_out}/dup_of_base").collect()}
+    assert dup == {"n1"}
+    surv = {r["url"] for r in spark.read.parquet(f"{incr_out}/survivors").collect()}
+    assert surv == {"n2"}  # n1 dup-of-base, n3 clustered under n2
