@@ -207,3 +207,31 @@ def test_wav_roundtrip_property(channels, rate, bits):
         assert f["rms_milli"] == math.floor(
             math.sqrt(sum(s * s for s in flat) / len(flat)) * 1000.0
         )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 50),
+    st.integers(1, 16),
+    st.integers(0, 15),
+)
+def test_chunk_window_math_property(n_words, chunk, stride_off):
+    """Pure-python replica of chunk_sliding's closed-form window count:
+    windows cover every token, consecutive windows overlap by exactly
+    chunk-stride tokens, and no window is empty."""
+    stride = max(1, min(chunk, 1 + stride_off))
+    if n_words <= chunk:
+        n_chunks = 1
+    else:
+        n_chunks = 1 + -(-(n_words - chunk) // stride)
+    covered = set()
+    prev_end = None
+    for k in range(n_chunks):
+        start = k * stride
+        end = min(start + chunk, n_words)
+        assert start < n_words  # no empty window
+        covered.update(range(start, end))
+        if prev_end is not None and prev_end < n_words:
+            assert start <= prev_end  # no gap
+        prev_end = end
+    assert covered == set(range(n_words))  # full coverage
