@@ -784,6 +784,25 @@ def _q_charset_decode(spark, sf_dir):
     )
 
 
+def _q_normalize_text(spark, sf_dir):
+    """Unicode canonicalization (functions/textstats.py::normalize_text):
+    accented/digraph text synthesized from doc_id, normalized by Python
+    unicodedata on the Spark side and by nfc_normalize/strip_accents/
+    lower in DuckDB — two INDEPENDENT Unicode implementations must
+    produce identical bytes."""
+    from comic_text_detector_spark.functions.textstats import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Éc"), F.col("doc_id").cast("string"),
+            F.lit("ole ÑAÏVE ü"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(" ÅNGSTRÖM çĆevapčići Ωμέγα Straße"),
+        ).alias("text"),
+    )
+    return normalize_text(docs)
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher-style heuristic quality battery (operators/curation.py::
     gopher_quality): word/line stats, duplicate-line fractions,
@@ -3317,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frame_energy": _q_audio_frame_energy,
         "gopher_quality": _q_gopher_quality,
         "charset_decode": _q_charset_decode,
+        "normalize_text_docs": _q_normalize_text,
         "chunk_docs": _q_chunk_docs,
         "bloom_new_urls": _q_bloom_new_urls,
         "temperature_sample": _q_temperature_sample,
@@ -4447,6 +4467,13 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(count(*) AS INTEGER) AS n,"
             "  CAST(sum(s0*s0) AS BIGINT) AS energy"
             " FROM s GROUP BY doc_id, t // 64"
+        ),
+        "normalize_text_docs": (
+            "SELECT doc_id, nfc_normalize(lower(strip_accents(nfc_normalize("
+            " 'Éc' || CAST(doc_id AS VARCHAR) || 'ole ÑAÏVE ü'"
+            " || CAST(doc_id % 7 AS VARCHAR)"
+            " || ' ÅNGSTRÖM çĆevapčići Ωμέγα Straße'"
+            ")))) AS text_norm FROM documents"
         ),
         "charset_decode": (
             "SELECT doc_id,"

@@ -766,3 +766,63 @@ def train_bpe_words_sql(
         "WITH " + "".join(parts) + " " + " UNION ALL ".join(selects)
         + " ORDER BY rank"
     )
+
+
+def normalize_text(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lower: bool = True,
+    strip_accents: bool = True,
+    compat: bool = False,
+):
+    """Unicode text normalization — the canonicalization step fuzzy dedup
+    and token-frequency ops run first so 'École' and 'ecole' share a key.
+
+    Canonical mode (default): NFD-decompose → drop combining marks →
+    lowercase → NFC-recompose. This exact pipeline is engine-portable
+    (DuckDB: ``nfc_normalize(lower(strip_accents(nfc_normalize(x))))``
+    is bit-identical on canonical-decomposition accents — verified over
+    Latin/Greek diacritics and digraphs), so the output is
+    oracle-checkable. ``compat=True`` switches to NFKD COMPATIBILITY
+    folding (ligatures ﬁ→fi, fullwidth ＡＢＣ→abc, № → No) — the richer
+    cleanup real pipelines often want, but NOT SQL-replayable (DuckDB's
+    strip_accents does no compatibility decomposition), so it is
+    pytest-verified only.
+
+    Arrow-batched ``mapInPandas`` kernel (unicodedata has no Spark
+    built-in); map-only, no shuffle — normalization cost rides the scan.
+    """
+    import unicodedata
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    form = "NFKD" if compat else "NFD"
+
+    def _norm(s: str | None) -> str:
+        if s is None:
+            return ""
+        if strip_accents:
+            s = "".join(
+                c
+                for c in unicodedata.normalize(form, s)
+                if not unicodedata.combining(c)
+            )
+        if lower:
+            s = s.lower()
+        return unicodedata.normalize("NFC", s)
+
+    def kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "text_norm": [_norm(s) for s in pdf[text_col]],
+                }
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(
+        kernel, f"id {dict(df.dtypes)[id_col]}, text_norm string"
+    )
+    return out.withColumnRenamed("id", id_col)

@@ -309,3 +309,41 @@ def test_train_bpe_words_batched_identical_random(spark):
             assert train_bpe_merges_words(
                 df, n_merges=5, batch_window=window
             ) == seq
+
+
+class TestNormalizeText:
+    def test_canonical_mode(self, spark):
+        from comic_text_detector_spark.functions.textstats import (
+            normalize_text,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "École ÑAÏVE Straße"), (2, None), (3, "Ωμέγα Ćević")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["text_norm"] for r in normalize_text(df).collect()}
+        assert got[1] == "ecole naive straße"  # ß is canonical, kept
+        assert got[2] == ""                    # null → empty, not a crash
+        assert got[3] == "ωμεγα cevic"
+
+    def test_compat_mode_folds_ligatures(self, spark):
+        from comic_text_detector_spark.functions.textstats import (
+            normalize_text,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "ﬁn ＡＢＣ №5")], "doc_id long, text string"
+        )
+        got = normalize_text(df, compat=True).collect()[0]["text_norm"]
+        assert got == "fin abc no5"  # NFKD folds; not SQL-replayable
+
+    def test_flags_off_passthrough(self, spark):
+        from comic_text_detector_spark.functions.textstats import (
+            normalize_text,
+        )
+
+        df = spark.createDataFrame([(1, "École")], "doc_id long, text string")
+        got = normalize_text(
+            df, lower=False, strip_accents=False
+        ).collect()[0]["text_norm"]
+        assert got == "École"  # NFC of already-composed input
