@@ -208,3 +208,41 @@ def test_incremental_snapshots_watermark(spark, tmp_path):
     assert latest2.count() == n_urls1 + 10
     got2 = latest2.filter(F.col("url") == recap_url).collect()[0].text
     assert got2 == "fresh recapture content that is long enough"
+
+
+def test_compact_job_binpacks_and_verifies(spark, tmp_path):
+    """Many tiny files → few files, content-identical (verified by the
+    job's own fingerprint gate); a Hive partition layout is preserved."""
+    import os
+
+    from jobs import compact_job
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 2000).selectExpr(
+        "id", "CAST(id % 4 AS INT) AS bucket", "repeat('x', 50) AS payload"
+    )
+    # 64 small files per bucket dir
+    df.repartition(64).write.partitionBy("bucket").parquet(tbl)
+    n_before = sum(
+        1 for _r, _d, fs in os.walk(tbl) for f in fs if f.endswith(".parquet")
+    )
+    assert n_before > 100
+    rows_before = sorted(
+        (r["id"], r["bucket"]) for r in spark.read.parquet(tbl).collect()
+    )
+    assert compact_job.main(
+        ["--table", tbl, "--target-file-mb", "128", "--partition-by", "bucket"],
+        spark=spark,
+    ) == 0
+    n_after = sum(
+        1 for _r, _d, fs in os.walk(tbl) for f in fs if f.endswith(".parquet")
+    )
+    assert n_after <= 8  # one output partition x 4 bucket dirs + slack
+    rows_after = sorted(
+        (r["id"], r["bucket"]) for r in spark.read.parquet(tbl).collect()
+    )
+    assert rows_after == rows_before
+    # the Hive layout survived
+    assert sorted(
+        d for d in os.listdir(tbl) if d.startswith("bucket=")
+    ) == ["bucket=0", "bucket=1", "bucket=2", "bucket=3"]
