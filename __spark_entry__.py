@@ -784,6 +784,24 @@ def _q_charset_decode(spark, sf_dir):
     )
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """Recrawl snapshot diff (operators/curation.py::snapshot_diff):
+    added/removed/changed/unchanged per url via an md5-keyed full-outer
+    join — the audit a recrawl pipeline runs before deciding what to
+    reprocess."""
+    from comic_text_detector_spark.operators.curation import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_diff(old, new, "doc_id", "text")
+
+
 def _q_normalize_text(spark, sf_dir):
     """Unicode canonicalization (functions/textstats.py::normalize_text):
     accented/digraph text synthesized from doc_id, normalized by Python
@@ -3337,6 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "charset_decode": _q_charset_decode,
         "normalize_text_docs": _q_normalize_text,
+        "snapshot_diff": _q_snapshot_diff,
         "chunk_docs": _q_chunk_docs,
         "bloom_new_urls": _q_bloom_new_urls,
         "temperature_sample": _q_temperature_sample,
@@ -4467,6 +4486,20 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(count(*) AS INTEGER) AS n,"
             "  CAST(sum(s0*s0) AS BIGINT) AS energy"
             " FROM s GROUP BY doc_id, t // 64"
+        ),
+        "snapshot_diff": (
+            "WITH o AS (SELECT doc_id, md5(coalesce(text, '')) AS h"
+            "  FROM documents WHERE doc_id % 10 <> 0),"
+            " n AS (SELECT doc_id, md5(coalesce(CASE WHEN doc_id % 3 = 0"
+            "  THEN text || ' [v2]' ELSE text END, '')) AS h"
+            "  FROM documents WHERE doc_id % 10 <> 1)"
+            " SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,"
+            "  CASE WHEN o.h IS NULL THEN 'added'"
+            "   WHEN n.h IS NULL THEN 'removed'"
+            "   WHEN o.h = n.h THEN 'unchanged'"
+            "   ELSE 'changed' END AS status,"
+            "  o.h AS old_hash, n.h AS new_hash"
+            " FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"
         ),
         "normalize_text_docs": (
             "SELECT doc_id, nfc_normalize(lower(strip_accents(nfc_normalize("

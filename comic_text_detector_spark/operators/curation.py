@@ -1247,3 +1247,41 @@ def refetch_candidates(
         .filter(F.col("reason").isNotNull())
         .select(F.col("loc").alias(url_col), "reason")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "url",
+    content_col: str = "text",
+) -> DataFrame:
+    """Recrawl audit: (id, status, old_hash, new_hash) with status ∈
+    {'added', 'removed', 'changed', 'unchanged'} — what actually moved
+    between two snapshots of an extracted table. The content compare is
+    md5-keyed so the full-outer join carries 32-byte hashes, not page
+    bodies; one shuffle on the id key, linear at any scale.
+
+    NULL content hashes like empty content would — a page whose text
+    column went NULL between crawls reads as 'changed', not as a crash
+    or a silent 'unchanged'. Duplicate ids within a snapshot are
+    collapsed to their min hash first (deterministic; dedup upstream for
+    precise semantics — documented rather than guessed).
+    """
+    def side(df, tag):
+        return df.groupBy(F.col(id_col).alias("id")).agg(
+            F.min(F.md5(F.coalesce(F.col(content_col), F.lit("")))).alias(
+                f"{tag}_hash"
+            )
+        )
+
+    j = side(old, "old").join(side(new, "new"), "id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.col("id").alias(id_col), status.alias("status"),
+        "old_hash", "new_hash",
+    )

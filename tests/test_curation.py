@@ -1125,3 +1125,21 @@ def test_curate_job_host_cap_stage(spark, tmp_path):
     kept = [r["url"] for r in spark.read.parquet(f"{out}/curated").collect()]
     assert sum(1 for u in kept if "big.example" in u) == 5
     assert "https://small.example/x" in kept
+
+
+def test_snapshot_diff_statuses(spark):
+    from comic_text_detector_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "same"), ("b", "before"), ("c", "gone"), ("n", None)],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("a", "same"), ("b", "after"), ("d", "fresh"), ("n", "now set")],
+        "url string, text string",
+    )
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "a": "unchanged", "b": "changed", "c": "removed",
+        "d": "added", "n": "changed",  # NULL → value counts as a change
+    }
