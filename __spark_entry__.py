@@ -2701,6 +2701,21 @@ def _q_bm25(spark, sf_dir):
     return bm25_score(_t(spark, sf_dir, "documents"), _BM25_TERMS)
 
 
+def _q_bm25_phrase_index(spark, sf_dir):
+    """Positional BM25 over a PREBUILT positional index — the index path
+    shares both scoring tails with the direct bm25_phrase, so the SAME
+    positional DuckDB oracle must match bit-for-bit."""
+    from comic_text_detector_spark.operators.retrieval import (
+        bm25_phrase_from_index,
+        build_positional_index,
+    )
+
+    postings, lengths = build_positional_index(
+        _t(spark, sf_dir, "documents")
+    )
+    return bm25_phrase_from_index(postings, lengths, _BM25_PHRASE)
+
+
 def _q_bm25_index(spark, sf_dir):
     """BM25 over a PREBUILT inverted index (operators/retrieval.py::
     build_inverted_index + bm25_from_index): postings and lengths
@@ -3324,6 +3339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_docs": _q_bm25,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_index": _q_bm25_index,
+        "bm25_phrase_index": _q_bm25_phrase_index,
         "schedule_frontier": _q_schedule_frontier,
         "parse_robots": _q_parse_robots,
         "robots_crawl_delay": _q_robots_crawl_delay,
@@ -3692,6 +3708,11 @@ def oracle_sql() -> dict[str, str]:
             "comic_text_detector_spark.operators.retrieval",
             fromlist=["bm25_sql"],
         ).bm25_sql(_BM25_TERMS),
+        # likewise the positional-index path vs the bm25_phrase oracle
+        "bm25_phrase_index": __import__(
+            "comic_text_detector_spark.operators.retrieval",
+            fromlist=["bm25_phrase_sql"],
+        ).bm25_phrase_sql(_BM25_PHRASE),
         "extract_links": _LINKS_SQL,
         "anchor_stats_hosts": (
             "WITH l AS (" + _LINKS_SQL + "), "

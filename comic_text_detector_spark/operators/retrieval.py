@@ -213,6 +213,24 @@ def bm25_phrase(
     ).select(
         "id", (F.col("pos0") + 1).alias("pos"), "w"
     ).filter(F.col("w").isin(uniq))
+    return _bm25_phrase_from(
+        post, bag, terms, id_col, phrase_weight, prox_weight
+    )
+
+
+def _bm25_phrase_from(
+    post: DataFrame,
+    bag: DataFrame,
+    terms: list,
+    id_col: str,
+    phrase_weight: float,
+    prox_weight: float,
+) -> DataFrame:
+    """The positional scoring tail from a postings relation ``post``
+    (id, pos, w — 1-based raw-split positions, already filtered to the
+    phrase's terms) and the bag-micro frame. Shared by the direct path
+    and the positional-index path, so the two cannot drift."""
+    n_terms = len(terms)
 
     # exact phrase occurrences: a posting of terms[j] at pos votes for
     # anchor pos-j with role j; an anchor with all roles is a phrase hit
@@ -476,3 +494,67 @@ def bm25_from_index_path(
     )
     lengths = spark.read.parquet(f"{path}/lengths")
     return bm25_from_index(postings, lengths, tuple(terms), id_col, k1, b)
+
+
+def build_positional_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, lengths) with POSITIONS: postings rows are
+    (w, id, tf, positions) where ``positions`` is the sorted 1-based
+    raw-split token indexes (empties keep their slot — the same position
+    space ``bm25_phrase`` uses, so phrase/proximity scoring from the
+    index is bit-identical to the direct path). Costs one posexplode at
+    build time; phrase queries then touch |q| terms' postings instead of
+    re-exploding the corpus."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("pos0", "w"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "w").filter(
+        F.col("w") != ""
+    )
+    lengths = toks.groupBy("id").agg(F.count("*").cast("long").alias("dl"))
+    postings = toks.groupBy("w", "id").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+    return postings, lengths
+
+
+def bm25_phrase_from_index(
+    postings: DataFrame,
+    lengths: DataFrame,
+    phrase: tuple[str, ...],
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    phrase_weight: float = 1.0,
+    prox_weight: float = 0.5,
+) -> DataFrame:
+    """Positional BM25 over a prebuilt positional index — same output
+    (bit-identical, via the shared ``_bm25_micro_from`` +
+    ``_bm25_phrase_from`` tails) as ``bm25_phrase`` run on the corpus,
+    with the corpus text never touched."""
+    terms = list(phrase)
+    if len(terms) < 2:
+        raise ValueError("phrase needs at least 2 terms")
+    if any(not t for t in terms):
+        raise ValueError("phrase terms must be non-empty")
+    uniq = sorted(set(terms))
+    totals = lengths.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tot")
+    ).collect()[0]
+    n_docs, tot_tokens = int(totals.n or 0), int(totals.tot or 0)
+    if n_docs == 0:
+        raise ValueError("empty index")
+    hit = postings.filter(F.col("w").isin(uniq))
+    bag = _bm25_micro_from(
+        hit.select("w", "id", "tf"), lengths, n_docs, tot_tokens, k1, b
+    )
+    post = hit.select(
+        "id", F.explode("positions").alias("pos"), "w"
+    )
+    return _bm25_phrase_from(
+        post, bag, terms, id_col, phrase_weight, prox_weight
+    )

@@ -213,3 +213,35 @@ class TestInvertedIndex:
         p2, l2 = build_inverted_index(empty)
         with _pt.raises(ValueError):
             bm25_from_index(p2, l2, ("x",))
+
+
+def test_positional_index_phrase_matches_direct(spark):
+    """Index-backed phrase scoring equals the direct path exactly,
+    including n_phrase and the proximity component."""
+    from comic_text_detector_spark.operators.retrieval import (
+        bm25_phrase,
+        bm25_phrase_from_index,
+        build_positional_index,
+    )
+
+    rows = [
+        (1, "hash table lookup is a hash table trick"),
+        (2, "the table of hash values"),        # scattered, reversed
+        (3, "hash  table with doubled space"),  # empty slot between
+        (4, "nothing relevant here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = {
+        r["doc_id"]: (r["dl"], r["n_hit_terms"], r["n_phrase"], r["score"])
+        for r in bm25_phrase(docs, ("hash", "table")).collect()
+    }
+    postings, lengths = build_positional_index(docs)
+    via = {
+        r["doc_id"]: (r["dl"], r["n_hit_terms"], r["n_phrase"], r["score"])
+        for r in bm25_phrase_from_index(
+            postings, lengths, ("hash", "table")
+        ).collect()
+    }
+    assert via == direct
+    assert direct[1][2] == 2   # two adjacent occurrences
+    assert direct[2][2] == 0   # present but never adjacent
