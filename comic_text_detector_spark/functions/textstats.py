@@ -803,12 +803,14 @@ def normalize_text(
     def _norm(s: str | None) -> str:
         if s is None:
             return ""
+        # decompose whenever EITHER fold is requested: strip_accents
+        # needs the marks split out, compat needs NFKD applied even when
+        # accents are kept (compat=True, strip_accents=False must still
+        # fold ligatures/fullwidth — it is not a strip_accents sub-mode)
+        if strip_accents or compat:
+            s = unicodedata.normalize(form, s)
         if strip_accents:
-            s = "".join(
-                c
-                for c in unicodedata.normalize(form, s)
-                if not unicodedata.combining(c)
-            )
+            s = "".join(c for c in s if not unicodedata.combining(c))
         if lower:
             s = s.lower()
         return unicodedata.normalize("NFC", s)

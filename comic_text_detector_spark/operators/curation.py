@@ -1126,28 +1126,39 @@ def cap_per_host(
     ``schedule_frontier`` — so millions of relative urls never serialize
     into one window-sort task.
 
-    Emits the surviving rows plus ``host`` and ``host_rank`` for audit.
+    Emits the surviving rows plus ``host`` and ``host_rank`` for audit —
+    but only when the input does not already carry a column of that name
+    (a crawl corpus often has its own ``host``); pre-existing columns
+    pass through UNTOUCHED and the audit column is simply not added, so
+    the cap never silently replaces caller data.
     """
     if cap < 1:
         raise ValueError("cap must be >= 1")
     from .salting import host_of
 
     with_host = df.withColumn(
-        "host", F.coalesce(host_of(F.col(url_col)), F.lit(""))
+        "__cth_host", F.coalesce(host_of(F.col(url_col)), F.lit(""))
     )
-    hostless = with_host.filter(F.col("host") == "").withColumn(
-        "host_rank", F.lit(None).cast("int")
+    hostless = with_host.filter(F.col("__cth_host") == "").withColumn(
+        "__cth_rank", F.lit(None).cast("int")
     )
     order_key = F.md5(
         F.concat_ws(":", F.lit(salt), F.col(url_col).cast("string"))
     )
-    w = Window.partitionBy("host").orderBy(order_key.asc(), F.col(url_col).asc())
-    capped = (
-        with_host.filter(F.col("host") != "")
-        .withColumn("host_rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("host_rank") <= cap)
+    w = Window.partitionBy("__cth_host").orderBy(
+        order_key.asc(), F.col(url_col).asc()
     )
-    return capped.unionByName(hostless)
+    capped = (
+        with_host.filter(F.col("__cth_host") != "")
+        .withColumn("__cth_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("__cth_rank") <= cap)
+    )
+    out = capped.unionByName(hostless)
+    if "host" not in df.columns:
+        out = out.withColumn("host", F.col("__cth_host"))
+    if "host_rank" not in df.columns:
+        out = out.withColumn("host_rank", F.col("__cth_rank"))
+    return out.drop("__cth_host", "__cth_rank")
 
 
 def parse_sitemap(
@@ -1261,17 +1272,19 @@ def snapshot_diff(
     md5-keyed so the full-outer join carries 32-byte hashes, not page
     bodies; one shuffle on the id key, linear at any scale.
 
-    NULL content hashes like empty content would — a page whose text
-    column went NULL between crawls reads as 'changed', not as a crash
-    or a silent 'unchanged'. Duplicate ids within a snapshot are
-    collapsed to their min hash first (deterministic; dedup upstream for
-    precise semantics — documented rather than guessed).
+    NULL content gets the sentinel hash '<null>' (never equal to any
+    32-hex md5) — a page whose text column went NULL between crawls
+    reads as 'changed' even against the empty string, not as a crash or
+    a silent 'unchanged'. Duplicate ids within a snapshot are collapsed
+    to their min hash first (deterministic; dedup upstream for precise
+    semantics — documented rather than guessed).
     """
     def side(df, tag):
+        h = F.when(F.col(content_col).isNull(), F.lit("<null>")).otherwise(
+            F.md5(F.col(content_col))
+        )
         return df.groupBy(F.col(id_col).alias("id")).agg(
-            F.min(F.md5(F.coalesce(F.col(content_col), F.lit("")))).alias(
-                f"{tag}_hash"
-            )
+            F.min(h).alias(f"{tag}_hash")
         )
 
     j = side(old, "old").join(side(new, "new"), "id", "full_outer")

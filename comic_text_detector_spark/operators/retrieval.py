@@ -382,6 +382,31 @@ def bm25_phrase_sql(
     )
 
 
+def _token_stream(
+    docs: DataFrame, id_col: str, text_col: str, with_pos: bool = False
+) -> DataFrame:
+    """ONE definition of the index token space, shared by both index
+    builders — a tokenization change lands in both or neither. Raw
+    whitespace split, empties dropped AFTER position assignment (so
+    with_pos=True keeps the same 1-based raw-split position space
+    ``bm25_phrase`` scores in)."""
+    split = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    if with_pos:
+        toks = docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(split).alias("pos0", "w"),
+        ).select("id", (F.col("pos0") + 1).alias("pos"), "w")
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("id"), F.explode(split).alias("w")
+        )
+    return toks.filter(F.col("w") != "")
+
+
+def _doc_lengths(toks: DataFrame) -> DataFrame:
+    return toks.groupBy("id").agg(F.count("*").cast("long").alias("dl"))
+
+
 def build_inverted_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
@@ -391,17 +416,11 @@ def build_inverted_index(
     index-build pays the corpus explode ONCE, after which every query
     touches |q| terms' postings instead of re-scanning 100 TB of text
     (the Lucene segment model, relationally)."""
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-        ).alias("w"),
-    ).filter(F.col("w") != "")
-    lengths = toks.groupBy("id").agg(F.count("*").cast("long").alias("dl"))
+    toks = _token_stream(docs, id_col, text_col)
     postings = toks.groupBy("w", "id").agg(
         F.count("*").cast("long").alias("tf")
     )
-    return postings, lengths
+    return postings, _doc_lengths(toks)
 
 
 def bm25_from_index(
@@ -505,21 +524,14 @@ def build_positional_index(
     space ``bm25_phrase`` uses, so phrase/proximity scoring from the
     index is bit-identical to the direct path). Costs one posexplode at
     build time; phrase queries then touch |q| terms' postings instead of
-    re-exploding the corpus."""
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-        ).alias("pos0", "w"),
-    ).select("id", (F.col("pos0") + 1).alias("pos"), "w").filter(
-        F.col("w") != ""
-    )
-    lengths = toks.groupBy("id").agg(F.count("*").cast("long").alias("dl"))
+    re-exploding the corpus. A positional index strictly subsumes the
+    plain one: project positions away and it answers bag queries too."""
+    toks = _token_stream(docs, id_col, text_col, with_pos=True)
     postings = toks.groupBy("w", "id").agg(
         F.count("*").cast("long").alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
     )
-    return postings, lengths
+    return postings, _doc_lengths(toks)
 
 
 def bm25_phrase_from_index(

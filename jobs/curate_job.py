@@ -235,9 +235,13 @@ def main(argv: list[str], spark=None) -> int:
     if args.max_docs_per_host > 0:
         from comic_text_detector_spark.operators.curation import cap_per_host
 
-        clean = cap_per_host(
-            clean, args.id_col, cap=args.max_docs_per_host
-        ).drop("host", "host_rank")
+        pre_cols = set(clean.columns)
+        clean = cap_per_host(clean, args.id_col, cap=args.max_docs_per_host)
+        # drop only the audit columns the operator ADDED — a pre-existing
+        # host/host_rank column in the input corpus passes through intact
+        clean = clean.drop(
+            *[c for c in ("host", "host_rank") if c not in pre_cols]
+        )
 
     # optional stage 1f: Gopher heuristic battery — docs failing any of the
     # Rae et al. rules (word bounds, word length, symbol/bullet/ellipsis,

@@ -142,7 +142,10 @@ def main(argv: list[str], spark=None) -> int:
         "docs_in": n_in,
         "after_exact": n_exact,
         "after_near_dup": n_out,
-        "near_dup_removed": n_exact - n_out,
+        # n_exact was counted BEFORE the dup-of-base anti-join, so the
+        # within-input near-dup count must exclude the dup_of_base docs
+        # reported on their own line (else one removal shows up twice)
+        "near_dup_removed": n_exact - n_dup_of_base - n_out,
         "dup_of_base_removed": n_dup_of_base,
     }
     print(json.dumps(summary))

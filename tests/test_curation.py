@@ -1131,15 +1131,19 @@ def test_snapshot_diff_statuses(spark):
     from comic_text_detector_spark.operators.curation import snapshot_diff
 
     old = spark.createDataFrame(
-        [("a", "same"), ("b", "before"), ("c", "gone"), ("n", None)],
+        [("a", "same"), ("b", "before"), ("c", "gone"), ("n", None),
+         ("e", ""), ("z", None)],
         "url string, text string",
     )
     new = spark.createDataFrame(
-        [("a", "same"), ("b", "after"), ("d", "fresh"), ("n", "now set")],
+        [("a", "same"), ("b", "after"), ("d", "fresh"), ("n", "now set"),
+         ("e", None), ("z", None)],
         "url string, text string",
     )
     got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert got == {
         "a": "unchanged", "b": "changed", "c": "removed",
         "d": "added", "n": "changed",  # NULL → value counts as a change
+        "e": "changed",  # '' → NULL is a regression, not 'unchanged'
+        "z": "unchanged",  # NULL → NULL really is unchanged
     }

@@ -218,7 +218,9 @@ def test_wav_roundtrip_property(channels, rate, bits):
 def test_chunk_window_math_property(n_words, chunk, stride_off):
     """Pure-python replica of chunk_sliding's closed-form window count:
     windows cover every token, consecutive windows overlap by exactly
-    chunk-stride tokens, and no window is empty."""
+    chunk-stride tokens, and no window is empty. (This validates the
+    FORMULA's algebra; test_chunk_sliding_matches_replica below pins the
+    actual operator to the same replica so the two cannot drift.)"""
     stride = max(1, min(chunk, 1 + stride_off))
     if n_words <= chunk:
         n_chunks = 1
@@ -235,3 +237,43 @@ def test_chunk_window_math_property(n_words, chunk, stride_off):
             assert start <= prev_end  # no gap
         prev_end = end
     assert covered == set(range(n_words))  # full coverage
+
+
+def _chunk_replica(words, chunk, stride):
+    """The same closed form, producing the operator's full output rows."""
+    n = len(words)
+    if n == 0:
+        return []
+    n_chunks = 1 if n <= chunk else 1 + -(-(n - chunk) // stride)
+    out = []
+    for k in range(n_chunks):
+        start = k * stride
+        piece = words[start:start + chunk]
+        out.append((k, start, len(piece), " ".join(piece)))
+    return out
+
+
+def test_chunk_sliding_matches_replica(spark):
+    """Run chunk_sliding ITSELF over a grid of document lengths and
+    (chunk, stride) shapes and require row-exact agreement with the
+    pure-python replica — a regression in the operator's sequence/slice
+    expressions cannot slip past the formula-only property test."""
+    from comic_text_detector_spark.operators.packing import chunk_sliding
+
+    docs = [
+        (i, " ".join(f"w{j}" for j in range(i)) if i else "  ")
+        for i in range(0, 40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for chunk, stride in [(8, 8), (8, 5), (5, 2), (1, 1), (16, 3)]:
+        got = {}
+        for r in chunk_sliding(df, chunk=chunk, stride=stride).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["start_word"], r["n_tokens"],
+                 r["chunk_text"])
+            )
+        for i in range(0, 40):
+            words = [f"w{j}" for j in range(i)]
+            want = _chunk_replica(words, chunk, stride)
+            have = sorted(got.get(i, []))
+            assert have == want, (i, chunk, stride)

@@ -246,3 +246,59 @@ def test_compact_job_binpacks_and_verifies(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(tbl) if d.startswith("bucket=")
     ) == ["bucket=0", "bucket=1", "bucket=2", "bucket=3"]
+
+
+def test_compact_job_partitioned_no_file_explosion(spark, tmp_path):
+    """With n_out > 1 the rewrite must NOT put every partition value in
+    every task (that would emit ~n_out x n_values files — worse than the
+    input): files stay bounded by ~n_out + slack. Partition columns are
+    AUTO-DETECTED from the col=val layout — no --partition-by given."""
+    import os
+
+    from jobs import compact_job
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 6000).selectExpr(
+        "id", "CAST(id % 8 AS INT) AS bucket", "repeat('y', 200) AS payload"
+    )
+    df.repartition(32).write.partitionBy("bucket").parquet(tbl)
+    rows_before = sorted(
+        (r["id"], r["bucket"]) for r in spark.read.parquet(tbl).collect()
+    )
+    # tiny target => n_out is several; auto-detected 'bucket' partitioning
+    assert compact_job.main(
+        ["--table", tbl, "--target-file-mb", "1"], spark=spark
+    ) == 0
+    n_after = sum(
+        1 for _r, _d, fs in os.walk(tbl) for f in fs if f.endswith(".parquet")
+    )
+    # 8 bucket dirs, salt may split a value into a couple of files — but
+    # nowhere near the n_out x 8 a round-robin rewrite would emit
+    assert n_after <= 24, n_after
+    assert sorted(
+        d for d in os.listdir(tbl) if d.startswith("bucket=")
+    ) == [f"bucket={i}" for i in range(8)]
+    rows_after = sorted(
+        (r["id"], r["bucket"]) for r in spark.read.parquet(tbl).collect()
+    )
+    assert rows_after == rows_before
+
+
+def test_compact_job_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves only the __precompact
+    backup; the next run restores it before doing anything else."""
+    import os
+
+    from jobs import compact_job
+
+    tbl = str(tmp_path / "tbl")
+    spark.range(0, 100).selectExpr("id", "repeat('z', 20) AS p").repartition(
+        8
+    ).write.parquet(tbl)
+    rows = sorted(r["id"] for r in spark.read.parquet(tbl).collect())
+    # simulate the mid-swap crash: live path renamed away, staging lost
+    os.rename(tbl, tbl + "__precompact")
+    assert not os.path.exists(tbl)
+    assert compact_job.main(["--table", tbl], spark=spark) == 0
+    assert sorted(r["id"] for r in spark.read.parquet(tbl).collect()) == rows
+    assert not os.path.exists(tbl + "__precompact")
