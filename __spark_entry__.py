@@ -2765,6 +2765,23 @@ def _q_lm_score(spark, sf_dir):
     return lm_score(docs, uni, big)
 
 
+def _q_ccnet_tiers(spark, sf_dir):
+    """CCNet tier extraction proper (operators/lm.py::ccnet_tiers,
+    Wenzek et al. 2020 §4.3): per-language head/middle/tail tiers cut at
+    the corpus's own LM-score quantiles via percent_rank — the adaptive
+    version of lm_bucket's fixed thresholds. percent_rank is one IEEE
+    division of exact ints over a tie-free ordering, so tier labels
+    replay bit-identically in DuckDB."""
+    from comic_text_detector_spark.operators.lm import (
+        ccnet_tiers,
+        train_bigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, big = train_bigram_lm(docs)
+    return ccnet_tiers(docs, uni, big)
+
+
 def _q_u8_label_maps(spark, sf_dir):
     """U8 completeness: REAL 2-D rasterized DBNet-style label maps
     (shrink map / shrink mask / border support — reference
@@ -3336,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_quality_logit_topk": _q_train_quality_logit_topk,
         "u8_label_maps": _q_u8_label_maps,
         "lm_score_docs": _q_lm_score,
+        "ccnet_tiers": _q_ccnet_tiers,
         "bm25_docs": _q_bm25,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_index": _q_bm25_index,
@@ -3730,6 +3748,21 @@ def oracle_sql() -> dict[str, str]:
         "lm_score_docs": __import__(
             "comic_text_detector_spark.operators.lm", fromlist=["lm_score_sql"]
         ).lm_score_sql(),
+        "ccnet_tiers": (
+            "WITH s AS ("
+            + __import__(
+                "comic_text_detector_spark.operators.lm",
+                fromlist=["lm_score_sql"],
+            ).lm_score_sql()
+            + "), l AS (SELECT s.doc_id, d.lang, s.n_tokens, s.score,"
+            " percent_rank() OVER (PARTITION BY d.lang"
+            "  ORDER BY s.score DESC, s.doc_id) AS pr"
+            " FROM s JOIN documents d USING (doc_id))"
+            " SELECT doc_id, lang, n_tokens, score, pr,"
+            " CASE WHEN pr < 1.0/3.0 THEN 'head'"
+            "  WHEN pr < 1.0 - 1.0/3.0 THEN 'middle'"
+            "  ELSE 'tail' END AS tier FROM l"
+        ),
         "decontaminate": (
             "WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
             "g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 5 THEN "
@@ -4509,10 +4542,13 @@ def oracle_sql() -> dict[str, str]:
             " FROM s GROUP BY doc_id, t // 64"
         ),
         "snapshot_diff": (
-            "WITH o AS (SELECT doc_id, md5(coalesce(text, '')) AS h"
+            "WITH o AS (SELECT doc_id, CASE WHEN text IS NULL THEN '<null>'"
+            "  ELSE md5(text) END AS h"
             "  FROM documents WHERE doc_id % 10 <> 0),"
-            " n AS (SELECT doc_id, md5(coalesce(CASE WHEN doc_id % 3 = 0"
-            "  THEN text || ' [v2]' ELSE text END, '')) AS h"
+            " n AS (SELECT doc_id, CASE WHEN CASE WHEN doc_id % 3 = 0"
+            "  THEN text || ' [v2]' ELSE text END IS NULL THEN '<null>'"
+            "  ELSE md5(CASE WHEN doc_id % 3 = 0"
+            "  THEN text || ' [v2]' ELSE text END) END AS h"
             "  FROM documents WHERE doc_id % 10 <> 1)"
             " SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,"
             "  CASE WHEN o.h IS NULL THEN 'added'"

@@ -27,7 +27,7 @@ is fine for ranking).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 ALPHA = 0.4
@@ -146,6 +146,59 @@ def lm_bucket(
         F.when(F.col("score") >= head_min, F.lit("head"))
         .when(F.col("score") <= tail_max, F.lit("tail"))
         .otherwise(F.lit("middle")),
+    )
+
+
+def ccnet_tiers(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    head_frac: float = 1.0 / 3.0,
+    tail_frac: float = 1.0 / 3.0,
+) -> DataFrame:
+    """CCNet tier EXTRACTION proper (Wenzek et al. 2020 §4.3): per-
+    language head/middle/tail tiers derived from the LM-score QUANTILES
+    of the corpus itself — unlike ``lm_bucket``'s fixed thresholds, the
+    cut points adapt per language, which is the whole point (a 'good'
+    perplexity in zh is a different number than in en).
+
+    Mechanics: score every document (``lm_score`` — bit-exact milli-
+    quantized pipeline), then one window per language ordered by score
+    DESC with the id as tiebreak (rank ties impossible → percent_rank is
+    deterministic and engine-portable): pr < head_frac → head,
+    pr < 1-tail_frac → middle, else tail. percent_rank = (rank-1)/(n-1)
+    is ONE IEEE division of two exact ints, so the tier label replays
+    bit-identically in DuckDB. Wordless documents are absent (unscorable
+    — same contract as lm_score).
+
+    One exchange for the per-language window (lang cardinality is tiny
+    but doc counts are huge — the window only sorts within a language;
+    at 10^12 docs swap in approx percentile cut points per language and
+    a broadcast join if a full per-language sort is too hot).
+
+    Emits (id, lang, n_tokens, score, pr, tier).
+    """
+    scored = lm_score(docs, unigrams, bigrams, id_col, text_col)
+    with_lang = scored.join(docs.select(id_col, lang_col), id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("score"), F.col(id_col).asc()
+    )
+    pr = F.percent_rank().over(w)
+    tier = (
+        F.when(pr < F.lit(head_frac), F.lit("head"))
+        .when(pr < F.lit(1.0 - tail_frac), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return with_lang.select(
+        id_col,
+        lang_col,
+        "n_tokens",
+        "score",
+        pr.alias("pr"),
+        tier.alias("tier"),
     )
 
 

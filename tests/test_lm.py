@@ -97,6 +97,47 @@ def test_bucketing(spark):
     assert rows["good"] == "head" and rows["bad"] == "tail"
 
 
+def test_ccnet_tiers_per_language_quantiles(spark):
+    """Quantile tiers are cut PER LANGUAGE: each language's own best
+    third is head regardless of how its absolute scores compare to the
+    other language's; wordless docs are absent."""
+    from comic_text_detector_spark.operators.lm import ccnet_tiers
+
+    ref, uni, big = _model(spark)
+    # 6 docs per 'language', monotone quality within each
+    docs = spark.createDataFrame(
+        [
+            ("a1", "the cat sat on the mat", "aa"),
+            ("a2", "the cat sat on qq mat", "aa"),
+            ("a3", "the cat qq on qq mat", "aa"),
+            ("a4", "the qq qq on qq mat", "aa"),
+            ("a5", "qq qq qq on qq mat", "aa"),
+            ("a6", "qq qq qq qq qq zz", "aa"),
+            ("b1", "the dog sat on the mat", "bb"),
+            ("b2", "the dog sat on ww mat", "bb"),
+            ("b3", "the dog ww on ww mat", "bb"),
+            ("b4", "the ww ww on ww mat", "bb"),
+            ("b5", "ww ww ww on ww mat", "bb"),
+            ("b6", "ww ww ww ww ww zz", "bb"),
+            ("none", "", "aa"),
+        ],
+        "doc_id string, text string, lang string",
+    )
+    out = ccnet_tiers(docs, uni, big, id_col="doc_id").collect()
+    tiers = {r.doc_id: r.tier for r in out}
+    assert "none" not in tiers  # wordless absent
+    for p in ("a", "b"):
+        # 6 docs: pr = 0, .2, .4, .6, .8, 1.0 → 2 head, 2 middle, 2 tail
+        # (.6 < 2/3 so the 4th-best doc is still middle)
+        assert [tiers[p + str(i)] for i in range(1, 7)] == [
+            "head", "head", "middle", "middle", "tail", "tail",
+        ]
+    # per-language independence: same tier pattern even though the two
+    # languages' absolute scores differ (dog/ww vs cat/qq frequencies)
+    prs = {r.doc_id: r.pr for r in out}
+    assert prs["a1"] == 0.0 and prs["a6"] == 1.0
+
+
 def test_deterministic_across_repartition(spark):
     ref, uni, big = _model(spark)
     docs = spark.createDataFrame(
