@@ -444,6 +444,16 @@ def _q_rep_top_bigram(spark, sf_dir):
     )
 
 
+def _q_repetition_signals(spark, sf_dir):
+    """The full Gopher repetition battery (Rae et al. 2021 §A1.1): per-doc
+    char fraction covered by the top word n-gram (n=2..4) and by ANY
+    duplicated n-gram with overlap counted once (n=5..10)."""
+    from comic_text_detector_spark.functions.textstats import repetition_signals
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(d, "doc_id", "text")
+
+
 def _q_dedup_exact_survivors(spark, sf_dir):
     """Survivors API for exact dedup: duplicate the corpus under shifted
     ids, keep the min-id row per distinct text — output is exactly the
@@ -3325,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f17_expand_eng": _q_f17_expand_eng,
         "pii_scrub": _q_pii_scrub,
         "rep_top_bigram": _q_rep_top_bigram,
+        "repetition_signals": _q_repetition_signals,
         "dedup_exact_survivors": _q_dedup_exact_survivors,
         "decontaminate": _q_decontaminate,
         "hash_sample": _q_hash_sample,
@@ -3658,6 +3669,10 @@ def _ann_ivf_md5_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from comic_text_detector_spark.functions.textstats import (
+        repetition_signals_sql,
+    )
+
     en = "['the','a','of','and','is']"
     jacc_sh = (
         "list_distinct(list_transform("
@@ -4326,6 +4341,7 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(mx AS DOUBLE) / tot AS top_fraction"
             " FROM m WHERE c = mx GROUP BY doc_id, mx, tot"
         ),
+        "repetition_signals": repetition_signals_sql(),
         "f16_stroke_width": (
             "WITH a AS (SELECT user_id, count(*) n,"
             " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) s,"

@@ -453,6 +453,217 @@ def top_bigram_fraction(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The FULL Gopher repetition battery (Rae et al. 2021 §A1.1) as
+    character fractions — ``top_bigram_fraction`` covers only the
+    top-2-gram occurrence variant; this one computes, per document:
+
+    - kind='top', n ∈ top_ns: characters covered by all occurrences of
+      the MOST FREQUENT word n-gram / total word characters. Tie-break
+      is deterministic: max count, then max gram char length (overlap
+      between occurrences is not deduplicated for the top stat — the
+      published formulation counts occurrences; documented choice).
+    - kind='dup', n ∈ dup_ns: characters inside ANY duplicated n-gram
+      (count ≥ 2), with overlapping occurrences counted ONCE — the
+      paper's "taking care not to count characters that occur in
+      overlapping n-grams more than once", done relationally as a
+      distinct-position union (explode each occurrence's n word slots,
+      distinct, sum those words' lengths).
+
+    Char totals are whitespace-free (sum of word lengths). Every count
+    is an exact bigint; ``frac`` is ONE IEEE division, so the whole
+    battery replays bit-identically in DuckDB
+    (``repetition_signals_sql``). Long format (id, n, kind,
+    covered_chars, total_chars, frac); documents with fewer than n
+    words emit no row for that n (no gram exists — callers wanting 0.0
+    coalesce after a left join). Shape: per n one groupBy + one per-doc
+    window ('top') or one window + distinct + pos join ('dup') — all
+    keyed by doc id, no driver state, linear at corpus scale.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+            lambda w: w != "",
+        ).alias("ws"),
+    ).filter(F.size("ws") > 0)
+    base = words.select(
+        "id",
+        "ws",
+        F.aggregate(
+            "ws", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("total_chars"),
+    )
+    wpos = base.select(
+        "id", F.posexplode("ws").alias("pos0", "w")
+    ).select("id", (F.col("pos0") + 1).alias("p"), F.length("w").alias("wl"))
+
+    def grams(n):
+        return base.filter(F.size("ws") >= n).select(
+            "id",
+            "total_chars",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - n + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice("ws", i, n), " ").alias("g"),
+                    ),
+                )
+            ).alias("x"),
+        ).select(
+            "id", "total_chars",
+            F.col("x.pos").alias("pos"), F.col("x.g").alias("g"),
+        )
+
+    parts = []
+    wdoc = Window.partitionBy("id")
+    for n in top_ns:
+        counts = grams(n).groupBy("id", "total_chars", "g").agg(
+            F.count("*").alias("c")
+        )
+        top = (
+            counts.withColumn("mx", F.max("c").over(wdoc))
+            .filter(F.col("c") == F.col("mx"))
+            .groupBy("id", "total_chars")
+            .agg(
+                F.max("c").alias("mx"),
+                (F.max(F.length("g")) - F.lit(n - 1)).alias("gc"),
+            )
+        )
+        parts.append(
+            top.select(
+                "id",
+                F.lit(n).cast("int").alias("n"),
+                F.lit("top").alias("kind"),
+                (F.col("mx") * F.col("gc")).cast("long").alias(
+                    "covered_chars"
+                ),
+                "total_chars",
+                (
+                    F.col("mx") * F.col("gc")
+                    / F.col("total_chars").cast("double")
+                ).alias("frac"),
+            )
+        )
+    for n in dup_ns:
+        wgram = Window.partitionBy("id", "g")
+        dup = (
+            grams(n)
+            .withColumn("c", F.count("*").over(wgram))
+            .filter(F.col("c") >= 2)
+        )
+        cov_pos = dup.select(
+            "id",
+            "total_chars",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("p"),
+        ).distinct()
+        cov = cov_pos.join(wpos, ["id", "p"]).groupBy(
+            "id", "total_chars"
+        ).agg(F.sum("wl").cast("long").alias("covered_chars"))
+        parts.append(
+            cov.select(
+                "id",
+                F.lit(n).cast("int").alias("n"),
+                F.lit("dup").alias("kind"),
+                "covered_chars",
+                "total_chars",
+                (
+                    F.col("covered_chars")
+                    / F.col("total_chars").cast("double")
+                ).alias("frac"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumnRenamed("id", id_col)
+
+
+def repetition_signals_sql(
+    corpus: str = "documents",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> str:
+    """Oracle twin of ``repetition_signals`` in DuckDB SQL — identical
+    gram construction, tie-breaks, coverage union, and float ops."""
+    ctes = [
+        f"w AS (SELECT {id_col} AS id,"
+        " list_filter(string_split(coalesce(text, ''), ' '),"
+        " x -> x <> '') AS ws"
+        f" FROM {corpus})",
+        "b AS (SELECT id, ws, CAST(list_sum(list_transform(ws,"
+        " x -> length(x))) AS BIGINT) AS total_chars"
+        " FROM w WHERE len(ws) > 0)",
+        "wp0 AS (SELECT id, generate_subscripts(ws, 1) AS p,"
+        " unnest(ws) AS wd FROM b)",
+        "wp AS (SELECT id, p, length(wd) AS wl FROM wp0)",
+    ]
+    sels = []
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        ctes.append(
+            f"g{n}0 AS (SELECT id, total_chars,"
+            f" unnest(generate_series(1, len(ws) - {n} + 1)) AS pos, ws"
+            f" FROM b WHERE len(ws) >= {n})"
+        )
+        ctes.append(
+            f"g{n} AS (SELECT id, total_chars, pos,"
+            f" array_to_string(list_slice(ws, pos, pos + {n - 1}), ' ')"
+            f" AS g FROM g{n}0)"
+        )
+    for n in top_ns:
+        ctes.append(
+            f"c{n} AS (SELECT id, total_chars, g,"
+            f" CAST(count(*) AS BIGINT) AS c FROM g{n}"
+            " GROUP BY id, total_chars, g)"
+        )
+        ctes.append(
+            f"t{n} AS (SELECT id, total_chars, c, length(g) - {n - 1}"
+            f" AS gc FROM c{n}"
+            " QUALIFY c = max(c) OVER (PARTITION BY id))"
+        )
+        sels.append(
+            f"SELECT id AS {id_col}, CAST({n} AS INTEGER) AS n,"
+            " 'top' AS kind,"
+            " CAST(max(c) * max(gc) AS BIGINT) AS covered_chars,"
+            " total_chars,"
+            " max(c) * max(gc) / CAST(total_chars AS DOUBLE) AS frac"
+            f" FROM t{n} GROUP BY id, total_chars"
+        )
+    for n in dup_ns:
+        ctes.append(
+            f"d{n} AS (SELECT id, total_chars, pos FROM ("
+            "SELECT id, total_chars, pos,"
+            " count(*) OVER (PARTITION BY id, g) AS c"
+            f" FROM g{n}) WHERE c >= 2)"
+        )
+        ctes.append(
+            f"p{n} AS (SELECT DISTINCT id, total_chars, p FROM ("
+            "SELECT id, total_chars,"
+            f" unnest(generate_series(pos, pos + {n - 1})) AS p"
+            f" FROM d{n}))"
+        )
+        sels.append(
+            f"SELECT p{n}.id AS {id_col}, CAST({n} AS INTEGER) AS n,"
+            " 'dup' AS kind,"
+            " CAST(sum(wl) AS BIGINT) AS covered_chars, total_chars,"
+            " CAST(sum(wl) AS BIGINT) / CAST(total_chars AS DOUBLE)"
+            f" AS frac FROM p{n}"
+            f" JOIN wp ON wp.id = p{n}.id AND wp.p = p{n}.p"
+            f" GROUP BY p{n}.id, total_chars"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(sels)
+
+
 def stroke_width_proxy(df: DataFrame, group_col: str, x_col: str) -> DataFrame:
     """F16 stroke width from variance (reference utils/textblock.py:258-265
     takes np.std over sampled pixel colors; the webtext recast is the

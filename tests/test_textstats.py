@@ -347,3 +347,72 @@ class TestNormalizeText:
             df, lower=False, strip_accents=False
         ).collect()[0]["text_norm"]
         assert got == "École"  # NFC of already-composed input
+
+
+class TestRepetitionSignals:
+    def _run(self, spark, rows):
+        from comic_text_detector_spark.functions.textstats import (
+            repetition_signals,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            (r["doc_id"], r["n"], r["kind"]): r
+            for r in repetition_signals(df).collect()
+        }
+
+    def test_dup_overlap_counted_once(self, spark):
+        # "alpha beta gamma delta eps zeta" appears twice (pos 1 and 9);
+        # the four overlapping dup 5-grams cover word slots 1-6 and 9-14
+        # exactly once: 2 * (5+4+5+5+3+4) = 52 of 65 non-ws chars.
+        got = self._run(
+            spark,
+            [(1, "alpha beta gamma delta eps zeta filler one "
+                 "alpha beta gamma delta eps zeta tail")],
+        )
+        for n in (5, 6):
+            r = got[(1, n, "dup")]
+            assert (r["covered_chars"], r["total_chars"]) == (52, 65)
+        assert (1, 7, "dup") not in got  # no duplicated 7-gram
+
+    def test_top_counts_occurrences(self, spark):
+        # 'a b' occurs 3 times in "a b a b a b" -> 3 * 2 chars of 6.
+        got = self._run(spark, [(1, "a b a b a b")])
+        r = got[(1, 2, "top")]
+        assert (r["covered_chars"], r["total_chars"]) == (6, 6)
+        assert r["frac"] == 1.0
+
+    def test_short_null_and_empty_docs(self, spark):
+        got = self._run(spark, [(1, "tiny doc"), (2, None), (3, "")])
+        assert got[(1, 2, "top")]["frac"] == 1.0  # the only 2-gram
+        keys = {k[0] for k in got}
+        assert keys == {1}  # null/empty emit no rows at all
+
+    def test_oracle_parity_planted(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from comic_text_detector_spark.functions.textstats import (
+            repetition_signals,
+            repetition_signals_sql,
+        )
+
+        rows = [
+            (1, "a b c d e a b c d e a b c d e"),
+            (2, "x y x y x y z w z w"),
+            (3, "one two three four five six seven"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        key = ["doc_id", "n", "kind"]
+        got = (
+            repetition_signals(df).toPandas()
+            .sort_values(key).reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        ora = (
+            con.execute(repetition_signals_sql()).df()
+            .sort_values(key).reset_index(drop=True)
+        )
+        cols = sorted(got.columns)
+        assert got[cols].equals(ora[cols].astype(got[cols].dtypes.to_dict()))
