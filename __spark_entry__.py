@@ -454,6 +454,27 @@ def _q_repetition_signals(spark, sf_dir):
     return repetition_signals(d, "doc_id", "text")
 
 
+_DSIR_TGT = "doc_id % 7 = 0"  # deterministic stand-in "high-quality target"
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    target-vs-raw log-likelihood ratio per document, micro-int exact."""
+    from comic_text_detector_spark.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dsir_weights(docs, docs.filter(_DSIR_TGT))
+
+
+def _q_dsir_select(spark, sf_dir):
+    """DSIR Gumbel-top-k sampling (seed=7, k=100): the paper's sampling
+    mode with an md5-portable seeded Gumbel key."""
+    from comic_text_detector_spark.operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dsir_select(docs, docs.filter(_DSIR_TGT), k=100, seed=7)
+
+
 def _q_dedup_exact_survivors(spark, sf_dir):
     """Survivors API for exact dedup: duplicate the corpus under shifted
     ids, keep the min-id row per distinct text — output is exactly the
@@ -3336,6 +3357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "rep_top_bigram": _q_rep_top_bigram,
         "repetition_signals": _q_repetition_signals,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
         "dedup_exact_survivors": _q_dedup_exact_survivors,
         "decontaminate": _q_decontaminate,
         "hash_sample": _q_hash_sample,
@@ -3672,7 +3695,13 @@ def oracle_sql() -> dict[str, str]:
     from comic_text_detector_spark.functions.textstats import (
         repetition_signals_sql,
     )
+    from comic_text_detector_spark.operators.dsir import (
+        dsir_select_sql,
+        dsir_weights_sql,
+    )
 
+    dsir_raw = "SELECT doc_id, text FROM documents"
+    dsir_tgt = f"SELECT doc_id, text FROM documents WHERE {_DSIR_TGT}"
     en = "['the','a','of','and','is']"
     jacc_sh = (
         "list_distinct(list_transform("
@@ -4342,6 +4371,8 @@ def oracle_sql() -> dict[str, str]:
             " FROM m WHERE c = mx GROUP BY doc_id, mx, tot"
         ),
         "repetition_signals": repetition_signals_sql(),
+        "dsir_weights": dsir_weights_sql(dsir_raw, dsir_tgt),
+        "dsir_select": dsir_select_sql(dsir_raw, dsir_tgt, k=100, seed=7),
         "f16_stroke_width": (
             "WITH a AS (SELECT user_id, count(*) n,"
             " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) s,"
