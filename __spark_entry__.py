@@ -457,6 +457,48 @@ def _q_repetition_signals(spark, sf_dir):
 _DSIR_TGT = "doc_id % 7 = 0"  # deterministic stand-in "high-quality target"
 
 
+def _q_tokenize_ids(spark, sf_dir):
+    """BPE token-id emission: docs → boundary-chain BPE tokens → dense
+    lexicographic vocab ids via a one-row broadcast map (no corpus
+    shuffle). ids compared as csv so the gate stays array-convention-free."""
+    from comic_text_detector_spark.operators.tokenize import tokenize_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tokenize_ids(docs).select(
+        "doc_id", "n_tokens", F.array_join("ids", ",").alias("ids_csv")
+    )
+
+
+def _q_pack_token_ids(spark, sf_dir):
+    """Fixed-length training sequences: tokenize → split-long greedy pack
+    (budget 96) → per-pack id assembly + padding. Every row's ids has
+    exactly budget entries; token conservation is invariant-tested."""
+    from comic_text_detector_spark.operators.tokenize import pack_token_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_token_ids(docs, budget=96, n_buckets=8).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "pack_id",
+        "n_docs",
+        "n_tokens",
+        F.array_join("ids", ",").alias("ids_csv"),
+    )
+
+
+def _tokenize_ids_oracle() -> str:
+    from comic_text_detector_spark.operators.tokenize import tokenize_ids_sql
+
+    return tokenize_ids_sql()
+
+
+def _pack_token_ids_oracle() -> str:
+    from comic_text_detector_spark.operators.tokenize import (
+        pack_token_ids_sql,
+    )
+
+    return pack_token_ids_sql(budget=96, n_buckets=8)
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     target-vs-raw log-likelihood ratio per document, micro-int exact."""
@@ -3359,6 +3401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
+        "tokenize_ids": _q_tokenize_ids,
+        "pack_token_ids": _q_pack_token_ids,
         "dedup_exact_survivors": _q_dedup_exact_survivors,
         "decontaminate": _q_decontaminate,
         "hash_sample": _q_hash_sample,
@@ -4373,6 +4417,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": repetition_signals_sql(),
         "dsir_weights": dsir_weights_sql(dsir_raw, dsir_tgt),
         "dsir_select": dsir_select_sql(dsir_raw, dsir_tgt, k=100, seed=7),
+        "tokenize_ids": _tokenize_ids_oracle(),
+        "pack_token_ids": _pack_token_ids_oracle(),
         "f16_stroke_width": (
             "WITH a AS (SELECT user_id, count(*) n,"
             " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) s,"

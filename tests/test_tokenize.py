@@ -1,0 +1,135 @@
+"""Token-ID emission + fixed-length packing: id/count consistency with the
+BPE counter, vocab determinism, unk handling, and pack shape/conservation
+invariants.
+
+Reference lineage: the reference's final artifact emission
+(inference.py:147-163 writes boxes/mask/lines per image); here the final
+artifact is the packed token-id shard a pretraining loader consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from comic_text_detector_spark.functions.textstats import (
+    bpe_reference_encode,
+    token_count_bpe,
+)
+from comic_text_detector_spark.operators.tokenize import (
+    build_bpe_vocab,
+    pack_token_ids,
+    tokenize_ids,
+)
+
+DOCS = [
+    ("a", "the cat and the hat"),
+    ("b", "in the beginning"),
+    ("c", ""),
+    ("d", None),
+    ("e", "station station station"),
+    ("f", "q"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_token_stream_matches_reference_bpe(spark):
+    """ids decode (via the vocab) to exactly the priority-loop reference
+    BPE token stream, doc by doc."""
+    df = _docs(spark)
+    vocab = {r.token: r.tid for r in build_bpe_vocab(df).collect()}
+    inv = {v: k for k, v in vocab.items()}
+    got = {
+        r.doc_id: [inv[i] for i in r.ids]
+        for r in tokenize_ids(df).collect()
+    }
+    for doc_id, text in DOCS:
+        assert got[doc_id] == bpe_reference_encode(text or "")
+
+
+def test_n_tokens_matches_token_count_bpe(spark):
+    df = _docs(spark)
+    counts = {
+        r.doc_id: r.n_tokens_bpe for r in token_count_bpe(df).collect()
+    }
+    for r in tokenize_ids(df).collect():
+        assert len(r.ids) == r.n_tokens == counts[r.doc_id]
+
+
+def test_vocab_dense_lexicographic(spark):
+    rows = build_bpe_vocab(_docs(spark)).collect()
+    toks = [r.token for r in sorted(rows, key=lambda r: r.tid)]
+    assert [r.tid for r in sorted(rows, key=lambda r: r.tid)] == list(
+        range(len(rows))
+    )
+    assert toks == sorted(toks)
+
+
+def test_external_vocab_unk(spark):
+    """A supplied vocab maps unseen tokens to unk_id — never dropped, so
+    len(ids) still equals n_tokens."""
+    df = _docs(spark)
+    vocab = build_bpe_vocab(df.filter(F.col("doc_id") == "f"))
+    out = {
+        r.doc_id: r
+        for r in tokenize_ids(df, vocab=vocab, unk_id=-9).collect()
+    }
+    assert list(out["f"].ids) == [0]  # 'q' is the only vocab entry
+    a = out["a"]
+    assert len(a.ids) == a.n_tokens > 0
+    assert all(i == -9 for i in a.ids)  # nothing in 'a' survives 'q'-vocab
+
+
+def test_empty_and_null_docs_present(spark):
+    out = {r.doc_id: r for r in tokenize_ids(_docs(spark)).collect()}
+    for d in ("c", "d"):
+        assert out[d].n_tokens == 0 and list(out[d].ids) == []
+
+
+def test_pack_token_ids_shape_and_conservation(spark):
+    budget = 7
+    df = _docs(spark)
+    packs = pack_token_ids(df, budget=budget, n_buckets=2, pad_id=-1).collect()
+    tok = tokenize_ids(df).collect()
+    total = sum(r.n_tokens for r in tok)
+    assert sum(p.n_tokens for p in packs) == total
+    assert sum(p.n_docs for p in packs) >= len(
+        [r for r in tok if r.n_tokens > 0]
+    )
+    for p in packs:
+        assert len(p.ids) == budget
+        body = list(p.ids)[: p.n_tokens]
+        tail = list(p.ids)[p.n_tokens :]
+        assert all(i == -1 for i in tail)
+        assert all(i != -1 for i in body) or p.n_tokens == 0
+
+
+def test_pack_token_ids_id_multiset_preserved(spark):
+    """Every emitted non-pad id across all packs is exactly the corpus
+    token-id multiset: no id lost, duplicated, or faked by packing."""
+    from collections import Counter
+
+    df = _docs(spark)
+    want = Counter()
+    for r in tokenize_ids(df).collect():
+        want.update(r.ids)
+    got = Counter()
+    for p in pack_token_ids(df, budget=5, n_buckets=3).collect():
+        got.update(list(p.ids)[: p.n_tokens])
+    assert got == want
+
+
+def test_pack_token_ids_split_long_slices_in_order(spark):
+    """A doc over budget splits into consecutive budget-size slices; within
+    any single pack, slices of the same doc appear in part order and
+    concatenate back to a contiguous run of the doc's id stream."""
+    df = _docs(spark).filter(F.col("doc_id") == "e")
+    full = tokenize_ids(df).collect()[0]
+    assert full.n_tokens > 4  # must actually split at budget 4
+    packs = pack_token_ids(df, budget=4, n_buckets=1).collect()
+    chunks = []
+    for p in sorted(packs, key=lambda p: p.pack_id):
+        chunks.extend(list(p.ids)[: p.n_tokens])
+    assert chunks == list(full.ids)
