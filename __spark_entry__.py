@@ -3370,6 +3370,130 @@ def _q_quality_logit(spark, sf_dir):
     return quality_logit(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# --- integer-deterministic clustering / PQ ANN / layout / CDC ---
+
+
+def _q_kmeans_assign(spark, sf_dir):
+    """Trained k-means whose MODEL is oracle-exact: centi-quantized vectors
+    make every Lloyd update order-independent integer arithmetic, so the
+    DuckDB twin retrains the identical centroids and replays the final
+    assignment (operators/clustering.py)."""
+    from comic_text_detector_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+def _planted_embeddings(spark, sf_dir):
+    """Embeddings plus planted duplicates for the semdedup gate: exact
+    copies of every vec_id % 50 == 0 (id + 100000) and first-element
+    +0.5 perturbed copies of every vec_id % 50 == 10 (id + 200000) —
+    near-dups the operator must drop. All elements cast to double so
+    the planted arithmetic is the same exact IEEE ops in both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return (
+        emb.select("vec_id", as_double.alias("embedding"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 50 == 0).select(
+                (F.col("vec_id") + 100000).alias("vec_id"),
+                as_double.alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 50 == 10).select(
+                (F.col("vec_id") + 200000).alias("vec_id"),
+                F.concat(
+                    F.array(
+                        F.element_at("embedding", 1).cast("double")
+                        + F.lit(0.5)
+                    ),
+                    F.transform(
+                        F.slice("embedding", 2, 63),
+                        lambda x: x.cast("double"),
+                    ),
+                ).alias("embedding"),
+            )
+        )
+    )
+
+
+_SEMDEDUP_SRC = (
+    "SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    " AS v FROM embeddings"
+    " UNION ALL SELECT vec_id+100000,"
+    " list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    " FROM embeddings WHERE vec_id % 50 = 0"
+    " UNION ALL SELECT vec_id+200000,"
+    " list_prepend(CAST(embedding[1] AS DOUBLE)+0.5,"
+    " list_transform(embedding[2:], x -> CAST(x AS DOUBLE)))"
+    " FROM embeddings WHERE vec_id % 50 = 10"
+)
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup survivors over embeddings with planted exact + near
+    duplicates; the sqrt-free cosine threshold (dot^2 vs tau^2*|a|^2*|b|^2
+    on exact ints) makes the whole cluster-then-prune pipeline
+    value-checkable (operators/clustering.py::semdedup)."""
+    from comic_text_detector_spark.operators.clustering import semdedup
+
+    return semdedup(
+        _planted_embeddings(spark, sf_dir), k=8, iters=2, tau=0.8
+    )
+
+
+def _q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011): in-job trained
+    centi-int codebooks (8 subspaces x 8 centroids), m-byte codes,
+    asymmetric-distance top-5 by exact integer table lookups — training,
+    encoding and scoring all replayed by the DuckDB twin
+    (operators/clustering.py::ann_pq_topk)."""
+    from comic_text_detector_spark.operators.clustering import ann_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _q_zorder_curve(spark, sf_dir):
+    """Morton (Z-order) interleave of two bucketed keys — the multi-column
+    scan-pruning layout key behind write_zordered; pure shift/mask sums,
+    bit-identical in any engine (operators/layout.py)."""
+    from comic_text_detector_spark.operators.dedup import md5_long
+    from comic_text_detector_spark.operators.layout import zorder_key
+
+    d = _t(spark, sf_dir, "documents")
+    xk = md5_long(
+        F.concat_ws(":", F.lit("zx"), F.col("doc_id").cast("string"))
+    ) % 65536
+    yk = F.pmod(F.col("n_chars"), F.lit(65536))
+    return d.select("doc_id", xk.alias("xk"), yk.alias("yk")).select(
+        "doc_id",
+        "xk",
+        "yk",
+        zorder_key(F.col("xk"), F.col("yk")).alias("zval"),
+    )
+
+
+def _q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (rsync/LBFS boundaries on word
+    hashes): the planted licence passage must surface as cross-document
+    shared chunks wherever it lands in a document — fixed-width chunkers
+    can't do that (operators/dedup.py::cdc_chunks)."""
+    from comic_text_detector_spark.operators.dedup import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _DUP_PASSAGE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return cdc_chunks(planted, mod=16, max_words=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -3483,6 +3607,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_md5": _q_ann_lsh_topk_md5,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_topk_md5": _q_ann_ivf_topk_md5,
+        "kmeans_assign": _q_kmeans_assign,
+        "semdedup": _q_semdedup,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "zorder_curve": _q_zorder_curve,
+        "cdc_chunks": _q_cdc_chunks,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
         "dedup_embedding_pairs_md5": _q_dedup_embedding_pairs_md5,
         "j2_nms_spans": _q_j2_nms_spans,
@@ -3735,9 +3864,41 @@ def _ann_ivf_md5_oracle() -> str:
     )
 
 
+def _cdc_chunks_oracle(mod: int = 16, max_words: int = 64) -> str:
+    """DuckDB replay of cdc_chunks over the planted corpus: same word
+    split, same md5 boundary hash, same two windows (running boundary
+    count before each word; rank-within-chunk div max_words)."""
+    return (
+        "WITH src AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+        f"text || ' {_DUP_PASSAGE}' ELSE text END AS text FROM documents), "
+        "w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM src), "
+        "w AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, "
+        "unnest(ws) AS w FROM w0), "
+        "f AS (SELECT doc_id, pos, w, CASE WHEN "
+        "(('0x'||substr(md5('cdc:'||w),1,8))::BIGINT) % "
+        f"{mod} = 0 THEN 1 ELSE 0 END AS flag FROM w), "
+        "c AS (SELECT doc_id, pos, w, coalesce(sum(flag) OVER ("
+        "PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND 1 PRECEDING), 0) AS chunk_id FROM f), "
+        "c2 AS (SELECT c.*, CAST(floor((row_number() OVER ("
+        "PARTITION BY doc_id, chunk_id ORDER BY pos) - 1) / "
+        f"{max_words}.0) AS INT) AS sub_id FROM c), "
+        "ch AS (SELECT doc_id, md5(string_agg(w, ' ' ORDER BY pos)) AS "
+        "chunk_md5, CAST(count(*) AS INT) AS n_words FROM c2 "
+        "GROUP BY doc_id, chunk_id, sub_id) "
+        "SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs, "
+        "count(*) AS n_occ, max(n_words) AS n_words FROM ch "
+        "GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from comic_text_detector_spark.functions.textstats import (
         repetition_signals_sql,
+    )
+    from comic_text_detector_spark.operators import clustering as _clu
+    from comic_text_detector_spark.operators.layout import (
+        zorder_key_sql as _zorder_key_sql,
     )
     from comic_text_detector_spark.operators.dsir import (
         dsir_select_sql,
@@ -4056,6 +4217,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_pairs_md5": _emb_md5_oracle(),
         "ann_lsh_topk_md5": _ann_lsh_md5_oracle(),
         "ann_ivf_topk_md5": _ann_ivf_md5_oracle(),
+        "kmeans_assign": _clu.kmeans_assign_sql(k=8, iters=2),
+        "semdedup": _clu.semdedup_sql(
+            k=8, iters=2, tau=0.8, src=_SEMDEDUP_SRC
+        ),
+        "ann_pq_topk": _clu.ann_pq_topk_sql(k=5),
+        "zorder_curve": (
+            "SELECT doc_id, xk, yk, "
+            + _zorder_key_sql("xk", "yk")
+            + " AS zval FROM (SELECT doc_id, "
+            "(('0x'||substr(md5('zx:'||CAST(doc_id AS VARCHAR)),1,8))"
+            "::BIGINT) % 65536 AS xk, n_chars % 65536 AS yk "
+            "FROM documents)"
+        ),
+        "cdc_chunks": _cdc_chunks_oracle(),
         "simhash_md5": (
             f"WITH {_simhash_md5_ctes()} SELECT doc_id, simhash FROM sig"
         ),

@@ -752,3 +752,85 @@ def neardup_incremental_pairs(
         )
     )
     return self_pairs.unionByName(cross).distinct()
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mod: int = 64,
+    max_words: int = 128,
+    salt: str = "cdc",
+) -> DataFrame:
+    """Content-defined chunking dedup: split each document into chunks at
+    content-determined word boundaries, then report chunks shared across
+    documents — (chunk_md5, n_docs, n_occ, n_words) for every chunk seen
+    in >= 2 distinct documents.
+
+    Why content-defined (the rsync/LBFS/borg trick): a fixed-width
+    chunker misaligns after one inserted word, so a shared passage
+    shifted by a sentence produces zero equal chunks; boundaries chosen
+    by a hash of the *content* (here: after any word w with
+    ``md5_long(salt:w) % mod == 0``) re-synchronize immediately, so
+    shared passages dedup regardless of position. Expected chunk length
+    is ``mod`` words; ``max_words`` force-splits pathological runs with
+    no boundary word (rank arithmetic, still deterministic).
+
+    Everything is window arithmetic over the posexploded words — chunk id
+    = running count of boundary flags BEFORE this word, sub id = rank
+    within chunk div max_words — so the oracle twin replays it as plain
+    SQL windows; no state, no UDF.
+
+    Scale: one explode + two windows partitioned by doc (narrow after the
+    explode's repartition by doc) + one groupBy on the chunk hash. The
+    chunk table (hash, doc, offsets) is the persistent index; incremental
+    crawls append and re-aggregate only new hashes (same move as
+    ``write_band_index``)."""
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ", -1)).alias("pos", "w"),
+    ).withColumn(
+        "flag",
+        (
+            md5_long(F.concat_ws(":", F.lit(salt), F.col("w"))) % mod == 0
+        ).cast("int"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = w.withColumn(
+        "chunk_id", F.coalesce(F.sum("flag").over(win), F.lit(0))
+    )
+    rk = Window.partitionBy("doc_id", "chunk_id").orderBy("pos")
+    chunked = chunked.withColumn(
+        "sub_id",
+        F.floor((F.row_number().over(rk) - 1) / F.lit(max_words)).cast(
+            "int"
+        ),
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk_id", "sub_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("pw")
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(
+                    F.transform("pw", lambda s: s["w"]), " "
+                )
+            ).alias("chunk_md5"),
+            F.size("pw").alias("n_words"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.max("n_words").alias("n_words"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
