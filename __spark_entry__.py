@@ -3454,6 +3454,27 @@ def _q_ann_pq_topk(spark, sf_dir):
     return ann_pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _q_ann_ivf_trained(spark, sf_dir):
+    """IVF ANN whose TRAINED coarse quantizer passes the value gate — the
+    centi-int k-means closes exactly the gap that keeps the float-mean
+    ann_ivf_topk rows-only (operators/clustering.py::ivf_topk_int)."""
+    from comic_text_detector_spark.operators.clustering import ivf_topk_int
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk_int(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composition (FAISS IVFADC shape, no residual encoding):
+    trained coarse routing over trained PQ codes, scored by integer table
+    lookups — the 100 TB ANN endgame, fully oracle-replayed
+    (operators/clustering.py::ann_ivfpq_topk)."""
+    from comic_text_detector_spark.operators.clustering import ann_ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def _q_zorder_curve(spark, sf_dir):
     """Morton (Z-order) interleave of two bucketed keys — the multi-column
     scan-pruning layout key behind write_zordered; pure shift/mask sums,
@@ -3610,6 +3631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _q_kmeans_assign,
         "semdedup": _q_semdedup,
         "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivf_trained": _q_ann_ivf_trained,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "zorder_curve": _q_zorder_curve,
         "cdc_chunks": _q_cdc_chunks,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
@@ -4222,6 +4245,8 @@ def oracle_sql() -> dict[str, str]:
             k=8, iters=2, tau=0.8, src=_SEMDEDUP_SRC
         ),
         "ann_pq_topk": _clu.ann_pq_topk_sql(k=5),
+        "ann_ivf_trained": _clu.ivf_topk_int_sql(k=5),
+        "ann_ivfpq_topk": _clu.ann_ivfpq_topk_sql(k=5),
         "zorder_curve": (
             "SELECT doc_id, xk, yk, "
             + _zorder_key_sql("xk", "yk")

@@ -57,6 +57,8 @@ __all__ = [
     "pq_codebooks",
     "pq_encode",
     "ann_pq_topk",
+    "ivf_topk_int",
+    "ann_ivfpq_topk",
 ]
 
 CENTI = 100
@@ -82,14 +84,13 @@ def _cents_lit(cents: list[list[int]]) -> Column:
     )
 
 
-def _nearest_int(qv: Column, cents: Column) -> Column:
-    """Index of the nearest centroid by exact integer L2 on centi-ints.
-
-    Same fold shape as ``similarity._nearest_centroid`` (diff-then-square
-    on the lambda variable — no CSE surprises) but over BIGINTs, so the
-    distance is exact and the lexicographic (dist, idx) argmin is
+def _scored_int(qv: Column, cents: Column) -> Column:
+    """array of (dist, idx) structs: exact integer L2 from ``qv`` to every
+    centroid. Same fold shape as ``similarity._nearest_centroid``
+    (diff-then-square on the lambda variable — no CSE surprises) but over
+    BIGINTs, so the distances and every comparison on them are
     deterministic in any engine."""
-    scored = F.transform(
+    return F.transform(
         cents,
         lambda c, i: F.struct(
             F.aggregate(
@@ -100,7 +101,20 @@ def _nearest_int(qv: Column, cents: Column) -> Column:
             i.alias("idx"),
         ),
     )
-    return F.array_min(scored)["idx"]
+
+
+def _nearest_int(qv: Column, cents: Column) -> Column:
+    """Index of the nearest centroid — lexicographic (dist, idx) argmin."""
+    return F.array_min(_scored_int(qv, cents))["idx"]
+
+
+def _probe_lists(qv: Column, cents: Column, nprobe: int) -> Column:
+    """Indices of the ``nprobe`` nearest centroids (ascending distance,
+    idx tie-break) — the IVF routing decision."""
+    return F.transform(
+        F.slice(F.array_sort(_scored_int(qv, cents)), 1, nprobe),
+        lambda s: s["idx"],
+    )
 
 
 def kmeans_centi(
@@ -343,6 +357,23 @@ def pq_codebooks(
     return books
 
 
+def _pq_codes_expr(
+    books: list[list[list[int]]], vec_col: str = "embedding"
+) -> Column:
+    """codes array<int> of length m: per-subspace nearest-centroid index."""
+    m = len(books)
+    dsub = len(books[0][0])
+    qv = quantize_centi(F.col(vec_col))
+    return F.array(
+        *[
+            _nearest_int(
+                F.slice(qv, s * dsub + 1, dsub), _cents_lit(books[s])
+            ).cast("int")
+            for s in range(m)
+        ]
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     books: list[list[list[int]]],
@@ -352,18 +383,9 @@ def pq_encode(
     """(id, codes array<int> of length m): per-subspace nearest-centroid
     index. One broadcast-literal pass; the codes table is the persistent
     compressed index (m bytes/vector at ksub<=256)."""
-    m = len(books)
-    dsub = len(books[0][0])
-    qv = quantize_centi(F.col(vec_col))
-    codes = F.array(
-        *[
-            _nearest_int(
-                F.slice(qv, s * dsub + 1, dsub), _cents_lit(books[s])
-            ).cast("int")
-            for s in range(m)
-        ]
+    return corpus.select(
+        F.col(id_col), _pq_codes_expr(books, vec_col).alias("codes")
     )
-    return corpus.select(F.col(id_col), codes.alias("codes"))
 
 
 def ann_pq_topk(
@@ -444,6 +466,155 @@ def ann_pq_topk(
     )
 
 
+def ivf_topk_int(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "ivfq",
+    sample_rate: float | None = None,
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer that is still value-exact:
+    the centi-int k-means replaces ``similarity.ivf_topk``'s float-mean
+    Lloyd (whose trained variant can only ever be rows-only checked).
+    Routing probes the ``nprobe`` nearest lists; candidates re-rank by
+    exact integer squared L2. Returns (query_id, rank, neighbor_id, dist).
+
+    Scale shape is identical to ``similarity.ivf_topk`` (broadcast-literal
+    model, equi-join on the list id touching ~nprobe/n_centroids of the
+    corpus per query); what changed is that training itself became
+    oracle-replayable."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centi(
+            corpus, n_centroids, iters, id_col, vec_col, salt, sample_rate
+        )
+    )
+    cl = _cents_lit(cents)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_centi(F.col(vec_col)).alias("cv"),
+    ).withColumn("cid", _nearest_int(F.col("cv"), cl))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_centi(F.col(vec_col)).alias("qv"),
+    ).withColumn("cid", F.explode(_probe_lists(F.col("qv"), cl, nprobe)))
+    cand = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(F.col("cv"), F.col("qv"), lambda a, b: a - b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v * v,
+            ).alias("dist"),
+        )
+        # a neighbour lives in exactly one list, but two probed lists of
+        # the same query never contain it twice — dedup is still cheap
+        # insurance against future multi-assignment variants
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dist")
+    )
+
+
+def ann_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    iters: int = 2,
+    m: int = 8,
+    ksub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_salt: str = "ivfq",
+    pq_salt: str = "pq",
+    sample_rate: float | None = None,
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC composition, sans residual encoding):
+    a trained coarse quantizer routes each query to ``nprobe`` inverted
+    lists, and ONLY those lists' m-byte PQ codes are scored by integer
+    table lookups. At 100 TB this is the ANN endgame: the scan touches
+    ~nprobe/n_centroids of a ~32x-compressed code table, per-candidate
+    cost is m integer adds, and both trained models are broadcast
+    literals. Returns (query_id, rank, neighbor_id, score).
+
+    Residuals are deliberately NOT encoded (codes quantize raw vectors):
+    residual PQ trains on centered data for better recall but the
+    centering re-quantization would break exactness; the routing and
+    scoring machinery — the part that matters for the plan shape — is
+    the real thing, and the whole composition stays oracle-checkable."""
+    coarse = kmeans_centi(
+        corpus, n_centroids, iters, id_col, vec_col, coarse_salt, sample_rate
+    )
+    books = pq_codebooks(
+        corpus, m, ksub, iters, dim, id_col, vec_col, pq_salt, sample_rate
+    )
+    dsub = dim // m
+    cl = _cents_lit(coarse)
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _pq_codes_expr(books, vec_col).alias("codes"),
+        _nearest_int(quantize_centi(F.col(vec_col)), cl).alias("cid"),
+    )
+    qv = quantize_centi(F.col(vec_col))
+
+    def _qtab(s: int) -> Column:
+        return F.transform(
+            _cents_lit(books[s]),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    c, F.slice(qv, s * dsub + 1, dsub), lambda a, b: a - b
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v * v,
+            ),
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.array(*[_qtab(s) for s in range(m)]).alias("qtabs"),
+        F.explode(_probe_lists(qv, cl, nprobe)).alias("cid"),
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("qtabs"),
+            lambda code, tab: F.element_at(tab, code + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        codes.join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
 # --- oracle twins (DuckDB SQL builders) -------------------------------------
 # The whole point of the centi-int trainer: every stage below is exact
 # integer arithmetic (plus one correctly-rounded double division per mean
@@ -483,46 +654,49 @@ def _argmin_sql(cl: str, v: str, k: int, dim: int) -> str:
 
 
 def _kmeans_ctes_sql(
-    k: int, iters: int, salt: str, src: str, dim: int
+    k: int, iters: int, salt: str, src: str, dim: int, prefix: str = ""
 ) -> str:
-    """CTE chain (no leading WITH): q(id, qv) and c{iters}(cl) — the
+    """CTE chain (no leading WITH): {p}q(id, qv) and {p}c{iters}(cl) — the
     trained centi-int model, replaying kmeans_centi step for step.
-    ``src`` is a subquery yielding (id, v) with v a float/double list."""
+    ``src`` is a subquery yielding (id, v) with v a float/double list;
+    ``prefix`` namespaces the CTEs so two trainings (e.g. IVF coarse +
+    PQ codebooks) coexist in one query."""
+    p = prefix
     key = _md5l_sql(f"'{salt}:'||CAST(id AS VARCHAR)")
     parts = [
         (
-            "q AS (SELECT id, list_transform(v, x -> "
+            f"{p}q AS (SELECT id, list_transform(v, x -> "
             "CAST(floor(CAST(x AS DOUBLE)*100) AS BIGINT)) AS qv "
             f"FROM ({src}))"
         ),
         (
-            "init AS (SELECT qv, row_number() OVER (ORDER BY "
-            f"{key}, id) - 1 AS cid FROM q QUALIFY cid < {k})"
+            f"{p}init AS (SELECT qv, row_number() OVER (ORDER BY "
+            f"{key}, id) - 1 AS cid FROM {p}q QUALIFY cid < {k})"
         ),
-        "c0 AS (SELECT list(qv ORDER BY cid) AS cl FROM init)",
+        f"{p}c0 AS (SELECT list(qv ORDER BY cid) AS cl FROM {p}init)",
     ]
     for t in range(iters):
         parts += [
             (
-                f"a{t} AS (SELECT q.id, q.qv, "
-                + _argmin_sql("cl", "q.qv", k, dim)
-                + f" AS cid FROM q, c{t})"
+                f"{p}a{t} AS (SELECT {p}q.id, {p}q.qv, "
+                + _argmin_sql("cl", f"{p}q.qv", k, dim)
+                + f" AS cid FROM {p}q, {p}c{t})"
             ),
             (
-                f"s{t} AS (SELECT cid, i AS dim, "
+                f"{p}s{t} AS (SELECT cid, i AS dim, "
                 "CAST(floor(CAST(sum(qv[i]) AS DOUBLE)/count(*)) AS BIGINT)"
-                f" AS mval FROM a{t} CROSS JOIN range(1,{dim + 1}) r(i) "
+                f" AS mval FROM {p}a{t} CROSS JOIN range(1,{dim + 1}) r(i) "
                 "GROUP BY cid, i)"
             ),
             (
-                f"m{t} AS (SELECT cid, list(mval ORDER BY dim) AS mean "
-                f"FROM s{t} GROUP BY cid)"
+                f"{p}m{t} AS (SELECT cid, list(mval ORDER BY dim) AS mean "
+                f"FROM {p}s{t} GROUP BY cid)"
             ),
             (
-                f"c{t + 1} AS (SELECT list(coalesce(mm.mean, prev.cl[ci+1]) "
-                f"ORDER BY ci) AS cl FROM c{t} prev "
+                f"{p}c{t + 1} AS (SELECT list(coalesce(mm.mean, "
+                f"prev.cl[ci+1]) ORDER BY ci) AS cl FROM {p}c{t} prev "
                 f"CROSS JOIN range(0,{k}) rr(ci) "
-                f"LEFT JOIN m{t} mm ON mm.cid = ci)"
+                f"LEFT JOIN {p}m{t} mm ON mm.cid = ci)"
             ),
         ]
     return ", ".join(parts)
@@ -574,16 +748,28 @@ def semdedup_sql(
     )
 
 
-def ann_pq_topk_sql(
-    k: int = 5,
-    m: int = 8,
-    ksub: int = 8,
-    iters: int = 2,
-    dim: int = 64,
-    salt: str = "pq",
-    src: str = "SELECT vec_id AS id, embedding AS v FROM embeddings",
-    query_where: str = "id < 10",
+def _probe_sql(cl: str, v: str, k: int, dim: int, nprobe: int) -> str:
+    """List of the nprobe nearest centroid indices (IVF routing)."""
+    return (
+        "list_transform(list_slice(list_sort(list_transform("
+        f"range(0,{k}), j -> {{'d': "
+        + _dist2_sql(f"{cl}[j+1]", v, dim)
+        + f", 'j': j}})), 1, {nprobe}), s -> s.j)"
+    )
+
+
+def _pq_ctes_sql(
+    m: int,
+    ksub: int,
+    iters: int,
+    dim: int,
+    salt: str,
+    src: str,
+    query_where: str,
 ) -> str:
+    """CTE chain (no leading WITH) ending at codes(id, sub, code) and
+    qt(query_id, sub, cid, d) — the PQ model, encoding and per-query
+    distance tables."""
     dsub = dim // m
     key = _md5l_sql(f"'{salt}:'||CAST(id AS VARCHAR)")
     parts = [
@@ -643,21 +829,106 @@ def ann_pq_topk_sql(
             + f" AS d FROM qs JOIN c{iters} cc ON qs.sub = cc.sub "
             f"CROSS JOIN range(0,{ksub}) j(cid) WHERE {query_where})"
         ),
-        (
-            "sc AS (SELECT qt.query_id, cf.id AS neighbor_id, "
-            "CAST(sum(qt.d) AS BIGINT) AS score FROM codes cf JOIN qt "
-            "ON qt.sub = cf.sub AND qt.cid = cf.code "
-            "WHERE cf.id <> qt.query_id GROUP BY qt.query_id, cf.id)"
-        ),
-        (
-            "r AS (SELECT query_id, neighbor_id, score, "
-            "CAST(row_number() OVER (PARTITION BY query_id "
-            "ORDER BY score ASC, neighbor_id ASC) AS INT) AS rank FROM sc)"
-        ),
     ]
+    return ", ".join(parts)
+
+
+def ann_pq_topk_sql(
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    salt: str = "pq",
+    src: str = "SELECT vec_id AS id, embedding AS v FROM embeddings",
+    query_where: str = "id < 10",
+) -> str:
     return (
         "WITH "
-        + ", ".join(parts)
-        + f" SELECT query_id, rank, neighbor_id, score FROM r "
+        + _pq_ctes_sql(m, ksub, iters, dim, salt, src, query_where)
+        + ", sc AS (SELECT qt.query_id, cf.id AS neighbor_id, "
+        "CAST(sum(qt.d) AS BIGINT) AS score FROM codes cf JOIN qt "
+        "ON qt.sub = cf.sub AND qt.cid = cf.code "
+        "WHERE cf.id <> qt.query_id GROUP BY qt.query_id, cf.id)"
+        ", r AS (SELECT query_id, neighbor_id, score, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY score ASC, neighbor_id ASC) AS INT) AS rank FROM sc)"
+        f" SELECT query_id, rank, neighbor_id, score FROM r "
+        f"WHERE rank <= {k}"
+    )
+
+
+def ivf_topk_int_sql(
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    iters: int = 2,
+    dim: int = 64,
+    salt: str = "ivfq",
+    src: str = "SELECT vec_id AS id, embedding AS v FROM embeddings",
+    query_where: str = "id < 10",
+) -> str:
+    """Trained-IVF replay: coarse k-means CTEs + assignment + routing +
+    exact integer L2 re-rank."""
+    return (
+        "WITH "
+        + _kmeans_ctes_sql(n_centroids, iters, salt, src, dim)
+        + ", ass AS (SELECT q.id, q.qv, "
+        + _argmin_sql("cl", "q.qv", n_centroids, dim)
+        + f" AS cid FROM q, c{iters})"
+        + ", qp AS (SELECT id AS query_id, qv, unnest("
+        + _probe_sql("cl", "q.qv", n_centroids, dim, nprobe)
+        + f") AS cid FROM q, c{iters} WHERE {query_where})"
+        + ", cand AS (SELECT qp.query_id, a.id AS neighbor_id, "
+        + _dist2_sql("a.qv", "qp.qv", dim)
+        + " AS dist FROM ass a JOIN qp ON a.cid = qp.cid "
+        "AND a.id <> qp.query_id)"
+        ", r AS (SELECT query_id, neighbor_id, dist, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY dist ASC, neighbor_id ASC) AS INT) AS rank FROM cand)"
+        f" SELECT query_id, rank, neighbor_id, dist FROM r "
+        f"WHERE rank <= {k}"
+    )
+
+
+def ann_ivfpq_topk_sql(
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    iters: int = 2,
+    m: int = 8,
+    ksub: int = 8,
+    dim: int = 64,
+    coarse_salt: str = "ivfq",
+    pq_salt: str = "pq",
+    src: str = "SELECT vec_id AS id, embedding AS v FROM embeddings",
+    query_where: str = "id < 10",
+) -> str:
+    """IVF-PQ replay: the coarse k-means chain (prefix g) next to the PQ
+    chain, joined so only probed lists' codes are ADC-scored."""
+    return (
+        "WITH "
+        + _kmeans_ctes_sql(
+            n_centroids, iters, coarse_salt, src, dim, prefix="g"
+        )
+        + ", "
+        + _pq_ctes_sql(m, ksub, iters, dim, pq_salt, src, query_where)
+        + ", gass AS (SELECT gq.id, "
+        + _argmin_sql("cl", "gq.qv", n_centroids, dim)
+        + f" AS cid FROM gq, gc{iters})"
+        + ", gqp AS (SELECT id AS query_id, unnest("
+        + _probe_sql("cl", "gq.qv", n_centroids, dim, nprobe)
+        + f") AS cid FROM gq, gc{iters} WHERE {query_where})"
+        + ", sc AS (SELECT gqp.query_id, cf.id AS neighbor_id, "
+        "CAST(sum(qt.d) AS BIGINT) AS score "
+        "FROM codes cf JOIN gass ON gass.id = cf.id "
+        "JOIN gqp ON gass.cid = gqp.cid AND cf.id <> gqp.query_id "
+        "JOIN qt ON qt.query_id = gqp.query_id AND qt.sub = cf.sub "
+        "AND qt.cid = cf.code "
+        "GROUP BY gqp.query_id, cf.id)"
+        ", r AS (SELECT query_id, neighbor_id, score, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY score ASC, neighbor_id ASC) AS INT) AS rank FROM sc)"
+        f" SELECT query_id, rank, neighbor_id, score FROM r "
         f"WHERE rank <= {k}"
     )

@@ -13,6 +13,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from comic_text_detector_spark.operators.clustering import (
+    ann_ivfpq_topk,
+    ivf_topk_int,
     ann_pq_topk,
     kmeans_assign,
     kmeans_centi,
@@ -283,3 +285,68 @@ def test_cdc_chunks_repartition_invariant(spark):
         map(tuple, cdc_chunks(df.repartition(7), mod=8, salt="t").collect())
     )
     assert a == b
+
+
+def test_ivf_trained_full_probe_equals_bruteforce(spark):
+    """With nprobe == n_centroids the IVF result must equal exact integer
+    L2 top-k (python recomputation) — routing only ever PRUNES."""
+    df = _random_df(spark, n=60)
+    out = ivf_topk_int(
+        df,
+        df.filter(F.col("vec_id") < 3),
+        k=4,
+        n_centroids=4,
+        nprobe=4,
+        iters=2,
+        salt="t",
+    ).collect()
+    vecs = {
+        r.vec_id: [math.floor(x * 100) for x in r.embedding]
+        for r in df.collect()
+    }
+    for qid in range(3):
+        got = sorted(
+            (r.rank, r.neighbor_id, r.dist) for r in out if r.query_id == qid
+        )
+        brute = sorted(
+            (
+                sum((a - b) ** 2 for a, b in zip(vecs[nid], vecs[qid])),
+                nid,
+            )
+            for nid in vecs
+            if nid != qid
+        )[:4]
+        assert got == [
+            (i + 1, nid, d) for i, (d, nid) in enumerate(brute)
+        ], qid
+
+
+def test_ivf_trained_blob_recall(spark):
+    df = _blob_df(spark)
+    out = ivf_topk_int(
+        df,
+        df.filter(F.col("vec_id").isin([0, 1000, 2000])),
+        k=5,
+        n_centroids=3,
+        nprobe=1,
+        iters=3,
+        salt="t",
+    ).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r.neighbor_id // 1000 == r.query_id // 1000, r
+
+
+def test_ivfpq_blob_recall_and_determinism(spark):
+    df = _blob_df(spark)
+    kw = dict(
+        k=5, n_centroids=3, nprobe=1, iters=3, m=4, ksub=4, dim=8,
+        coarse_salt="t", pq_salt="tp",
+    )
+    queries = df.filter(F.col("vec_id").isin([0, 1000, 2000]))
+    out = ann_ivfpq_topk(df, queries, **kw).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r.neighbor_id // 1000 == r.query_id // 1000, r
+    again = ann_ivfpq_topk(df.repartition(7), queries, **kw).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
