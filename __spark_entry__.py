@@ -3370,6 +3370,38 @@ def _q_quality_logit(spark, sf_dir):
     return quality_logit(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _q_crawl_depth_hosts(spark, sf_dir):
+    """Depth-budgeted crawl labeling: min-hop BFS from a seed host set
+    over the deterministic host graph (same graph as pagerank_hosts) —
+    frontier-only expansion with localCheckpoint per level
+    (operators/graph.py::bfs_depth)."""
+    from comic_text_detector_spark.operators.graph import bfs_depth
+
+    edges = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 50).cast("string")
+        ).alias("dst"),
+    )
+    seeds = spark.createDataFrame(
+        [("h0",), ("h7",), ("h23",)], "node: string"
+    )
+    return bfs_depth(edges, seeds, max_depth=6)
+
+
+def _crawl_depth_oracle() -> str:
+    from comic_text_detector_spark.operators.graph import bfs_depth_sql
+
+    return bfs_depth_sql(
+        "SELECT 'h' || (doc_id % 50)::VARCHAR AS src,"
+        " 'h' || ((doc_id * 7 + 3) % 50)::VARCHAR AS dst FROM documents",
+        "SELECT * FROM (VALUES ('h0'),('h7'),('h23')) t(node)",
+        max_depth=6,
+    )
+
+
 # --- integer-deterministic clustering / PQ ANN / layout / CDC ---
 
 
@@ -3633,6 +3665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_ivf_trained": _q_ann_ivf_trained,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
+        "crawl_depth_hosts": _q_crawl_depth_hosts,
         "zorder_curve": _q_zorder_curve,
         "cdc_chunks": _q_cdc_chunks,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
@@ -4247,6 +4280,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _clu.ann_pq_topk_sql(k=5),
         "ann_ivf_trained": _clu.ivf_topk_int_sql(k=5),
         "ann_ivfpq_topk": _clu.ann_ivfpq_topk_sql(k=5),
+        "crawl_depth_hosts": _crawl_depth_oracle(),
         "zorder_curve": (
             "SELECT doc_id, xk, yk, "
             + _zorder_key_sql("xk", "yk")

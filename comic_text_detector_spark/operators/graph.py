@@ -422,3 +422,72 @@ def pagerank_incremental_sql(
         )
     parts.append(f" SELECT node, rank FROM q{n_iter}")
     return "WITH " + "".join(parts)
+
+
+def bfs_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Minimum-hop BFS labels from a seed set over a directed edge list:
+    (node, depth) for every node reachable within ``max_depth`` hops
+    (seeds at depth 0). The crawl-scheduling primitive behind
+    depth-budgeted frontiers ("crawl N hops out from the seed list") and
+    link-distance features.
+
+    Frontier-only expansion: each level joins ONLY the newly discovered
+    nodes against the edge list (shuffle proportional to the frontier,
+    not the visited set), anti-joins out already-labelled nodes, and
+    ``localCheckpoint``s both accumulators so the plan cannot grow with
+    depth (same discipline as ``connected_components``/``pagerank``).
+    Levels are inherently sequential; within a level everything is one
+    hash join. Early-exits when the frontier empties.
+
+    Determinism is structural — a node's label is the first level that
+    reaches it, so no ordering or floats are involved; the oracle twin
+    (``bfs_depth_sql``) replays it as a depth-bounded recursive CTE with
+    a min() roll-up."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("int").alias("depth"),
+    ).distinct()
+    front = dist.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            front.join(e, front["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        dist = dist.unionByName(
+            nxt.withColumn("depth", F.lit(d).cast("int"))
+        ).localCheckpoint()
+        front = nxt
+    return dist
+
+
+def bfs_depth_sql(edges_sql: str, seeds_sql: str, max_depth: int = 8) -> str:
+    """DuckDB twin: depth-bounded recursive reachability, then min(depth)
+    per node == the BFS label (UNION dedups (node, depth) pairs, so the
+    recursion is finite without a visited-set)."""
+    return (
+        "WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM ("
+        + edges_sql
+        + ") WHERE src IS NOT NULL AND dst IS NOT NULL), "
+        "s AS (SELECT DISTINCT node FROM (" + seeds_sql + ")), "
+        "reach AS (SELECT node, 0 AS depth FROM s "
+        "UNION SELECT e.dst AS node, r.depth + 1 AS depth "
+        f"FROM reach r JOIN e ON e.src = r.node WHERE r.depth < {max_depth})"
+        " SELECT node, CAST(min(depth) AS INT) AS depth FROM reach "
+        "GROUP BY node"
+    )

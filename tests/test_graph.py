@@ -162,3 +162,46 @@ def test_pagerank_incremental_noop_delta_matches_restart(spark):
     assert {(r.node, r.rank) for r in noop.collect()} == {
         (r.node, r.rank) for r in plain.collect()
     }
+
+
+def test_bfs_depth_chain_and_branches(spark):
+    from comic_text_detector_spark.operators.graph import bfs_depth
+
+    # 0 -> 1 -> 2 -> 3 -> 4; shortcut 0 -> 3; island 9 -> 10
+    edges = spark.createDataFrame(
+        [("0", "1"), ("1", "2"), ("2", "3"), ("3", "4"), ("0", "3"),
+         ("9", "10")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("0",)], "node string")
+    got = {r.node: r.depth for r in bfs_depth(edges, seeds, 8).collect()}
+    # min-hop wins: 3 is reachable in 1 via the shortcut, 4 in 2
+    assert got == {"0": 0, "1": 1, "2": 2, "3": 1, "4": 2}
+
+
+def test_bfs_depth_cap_and_cycle_termination(spark):
+    from comic_text_detector_spark.operators.graph import bfs_depth
+
+    # a 6-cycle; with max_depth=3 only 4 labels appear and the loop ends
+    edges = spark.createDataFrame(
+        [(str(i), str((i + 1) % 6)) for i in range(6)],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("0",)], "node string")
+    got = {r.node: r.depth for r in bfs_depth(edges, seeds, 3).collect()}
+    assert got == {"0": 0, "1": 1, "2": 2, "3": 3}
+
+
+def test_bfs_depth_multiple_seeds_min_and_null_edges(spark):
+    from comic_text_detector_spark.operators.graph import bfs_depth
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), (None, "a"), ("d", None)],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame(
+        [("a",), ("c",), ("a",)], "node string"  # dup seed tolerated
+    )
+    got = {r.node: r.depth for r in bfs_depth(edges, seeds, 8).collect()}
+    # c is a seed, so d is 1 hop (not 3 via a); null endpoints dropped
+    assert got == {"a": 0, "c": 0, "b": 1, "d": 1}
