@@ -76,6 +76,15 @@ def quantize_centi(vec: Column) -> Column:
 
 
 def _cents_lit(cents: list[list[int]]) -> Column:
+    """The model as a literal array-of-arrays Column.
+
+    Valid for SMALL models only (k*dim up to a few 10^4 literals —
+    coarse quantizers, PQ codebooks): Catalyst builds one expression
+    node per literal, so a 10^4-cluster SemDeDup-regime model would
+    blow up plan construction/codegen long before the data does. At
+    that scale the model belongs in a broadcast TABLE joined per row
+    (explode + min-by aggregation), not a literal; every operator here
+    targets the small-k regime and says so."""
     return F.array(
         *[
             F.array(*[F.lit(int(x)).cast("long") for x in c])
@@ -258,7 +267,13 @@ def semdedup(
     ``cos >= tau  <=>  dot > 0 AND dot^2 >= tau^2 * |a|^2 * |b|^2`` —
     dot and the squared norms are exact BIGINTs of the centi-quantized
     vectors (each < 2^53), so the only rounding anywhere is the one
-    IEEE multiply by the tau^2 literal, identical in every engine.
+    IEEE multiply by the tau^2 literal, identical in every engine. The
+    exactness bound is ENFORCED, not assumed: elements must satisfy
+    ``|centi| <= floor((2^62 / dim^2)^0.25)`` (~5793 at dim=64, i.e.
+    |x| <= ~57, comfortably past any normalized or near-normalized
+    embedding) or the operator raises — silent int64 wraparound (or an ANSI-mode crash
+    mid-join, or a Spark-wraps-while-DuckDB-throws oracle split) is a
+    wrong answer, not a degraded one.
 
     Keep-lowest-id is the greedy tie-break (deterministic, anti-join
     expressible); it differs from ``neardup_survivors``'s connected-
@@ -268,8 +283,33 @@ def semdedup(
 
     Scale: the pairwise stage is per-cluster quadratic — k is chosen so
     n/k vectors fit a partition (SemDeDup's own regime: clusters of
-    ~10^4-10^5). The join shuffles only (cid, qv) once, hash-partitioned
-    by cid."""
+    ~10^4-10^5; at that k train with ``sample_rate`` and see the
+    ``_cents_lit`` note on when the broadcast-literal model stops being
+    the right vehicle). The join shuffles only (cid, qv) once,
+    hash-partitioned by cid."""
+    import math as _math
+
+    head = corpus.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("semdedup needs a non-empty corpus")
+    dim = len(head[0])
+    bound = _math.floor((float(2**62) / (dim * dim)) ** 0.25)
+    over = (
+        corpus.select(quantize_centi(F.col(vec_col)).alias("qv"))
+        .select(
+            F.max(
+                F.array_max(F.transform("qv", lambda x: F.abs(x)))
+            ).alias("mx")
+        )
+        .first()
+        .mx
+    )
+    if over is not None and over > bound:
+        raise ValueError(
+            f"semdedup exactness bound exceeded: max |centi element| "
+            f"{over} > {bound} for dim={dim} — dot^2 would overflow "
+            "int64; rescale/normalize the embeddings first"
+        )
     assigned = (
         corpus.select(
             F.col(id_col).alias("id"),
@@ -374,6 +414,64 @@ def _pq_codes_expr(
     )
 
 
+def _adc_qtabs(
+    books: list[list[list[int]]], vec_col: str = "embedding"
+) -> Column:
+    """Per-query ADC tables: array (over subspaces) of arrays (over
+    centroids) of exact integer L2 from the query subvector. m and dsub
+    come from the BOOKS, never from separate params — a mismatch would
+    make zip_with pad with NULLs and silently null every score.
+
+    NB each subspace uses a def factory, not a default-bound lambda:
+    F.transform treats a two-parameter lambda as (element, index) and
+    would pass the CENTROID INDEX as the second arg, silently clobbering
+    the subspace binding."""
+    m = len(books)
+    dsub = len(books[0][0])
+    qv = quantize_centi(F.col(vec_col))
+
+    def _qtab(s: int) -> Column:
+        return F.transform(
+            _cents_lit(books[s]),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    c,
+                    F.slice(qv, s * dsub + 1, dsub),
+                    lambda a, b: a - b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v * v,
+            ),
+        )
+
+    return F.array(*[_qtab(s) for s in range(m)])
+
+
+def _adc_rank_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Shared ADC tail: score candidates (codes x qtabs lookups, integer
+    adds only), drop self-pairs, rank (score asc, neighbor_id asc),
+    keep top k."""
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("qtabs"),
+            lambda code, tab: F.element_at(tab, code + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     books: list[list[list[int]]],
@@ -416,53 +514,15 @@ def ann_pq_topk(
         books = pq_codebooks(
             corpus, m, ksub, iters, dim, id_col, vec_col, salt, sample_rate
         )
-    dsub = dim // m
     codes = pq_encode(corpus, books, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
-    qv = quantize_centi(F.col(vec_col))
-
-    # per-subspace table: array over centroids of exact integer L2.
-    # NB a def factory, not a default-bound lambda: F.transform treats a
-    # two-parameter lambda as (element, index) and would pass the CENTROID
-    # INDEX as the second arg, silently clobbering the subspace binding.
-    def _qtab(s: int) -> Column:
-        return F.transform(
-            _cents_lit(books[s]),
-            lambda c: F.aggregate(
-                F.zip_with(
-                    c,
-                    F.slice(qv, s * dsub + 1, dsub),
-                    lambda a, b: a - b,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v * v,
-            ),
-        )
-
-    qtabs = F.array(*[_qtab(s) for s in range(m)])
     q = queries.select(
-        F.col(id_col).alias("query_id"), qtabs.alias("qtabs")
+        F.col(id_col).alias("query_id"),
+        _adc_qtabs(books, vec_col).alias("qtabs"),
     )
-    score = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("qtabs"),
-            lambda code, tab: F.element_at(tab, code + 1),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        codes.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", score)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
+    return _adc_rank_topk(
+        codes.crossJoin(F.broadcast(q)), k
     )
 
 
@@ -517,10 +577,10 @@ def ivf_topk_int(
                 lambda acc, v: acc + v * v,
             ).alias("dist"),
         )
-        # a neighbour lives in exactly one list, but two probed lists of
-        # the same query never contain it twice — dedup is still cheap
-        # insurance against future multi-assignment variants
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # no dedup: a neighbour lives in exactly ONE inverted list, so a
+        # query's probed lists can never surface it twice — an explicit
+        # dropDuplicates here would add a full shuffle of the candidate
+        # set to remove nothing
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()
@@ -567,52 +627,20 @@ def ann_ivfpq_topk(
     books = pq_codebooks(
         corpus, m, ksub, iters, dim, id_col, vec_col, pq_salt, sample_rate
     )
-    dsub = dim // m
     cl = _cents_lit(coarse)
     codes = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _pq_codes_expr(books, vec_col).alias("codes"),
         _nearest_int(quantize_centi(F.col(vec_col)), cl).alias("cid"),
     )
-    qv = quantize_centi(F.col(vec_col))
-
-    def _qtab(s: int) -> Column:
-        return F.transform(
-            _cents_lit(books[s]),
-            lambda c: F.aggregate(
-                F.zip_with(
-                    c, F.slice(qv, s * dsub + 1, dsub), lambda a, b: a - b
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v * v,
-            ),
-        )
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.array(*[_qtab(s) for s in range(m)]).alias("qtabs"),
-        F.explode(_probe_lists(qv, cl, nprobe)).alias("cid"),
+        _adc_qtabs(books, vec_col).alias("qtabs"),
+        F.explode(
+            _probe_lists(quantize_centi(F.col(vec_col)), cl, nprobe)
+        ).alias("cid"),
     )
-    score = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("qtabs"),
-            lambda code, tab: F.element_at(tab, code + 1),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        codes.join(F.broadcast(q), "cid")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", score)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
+    return _adc_rank_topk(codes.join(F.broadcast(q), "cid"), k)
 
 
 # --- oracle twins (DuckDB SQL builders) -------------------------------------

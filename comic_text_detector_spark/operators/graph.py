@@ -449,10 +449,15 @@ def bfs_depth(
     reaches it, so no ordering or floats are involved; the oracle twin
     (``bfs_depth_sql``) replays it as a depth-bounded recursive CTE with
     a min() roll-up."""
+    # materialize the deduped edge list ONCE — without this every level's
+    # frontier join (and each eager localCheckpoint of nxt) re-runs the
+    # full edge scan + distinct shuffle, defeating the frontier-only
+    # claim (same discipline as connected_components/pagerank)
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
+        .localCheckpoint()
     )
     dist = seeds.select(
         F.col(seeds.columns[0]).alias("node"),
