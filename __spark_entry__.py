@@ -3370,6 +3370,159 @@ def _q_quality_logit(spark, sf_dir):
     return quality_logit(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _q_surt_keys(spark, sf_dir):
+    """SURT canonical crawl-index keys (Wayback/Common Crawl ordering):
+    normalize → lowercase → strip scheme/www/default-port → reversed
+    comma-joined host labels. Sorting a 10^12-row index by this key makes
+    every registered domain + its subdomains one contiguous range
+    (operators/curation.py::surt_key)."""
+    from comic_text_detector_spark.operators.curation import surt_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("HTTPS://")
+        ),
+        F.lit("W"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+        F.lit(".Example.org"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(
+            F.lit("")
+        ),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?utm_source=x&q="), F.col("doc_id").cast("string")),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit("#frag"))
+        .otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), surt_key(url).alias("surt")
+    )
+
+
+_SURT_ORACLE = (
+    "WITH d AS (SELECT doc_id,"
+    " CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'HTTPS://' END"
+    " || 'W' || (doc_id % 5)::VARCHAR || '.Example.org' ||"
+    " CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||"
+    " '/p/' || doc_id::VARCHAR ||"
+    " CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&q=' || doc_id::VARCHAR"
+    "  WHEN doc_id % 4 = 2 THEN '#frag' ELSE '' END AS url FROM documents), "
+    "n1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u"
+    " FROM d), "
+    "parts AS (SELECT doc_id, url,"
+    " lower(regexp_extract(u, '^([a-zA-Z]+://[^/?]*)', 1)) AS sh,"
+    " regexp_extract(regexp_replace(u, '^[a-zA-Z]+://[^/?]*', ''),"
+    "  '^([^?]*)', 1) AS p,"
+    " regexp_extract(regexp_replace(u, '^[a-zA-Z]+://[^/?]*', ''),"
+    "  '\\?(.*)$', 1) AS q FROM n1), "
+    "norm AS (SELECT doc_id, url,"
+    " sh, regexp_replace(p, '/$', '') AS p,"
+    " regexp_replace(regexp_replace('&' || q,"
+    "  '&(?i:utm_[a-z0-9_]+|gclid|fbclid)=[^&]*', '', 'g'), '^&', '') AS q"
+    " FROM parts), "
+    "nu AS (SELECT doc_id, url, lower(sh || p ||"
+    " CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS u FROM norm), "
+    "pp AS (SELECT doc_id, url,"
+    " regexp_extract(u, '^[a-z]+://([^/?]*)', 1) AS hp,"
+    " regexp_replace(u, '^[a-z]+://[^/?]*', '') AS rest FROM nu), "
+    "hh AS (SELECT doc_id, url,"
+    " regexp_extract(hp, ':(\\d+)$', 1) AS port,"
+    " regexp_replace(regexp_replace(hp, ':\\d+$', ''),"
+    " '^www\\.', '') AS host, rest FROM pp) "
+    "SELECT doc_id, url,"
+    " array_to_string(list_reverse(string_split(host, '.')), ',')"
+    " || CASE WHEN port IN ('', '80', '443') THEN ''"
+    " ELSE ':' || port END"
+    " || ')' || rest AS surt FROM hh"
+)
+
+
+def _q_warc_revisit(spark, sf_dir):
+    """WARC/1.1 revisit-record classification: earliest capture per
+    payload digest is the response, later identical captures become
+    revisit records with refers-to url/ts — write-time dedup of a crawl
+    archive (sources/warc.py::classify_revisits)."""
+    from comic_text_detector_spark.sources.warc import classify_revisits
+
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("doc_id"), F.lit(23)).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.lit(1700000000) + F.col("doc_id")).alias("warc_ts"),
+        F.when(F.col("doc_id") % 31 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 7 == 0, F.lit("SHARED BODY"))
+        .otherwise(F.col("text"))
+        .alias("html"),
+    )
+    return classify_revisits(pages)
+
+
+_WARC_REVISIT_ORACLE = (
+    "WITH d AS (SELECT 'https://h' || (doc_id % 23)::VARCHAR"
+    " || '.example.org/p/' || doc_id::VARCHAR AS url,"
+    " 1700000000 + doc_id AS ts,"
+    " CASE WHEN doc_id % 31 = 0 THEN NULL"
+    "  WHEN doc_id % 7 = 0 THEN 'SHARED BODY' ELSE text END AS payload"
+    " FROM documents), "
+    "dd AS (SELECT url, ts, md5(payload) AS digest FROM d), "
+    "c AS (SELECT url, ts, digest,"
+    " row_number() OVER (PARTITION BY digest ORDER BY ts, url) AS rn,"
+    " first_value(url) OVER (PARTITION BY digest ORDER BY ts, url) AS fu,"
+    " first_value(ts) OVER (PARTITION BY digest ORDER BY ts, url) AS ft"
+    " FROM dd WHERE digest IS NOT NULL) "
+    "SELECT url, ts, digest,"
+    " CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS record_type,"
+    " CASE WHEN rn > 1 THEN fu END AS refers_to_url,"
+    " CASE WHEN rn > 1 THEN ft END AS refers_to_ts FROM c"
+    " UNION ALL SELECT url, ts, NULL, 'response', NULL, NULL"
+    " FROM dd WHERE digest IS NULL"
+)
+
+
+def _q_table_stats(spark, sf_dir):
+    """ANALYZE-style exact per-column stats over documents (rows, nulls,
+    exact ndv, binary-collation min/max — md5-digest min/max for the
+    unbounded text column — and total char length): the stats table
+    behind broadcast/skew/partition-sizing decisions
+    (operators/stats.py::collect_table_stats)."""
+    from comic_text_detector_spark.operators.stats import (
+        collect_table_stats,
+    )
+
+    return collect_table_stats(
+        _t(spark, sf_dir, "documents"),
+        cols=["doc_id", "text", "lang", "source", "n_chars"],
+        digest_cols=("text",),
+    )
+
+
+def _table_stats_oracle() -> str:
+    parts = []
+    for c, keyed in [
+        ("doc_id", "doc_id::VARCHAR"),
+        ("text", "md5(text)"),
+        ("lang", "lang"),
+        ("source", "source"),
+        ("n_chars", "n_chars::VARCHAR"),
+    ]:
+        parts.append(
+            f"SELECT '{c}' AS col, count(*) AS n_rows,"
+            f" count(*) - count({c}) AS n_nulls,"
+            f" count(DISTINCT {c}) AS ndv,"
+            f" min({keyed}) AS min_s, max({keyed}) AS max_s,"
+            f" CAST(coalesce(sum(length({c}::VARCHAR)), 0) AS BIGINT)"
+            " AS total_len FROM documents"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _q_crawl_depth_hosts(spark, sf_dir):
     """Depth-budgeted crawl labeling: min-hop BFS from a seed host set
     over the deterministic host graph (same graph as pagerank_hosts) —
@@ -3666,6 +3819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _q_ann_ivf_trained,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "crawl_depth_hosts": _q_crawl_depth_hosts,
+        "surt_keys": _q_surt_keys,
+        "warc_revisit": _q_warc_revisit,
+        "table_stats_documents": _q_table_stats,
         "zorder_curve": _q_zorder_curve,
         "cdc_chunks": _q_cdc_chunks,
         "dedup_embedding_pairs": _q_dedup_embedding_pairs,
@@ -4281,6 +4437,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained": _clu.ivf_topk_int_sql(k=5),
         "ann_ivfpq_topk": _clu.ann_ivfpq_topk_sql(k=5),
         "crawl_depth_hosts": _crawl_depth_oracle(),
+        "surt_keys": _SURT_ORACLE,
+        "warc_revisit": _WARC_REVISIT_ORACLE,
+        "table_stats_documents": _table_stats_oracle(),
         "zorder_curve": (
             "SELECT doc_id, xk, yk, "
             + _zorder_key_sql("xk", "yk")

@@ -103,6 +103,35 @@ def normalize_url(url: Column) -> Column:
     )
 
 
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key, the Wayback/
+    Common Crawl index ordering: canonicalize (``normalize_url``), then
+    lowercase everything, strip the scheme, default :80/:443 ports and a
+    leading ``www.``, and reverse the host labels comma-joined —
+    ``https://www.News.Example.org/a?q=1`` → ``org,example,news)/a?q=1``.
+
+    Why at scale: sorting/bucketing a 10^12-row crawl index by SURT key
+    co-locates every page of a registered domain AND all its subdomains
+    in one contiguous key range, so per-domain scans (policy checks,
+    takedowns, domain-level stats) become range scans instead of full
+    passes — the same pruning argument as ``zorder_key`` but for the
+    host hierarchy. Pure regexp/array exprs, oracle-replayable."""
+    u = F.lower(normalize_url(url))
+    hostport = F.regexp_extract(u, r"^[a-z]+://([^/?]*)", 1)
+    rest = F.regexp_replace(u, r"^[a-z]+://[^/?]*", "")
+    # the port is split off BEFORE label reversal and re-attached after
+    # (dropped when default) — 'www.example.org:8080' must become
+    # 'org,example:8080)', not carry ':8080' on the reversed last label
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    keep_port = F.when(
+        port.isin("", "80", "443"), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    return F.concat(rev, keep_port, F.lit(")"), rest)
+
+
 def line_freq_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -439,3 +439,69 @@ def read_wat(spark: SparkSession, glob: str) -> DataFrame:
     return rows.select(
         "url", F.to_timestamp("warc_ts").alias("warc_ts"), "meta_json"
     )
+
+
+def classify_revisits(
+    pages: "DataFrame",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+) -> "DataFrame":
+    """WARC revisit-record classification (WARC/1.1 §6.7.2, the
+    'identical-payload-digest' profile): within each payload digest, the
+    earliest capture is the ``response`` record; every later identical
+    capture becomes a ``revisit`` record carrying WARC-Refers-To-Target-URI
+    and -Date of that original. This is how real crawl archives avoid
+    storing a duplicate body per recapture — the dedup decision happens at
+    WRITE time, keyed by content digest, independent of URL (two urls
+    serving the same bytes dedup against each other).
+
+    Returns (url, ts, digest, record_type, refers_to_url, refers_to_ts);
+    refers-to fields are NULL on responses. One window over the digest
+    key — at crawl scale the digest shuffle is the same partitioning the
+    WARC writer needs anyway, so classification is free at the sink.
+    Ordering inside a digest is (ts, url): deterministic under capture-ts
+    ties. NULL payloads are passed through as responses with a NULL
+    digest (nothing to dedup against), never grouped together.
+
+    Reference parity: the reference dedups detected text lines by mask
+    identity before emitting annotations (inference.py model2annotations);
+    this is the archive-format analogue keyed by payload digest."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = pages.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.md5(F.col(payload_col).cast("string")).alias("digest"),
+    )
+    w = Window.partitionBy("digest").orderBy("ts", "url")
+    classified = (
+        d.filter(F.col("digest").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("first_url", F.first("url").over(w))
+        .withColumn("first_ts", F.first("ts").over(w))
+        .select(
+            "url",
+            "ts",
+            "digest",
+            F.when(F.col("rn") == 1, F.lit("response"))
+            .otherwise(F.lit("revisit"))
+            .alias("record_type"),
+            F.when(F.col("rn") > 1, F.col("first_url")).alias(
+                "refers_to_url"
+            ),
+            F.when(F.col("rn") > 1, F.col("first_ts")).alias(
+                "refers_to_ts"
+            ),
+        )
+    )
+    nulls = d.filter(F.col("digest").isNull()).select(
+        "url",
+        "ts",
+        "digest",
+        F.lit("response").alias("record_type"),
+        F.lit(None).cast("string").alias("refers_to_url"),
+        F.lit(None).cast(d.schema["ts"].dataType).alias("refers_to_ts"),
+    )
+    return classified.unionByName(nulls)

@@ -1147,3 +1147,51 @@ def test_snapshot_diff_statuses(spark):
         "e": "changed",  # '' → NULL is a regression, not 'unchanged'
         "z": "unchanged",  # NULL → NULL really is unchanged
     }
+
+
+def test_surt_key_canonical_forms(spark):
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.operators.curation import surt_key
+
+    cases = [
+        ("https://www.News.Example.org/a?q=1", "org,example,news)/a?q=1"),
+        ("HTTP://Example.COM:80/Path/", "com,example)/path"),
+        ("https://a.b.c.example.org:443/x#frag", "org,example,c,b,a)/x"),
+        ("https://example.org", "org,example)"),
+        # www only stripped as a LEADING label; tracking params stripped
+        ("https://wwwx.example.org/?utm_source=t", "org,example,wwwx)"),
+        ("https://www.example.org:8080/p", "org,example:8080)/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url: string")
+    got = {
+        r.url: r.surt
+        for r in df.select("url", surt_key(F.col("url")).alias("surt")).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_surt_key_domain_range_contiguity(spark):
+    """The point of SURT: a registered domain and all its subdomains sort
+    into one contiguous key range."""
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.operators.curation import surt_key
+
+    urls = [
+        "https://example.org/1",
+        "https://a.example.org/2",
+        "https://z.example.org/3",
+        "https://examplf.org/other",
+        "https://aaa.example.net/x",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url: string")
+    rows = sorted(
+        (r.surt, r.url)
+        for r in df.select("url", surt_key(F.col("url")).alias("surt")).collect()
+    )
+    dom = ["example.org" in u for _, u in rows]
+    # all example.org rows are adjacent in surt order
+    first, last = dom.index(True), len(dom) - 1 - dom[::-1].index(True)
+    assert all(dom[first : last + 1])

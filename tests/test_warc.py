@@ -222,3 +222,29 @@ def test_wat_null_html_yields_empty_record(spark):
         "HTML-Metadata"
     ]
     assert hm["Links"] == [] and hm["Head"]["Title"] == ""
+
+
+def test_classify_revisits_digest_dedup(spark):
+    from comic_text_detector_spark.sources.warc import classify_revisits
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", 100, "BODY A"),
+            ("u2", 50, "BODY B"),
+            ("u3", 200, "BODY A"),  # later identical -> revisit of u1
+            ("u0", 100, "BODY A"),  # ts tie with u1: url breaks it, u0 wins
+            ("u4", 10, None),  # null payload: response, no digest
+            ("u5", 20, None),  # second null payload: NOT grouped with u4
+        ],
+        "url string, warc_ts long, html string",
+    )
+    out = {r.url: r for r in classify_revisits(pages).collect()}
+    assert out["u0"].record_type == "response"
+    assert out["u1"].record_type == "revisit"
+    assert out["u1"].refers_to_url == "u0" and out["u1"].refers_to_ts == 100
+    assert out["u3"].refers_to_url == "u0"
+    assert out["u2"].record_type == "response"
+    assert out["u4"].record_type == "response" and out["u4"].digest is None
+    assert out["u5"].record_type == "response"
+    assert out["u4"].refers_to_url is None
+    assert len(out) == 6
