@@ -3370,6 +3370,34 @@ def _q_quality_logit(spark, sf_dir):
     return quality_logit(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _q_hits_hosts(spark, sf_dir):
+    """Integer-deterministic HITS hubs/authorities over the deterministic
+    host graph — the seed-curation complement to pagerank_hosts, every
+    half-step's floor-normalization replayed by the unrolled oracle
+    (operators/graph.py::hits_scores/hits_sql)."""
+    from comic_text_detector_spark.operators.graph import hits_scores
+
+    edges = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 50).cast("string")
+        ).alias("dst"),
+    )
+    return hits_scores(edges, n_iter=2)
+
+
+def _hits_oracle() -> str:
+    from comic_text_detector_spark.operators.graph import hits_sql
+
+    return hits_sql(
+        "SELECT 'h' || (doc_id % 50)::VARCHAR AS src,"
+        " 'h' || ((doc_id * 7 + 3) % 50)::VARCHAR AS dst FROM documents",
+        n_iter=2,
+    )
+
+
 def _q_surt_keys(spark, sf_dir):
     """SURT canonical crawl-index keys (Wayback/Common Crawl ordering):
     normalize → lowercase → strip scheme/www/default-port → reversed
@@ -3820,6 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "crawl_depth_hosts": _q_crawl_depth_hosts,
         "surt_keys": _q_surt_keys,
+        "hits_hosts": _q_hits_hosts,
         "warc_revisit": _q_warc_revisit,
         "table_stats_documents": _q_table_stats,
         "zorder_curve": _q_zorder_curve,
@@ -4438,6 +4467,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": _clu.ann_ivfpq_topk_sql(k=5),
         "crawl_depth_hosts": _crawl_depth_oracle(),
         "surt_keys": _SURT_ORACLE,
+        "hits_hosts": _hits_oracle(),
         "warc_revisit": _WARC_REVISIT_ORACLE,
         "table_stats_documents": _table_stats_oracle(),
         "zorder_curve": (

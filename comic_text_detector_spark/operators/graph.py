@@ -496,3 +496,142 @@ def bfs_depth_sql(edges_sql: str, seeds_sql: str, max_depth: int = 8) -> str:
         " SELECT node, CAST(min(depth) AS INT) AS depth FROM reach "
         "GROUP BY node"
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Integer-deterministic HITS (Kleinberg 1999): hub and authority
+    scores over a link graph — the complementary crawl signal to
+    ``pagerank`` (a good HUB page links to many good content pages; a
+    good AUTHORITY is linked from good hubs; seed-list curation wants
+    hubs, harvest ranking wants authorities). Returns (node, hub, auth)
+    in integer ``scale``-units.
+
+    Same determinism contract as ``pagerank``: scores are exact BIGINTs;
+    each iteration computes auth(u) = Σ hub(v) over in-edges then
+    L1-normalizes by ``floor(s * scale / total)``, then hub(u) =
+    Σ auth(v) over out-edges (the freshly updated auths — standard HITS
+    order) with the same normalization. The double divisions are exact
+    for these operands while ``total * scale < 2^53``; with the default
+    milli-scale that caps the graph at ~9e9 nodes, far past any test and
+    enforced on the realized total. The unrolled SQL twin
+    (``hits_sql``) replays every iteration bit-for-bit.
+
+    Scale shape: one shuffle per half-step (join scores→edges, aggregate
+    by the other endpoint, map-side partials); edges checkpointed once;
+    scores localCheckpoint-ed per round. Zero-total degenerate graphs
+    (no edges) raise rather than divide by zero."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes.limit(1).count() == 0:
+        raise ValueError("empty graph")
+
+    def _norm(scores: DataFrame, col: str) -> DataFrame:
+        total = scores.agg(F.sum(col).alias("t")).first().t
+        if total is None or total <= 0:
+            raise ValueError("HITS normalization total is zero")
+        if total * scale >= (1 << 53):
+            raise ValueError(
+                f"HITS exactness bound exceeded: total*scale = "
+                f"{total * scale} >= 2^53"
+            )
+        return scores.select(
+            "node",
+            F.floor(
+                F.col(col).cast("double") * F.lit(scale) / F.lit(int(total))
+            )
+            .cast("long")
+            .alias(col),
+        )
+
+    hub = nodes.select(
+        "node", F.lit(int(scale)).cast("long").alias("hub")
+    ).localCheckpoint()
+    auth = None
+    for _ in range(n_iter):
+        auth = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = (
+            nodes.join(auth, "node", "left")
+            .select("node", F.coalesce("auth", F.lit(0)).alias("auth"))
+        )
+        auth = _norm(auth, "auth").localCheckpoint()
+        hub = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = (
+            nodes.join(hub, "node", "left")
+            .select("node", F.coalesce("hub", F.lit(0)).alias("hub"))
+        )
+        hub = _norm(hub, "hub").localCheckpoint()
+    return nodes.join(hub, "node").join(auth, "node").select(
+        "node", "hub", "auth"
+    )
+
+
+def hits_sql(edges_sql: str, n_iter: int = 2, scale: int = 1000) -> str:
+    """DuckDB twin of hits_scores: every half-step unrolled, identical
+    floor(s*scale/total) normalization."""
+
+    def norm(prev: str, col: str, out: str) -> str:
+        return (
+            f"{out} AS (SELECT node, CAST(floor(CAST({col} AS DOUBLE) * "
+            f"{scale} / t.total) AS BIGINT) AS {col} FROM {prev} CROSS "
+            f"JOIN (SELECT SUM({col}) AS total FROM {prev}) t)"
+        )
+
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        (
+            "nodes AS (SELECT src AS node FROM e UNION "
+            "SELECT dst AS node FROM e)"
+        ),
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes)",
+    ]
+    prev_h = "h0"
+    for t in range(1, n_iter + 1):
+        parts += [
+            (
+                f"a{t}r AS (SELECT nodes.node, coalesce(s.s, 0) AS auth "
+                "FROM nodes LEFT JOIN (SELECT e.dst AS node, "
+                f"SUM({prev_h}.hub) AS s FROM e JOIN {prev_h} "
+                f"ON {prev_h}.node = e.src GROUP BY e.dst) s "
+                "ON s.node = nodes.node)"
+            ),
+            norm(f"a{t}r", "auth", f"a{t}"),
+            (
+                f"h{t}r AS (SELECT nodes.node, coalesce(s.s, 0) AS hub "
+                "FROM nodes LEFT JOIN (SELECT e.src AS node, "
+                f"SUM(a{t}.auth) AS s FROM e JOIN a{t} "
+                f"ON a{t}.node = e.dst GROUP BY e.src) s "
+                "ON s.node = nodes.node)"
+            ),
+            norm(f"h{t}r", "hub", f"h{t}"),
+        ]
+        prev_h = f"h{t}"
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT nodes.node, h{n_iter}.hub, a{n_iter}.auth FROM nodes "
+        f"JOIN h{n_iter} ON h{n_iter}.node = nodes.node "
+        f"JOIN a{n_iter} ON a{n_iter}.node = nodes.node"
+    )

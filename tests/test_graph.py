@@ -205,3 +205,46 @@ def test_bfs_depth_multiple_seeds_min_and_null_edges(spark):
     got = {r.node: r.depth for r in bfs_depth(edges, seeds, 8).collect()}
     # c is a seed, so d is 1 hop (not 3 via a); null endpoints dropped
     assert got == {"a": 0, "c": 0, "b": 1, "d": 1}
+
+
+def test_hits_star_hub_vs_authority(spark):
+    from comic_text_detector_spark.operators.graph import hits_scores
+
+    # h points at all three a's; x points only at a1
+    edges = spark.createDataFrame(
+        [("h", "a1"), ("h", "a2"), ("h", "a3"), ("x", "a1")],
+        "src string, dst string",
+    )
+    out = {r.node: r for r in hits_scores(edges, n_iter=2).collect()}
+    # h links to every authority -> best hub; a1 has two in-links -> top
+    # authority; pure hubs have zero authority and vice versa
+    assert out["h"].hub > out["x"].hub > 0
+    assert out["a1"].auth > out["a2"].auth > 0
+    assert out["h"].auth == 0 and out["x"].auth == 0
+    assert out["a1"].hub == 0
+    # symmetric nodes get identical scores
+    assert out["a2"].auth == out["a3"].auth
+
+
+def test_hits_deterministic_across_repartition(spark):
+    from comic_text_detector_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 3 + 1) % 17}") for i in range(17)],
+        "src string, dst string",
+    )
+    a = sorted(map(tuple, hits_scores(edges, n_iter=3).collect()))
+    b = sorted(
+        map(tuple, hits_scores(edges.repartition(5), n_iter=3).collect())
+    )
+    assert a == b
+
+
+def test_hits_empty_graph_raises(spark):
+    import pytest
+
+    from comic_text_detector_spark.operators.graph import hits_scores
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty graph"):
+        hits_scores(empty)
