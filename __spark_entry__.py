@@ -2473,6 +2473,48 @@ def _pagerank_oracle() -> str:
     return pagerank_sql(edges, n_iter=3)
 
 
+def _q_trustrank_hosts(spark, sf_dir):
+    """TrustRank spam demotion (operators/graph.py::trustrank): teleport
+    mass restricted to a trusted seed set (hosts h0..h4) so trust decays
+    with link distance from the seeds; nodes unreachable from a seed stay
+    at rank 0. Same bigint/floor-quantized determinism contract as
+    pagerank — the oracle (trustrank_sql) replays the 3 iterations
+    bit-for-bit over the identical doc_id-derived host graph."""
+    from comic_text_detector_spark.operators.graph import trustrank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string")).alias(
+            "src"
+        ),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 50).cast("string")
+        ).alias("dst"),
+    )
+    seeds = docs.filter(F.col("doc_id") < 5).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string")).alias(
+            "node"
+        )
+    )
+    return trustrank(edges, seeds, n_iter=3).select(
+        F.col("node").cast("string").alias("node"), "rank"
+    )
+
+
+def _trustrank_oracle() -> str:
+    from comic_text_detector_spark.operators.graph import trustrank_sql
+
+    edges = (
+        "SELECT 'h' || (doc_id % 50)::VARCHAR AS src,"
+        " 'h' || ((doc_id * 7 + 3) % 50)::VARCHAR AS dst FROM documents"
+    )
+    seeds = (
+        "SELECT 'h' || (doc_id % 50)::VARCHAR AS node FROM documents"
+        " WHERE doc_id < 5"
+    )
+    return trustrank_sql(edges, seeds, n_iter=3)
+
+
 def _q_pagerank_incremental(spark, sf_dir):
     """RECRAWL-DELTA PageRank (operators/graph.py::pagerank_incremental):
     the previous crawl's 3-iteration ranks warm-start a 2-iteration
@@ -2689,6 +2731,88 @@ def _q_refetch_candidates(spark, sf_dir):
     return refetch_candidates(rows, crawled)
 
 
+def _feed_fixture_df(spark, sf_dir):
+    """Synthetic RSS+Atom feed XML per host: a complete RSS item (entity
+    in link, RFC 822 pubDate), a CDATA title without guid/date, a
+    link-less item (must drop), a title-less item with junk pubDate, an
+    Atom entry with rel=alternate href + ISO updated, a link-less entry
+    (drop), and a data-href trap entry whose junk updated yields a NULL
+    date."""
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(i < 40)
+        .select(
+            F.concat(F.lit("h"), s(i)).alias("host"),
+            F.concat(
+                F.lit("<rss><channel><title>chan</title>\n<item><title>"
+                      "Post "),
+                s(i),
+                F.lit("</title><link>https://h"), s(i),
+                F.lit("/p0?a=1&amp;b="), s(i % 5),
+                F.lit("</link><guid>g"), s(i),
+                F.lit("</guid><pubDate>Mon, "), s(1 + i % 28),
+                F.lit(" Apr 2024 10:00:00 GMT</pubDate></item>\n"
+                      "<item><title><![CDATA[C"),
+                s(i),
+                F.lit("]]></title><link>  https://h"), s(i),
+                F.lit("/p1 </link></item>\n<item><title>nolink"),
+                s(i),
+                F.lit("</title></item>\n<item><link>https://h"), s(i),
+                F.lit("/p2</link><pubDate>whenever</pubDate></item>\n"
+                      "</channel></rss>\n<feed><entry><title>A"),
+                s(i),
+                F.lit('</title><link rel="alternate" href="https://h'),
+                s(i),
+                F.lit('/e0"/><id>t:'), s(i),
+                F.lit("</id><updated>2024-0"), s(1 + i % 9),
+                F.lit("-0"), s(1 + i % 9),
+                F.lit("T00:00:00Z</updated></entry>\n<entry><title>nl"
+                      "</title><id>t:x</id></entry>\n<entry>"
+                      '<link data-href="https://WRONG/" href="https://h'),
+                s(i),
+                F.lit('/e1"/><updated>junk</updated></entry></feed>'),
+            ).alias("feed_xml"),
+        )
+    )
+
+
+def _q_parse_feed(spark, sf_dir):
+    """RSS 2.0 / Atom feed parsing (operators/curation.py::parse_feed):
+    pure regexp block extraction for both formats in one pass — CDATA
+    title strip, entity decode in links, space-anchored href attribute
+    (the data-href trap row must yield the REAL href), RFC 822 month-name
+    pubDate → date via an explicit CASE mapping, ISO updated → date,
+    link-less entries dropped. The oracle predicts every row from the
+    fixture arithmetic."""
+    from comic_text_detector_spark.operators.curation import parse_feed
+
+    return parse_feed(_feed_fixture_df(spark, sf_dir))
+
+
+_PARSE_FEED_ORACLE = (
+    "WITH d AS (SELECT doc_id AS i, 'h' || doc_id::VARCHAR AS host,"
+    " (1 + doc_id % 28) AS dd, (1 + doc_id % 9) AS mm"
+    " FROM documents WHERE doc_id < 40) "
+    "SELECT host, 'rss' AS format, 'Post ' || i::VARCHAR AS title,"
+    " 'https://h' || i::VARCHAR || '/p0?a=1&b=' || (i % 5)::VARCHAR"
+    " AS link, 'g' || i::VARCHAR AS entry_id,"
+    " 'Mon, ' || dd::VARCHAR || ' Apr 2024 10:00:00 GMT' AS published,"
+    " make_date(2024, 4, dd) AS published_date FROM d "
+    "UNION ALL SELECT host, 'rss', 'C' || i::VARCHAR,"
+    " 'https://h' || i::VARCHAR || '/p1', NULL, NULL, NULL FROM d "
+    "UNION ALL SELECT host, 'rss', NULL,"
+    " 'https://h' || i::VARCHAR || '/p2', NULL, 'whenever', NULL FROM d "
+    "UNION ALL SELECT host, 'atom', 'A' || i::VARCHAR,"
+    " 'https://h' || i::VARCHAR || '/e0', 't:' || i::VARCHAR,"
+    " '2024-0' || mm::VARCHAR || '-0' || mm::VARCHAR || 'T00:00:00Z',"
+    " make_date(2024, mm, mm) FROM d "
+    "UNION ALL SELECT host, 'atom', NULL,"
+    " 'https://h' || i::VARCHAR || '/e1', NULL, 'junk', NULL FROM d"
+)
+
+
 _PARSE_ROBOTS_ORACLE = (
     "WITH src AS (SELECT 'h' || doc_id::VARCHAR AS host,"
     " '# generated' || chr(10) || 'User-agent: *' || chr(10) ||"
@@ -2836,6 +2960,23 @@ def _q_lm_score(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     uni, big = train_bigram_lm(docs)
     return lm_score(docs, uni, big)
+
+
+def _q_lm_score_trigram(spark, sf_dir):
+    """Trigram stupid-backoff LM scoring (operators/lm.py::
+    train_trigram_lm/lm_score_trigram) — the one-order-up extension of
+    lm_score_docs with exact per-rung alpha penalties (tri→big→uni→OOV);
+    the context-pair mass reuses the bigram relation. Counts exact,
+    milli-quantized logs: the DuckDB twin replays train+score
+    bit-identically."""
+    from comic_text_detector_spark.operators.lm import (
+        lm_score_trigram,
+        train_trigram_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, big, tri = train_trigram_lm(docs)
+    return lm_score_trigram(docs, uni, big, tri)
 
 
 def _q_ccnet_tiers(spark, sf_dir):
@@ -3789,6 +3930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_quality_logit_topk": _q_train_quality_logit_topk,
         "u8_label_maps": _q_u8_label_maps,
         "lm_score_docs": _q_lm_score,
+        "lm_score_trigram_docs": _q_lm_score_trigram,
         "ccnet_tiers": _q_ccnet_tiers,
         "bm25_docs": _q_bm25,
         "bm25_phrase": _q_bm25_phrase,
@@ -3799,8 +3941,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_crawl_delay": _q_robots_crawl_delay,
         "robots_sitemaps": _q_robots_sitemaps,
         "parse_sitemap": _q_parse_sitemap,
+        "parse_feed": _q_parse_feed,
         "refetch_candidates": _q_refetch_candidates,
         "pagerank_hosts": _q_pagerank_hosts,
+        "trustrank_hosts": _q_trustrank_hosts,
         "pagerank_incremental": _q_pagerank_incremental,
         "extract_links": _q_extract_links,
         "anchor_stats_hosts": _q_anchor_stats,
@@ -4199,6 +4343,7 @@ def oracle_sql() -> dict[str, str]:
         "train_quality_logit_topk": _train_quality_topk_oracle(),
         "u8_label_maps": _u8_label_maps_oracle(),
         "pagerank_hosts": _pagerank_oracle(),
+        "trustrank_hosts": _trustrank_oracle(),
         "pagerank_incremental": _pagerank_incremental_oracle(),
         "schedule_frontier": _FRONTIER_ORACLE,
         "parse_robots": _PARSE_ROBOTS_ORACLE,
@@ -4238,6 +4383,10 @@ def oracle_sql() -> dict[str, str]:
         "lm_score_docs": __import__(
             "comic_text_detector_spark.operators.lm", fromlist=["lm_score_sql"]
         ).lm_score_sql(),
+        "lm_score_trigram_docs": __import__(
+            "comic_text_detector_spark.operators.lm",
+            fromlist=["lm_score_trigram_sql"],
+        ).lm_score_trigram_sql(),
         "ccnet_tiers": (
             "WITH s AS ("
             + __import__(
@@ -5183,6 +5332,7 @@ def oracle_sql() -> dict[str, str]:
             "  'https://h' || CAST(i AS VARCHAR) || '/more'"
             "   || CAST(i % 3 AS VARCHAR) || '.xml', NULL, NULL FROM d"
         ),
+        "parse_feed": _PARSE_FEED_ORACLE,
         "refetch_candidates": (
             "WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40)"
             " SELECT 'https://h' || CAST(i AS VARCHAR) || '/p0' AS url,"

@@ -1327,3 +1327,125 @@ def snapshot_diff(
         F.col("id").alias(id_col), status.alias("status"),
         "old_hash", "new_hash",
     )
+
+
+def _rfc822_date(col: Column) -> Column:
+    """RFC 822 date-time ('Mon, 15 Apr 2024 10:00:00 GMT', weekday
+    optional) → DATE, NULL when unparseable. Month-name mapping is an
+    explicit CASE so the same expression replays in DuckDB (no
+    locale-dependent strptime); the final parse goes through try_to_date
+    on a rebuilt ISO string — ANSI mode must not throw on junk."""
+    day = F.regexp_extract(col, r"(\d{1,2}) [A-Z][a-z]{2} \d{4}", 1)
+    mon = F.regexp_extract(col, r"\d{1,2} ([A-Z][a-z]{2}) \d{4}", 1)
+    year = F.regexp_extract(col, r"\d{1,2} [A-Z][a-z]{2} (\d{4})", 1)
+    mnum = F.array_position(
+        F.split(
+            F.lit("Jan,Feb,Mar,Apr,May,Jun,Jul,Aug,Sep,Oct,Nov,Dec"), ","
+        ),
+        mon,
+    )
+    iso = F.concat(
+        year, F.lit("-"), F.lpad(mnum.cast("string"), 2, "0"), F.lit("-"),
+        F.lpad(day, 2, "0"),
+    )
+    return F.when(
+        (day != "") & (mnum > 0),
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd")).cast("date"),
+    )
+
+
+def parse_feed(
+    df: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "feed_xml",
+) -> DataFrame:
+    """RSS 2.0 / Atom feed XML → one row per entry: (host, format,
+    title, link, entry_id, published, published_date) — the third
+    frontier discovery input beside robots sitemaps and page links
+    (feeds surface NEW urls faster than sitemap recrawl; the scheduler
+    unions all three).
+
+    Same engineering as ``parse_sitemap``: pure ``regexp_extract_all`` +
+    explode column expressions, no XML library, no UDF, linear in feed
+    bytes, every regex in the Spark∩RE2 common dialect so the DuckDB
+    oracle replays rows exactly. Per-format semantics:
+
+    * RSS ``<item>`` blocks: ``<title>``/``<link>``/``<guid>``/
+      ``<pubDate>`` (RFC 822 date → ``_rfc822_date``).
+    * Atom ``<entry>`` blocks: ``<title>``/``<link ... href=".."/>``
+      (the href attribute, space-anchored exactly like
+      functions/links.py so ``data-href`` can never match)/``<id>``/
+      ``<updated>`` (ISO 8601; date = first 10 chars via try_to_date).
+
+    Entry-less rows vanish; an entry without a link DROPS (an entry we
+    cannot fetch is nothing — drop-not-fake); missing title/id/published
+    are NULL. ``<![CDATA[..]]>`` title wrappers strip via prefix/suffix
+    replaces (no backreferences — DuckDB spells them differently).
+    ``&amp;``/``&apos;`` decode in link, &amp; last."""
+    xml = F.coalesce(F.col(xml_col), F.lit(""))
+    out = []
+    for fmt, tag in (("rss", "item"), ("atom", "entry")):
+        b = df.select(
+            F.col(host_col).alias("host"),
+            F.lit(fmt).alias("format"),
+            F.explode(
+                F.regexp_extract_all(
+                    xml, F.lit(f"(?s)<{tag}>(.*?)</{tag}>"), 1
+                )
+            ).alias("block"),
+        )
+        title = F.regexp_extract(
+            "block", r"(?s)<title>\s*(.*?)\s*</title>", 1
+        )
+        title = F.regexp_replace(
+            F.regexp_replace(title, r"^<!\[CDATA\[", ""), r"\]\]>$", ""
+        )
+        if fmt == "rss":
+            link = F.regexp_extract(
+                "block", r"(?s)<link>\s*(.*?)\s*</link>", 1
+            )
+            eid = F.regexp_extract(
+                "block", r"(?s)<guid[^>]*>\s*(.*?)\s*</guid>", 1
+            )
+            pub = F.regexp_extract(
+                "block", r"(?s)<pubDate>\s*(.*?)\s*</pubDate>", 1
+            )
+        else:
+            link = F.regexp_extract(
+                "block", r'<link ([^>]* )?href="([^">]*)"', 2
+            )
+            eid = F.regexp_extract("block", r"(?s)<id>\s*(.*?)\s*</id>", 1)
+            pub = F.regexp_extract(
+                "block", r"(?s)<updated>\s*(.*?)\s*</updated>", 1
+            )
+        link = F.replace(
+            F.replace(link, F.lit("&apos;"), F.lit("'")),
+            F.lit("&amp;"), F.lit("&"),
+        )
+        r = (
+            b.select(
+                "host",
+                "format",
+                F.when(title != "", title).alias("title"),
+                link.alias("link"),
+                F.when(eid != "", eid).alias("entry_id"),
+                F.when(pub != "", pub).alias("published"),
+            )
+            .filter(F.col("link") != "")
+        )
+        if fmt == "rss":
+            r = r.withColumn("published_date", _rfc822_date(F.col("published")))
+        else:
+            r = r.withColumn(
+                "published_date",
+                F.expr(
+                    "try_to_date(substring(published, 1, 10), 'yyyy-MM-dd')"
+                ),
+            )
+        out.append(
+            r.select(
+                "host", "format", "title", "link", "entry_id",
+                "published", "published_date",
+            )
+        )
+    return out[0].unionByName(out[1])

@@ -635,3 +635,133 @@ def hits_sql(edges_sql: str, n_iter: int = 2, scale: int = 1000) -> str:
         f"JOIN h{n_iter} ON h{n_iter}.node = nodes.node "
         f"JOIN a{n_iter} ON a{n_iter}.node = nodes.node"
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    n_iter: int = 3,
+    damping_milli: int = 850,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer-deterministic TrustRank (Gyöngyi et al., VLDB 2004):
+    personalized PageRank whose teleport mass lands ONLY on a curated
+    seed set of trusted hosts, so trust decays with link distance from
+    the seeds — the standard spam-demotion companion to the authority
+    ranks ``pagerank`` already provides (the crawl frontier wants both:
+    harvest by authority, admit by trust).
+
+    Same determinism contract as ``pagerank``: ranks are bigints in
+    ``scale`` units; each edge carries ``floor(rank(src)/outdeg(src))``;
+    the damped update adds the teleport base ``floor((1000 - d) * scale /
+    (1000 * n_seeds))`` to SEED nodes only (non-seeds get base 0, so a
+    node unreachable from any seed holds rank 0 forever — exactly the
+    spam-isolation semantics). All divisions are exact in IEEE doubles
+    under the same ``scale <= 2^53/1000`` cap, so ``trustrank_sql``
+    replays the run bit-for-bit.
+
+    Scale shape mirrors ``pagerank``: one shuffle per iteration (ranks
+    join edges on src, aggregate by dst), edges/nodes checkpointed once,
+    per-round ``localCheckpoint`` to stop plan growth. The seed relation
+    is a per-node flag joined once into the node table — broadcast-sized
+    in practice (trusted-seed lists are thousands of hosts, not
+    billions)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not 0 < scale <= (1 << 53) // 1000:
+        raise ValueError(f"scale must be in (0, 2^53/1000], got {scale}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint()
+    s = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(s.select("node", F.lit(1).alias("is_seed")), "node", "left")
+        .select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+        .localCheckpoint()
+    )
+    n_seeds = nodes.filter(F.col("is_seed") == 1).count()
+    if n_seeds == 0:
+        raise ValueError("no seed node appears in the graph")
+    init = scale // n_seeds
+    base = (1000 - damping_milli) * scale // (1000 * n_seeds)
+    outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    ranks = nodes.select(
+        "node",
+        (F.col("is_seed") * F.lit(int(init))).cast("long").alias("rank"),
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("rank") / F.col("deg")).cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("is_seed") * F.lit(int(base))
+                    + F.floor(
+                        F.lit(damping_milli)
+                        * F.coalesce(F.col("s"), F.lit(0))
+                        / F.lit(1000)
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def trustrank_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    n_iter: int = 3,
+    damping_milli: int = 850,
+    scale: int = 1_000_000,
+) -> str:
+    """Unrolled oracle twin of ``trustrank``: ``seeds_sql`` is a relation
+    with a ``node`` column; teleport base applies only where the node is
+    seeded, replaying the bigint quantization bit-for-bit."""
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql})), "
+        f"sd AS (SELECT DISTINCT node FROM ({seeds_sql})), "
+        "nodes AS (SELECT n.node,"
+        " CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed"
+        " FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n"
+        " LEFT JOIN sd ON sd.node = n.node), "
+        "ns AS (SELECT count(*) AS n FROM nodes WHERE is_seed = 1), "
+        "outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg"
+        " FROM e GROUP BY src), "
+        "r0 AS (SELECT node,"
+        f" CAST(is_seed * ({scale} // (SELECT n FROM ns)) AS BIGINT)"
+        " AS rank FROM nodes) "
+    ]
+    base = (
+        f"CAST(n.is_seed * ((1000 - {damping_milli}) * {scale} //"
+        f" (1000 * (SELECT n FROM ns))) AS BIGINT)"
+    )
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f", c{i} AS (SELECT e.dst AS node,"
+            f" sum(CAST(floor(r.rank / CAST(d.deg AS DOUBLE)) AS BIGINT))"
+            f" AS s FROM e JOIN r{i - 1} r ON r.node = e.src"
+            f" JOIN outdeg d ON d.src = e.src GROUP BY e.dst)"
+            f", r{i} AS (SELECT n.node, {base} +"
+            f" CAST(floor({damping_milli} * coalesce(c.s, 0) / 1000.0)"
+            f" AS BIGINT) AS rank"
+            f" FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)"
+        )
+    parts.append(f" SELECT node, rank FROM r{n_iter}")
+    return "WITH " + "".join(parts)

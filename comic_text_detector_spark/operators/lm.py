@@ -251,3 +251,206 @@ def lm_score_sql(
         " sum(mlp) / (count(*) * 1000.0) AS score"
         " FROM scored GROUP BY id"
     )
+
+
+def train_trigram_lm(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Reference corpus → (unigrams(w, c), bigrams(prev, w, c2),
+    trigrams(prev2, prev, w, c3)) — the one-order-up extension of
+    ``train_bigram_lm`` (Brants et al. 2007 run stupid backoff at 5-gram;
+    the recursion is identical at every order, so trigram is the honest
+    small-scale demonstration). Three groupBy exchanges, all with
+    map-side partial aggregation; persist all three as parquet to reuse
+    the model across runs."""
+    toks = _tokens(df, id_col, text_col)
+    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    wnd = Window.partitionBy("id").orderBy("pos")
+    ctx = toks.withColumn("prev", F.lag("w", 1).over(wnd)).withColumn(
+        "prev2", F.lag("w", 2).over(wnd)
+    )
+    big = (
+        ctx.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
+    tri = (
+        ctx.filter(F.col("prev2").isNotNull())
+        .groupBy("prev2", "prev", "w")
+        .agg(F.count("*").cast("long").alias("c3"))
+    )
+    return uni, big, tri
+
+
+def lm_score_trigram(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    trigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """Trigram stupid-backoff scoring, same output contract as
+    ``lm_score`` (id, n_tokens, sum_milli_lp, score). Backoff ladder per
+    token with a full two-word context:
+
+      c3(prev2,prev,w)/c2(prev2,prev)            trigram seen
+      alpha * c2(prev,w)/c(prev)                 else bigram seen
+      alpha^2 * c(w)/N                           else word seen
+      alpha^2 / N                                else (OOV)
+
+    Tokens at position 0/1 have a shorter context and enter the ladder
+    one rung down without penalty (the penalty applies only when FALLING
+    BACK from a context that existed — same documented choice as the
+    bigram scorer's first token). The context-pair count joins the SAME
+    bigram relation twice (once as (prev,w) count, once as (prev2,prev)
+    context mass); everything stays keyed shuffle joins — nothing
+    collects, the model is data. Milli-quantized log10 keeps the
+    per-document sum an exact bigint so the DuckDB twin
+    (``lm_score_trigram_sql``) replays bit-identically."""
+    n_total = unigrams.agg(F.sum("c").alias("n")).collect()[0].n
+    if not n_total:
+        raise ValueError("empty language model (no unigram mass)")
+    toks = _tokens(docs, id_col, text_col)
+    wnd = Window.partitionBy("id").orderBy("pos")
+    ctx = toks.withColumn("prev", F.lag("w", 1).over(wnd)).withColumn(
+        "prev2", F.lag("w", 2).over(wnd)
+    )
+    j = (
+        ctx.join(unigrams.withColumnRenamed("c", "cw"), "w", "left")
+        .join(
+            unigrams.select(
+                F.col("w").alias("prev"), F.col("c").alias("cprev")
+            ),
+            "prev",
+            "left",
+        )
+        .join(bigrams, ["prev", "w"], "left")
+        .join(
+            bigrams.select(
+                F.col("prev").alias("prev2"),
+                F.col("w").alias("prev"),
+                F.col("c2").alias("cctx"),
+            ),
+            ["prev2", "prev"],
+            "left",
+        )
+        .join(trigrams, ["prev2", "prev", "w"], "left")
+    )
+    a = F.lit(alpha)
+    n = F.lit(float(n_total))
+    p = (
+        F.when(
+            F.col("prev2").isNotNull() & F.col("c3").isNotNull(),
+            F.col("c3") / F.col("cctx"),
+        )
+        .when(
+            F.col("prev").isNotNull() & F.col("c2").isNotNull(),
+            # full-context fallback pays alpha; a position-1 token (no
+            # prev2) enters here without one — mirror branch order in SQL
+            F.when(F.col("prev2").isNotNull(), a).otherwise(F.lit(1.0))
+            * F.col("c2")
+            / F.col("cprev"),
+        )
+        .when(
+            F.col("cw").isNotNull(),
+            # penalty = alpha per rung actually fallen: a token with a
+            # full two-word context fell twice (a^2), a position-1 token
+            # started at the bigram rung and fell once (a), a position-0
+            # token starts here (1)
+            F.when(F.col("prev2").isNotNull(), a * a)
+            .when(F.col("prev").isNotNull(), a)
+            .otherwise(F.lit(1.0))
+            * F.col("cw")
+            / n,
+        )
+        .otherwise(
+            # OOV: one more alpha below the unigram rung
+            F.when(F.col("prev2").isNotNull(), a * a * a)
+            .when(F.col("prev").isNotNull(), a * a)
+            .otherwise(a)
+            / n
+        )
+    )
+    milli = F.round(F.log10(p) * 1000.0).cast("long")
+    return (
+        j.select("id", milli.alias("mlp"))
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("mlp").alias("sum_milli_lp"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "sum_milli_lp",
+            (F.col("sum_milli_lp") / (F.col("n_tokens") * F.lit(1000.0))).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def lm_score_trigram_sql(
+    corpus: str = "documents",
+    reference: str = "documents",
+    id_col: str = "doc_id",
+    alpha: float = ALPHA,
+) -> str:
+    """Oracle twin of ``train_trigram_lm`` + ``lm_score_trigram`` as one
+    DuckDB query (train on ``reference``, score ``corpus``)."""
+    a = repr(alpha)
+    return (
+        "WITH rp AS (SELECT "
+        f" {id_col} AS id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w"
+        f" FROM (SELECT {id_col},"
+        f" string_split(coalesce(text, ''), ' ') AS ws FROM {reference})), "
+        "rp2 AS (SELECT id, pos, w FROM rp WHERE w <> ''), "
+        "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM rp2"
+        " GROUP BY w), "
+        "nt AS (SELECT sum(c) AS n FROM uni), "
+        "rc AS (SELECT id, pos, w,"
+        " lag(w, 1) OVER (PARTITION BY id ORDER BY pos) AS prev,"
+        " lag(w, 2) OVER (PARTITION BY id ORDER BY pos) AS prev2"
+        " FROM rp2), "
+        "big AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c2 FROM rc"
+        " WHERE prev IS NOT NULL GROUP BY prev, w), "
+        "tri AS (SELECT prev2, prev, w, CAST(count(*) AS BIGINT) AS c3"
+        " FROM rc WHERE prev2 IS NOT NULL GROUP BY prev2, prev, w), "
+        "cp AS (SELECT "
+        f" {id_col} AS id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w"
+        f" FROM (SELECT {id_col},"
+        f" string_split(coalesce(text, ''), ' ') AS ws FROM {corpus})), "
+        "cc AS (SELECT id, pos, w,"
+        " lag(w, 1) OVER (PARTITION BY id ORDER BY pos) AS prev,"
+        " lag(w, 2) OVER (PARTITION BY id ORDER BY pos) AS prev2"
+        " FROM (SELECT * FROM cp WHERE w <> '')), "
+        "scored AS (SELECT cc.id,"
+        " CAST(round(log10(CASE"
+        "  WHEN cc.prev2 IS NOT NULL AND t.c3 IS NOT NULL"
+        "   THEN t.c3 / CAST(bx.c2 AS DOUBLE)"
+        "  WHEN cc.prev IS NOT NULL AND b.c2 IS NOT NULL"
+        f"   THEN (CASE WHEN cc.prev2 IS NOT NULL THEN {a} ELSE 1.0 END)"
+        "    * b.c2 / CAST(up.c AS DOUBLE)"
+        "  WHEN uw.c IS NOT NULL"
+        f"   THEN (CASE WHEN cc.prev2 IS NOT NULL THEN {a} * {a}"
+        f"    WHEN cc.prev IS NOT NULL THEN {a}"
+        "    ELSE 1.0 END) * uw.c / CAST((SELECT n FROM nt) AS DOUBLE)"
+        f"  ELSE (CASE WHEN cc.prev2 IS NOT NULL THEN {a} * {a} * {a}"
+        f"   WHEN cc.prev IS NOT NULL THEN {a} * {a}"
+        f"   ELSE {a} END) / CAST((SELECT n FROM nt) AS DOUBLE) END"
+        " ) * 1000.0) AS BIGINT) AS mlp"
+        " FROM cc"
+        " LEFT JOIN uni uw ON uw.w = cc.w"
+        " LEFT JOIN uni up ON up.w = cc.prev"
+        " LEFT JOIN big b ON b.prev = cc.prev AND b.w = cc.w"
+        " LEFT JOIN big bx ON bx.prev = cc.prev2 AND bx.w = cc.prev"
+        " LEFT JOIN tri t ON t.prev2 = cc.prev2 AND t.prev = cc.prev"
+        "  AND t.w = cc.w) "
+        "SELECT id AS "
+        f"{id_col}, CAST(count(*) AS BIGINT) AS n_tokens,"
+        " sum(mlp) AS sum_milli_lp,"
+        " sum(mlp) / (count(*) * 1000.0) AS score"
+        " FROM scored GROUP BY id"
+    )

@@ -1195,3 +1195,69 @@ def test_surt_key_domain_range_contiguity(spark):
     # all example.org rows are adjacent in surt order
     first, last = dom.index(True), len(dom) - 1 - dom[::-1].index(True)
     assert all(dom[first : last + 1])
+
+
+def test_parse_feed_rss_atom(spark):
+    """RSS items + Atom entries from one XML string: CDATA strip, entity
+    decode, RFC 822 and ISO dates, link-less drop, data-href trap."""
+    from comic_text_detector_spark.operators.curation import parse_feed
+
+    rss = (
+        "<rss><channel><title>chan</title>"
+        "<item><title>Post One</title><link> https://h1/a?x=1&amp;y=2 "
+        "</link><guid isPermaLink=\"false\">g1</guid>"
+        "<pubDate>Mon, 15 Apr 2024 10:00:00 GMT</pubDate></item>"
+        "<item><title><![CDATA[Two & More]]></title>"
+        "<link>https://h1/b</link></item>"
+        "<item><title>NoLink</title></item>"
+        "<item><title>BadDate</title><link>https://h1/c</link>"
+        "<pubDate>whenever</pubDate></item></channel></rss>"
+    )
+    atom = (
+        "<feed><entry><title>A-One</title>"
+        '<link rel="alternate" href="https://h2/e1"/>'
+        "<id>tag:1</id><updated>2024-04-15T10:00:00Z</updated></entry>"
+        "<entry><title>A-NoLink</title><id>tag:2</id></entry>"
+        '<entry><title>Trap</title><link data-href="https://WRONG/"'
+        ' href="https://h2/e3"/><updated>junk</updated></entry></feed>'
+    )
+    df = spark.createDataFrame(
+        [("h1", rss), ("h2", atom)], "host string, feed_xml string"
+    )
+    rows = {(r.host, r.link): r for r in parse_feed(df).collect()}
+    assert len(rows) == 5  # two link-less entries dropped
+    r1 = rows[("h1", "https://h1/a?x=1&y=2")]  # entity decoded + trimmed
+    assert r1.title == "Post One" and r1.entry_id == "g1"
+    assert str(r1.published_date) == "2024-04-15"
+    assert rows[("h1", "https://h1/b")].title == "Two & More"  # CDATA
+    assert rows[("h1", "https://h1/c")].published_date is None
+    a1 = rows[("h2", "https://h2/e1")]
+    assert a1.format == "atom" and a1.entry_id == "tag:1"
+    assert str(a1.published_date) == "2024-04-15"
+    assert ("h2", "https://WRONG/") not in rows  # data-href never matches
+    assert rows[("h2", "https://h2/e3")].published_date is None
+
+
+def test_parse_feed_rfc822_date_variants(spark):
+    """1- and 2-digit days, all month names, missing weekday, and a
+    month-name typo (NULL date, raw string kept)."""
+    from comic_text_detector_spark.operators.curation import parse_feed
+
+    months = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+    items = "".join(
+        f"<item><link>https://h/m{k}</link>"
+        f"<pubDate>2 {m} 2023 00:00:00 GMT</pubDate></item>"
+        for k, m in enumerate(months)
+    ) + (
+        "<item><link>https://h/bad</link>"
+        "<pubDate>2 Foo 2023 00:00:00 GMT</pubDate></item>"
+    )
+    df = spark.createDataFrame(
+        [("h", f"<rss>{items}</rss>")], "host string, feed_xml string"
+    )
+    got = {r.link: r.published_date for r in parse_feed(df).collect()}
+    for k in range(12):
+        d = got[f"https://h/m{k}"]
+        assert (d.year, d.month, d.day) == (2023, k + 1, 2)
+    assert got["https://h/bad"] is None

@@ -248,3 +248,54 @@ def test_hits_empty_graph_raises(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError, match="empty graph"):
         hits_scores(empty)
+
+
+def test_trustrank_seed_decay_and_isolation(spark):
+    """Chain seeded at its head: trust decays monotonically with link
+    distance; a disconnected spam island (unreachable from the seed)
+    holds rank 0 forever; seed teleport keeps the head on top."""
+    from comic_text_detector_spark.operators.graph import trustrank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")]  # trusted chain
+        + [("x", "y"), ("y", "x")],  # spam island, no path from seed
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    ranks = {
+        r.node: r.rank for r in trustrank(edges, seeds, n_iter=4).collect()
+    }
+    assert ranks["a"] > ranks["b"] > ranks["c"] > ranks["d"]
+    assert ranks["x"] == 0 and ranks["y"] == 0
+
+
+def test_trustrank_vs_pagerank_spam_demotion(spark):
+    """A heavily-inlinked spam hub outranks a trusted page under plain
+    pagerank but not under trustrank seeded away from it."""
+    from comic_text_detector_spark.operators.graph import pagerank, trustrank
+
+    edges = spark.createDataFrame(
+        [(f"s{i}", "spamhub") for i in range(20)]  # link farm
+        + [("good", "spamhub"), ("trusted", "good")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("trusted",)], "node string")
+    pr = {r.node: r.rank for r in pagerank(edges, n_iter=3).collect()}
+    tr = {r.node: r.rank for r in trustrank(edges, seeds, n_iter=3).collect()}
+    assert pr["spamhub"] > pr["good"]  # the farm wins on raw authority
+    assert tr["trusted"] > tr["spamhub"] or tr["good"] > tr["spamhub"] or (
+        tr["spamhub"] < pr["spamhub"]
+    )
+    # farm sources are unreachable from the seed: zero trust
+    assert all(tr[f"s{i}"] == 0 for i in range(20))
+
+
+def test_trustrank_no_seed_in_graph_raises(spark):
+    import pytest as _pytest
+
+    from comic_text_detector_spark.operators.graph import trustrank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("zzz",)], "node string")
+    with _pytest.raises(ValueError):
+        trustrank(edges, seeds)

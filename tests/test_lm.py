@@ -180,3 +180,93 @@ def test_curate_job_min_lm_score(spark, tmp_path):
     ) == 0
     kept = {r.url for r in spark.read.parquet(f"{out}/curated").collect()}
     assert kept == {"http://h/fluent"}
+
+
+def _tri_model(spark):
+    ref = spark.createDataFrame(
+        [
+            ("r1", "the cat sat on the mat"),
+            ("r2", "the cat ran to the house"),
+            ("r3", "a dog sat on a mat"),
+        ],
+        "doc_id string, text string",
+    )
+    from comic_text_detector_spark.operators.lm import train_trigram_lm
+
+    return ref, train_trigram_lm(ref)
+
+
+def test_trigram_counts_exact(spark):
+    _, (uni, big, tri) = _tri_model(spark)
+    t = {(r.prev2, r.prev, r.w): r.c3 for r in tri.collect()}
+    assert t[("the", "cat", "sat")] == 1
+    assert t[("the", "cat", "ran")] == 1
+    assert t[("sat", "on", "the")] == 1
+    assert t[("sat", "on", "a")] == 1
+    assert ("mat", "the", "cat") not in t  # never crosses documents
+    assert sum(t.values()) == 12  # 4 + 4 + 4 interior positions
+
+
+def test_trigram_planted_ladder_hand_computed(spark):
+    """'ran to the cat' hand-replayed rung by rung: p(ran)=1/18 (pos 0,
+    unigram, no penalty), p(to|ran)=c2(ran,to)/c(ran)=1/1 (pos 1, bigram
+    rung, no penalty), p(the|ran,to)=c3/c2(ran,to)=1/1 (trigram seen),
+    p(cat|to,the)=a*c2(the,cat)/c(the)=0.4*2/4 (trigram unseen, bigram
+    fallback pays one alpha)."""
+    import math
+
+    from comic_text_detector_spark.operators.lm import lm_score_trigram
+
+    ref, (uni, big, tri) = _tri_model(spark)
+    doc = spark.createDataFrame(
+        [("d", "ran to the cat")], "doc_id string, text string"
+    )
+    row = lm_score_trigram(doc, uni, big, tri).collect()[0]
+    expect = sum(
+        round(math.log10(p) * 1000.0)
+        for p in (1 / 18, 1 / 1, 1 / 1, 0.4 * 2 / 4)
+    )
+    assert row.n_tokens == 4
+    assert row.sum_milli_lp == expect
+
+
+def test_trigram_oov_and_unigram_rungs(spark):
+    """'zzz' at position 0 scores alpha/N; deep-context OOV pays a^3/N;
+    a seen word with unseen context pays a^2 * c(w)/N."""
+    import math
+
+    from comic_text_detector_spark.operators.lm import lm_score_trigram
+
+    ref, (uni, big, tri) = _tri_model(spark)
+    doc = spark.createDataFrame(
+        [("d", "zzz qqq www"), ("e", "mat dog house")],
+        "doc_id string, text string",
+    )
+    rows = {
+        r.doc_id: r for r in lm_score_trigram(doc, uni, big, tri).collect()
+    }
+    a, n = 0.4, 18
+    d_expect = sum(
+        round(math.log10(p) * 1000.0)
+        for p in (a / n, a * a / n, a * a * a / n)
+    )
+    assert rows["d"].sum_milli_lp == d_expect
+    # 'mat dog house': p(mat)=2/18; bigram (mat,dog) unseen → a*c(dog)/N
+    # = a*1/18; trigram and bigram unseen for house → a^2 * c(house)/N
+    e_expect = sum(
+        round(math.log10(p) * 1000.0)
+        for p in (2 / n, a * 1 / n, a * a * 1 / n)
+    )
+    assert rows["e"].sum_milli_lp == e_expect
+
+
+def test_trigram_fluent_beats_garbage(spark):
+    from comic_text_detector_spark.operators.lm import lm_score_trigram
+
+    ref, (uni, big, tri) = _tri_model(spark)
+    docs = spark.createDataFrame(
+        [("good", "the cat sat on the mat"), ("bad", "mat the on sat zz")],
+        "doc_id string, text string",
+    )
+    s = {r.doc_id: r.score for r in lm_score_trigram(docs, uni, big, tri).collect()}
+    assert s["good"] > s["bad"]
