@@ -2813,6 +2813,98 @@ _PARSE_FEED_ORACLE = (
 )
 
 
+def _q_blocklist_filter(spark, sf_dir):
+    """UT1-style blocklist verdicts (operators/curation.py::
+    blocklist_filter): domain-suffix explode join, exact-host join, and
+    host-routed url-prefix join, priority host > domain > url_prefix
+    with a deliberate overlap row (i%20==3 & i%7==1 matches both host
+    and domain → host must win). Oracle predicts every verdict from the
+    fixture arithmetic."""
+    from comic_text_detector_spark.operators.curation import (
+        blocklist_filter,
+    )
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://s"), s(i % 7), F.lit(".site"), s(i % 20),
+            F.lit(".com/p"), s(i % 10),
+        ).alias("url"),
+    )
+    b = _t(spark, sf_dir, "documents").filter(i < 7)
+    bl = (
+        b.filter(i < 4).select(
+            F.concat(F.lit("site"), s(i), F.lit(".com")).alias("pattern"),
+            F.lit("domain").alias("kind"),
+            F.concat(F.lit("dcat"), s(i)).alias("category"),
+        )
+        .unionByName(
+            b.filter((i >= 4) & (i < 6)).select(
+                F.concat(
+                    F.lit("s1.site"), s(i - 1), F.lit(".com")
+                ).alias("pattern"),
+                F.lit("host").alias("kind"),
+                F.concat(F.lit("hcat"), s(i - 1)).alias("category"),
+            )
+        )
+        .unionByName(
+            b.filter(i == 6).select(
+                F.lit("https://s2.site5.com/p").alias("pattern"),
+                F.lit("url_prefix").alias("kind"),
+                F.lit("pre").alias("category"),
+            )
+        )
+    )
+    return blocklist_filter(docs, bl).select(
+        "doc_id", "url", "block_category", "block_kind"
+    )
+
+
+_BLOCKLIST_ORACLE = (
+    "SELECT doc_id, 'https://s' || (doc_id % 7)::VARCHAR || '.site' ||"
+    " (doc_id % 20)::VARCHAR || '.com/p' || (doc_id % 10)::VARCHAR AS url,"
+    " CASE WHEN doc_id % 7 = 1 AND doc_id % 20 IN (3, 4)"
+    "  THEN 'hcat' || (doc_id % 20)::VARCHAR"
+    " WHEN doc_id % 20 <= 3 THEN 'dcat' || (doc_id % 20)::VARCHAR"
+    " WHEN doc_id % 7 = 2 AND doc_id % 20 = 5 THEN 'pre' END"
+    " AS block_category,"
+    " CASE WHEN doc_id % 7 = 1 AND doc_id % 20 IN (3, 4) THEN 'host'"
+    " WHEN doc_id % 20 <= 3 THEN 'domain'"
+    " WHEN doc_id % 7 = 2 AND doc_id % 20 = 5 THEN 'url_prefix' END"
+    " AS block_kind"
+    " FROM documents"
+)
+
+
+def _q_badword_score(spark, sf_dir):
+    """Weighted bad-word density (operators/curation.py::badword_score):
+    lowercase token explode joined to a broadcast (word, weight)
+    lexicon; exact counts, one division. The oracle replays tokenization
+    + join in DuckDB."""
+    from comic_text_detector_spark.operators.curation import badword_score
+
+    lex = spark.createDataFrame(
+        [("slow", 3), ("hash", 1), ("big", 2)], "word string, weight long"
+    )
+    return badword_score(_t(spark, sf_dir, "documents"), lex)
+
+
+_BADWORD_ORACLE = (
+    "WITH t AS (SELECT doc_id AS id, w FROM (SELECT doc_id,"
+    " unnest(string_split(lower(coalesce(text, '')), ' ')) AS w"
+    " FROM documents) WHERE w <> ''), "
+    "lex AS (SELECT * FROM (VALUES ('slow', 3), ('hash', 1), ('big', 2))"
+    " AS v(w, weight)) "
+    "SELECT t.id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+    " CAST(count(lex.weight) AS BIGINT) AS n_bad,"
+    " CAST(coalesce(sum(lex.weight), 0) AS BIGINT) AS bad_weight,"
+    " count(lex.weight) / CAST(count(*) AS DOUBLE) AS bad_frac"
+    " FROM t LEFT JOIN lex ON lex.w = t.w GROUP BY t.id"
+)
+
+
 _PARSE_ROBOTS_ORACLE = (
     "WITH src AS (SELECT 'h' || doc_id::VARCHAR AS host,"
     " '# generated' || chr(10) || 'User-agent: *' || chr(10) ||"
@@ -3942,6 +4034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": _q_robots_sitemaps,
         "parse_sitemap": _q_parse_sitemap,
         "parse_feed": _q_parse_feed,
+        "blocklist_filter": _q_blocklist_filter,
+        "badword_score": _q_badword_score,
         "refetch_candidates": _q_refetch_candidates,
         "pagerank_hosts": _q_pagerank_hosts,
         "trustrank_hosts": _q_trustrank_hosts,
@@ -5333,6 +5427,8 @@ def oracle_sql() -> dict[str, str]:
             "   || CAST(i % 3 AS VARCHAR) || '.xml', NULL, NULL FROM d"
         ),
         "parse_feed": _PARSE_FEED_ORACLE,
+        "blocklist_filter": _BLOCKLIST_ORACLE,
+        "badword_score": _BADWORD_ORACLE,
         "refetch_candidates": (
             "WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40)"
             " SELECT 'https://h' || CAST(i AS VARCHAR) || '/p0' AS url,"

@@ -1449,3 +1449,145 @@ def parse_feed(
             )
         )
     return out[0].unionByName(out[1])
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """UT1-style URL blocklist matching (the RefinedWeb/C4 curation
+    front door — Penedo et al. 2023 filter on the Université
+    Toulouse 1 category lists): annotate every document with the
+    blocklist category that claims it, NULL when clean. ``blocklist``
+    has (pattern, kind, category) with three kinds:
+
+    * ``host``   — exact lowercased host match;
+    * ``domain`` — the host OR any parent domain matches (``a.b.c``
+      tests ``a.b.c``, ``b.c``, ``c``) — the UT1 "domains" file
+      semantics;
+    * ``url_prefix`` — full-url prefix; the pattern's own host routes
+      the join so prefix testing happens only among that host's pages.
+
+    Scale shape: the host is extracted in the scan projection; each kind
+    is an EQUI-join on host/suffix (the domain kind explodes a host into
+    its ≤label-count suffixes — bounded fan-out, no LIKE cross join), and
+    blocklists are ~100k rows → Spark broadcasts every probe side. Match
+    priority host > domain > url_prefix with lexicographic category
+    tie-break inside a kind, so the verdict is deterministic regardless
+    of list order or partitioning.
+
+    Returns docs + (block_category string, block_kind string); filter
+    ``block_category IS NULL`` for the clean set. Urls with no parseable
+    host can only match url_prefix patterns whose own host is empty —
+    i.e. effectively never; they pass (drop-not-fake: absence of
+    evidence)."""
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-zA-Z]+://([^/?#:]+)", 1)
+    )
+    d = docs.withColumn("__host", host)
+    bl = blocklist.select(
+        F.lower(F.col("pattern")).alias("pattern"),
+        F.col("kind").alias("kind"),
+        F.col("category").alias("category"),
+    )
+    # host kind: exact equi-join
+    m_host = d.select("__host", F.col(url_col).alias("__u")).join(
+        bl.filter(F.col("kind") == "host").select(
+            F.col("pattern").alias("__host"), "category"
+        ),
+        "__host",
+    ).select("__u", "category", F.lit(1).alias("prio"))
+    # domain kind: explode host suffixes (a.b.c → a.b.c, b.c, c)
+    labels = F.split(F.col("__host"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+    m_dom = (
+        d.select(
+            F.col(url_col).alias("__u"),
+            F.explode(suffixes).alias("suffix"),
+        )
+        .join(
+            bl.filter(F.col("kind") == "domain").select(
+                F.col("pattern").alias("suffix"), "category"
+            ),
+            "suffix",
+        )
+        .select("__u", "category", F.lit(2).alias("prio"))
+    )
+    # url_prefix kind: route by the pattern's host, then prefix-test
+    pat_host = F.lower(
+        F.regexp_extract(F.col("pattern"), r"^[a-z]+://([^/?#:]+)", 1)
+    )
+    m_pre = (
+        d.select("__host", F.col(url_col).alias("__u"))
+        .join(
+            bl.filter(F.col("kind") == "url_prefix").select(
+                pat_host.alias("__host"), "pattern", "category"
+            ),
+            "__host",
+        )
+        .filter(F.lower(F.col("__u")).startswith(F.col("pattern")))
+        .select("__u", "category", F.lit(3).alias("prio"))
+    )
+    verdict = (
+        m_host.unionByName(m_dom).unionByName(m_pre)
+        .groupBy("__u")
+        .agg(
+            F.min(F.struct("prio", "category")).alias("m"),
+        )
+        .select(
+            F.col("__u").alias(url_col),
+            F.col("m.category").alias("block_category"),
+            F.element_at(
+                F.split(F.lit("host,domain,url_prefix"), ","), F.col("m.prio")
+            ).alias("block_kind"),
+        )
+    )
+    return d.drop("__host").join(verdict, url_col, "left")
+
+
+def badword_score(
+    docs: DataFrame,
+    lexicon: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weighted bad-word density (the C4 list step recast as a score,
+    not a binary drop): lowercase whitespace tokens join a (word,
+    weight) lexicon; per document emit (n_tokens, n_bad, bad_weight,
+    bad_frac = n_bad/n_tokens). Thresholding is the caller's policy —
+    scores survive to the output so an audit can re-cut without a
+    re-scan. Lexicons are small → broadcast join; counts are exact
+    bigints and the division is one IEEE op, so the DuckDB twin matches
+    bit-for-bit. Wordless documents report n_tokens=0 with NULL
+    bad_frac (no evidence, not 'clean with score 0')."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    lex = lexicon.select(
+        F.lower(F.col("word")).alias("w"), F.col("weight").cast("long")
+    )
+    j = toks.join(F.broadcast(lex), "w", "left")
+    return (
+        j.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.count("weight").cast("long").alias("n_bad"),
+            F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias(
+                "bad_weight"
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_bad",
+            "bad_weight",
+            (F.col("n_bad") / F.col("n_tokens")).alias("bad_frac"),
+        )
+    )

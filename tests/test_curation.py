@@ -1261,3 +1261,66 @@ def test_parse_feed_rfc822_date_variants(spark):
         d = got[f"https://h/m{k}"]
         assert (d.year, d.month, d.day) == (2023, k + 1, 2)
     assert got["https://h/bad"] is None
+
+
+def test_blocklist_filter_kinds_and_priority(spark):
+    from comic_text_detector_spark.operators.curation import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ads.bad.com/x"),        # domain suffix match
+            (2, "https://sub.ads.bad.com/x"),    # deeper suffix match
+            (3, "https://bad.com/x"),            # exact domain as host
+            (4, "https://goodbad.com/x"),        # NOT a suffix (no dot)
+            (5, "https://Host.Exact.org/x"),     # host kind, case-folded
+            (6, "https://pre.net/ads/1"),        # url_prefix hit
+            (7, "https://pre.net/ok/1"),         # same host, prefix miss
+            (8, "https://both.com/x"),           # host AND domain → host
+            (9, "not-a-url"),                    # no host → clean
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [
+            ("bad.com", "domain", "adult"),
+            ("host.exact.org", "host", "tracker"),
+            ("https://pre.net/ads/", "url_prefix", "ads"),
+            ("both.com", "domain", "zdomain"),
+            ("both.com", "host", "ahost"),
+        ],
+        "pattern string, kind string, category string",
+    )
+    got = {
+        r.doc_id: (r.block_category, r.block_kind)
+        for r in blocklist_filter(docs, bl).collect()
+    }
+    assert got[1] == ("adult", "domain")
+    assert got[2] == ("adult", "domain")
+    assert got[3] == ("adult", "domain")
+    assert got[4] == (None, None)
+    assert got[5] == ("tracker", "host")
+    assert got[6] == ("ads", "url_prefix")
+    assert got[7] == (None, None)
+    assert got[8] == ("ahost", "host")  # host kind outranks domain kind
+    assert got[9] == (None, None)
+
+
+def test_badword_score_weights_and_wordless(spark):
+    from comic_text_detector_spark.operators.curation import badword_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Spam and SPAM again"),
+            (2, "clean words only here"),
+            (3, "  "),
+        ],
+        "doc_id long, text string",
+    )
+    lex = spark.createDataFrame(
+        [("spam", 5), ("junk", 2)], "word string, weight long"
+    )
+    got = {r.doc_id: r for r in badword_score(docs, lex).collect()}
+    assert got[1].n_tokens == 4 and got[1].n_bad == 2
+    assert got[1].bad_weight == 10 and got[1].bad_frac == 0.5
+    assert got[2].n_bad == 0 and got[2].bad_weight == 0
+    assert 3 not in got  # wordless: absent, not fake-clean
