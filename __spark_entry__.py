@@ -2813,6 +2813,45 @@ _PARSE_FEED_ORACLE = (
 )
 
 
+def _q_unigram_tokenize(spark, sf_dir):
+    """SentencePiece-style unigram-LM Viterbi tokenization (operators/
+    tokenize.py::unigram_tokenize, Kudo 2018): min-cost segmentation of
+    every word under a broadcast piece map, DP + backtrack running as
+    aggregate-loop expressions inside ONE projection — zero corpus
+    shuffles, zero Python. The oracle replays the DP as a recursive CTE
+    with the identical longest-piece tie-break, bit-exact on tokens and
+    exact bigint total cost."""
+    from comic_text_detector_spark.operators.tokenize import (
+        UNIGRAM_DEMO_PIECES,
+        unigram_tokenize,
+    )
+
+    pieces = spark.createDataFrame(
+        list(UNIGRAM_DEMO_PIECES), "piece string, milli_lp long"
+    )
+    return unigram_tokenize(_t(spark, sf_dir, "documents"), pieces)
+
+
+def _q_train_unigram(spark, sf_dir):
+    """Hard-EM unigram-LM piece TRAINING (operators/tokenize.py::
+    train_unigram_pieces): substring seed → 2 unrolled Viterbi-EM
+    rounds (usage recount, single-char floor) → vocab prune →
+    renormalize. Counts exact, probabilities milli-quantized; the
+    DuckDB twin unrolls both EM rounds with their own recursive DP
+    blocks, bit-for-bit."""
+    from comic_text_detector_spark.operators.tokenize import (
+        train_unigram_pieces,
+    )
+
+    return train_unigram_pieces(
+        _t(spark, sf_dir, "documents"),
+        max_piece_len=4,
+        min_count=3,
+        vocab_size=60,
+        n_iter=2,
+    )
+
+
 def _q_blocklist_filter(spark, sf_dir):
     """UT1-style blocklist verdicts (operators/curation.py::
     blocklist_filter): domain-suffix explode join, exact-host join, and
@@ -4036,6 +4075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_feed": _q_parse_feed,
         "blocklist_filter": _q_blocklist_filter,
         "badword_score": _q_badword_score,
+        "unigram_tokenize_docs": _q_unigram_tokenize,
+        "train_unigram_pieces_docs": _q_train_unigram,
         "refetch_candidates": _q_refetch_candidates,
         "pagerank_hosts": _q_pagerank_hosts,
         "trustrank_hosts": _q_trustrank_hosts,
@@ -5429,6 +5470,16 @@ def oracle_sql() -> dict[str, str]:
         "parse_feed": _PARSE_FEED_ORACLE,
         "blocklist_filter": _BLOCKLIST_ORACLE,
         "badword_score": _BADWORD_ORACLE,
+        "unigram_tokenize_docs": __import__(
+            "comic_text_detector_spark.operators.tokenize",
+            fromlist=["unigram_tokenize_sql"],
+        ).unigram_tokenize_sql(),
+        "train_unigram_pieces_docs": __import__(
+            "comic_text_detector_spark.operators.tokenize",
+            fromlist=["train_unigram_pieces_sql"],
+        ).train_unigram_pieces_sql(
+            max_piece_len=4, min_count=3, vocab_size=60, n_iter=2
+        ),
         "refetch_candidates": (
             "WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40)"
             " SELECT 'https://h' || CAST(i AS VARCHAR) || '/p0' AS url,"

@@ -287,3 +287,453 @@ def pack_token_ids_sql(
         f" x -> CAST({pad_id} AS INTEGER))), ',') AS ids_csv"
         " FROM asm"
     )
+
+
+def _viterbi_state(word, m, unk_cost: int, max_piece_len: int):
+    """DP table for one word as an array<struct<c:long,f:int>> (index
+    j+1 holds position j): c = min total cost of segmenting word[:j],
+    f = start of the last piece on the chosen path. Runs entirely inside
+    ONE expression via ``aggregate`` over positions — a runtime loop,
+    not an unrolled plan, so any word length compiles to the same plan.
+    Tie-break: ``array_min`` over (cost, start) structs prefers the
+    SMALLEST start on equal cost — i.e. the longest final piece — which
+    is position-local and therefore replayable by the oracle's identical
+    list_min. Multi-char substrings absent from the piece map cost
+    ``_BIG`` (an impossible path, never chosen while any per-char
+    fallback exists); unknown single chars cost ``unk_cost``."""
+    BIG = 1 << 50
+    L = max_piece_len
+
+    def piece_cost(s):
+        return F.coalesce(
+            F.element_at(m, s),
+            F.when(F.length(s) == 1, F.lit(int(unk_cost)).cast("long")),
+            F.lit(BIG).cast("long"),
+        )
+
+    def step(acc, j):
+        cands = F.transform(
+            F.sequence(F.greatest(F.lit(0), j - L), j - 1),
+            lambda i: F.struct(
+                (
+                    F.element_at(acc, i + 1)["c"]
+                    + piece_cost(F.substr(word, i + 1, j - i))
+                ).alias("c"),
+                i.cast("int").alias("f"),
+            ),
+        )
+        return F.concat(acc, F.array(F.array_min(cands)))
+
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("c"), F.lit(0).cast("int").alias("f")
+        )
+    )
+    return F.aggregate(F.sequence(F.lit(1), F.length(word)), init, step)
+
+
+def unigram_word_pieces(word, m, unk_cost: int = 20000,
+                        max_piece_len: int = 10):
+    """Column expression: Viterbi-optimal unigram-LM segmentation of one
+    word into an array of piece strings (SentencePiece decoding rule,
+    Kudo 2018 — the other half of subword tokenization beside the BPE
+    chain above; costs are NEGATED milli-log10 piece probabilities so
+    min-cost = max-likelihood). Backtracking is a second bounded
+    ``aggregate`` loop over the finished DP table."""
+    state = _viterbi_state(word, m, unk_cost, max_piece_len)
+    n = F.length(word)
+
+    def back(acc, _):
+        cur = F.element_at(state, acc["pos"] + 1)
+        return F.when(acc["pos"] <= 0, acc).otherwise(
+            F.struct(
+                cur["f"].alias("pos"),
+                F.concat(
+                    F.array(
+                        F.substr(word, cur["f"] + 1, acc["pos"] - cur["f"])
+                    ),
+                    acc["ps"],
+                ).alias("ps"),
+            )
+        )
+
+    init = F.struct(
+        n.cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("ps"),
+    )
+    return F.aggregate(F.sequence(F.lit(1), n), init, back)["ps"]
+
+
+def unigram_tokenize(
+    docs: DataFrame,
+    pieces: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_cost: int = 20000,
+    max_piece_len: int = 10,
+) -> DataFrame:
+    """Whole-corpus unigram-LM tokenization: (id, tokens array<string>,
+    n_tokens, total_cost). ``pieces`` is (piece string, milli_lp long —
+    log10 prob × 1000, ≤ 0). Scale shape mirrors ``tokenize_ids``: the
+    piece table collapses to a ONE-ROW map (negated costs) cross-joined
+    broadcast onto every document, words split and segmented inside one
+    projection — ZERO corpus shuffles, no Python, no UDF; the per-word
+    DP is O(len × max_piece_len) map lookups inside the JVM. Total cost
+    is an exact bigint (sum of negated milli log-probs + unk penalties),
+    so the DuckDB recursive-CTE oracle replays tokens AND cost
+    bit-for-bit."""
+    mrow = pieces.select(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("piece"), (-F.col("milli_lp")).cast("long")
+                )
+            )
+        ).alias("__m")
+    )
+    d = docs.join(F.broadcast(mrow))
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda w: w != "",
+    )
+    toks = F.flatten(
+        F.transform(
+            words,
+            lambda w: unigram_word_pieces(
+                w, F.col("__m"), unk_cost, max_piece_len
+            ),
+        )
+    )
+    cost_expr = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(
+            F.element_at(F.col("__m"), t),
+            F.lit(int(unk_cost)).cast("long"),
+        ),
+    )
+    return d.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        cost_expr.alias("total_cost"),
+    )
+
+
+# demo piece inventory for the oracled query: full ascii-lowercase
+# coverage (so only genuinely foreign chars hit the UNK path) plus
+# multi-char pieces overlapping the synthetic corpus vocabulary, with
+# fixed milli-log10 probabilities. Shared by the Spark query and the SQL
+# twin so both sides build the identical model.
+UNIGRAM_DEMO_PIECES: tuple[tuple[str, int], ...] = tuple(
+    [(c, -2000) for c in "abcdefghijklmnopqrstuvwxyz"]
+    + [
+        ("ta", -1699), ("ble", -1523), ("table", -1398), ("scan", -1301),
+        ("sc", -1699), ("an", -1699), ("row", -1398), ("val", -1699),
+        ("ue", -1699), ("batch", -1301), ("wind", -2000), ("ow", -1523),
+        ("er", -1699), ("st", -1699), ("ream", -1523), ("qu", -1699),
+    ]
+)
+
+
+def unigram_tokenize_sql(
+    corpus: str = "documents",
+    id_col: str = "doc_id",
+    pieces: tuple[tuple[str, int], ...] = UNIGRAM_DEMO_PIECES,
+    unk_cost: int = 20000,
+    max_piece_len: int = 10,
+) -> str:
+    """DuckDB twin of ``unigram_tokenize``: the per-word Viterbi DP
+    replayed as a recursive CTE whose state carries the whole cost/frm
+    table as lists (list comprehensions over the candidate window,
+    ``list_aggregate 'min'`` + first-index tie-break = the identical
+    longest-piece-on-tie rule), then a recursive backtrack, then per-doc
+    reassembly in word order. Bit-exact on tokens, counts and total
+    cost."""
+    BIG = 1 << 50
+    L = max_piece_len
+    vals = ", ".join(
+        "('" + p.replace("'", "''") + "', " + str(m) + ")" for p, m in pieces
+    )
+    cand = (
+        f"costs[i + 1] + coalesce(map_extract(m, substr(w, i + 1,"
+        f" j + 1 - i))[1], CASE WHEN j + 1 - i = 1 THEN {unk_cost}"
+        f" ELSE {BIG} END)"
+    )
+    rng = f"range(greatest(0, j + 1 - {L}), j + 1)"
+    return f"""
+WITH RECURSIVE
+pc AS (SELECT * FROM (VALUES {vals}) AS v(piece, milli_lp)),
+pm AS (SELECT map(list(piece ORDER BY piece),
+                  list(CAST(-milli_lp AS BIGINT) ORDER BY piece)) AS m
+       FROM pc),
+wpos AS (SELECT {id_col} AS id, wi, w FROM (
+  SELECT {id_col}, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+  FROM (SELECT {id_col}, string_split(coalesce(text, ''), ' ') AS ws
+        FROM {corpus})) WHERE w <> ''),
+wd AS (SELECT DISTINCT w FROM wpos),
+dp AS (
+  SELECT w, 0 AS j, [CAST(0 AS BIGINT)] AS costs, [0] AS frms FROM wd
+  UNION ALL
+  SELECT w, j + 1, list_append(costs, bc),
+    list_append(frms, [i FOR i IN {rng} IF {cand} = bc][1])
+  FROM (
+    SELECT w, j, costs, frms, m,
+      list_aggregate([{cand} FOR i IN {rng}], 'min') AS bc
+    FROM dp, pm WHERE j < length(w))
+),
+dpf AS (SELECT w, costs, frms FROM dp WHERE j = length(w)),
+bt AS (
+  SELECT w, length(w) AS pos, CAST([] AS VARCHAR[]) AS ps FROM wd
+  UNION ALL
+  SELECT bt.w, d.frms[bt.pos + 1] AS pos,
+    list_prepend(substr(bt.w, d.frms[bt.pos + 1] + 1,
+                        bt.pos - d.frms[bt.pos + 1]), bt.ps)
+  FROM bt JOIN dpf d ON d.w = bt.w WHERE bt.pos > 0
+),
+wtok AS (SELECT w, ps FROM bt WHERE pos = 0),
+dt AS (SELECT id, flatten(list(ps ORDER BY wi)) AS tokens
+       FROM wpos JOIN wtok USING (w) GROUP BY id)
+SELECT d.{id_col}, coalesce(t.tokens, []) AS tokens,
+  CAST(coalesce(len(t.tokens), 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(list_aggregate([coalesce(map_extract(pm.m, tok)[1],
+    {unk_cost}) FOR tok IN t.tokens], 'sum'), 0) AS BIGINT) AS total_cost
+FROM (SELECT {id_col} FROM {corpus}) d
+LEFT JOIN dt t ON t.id = d.{id_col} CROSS JOIN pm
+"""
+
+
+def _word_occurrences(
+    corpus: DataFrame, text_col: str
+) -> DataFrame:
+    """(w) — every word OCCURRENCE (with multiplicity) in the corpus."""
+    return corpus.select(
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                lambda w: w != "",
+            )
+        ).alias("w")
+    )
+
+
+def _all_substrings(w, max_piece_len: int):
+    """Array of every substring of ``w`` with length ≤ max_piece_len,
+    one entry per (start, length) pair — the unigram seed inventory."""
+    n = F.length(w)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_piece_len), n - s + 1)
+                ),
+                lambda l: F.substr(w, s, l),
+            ),
+        )
+    )
+
+
+def train_unigram_pieces(
+    corpus: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 3,
+    min_count: int = 2,
+    vocab_size: int = 100,
+    n_iter: int = 1,
+    unk_cost: int = 20000,
+) -> DataFrame:
+    """Hard-EM unigram-LM piece training (the Viterbi variant of Kudo
+    2018 §3.2 — hard assignments instead of forward–backward
+    expectations, the standard web-scale shortcut, and exactly
+    replayable because every quantity is an integer count):
+
+    1. SEED: every substring (length ≤ max_piece_len) of every word
+       occurrence, kept when count ≥ min_count — single chars always
+       kept (full coverage) — with milli_lp = round(log10(c/total)·1e3).
+    2. EM × n_iter: Viterbi-tokenize all word occurrences under the
+       current piece table (the same aggregate-loop DP as
+       ``unigram_tokenize`` — zero Python), count piece USAGE, drop
+       unused multi-char pieces, floor unused single chars at count 1
+       (coverage must survive), re-estimate probabilities.
+    3. PRUNE to ``vocab_size``: single chars always stay; multi-char
+       pieces rank by (usage desc, piece asc); probabilities are
+       re-normalized over the survivors.
+
+    Scale shape: substring fan-out is ≤ max_piece_len per character of
+    corpus — one explode + one groupBy; each EM round is one map-build
+    (collect of the piece table — the model, bounded by vocab, NOT the
+    corpus), one shuffle-free tokenize pass and one count groupBy; ONE
+    scalar total per round. Word-occurrence streams never collect.
+    Returns (piece, milli_lp, cnt)."""
+    words = _word_occurrences(corpus, text_col).localCheckpoint()
+    subs = words.select(
+        F.explode(_all_substrings(F.col("w"), max_piece_len)).alias("piece")
+    )
+    c = subs.groupBy("piece").agg(F.count("*").cast("long").alias("cnt"))
+    kept = c.filter(
+        (F.length("piece") == 1) | (F.col("cnt") >= min_count)
+    ).localCheckpoint()
+
+    def _with_probs(counted: DataFrame) -> DataFrame:
+        total = counted.agg(F.sum("cnt").alias("t")).collect()[0].t
+        return counted.select(
+            "piece",
+            F.round(
+                F.log10(F.col("cnt") / F.lit(float(total))) * 1000.0
+            ).cast("long").alias("milli_lp"),
+            "cnt",
+        )
+
+    pieces = _with_probs(kept)
+    chars = kept.filter(F.length("piece") == 1).select("piece")
+    for _ in range(n_iter):
+        mrow = pieces.select(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(F.col("piece"), (-F.col("milli_lp")).cast("long"))
+                )
+            ).alias("__m")
+        )
+        used = (
+            words.join(F.broadcast(mrow))
+            .select(
+                F.explode(
+                    unigram_word_pieces(
+                        F.col("w"), F.col("__m"), unk_cost, max_piece_len
+                    )
+                ).alias("piece")
+            )
+            .groupBy("piece")
+            .agg(F.count("*").cast("long").alias("u"))
+        )
+        merged = (
+            chars.join(used, "piece", "full")
+            .select(
+                "piece",
+                F.when(
+                    F.col("u").isNull() & (F.length("piece") == 1), F.lit(1)
+                ).otherwise(F.coalesce(F.col("u"), F.lit(0)))
+                .cast("long").alias("cnt"),
+            )
+            .filter((F.col("cnt") > 0) | (F.length("piece") == 1))
+        )
+        pieces = _with_probs(merged).localCheckpoint()
+    n_chars = chars.count()
+    k = max(0, vocab_size - n_chars)
+    from pyspark.sql import Window
+
+    multi = (
+        pieces.filter(F.length("piece") > 1)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("piece"))
+            ),
+        )
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+    final = pieces.filter(F.length("piece") == 1).unionByName(multi)
+    return _with_probs(final.select("piece", "cnt"))
+
+
+def _viterbi_cte(tag: str, pieces_cte: str, unk_cost: int, L: int) -> str:
+    """The recursive Viterbi DP + backtrack CTE block, name-spaced by
+    ``tag`` so several EM rounds can unroll in one query. Input CTEs:
+    ``wd`` (distinct words) and ``{pieces_cte}`` (piece, milli_lp).
+    Output CTE: ``wtok_{tag}`` (w, ps)."""
+    BIG = 1 << 50
+    cand = (
+        f"costs[i + 1] + coalesce(map_extract(m, substr(w, i + 1,"
+        f" j + 1 - i))[1], CASE WHEN j + 1 - i = 1 THEN {unk_cost}"
+        f" ELSE {BIG} END)"
+    )
+    rng = f"range(greatest(0, j + 1 - {L}), j + 1)"
+    t = tag
+    return f"""
+pm_{t} AS (SELECT map(list(piece ORDER BY piece),
+                  list(CAST(-milli_lp AS BIGINT) ORDER BY piece)) AS m
+       FROM {pieces_cte}),
+dp_{t} AS (
+  SELECT w, 0 AS j, [CAST(0 AS BIGINT)] AS costs, [0] AS frms FROM wd
+  UNION ALL
+  SELECT w, j + 1, list_append(costs, bc),
+    list_append(frms, [i FOR i IN {rng} IF {cand} = bc][1])
+  FROM (
+    SELECT w, j, costs, frms, m,
+      list_aggregate([{cand} FOR i IN {rng}], 'min') AS bc
+    FROM dp_{t}, pm_{t} WHERE j < length(w))
+),
+dpf_{t} AS (SELECT w, costs, frms FROM dp_{t} WHERE j = length(w)),
+bt_{t} AS (
+  SELECT w, length(w) AS pos, CAST([] AS VARCHAR[]) AS ps FROM wd
+  UNION ALL
+  SELECT b.w, d.frms[b.pos + 1] AS pos,
+    list_prepend(substr(b.w, d.frms[b.pos + 1] + 1,
+                        b.pos - d.frms[b.pos + 1]), b.ps)
+  FROM bt_{t} b JOIN dpf_{t} d ON d.w = b.w WHERE b.pos > 0
+),
+wtok_{t} AS (SELECT w, ps FROM bt_{t} WHERE pos = 0)"""
+
+
+def train_unigram_pieces_sql(
+    corpus: str = "documents",
+    text_col: str = "text",
+    max_piece_len: int = 3,
+    min_count: int = 2,
+    vocab_size: int = 100,
+    n_iter: int = 1,
+    unk_cost: int = 20000,
+) -> str:
+    """DuckDB twin of ``train_unigram_pieces`` with every EM round
+    UNROLLED (each gets its own recursive Viterbi block) — seed counts,
+    usage re-counts, the single-char floor, vocab pruning and both
+    probability normalizations replay bit-for-bit."""
+    L = max_piece_len
+    prob = (
+        "round(log10(cnt / CAST((SELECT t FROM {tot}) AS DOUBLE))"
+        " * 1000.0)::BIGINT"
+    )
+    parts = [f"""
+wocc AS (SELECT w FROM (
+  SELECT unnest(string_split(coalesce({text_col}, ''), ' ')) AS w
+  FROM {corpus}) WHERE w <> ''),
+wd AS (SELECT DISTINCT w FROM wocc),
+subs AS (SELECT unnest(flatten([[substr(w, s, l)
+    FOR l IN range(1, 1 + least({L}, length(w) - s + 1))]
+    FOR s IN range(1, length(w) + 1)])) AS piece FROM wocc),
+k0 AS (SELECT piece, CAST(count(*) AS BIGINT) AS cnt FROM subs
+       GROUP BY piece
+       HAVING length(piece) = 1 OR count(*) >= {min_count}),
+t0 AS (SELECT sum(cnt) AS t FROM k0),
+chars AS (SELECT piece FROM k0 WHERE length(piece) = 1),
+p0 AS (SELECT piece, {prob.format(tot='t0')} AS milli_lp, cnt FROM k0)"""]
+    prev = "p0"
+    for r in range(1, n_iter + 1):
+        parts.append("," + _viterbi_cte(f"r{r}", prev, unk_cost, L))
+        parts.append(f""",
+u_r{r} AS (SELECT piece, CAST(count(*) AS BIGINT) AS u FROM (
+  SELECT unnest(ps) AS piece FROM wocc JOIN wtok_r{r} USING (w))
+  GROUP BY piece),
+m_r{r} AS (SELECT coalesce(c.piece, u.piece) AS piece,
+  CASE WHEN u.u IS NULL AND length(coalesce(c.piece, u.piece)) = 1
+       THEN 1 ELSE coalesce(u.u, 0) END::BIGINT AS cnt
+  FROM chars c FULL JOIN u_r{r} u ON u.piece = c.piece
+  WHERE coalesce(u.u, 0) > 0 OR length(coalesce(c.piece, u.piece)) = 1),
+t_r{r} AS (SELECT sum(cnt) AS t FROM m_r{r}),
+p_r{r} AS (SELECT piece, {prob.format(tot=f't_r{r}')} AS milli_lp, cnt
+           FROM m_r{r})""")
+        prev = f"p_r{r}"
+    parts.append(f""",
+nch AS (SELECT count(*) AS n FROM chars),
+mul AS (SELECT piece, cnt,
+  row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+  FROM {prev} WHERE length(piece) > 1),
+fin AS (SELECT piece, cnt FROM {prev} WHERE length(piece) = 1
+  UNION ALL SELECT piece, cnt FROM mul
+  WHERE rk <= greatest(0, {vocab_size} - (SELECT n FROM nch))),
+tf AS (SELECT sum(cnt) AS t FROM fin)
+SELECT piece, {prob.format(tot='tf')} AS milli_lp, cnt FROM fin""")
+    return "WITH RECURSIVE " + "".join(parts)

@@ -133,3 +133,91 @@ def test_pack_token_ids_split_long_slices_in_order(spark):
     for p in sorted(packs, key=lambda p: p.pack_id):
         chunks.extend(list(p.ids)[: p.n_tokens])
     assert chunks == list(full.ids)
+
+
+def _mlp(p):
+    import math
+
+    return round(math.log10(p) * 1000)
+
+
+def _demo_pieces(spark):
+    rows = [("t", _mlp(.05)), ("a", _mlp(.05)), ("b", _mlp(.05)),
+            ("l", _mlp(.05)), ("e", _mlp(.05)), ("ta", _mlp(.02)),
+            ("ble", _mlp(.03)), ("table", _mlp(.04)), ("s", _mlp(.05)),
+            ("c", _mlp(.05)), ("n", _mlp(.05)), ("scan", _mlp(.01))]
+    return spark.createDataFrame(rows, "piece string, milli_lp long")
+
+
+def test_unigram_tokenize_viterbi_optimal(spark):
+    """Hand-checked min-cost segmentations: whole-word piece beats any
+    split; unknown chars pay the UNK cost; wordless docs emit empty."""
+    from comic_text_detector_spark.operators.tokenize import unigram_tokenize
+
+    docs = spark.createDataFrame(
+        [(1, "table scan"), (2, "tableta"), (3, "xq table"), (4, " ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           unigram_tokenize(docs, _demo_pieces(spark)).collect()}
+    assert got[1].tokens == ["table", "scan"]
+    assert got[1].total_cost == 1398 + 2000
+    assert got[2].tokens == ["table", "ta"]  # 1398+1699 beats ta+ble+ta
+    assert got[3].tokens == ["x", "q", "table"]
+    assert got[3].total_cost == 20000 * 2 + 1398
+    assert got[4].tokens == [] and got[4].n_tokens == 0
+    assert got[4].total_cost == 0
+
+
+def test_unigram_tokenize_tie_prefers_longest_piece(spark):
+    """Equal-cost paths resolve to the longest final piece (smallest
+    start index), matching the oracle's list-min tie-break."""
+    from comic_text_detector_spark.operators.tokenize import unigram_tokenize
+
+    pieces = spark.createDataFrame(
+        [("ab", -2000), ("a", -1000), ("b", -1000)],
+        "piece string, milli_lp long",
+    )
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    r = unigram_tokenize(docs, pieces).collect()[0]
+    assert r.tokens == ["ab"] and r.total_cost == 2000
+
+
+def test_unigram_tokenize_deterministic_across_repartition(spark):
+    from comic_text_detector_spark.operators.tokenize import unigram_tokenize
+
+    docs = spark.createDataFrame(
+        [(i, "table scan stable tan") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = unigram_tokenize(docs, _demo_pieces(spark)).orderBy("doc_id")
+    b = unigram_tokenize(
+        docs.repartition(7), _demo_pieces(spark)
+    ).orderBy("doc_id")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_train_unigram_hard_em_planted(spark):
+    """On a corpus dominated by 'table' and 'scan' the EM keeps both as
+    whole pieces, floors unused single chars at count 1, and prunes to
+    the requested vocab."""
+    from comic_text_detector_spark.operators.tokenize import (
+        train_unigram_pieces,
+        unigram_tokenize,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "table table scan table"), (2, "scan scan stable")],
+        "doc_id long, text string",
+    )
+    p = train_unigram_pieces(
+        docs, max_piece_len=5, min_count=2, vocab_size=12, n_iter=2
+    )
+    rows = {r.piece: r for r in p.collect()}
+    assert rows["table"].cnt == 4 and rows["scan"].cnt == 3
+    assert rows["s"].cnt == 1  # floored, not dropped
+    assert len(rows) <= 12
+    assert all(len(x) == 1 for x in rows if x not in ("table", "scan"))
+    seg = unigram_tokenize(docs, p.select("piece", "milli_lp"))
+    toks = {r.doc_id: r.tokens for r in seg.collect()}
+    assert toks[2] == ["scan", "scan", "s", "table"]
