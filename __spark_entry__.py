@@ -2832,6 +2832,109 @@ def _q_unigram_tokenize(spark, sf_dir):
     return unigram_tokenize(_t(spark, sf_dir, "documents"), pieces)
 
 
+def _directives_fixture_df(spark, sf_dir):
+    """Synthetic page-head HTML per url, i%5 variants: canonical in
+    attribute order A with a noindex,nofollow meta; order B with
+    noarchive in content-first order; no directives; canonical with an
+    entity query + base href; and a 'nonoindexy' trap content that the
+    token match must NOT flag."""
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    h = F.concat(F.lit("https://h"), s(i % 20))
+    c = F.concat(h, F.lit("/c"), s(i % 7))
+    html = (
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit('<head><link rel="canonical" href="'), c,
+                F.lit('"/><meta name="robots" content="noindex, nofollow"'
+                      "/></head>"),
+            ),
+        )
+        .when(
+            i % 5 == 1,
+            F.concat(
+                F.lit('<link href="'), c,
+                F.lit('" rel="canonical"/><meta content="noarchive"'
+                      ' name="robots"/>'),
+            ),
+        )
+        .when(i % 5 == 2, F.lit("<p>x</p>"))
+        .when(
+            i % 5 == 3,
+            F.concat(
+                F.lit('<link rel="canonical" href="'), c,
+                F.lit('?a=1&amp;b=2"/><base href="'), h,
+                F.lit('/base/"/>'),
+            ),
+        )
+        .otherwise(F.lit('<meta name="robots" content="nonoindexy"/>'))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(h, F.lit("/p"), s(i)).alias("url"), html.alias("html")
+    )
+
+
+def _q_page_directives(spark, sf_dir):
+    """Canonical/meta-robots/base directive extraction (functions/
+    links.py::page_directives): both attribute orders, entity decode,
+    comma-token robots matching (the 'nonoindexy' trap must stay
+    False). Oracle predicts every row from the fixture arithmetic."""
+    from comic_text_detector_spark.functions.links import page_directives
+
+    return page_directives(_directives_fixture_df(spark, sf_dir))
+
+
+_PAGE_DIRECTIVES_ORACLE = (
+    "SELECT 'https://h' || (doc_id % 20)::VARCHAR || '/p' ||"
+    " doc_id::VARCHAR AS url,"
+    " CASE WHEN doc_id % 5 IN (0, 1) THEN 'https://h' ||"
+    "  (doc_id % 20)::VARCHAR || '/c' || (doc_id % 7)::VARCHAR"
+    " WHEN doc_id % 5 = 3 THEN 'https://h' || (doc_id % 20)::VARCHAR ||"
+    "  '/c' || (doc_id % 7)::VARCHAR || '?a=1&b=2' END AS canonical_url,"
+    " CASE WHEN doc_id % 5 = 3 THEN 'https://h' ||"
+    "  (doc_id % 20)::VARCHAR || '/base/' END AS base_href,"
+    " CASE WHEN doc_id % 5 = 0 THEN 'noindex, nofollow'"
+    " WHEN doc_id % 5 = 1 THEN 'noarchive'"
+    " WHEN doc_id % 5 = 4 THEN 'nonoindexy' END AS robots_content,"
+    " doc_id % 5 = 0 AS noindex, doc_id % 5 = 0 AS nofollow,"
+    " doc_id % 5 = 1 AS noarchive"
+    " FROM documents"
+)
+
+
+def _q_canonical_dedup(spark, sf_dir):
+    """Canonicalization-based dedup (functions/links.py::
+    canonical_dedup): pages declaring the same canonical target collapse
+    to one group; the lexicographically-smallest url represents. The
+    oracle rebuilds the (url, group) mapping from the fixture arithmetic
+    and replays the min-per-group."""
+    from comic_text_detector_spark.functions.links import (
+        canonical_dedup,
+        page_directives,
+    )
+
+    return canonical_dedup(
+        page_directives(_directives_fixture_df(spark, sf_dir))
+    )
+
+
+_CANONICAL_DEDUP_ORACLE = (
+    "WITH g AS (SELECT 'https://h' || (doc_id % 20)::VARCHAR || '/p' ||"
+    " doc_id::VARCHAR AS url,"
+    " CASE WHEN doc_id % 5 IN (0, 1) THEN 'https://h' ||"
+    "  (doc_id % 20)::VARCHAR || '/c' || (doc_id % 7)::VARCHAR"
+    " WHEN doc_id % 5 = 3 THEN 'https://h' || (doc_id % 20)::VARCHAR ||"
+    "  '/c' || (doc_id % 7)::VARCHAR || '?a=1&b=2'"
+    " ELSE 'https://h' || (doc_id % 20)::VARCHAR || '/p' ||"
+    "  doc_id::VARCHAR END AS canonical_group FROM documents), "
+    "r AS (SELECT canonical_group, min(url) AS rep FROM g"
+    " GROUP BY canonical_group) "
+    "SELECT g.url, g.canonical_group, g.url = r.rep AS is_representative"
+    " FROM g JOIN r USING (canonical_group)"
+)
+
+
 def _q_train_unigram(spark, sf_dir):
     """Hard-EM unigram-LM piece TRAINING (operators/tokenize.py::
     train_unigram_pieces): substring seed → 2 unrolled Viterbi-EM
@@ -4077,6 +4180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "badword_score": _q_badword_score,
         "unigram_tokenize_docs": _q_unigram_tokenize,
         "train_unigram_pieces_docs": _q_train_unigram,
+        "page_directives": _q_page_directives,
+        "canonical_dedup": _q_canonical_dedup,
         "refetch_candidates": _q_refetch_candidates,
         "pagerank_hosts": _q_pagerank_hosts,
         "trustrank_hosts": _q_trustrank_hosts,
@@ -5480,6 +5585,8 @@ def oracle_sql() -> dict[str, str]:
         ).train_unigram_pieces_sql(
             max_piece_len=4, min_count=3, vocab_size=60, n_iter=2
         ),
+        "page_directives": _PAGE_DIRECTIVES_ORACLE,
+        "canonical_dedup": _CANONICAL_DEDUP_ORACLE,
         "refetch_candidates": (
             "WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40)"
             " SELECT 'https://h' || CAST(i AS VARCHAR) || '/p0' AS url,"

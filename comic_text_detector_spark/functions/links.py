@@ -78,3 +78,114 @@ def anchor_stats(
         "n_unique_anchors",
         F.col("top.a").alias("top_anchor"),
     )
+
+
+# page-level directives. Attribute names are space-anchored exactly like
+# A_TAG/HREF above (a 'data-href'/'data-rel' can never satisfy the
+# match) and each attribute pair is matched in BOTH orders — HTML does
+# not promise attribute order, so rel-then-href and href-then-rel are
+# separate patterns whose results coalesce.
+CANON_A = '(?i)<link ([^>]* )?rel="canonical"[^>]* href="([^">]*)"'
+CANON_B = '(?i)<link ([^>]* )?href="([^">]*)"[^>]* rel="canonical"'
+META_ROBOTS_A = '(?i)<meta ([^>]* )?name="robots"[^>]* content="([^">]*)"'
+META_ROBOTS_B = '(?i)<meta ([^>]* )?content="([^">]*)"[^>]* name="robots"'
+BASE_HREF = '(?i)<base ([^>]* )?href="([^">]*)"'
+
+
+def _decode_entities(col: Column) -> Column:
+    # &amp; decodes LAST (same ordering rationale as extract_links)
+    return F.replace(
+        F.replace(col, F.lit("&apos;"), F.lit("'")),
+        F.lit("&amp;"), F.lit("&"),
+    )
+
+
+def page_directives(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per-page indexing directives the curation pipeline must honor
+    BEFORE a page enters the corpus: (url, canonical_url, base_href,
+    robots_content, noindex, nofollow, noarchive).
+
+    * ``canonical_url`` — <link rel="canonical" href=..>, entity-decoded,
+      NULL when absent (never fabricated from the page url: the caller
+      decides the fallback — drop-not-fake).
+    * ``robots_content`` — <meta name="robots" content=..> raw string;
+      the three booleans token-match its comma-split (``noindex`` must
+      not fire on ``nonoindexy``).
+    * ``base_href`` — <base href=..>, for relative-link resolution.
+
+    Pure regexp column expressions in the scan projection — zero
+    shuffles, oracle-replayable. First match wins per pattern
+    (regexp_extract semantics), matching browser behavior for duplicate
+    canonical/meta tags."""
+    h = F.col(html_col).cast("string")
+
+    def first_of(pa: str, pb: str) -> Column:
+        a = F.regexp_extract(h, pa, 2)
+        b = F.regexp_extract(h, pb, 2)
+        return F.when(a != "", a).when(b != "", b)
+
+    canon = _decode_entities(first_of(CANON_A, CANON_B))
+    robots = first_of(META_ROBOTS_A, META_ROBOTS_B)
+    base = F.regexp_extract(h, BASE_HREF, 2)
+
+    def has_token(tok: str) -> Column:
+        return F.coalesce(
+            F.exists(
+                F.split(F.lower(robots), ","),
+                lambda t: F.trim(t) == tok,
+            ),
+            F.lit(False),
+        )
+
+    return df.select(
+        F.col(url_col).alias("url"),
+        canon.alias("canonical_url"),
+        F.when(base != "", _decode_entities(base)).alias("base_href"),
+        robots.alias("robots_content"),
+        has_token("noindex").alias("noindex"),
+        has_token("nofollow").alias("nofollow"),
+        has_token("noarchive").alias("noarchive"),
+    )
+
+
+def canonical_dedup(
+    directives: DataFrame,
+    url_col: str = "url",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Canonicalization-based crawl dedup: pages sharing a canonical
+    target collapse to one group (group key = canonical_url when
+    declared, else the page's own url) and ONE representative survives —
+    the earliest capture when ``ts_col`` is given (ties → lexicographic
+    url), else the lexicographically-smallest url. Returns (url,
+    canonical_group, is_representative).
+
+    One shuffle on the group key (min-struct aggregate with map-side
+    combine, then a broadcast-sized join BACK is avoided by a window-free
+    self-aggregate: the min struct is joined on the group key — at crawl
+    scale group fan-in is tiny, the join is shuffle-colocated with the
+    aggregate). noindex pages should be filtered BEFORE grouping (an
+    unindexable page must not become a group representative)."""
+    g = directives.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(F.col("canonical_url"), F.col(url_col)).alias(
+            "canonical_group"
+        ),
+        *([F.col(ts_col).alias("__ts")] if ts_col else []),
+    )
+    key = (
+        F.struct(F.col("__ts"), F.col("url"))
+        if ts_col
+        else F.struct(F.col("url"))
+    )
+    reps = g.groupBy("canonical_group").agg(F.min(key).alias("k"))
+    return (
+        g.join(reps, "canonical_group")
+        .select(
+            "url",
+            "canonical_group",
+            (F.col("url") == F.col("k.url")).alias("is_representative"),
+        )
+    )

@@ -80,3 +80,89 @@ def test_href_containing_gt_yields_no_row(spark):
     )
     rows = extract_links(df).collect()
     assert [r.href for r in rows] == ["https://ok.example/p"]
+
+
+def test_page_directives_extraction(spark):
+    from comic_text_detector_spark.functions.links import page_directives
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "https://a/1",
+                '<head><LINK rel="canonical" href="https://a/c?x=1&amp;y=2"/>'
+                '<meta name="robots" content="NOINDEX, nofollow"/>'
+                '<base href="https://a/base/"/></head>',
+            ),
+            (
+                "https://a/2",
+                '<link href="https://a/c" rel="canonical">'
+                '<meta content="noarchive" name="robots">',
+            ),
+            ("https://a/3", "<p>nothing</p>"),
+            ("https://a/4", '<meta name="robots" content="nonoindexy">'),
+            (
+                "https://a/5",
+                '<link data-rel="canonical" data-href="https://WRONG/" '
+                'rel="stylesheet" href="https://a/css">',
+            ),
+        ],
+        "url string, html string",
+    )
+    got = {r.url: r for r in page_directives(docs).collect()}
+    r1 = got["https://a/1"]
+    assert r1.canonical_url == "https://a/c?x=1&y=2"  # decoded, case-insens
+    assert r1.noindex and r1.nofollow and not r1.noarchive
+    assert r1.base_href == "https://a/base/"
+    r2 = got["https://a/2"]
+    assert r2.canonical_url == "https://a/c"  # href-before-rel order
+    assert r2.noarchive and not r2.noindex
+    r3 = got["https://a/3"]
+    assert r3.canonical_url is None and r3.robots_content is None
+    assert not r3.noindex
+    assert not got["https://a/4"].noindex  # token match, not substring
+    assert got["https://a/5"].canonical_url is None  # stylesheet != canonical
+
+
+def test_page_directives_binary_html(spark):
+    from comic_text_detector_spark.functions.links import page_directives
+
+    docs = spark.createDataFrame(
+        [("u", '<link rel="canonical" href="https://b/c">'.encode())],
+        "url string, html binary",
+    )
+    assert page_directives(docs).collect()[0].canonical_url == "https://b/c"
+
+
+def test_canonical_dedup_groups_and_reps(spark):
+    from comic_text_detector_spark.functions.links import canonical_dedup
+
+    d = spark.createDataFrame(
+        [
+            ("https://a/p1", "https://a/c", None),
+            ("https://a/p2", "https://a/c", None),
+            ("https://a/p3", None, None),
+        ],
+        "url string, canonical_url string, base_href string",
+    )
+    got = {r.url: r for r in canonical_dedup(d).collect()}
+    assert got["https://a/p1"].canonical_group == "https://a/c"
+    assert got["https://a/p1"].is_representative  # lexicographic min
+    assert not got["https://a/p2"].is_representative
+    assert got["https://a/p3"].canonical_group == "https://a/p3"
+    assert got["https://a/p3"].is_representative
+
+
+def test_canonical_dedup_earliest_capture_wins(spark):
+    from comic_text_detector_spark.functions.links import canonical_dedup
+
+    d = spark.createDataFrame(
+        [
+            ("https://a/z", "https://a/c", "2024-01-01 00:00:00"),
+            ("https://a/a", "https://a/c", "2024-02-01 00:00:00"),
+        ],
+        "url string, canonical_url string, warc_ts string",
+    ).withColumn("warc_ts", __import__("pyspark.sql.functions",
+                                       fromlist=["F"]).to_timestamp("warc_ts"))
+    got = {r.url: r.is_representative
+           for r in canonical_dedup(d, ts_col="warc_ts").collect()}
+    assert got["https://a/z"] and not got["https://a/a"]  # earliest ts wins
