@@ -2935,6 +2935,26 @@ _CANONICAL_DEDUP_ORACLE = (
 )
 
 
+def _q_count_min_hosts(spark, sf_dir):
+    """Count-Min heavy-hitter estimates (operators/stats.py::
+    count_min_sketch/count_min_estimate): md5-portable bucket hashing →
+    the DuckDB twin rebuilds the identical depth×width sketch and
+    replays every min-over-rows estimate bit-for-bit (width 64 forces
+    real collisions, so over-estimates are exercised, not dodged)."""
+    from comic_text_detector_spark.operators.stats import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    stream = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 30).cast("string")).alias(
+            "host"
+        )
+    )
+    sk = count_min_sketch(stream, "host", depth=4, width=64)
+    return count_min_estimate(sk, stream, "host", depth=4, width=64)
+
+
 def _q_train_unigram(spark, sf_dir):
     """Hard-EM unigram-LM piece TRAINING (operators/tokenize.py::
     train_unigram_pieces): substring seed → 2 unrolled Viterbi-EM
@@ -4182,6 +4202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_unigram_pieces_docs": _q_train_unigram,
         "page_directives": _q_page_directives,
         "canonical_dedup": _q_canonical_dedup,
+        "count_min_hosts": _q_count_min_hosts,
         "refetch_candidates": _q_refetch_candidates,
         "pagerank_hosts": _q_pagerank_hosts,
         "trustrank_hosts": _q_trustrank_hosts,
@@ -5587,6 +5608,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "page_directives": _PAGE_DIRECTIVES_ORACLE,
         "canonical_dedup": _CANONICAL_DEDUP_ORACLE,
+        "count_min_hosts": __import__(
+            "comic_text_detector_spark.operators.stats",
+            fromlist=["count_min_estimate_sql"],
+        ).count_min_estimate_sql(
+            "SELECT 'h' || (doc_id % 30)::VARCHAR AS k FROM documents",
+            depth=4,
+            width=64,
+        ),
         "refetch_candidates": (
             "WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40)"
             " SELECT 'https://h' || CAST(i AS VARCHAR) || '/p0' AS url,"

@@ -67,3 +67,121 @@ def collect_table_stats(
         ]
     )
     return row.select(F.explode(per_col).alias("s")).select("s.*")
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a key stream —
+    the heavy-hitter primitive for streams too hot to groupBy exactly
+    (per-host hit counts across a 10^12-page crawl: the sketch is
+    depth×width counters regardless of key cardinality, mergeable across
+    batches by summing cells). Returns (d, bucket, cnt).
+
+    Hashing is the repo's portable primitive (``md5_long`` of
+    'cms{d}|{key}', bucket = hash % width), so a DuckDB twin recomputes
+    the IDENTICAL sketch — deterministic, partitioning-independent.
+    Build cost: one explode (×depth) + one map-side-combinable groupBy;
+    at scale the depth fan-out happens inside the shuffle write, and the
+    finished sketch is broadcast-sized for estimate joins."""
+    from .dedup import md5_long
+
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    rows = df.select(F.col(key_col).cast("string").alias("k"), d)
+    return (
+        rows.select(
+            "d",
+            (
+                md5_long(
+                    F.concat(
+                        F.lit("cms"), F.col("d").cast("string"),
+                        F.lit("|"), F.col("k"),
+                    )
+                )
+                % width
+            ).alias("bucket"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate counts for candidate keys from a finished sketch:
+    est(k) = min over rows d of the counter at bucket_d(k) — an upper
+    bound on the true count (collisions only inflate), exact when no
+    collision hits all depth rows. The sketch side is depth×width rows →
+    broadcast; the candidate stream never shuffles. Returns (key, est)
+    with est = 0 for keys the stream never touched (empty cells)."""
+    from .dedup import md5_long
+
+    probes = keys.select(
+        F.col(key_col).cast("string").alias("key")
+    ).distinct().select(
+        "key",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).select(
+        "key",
+        "d",
+        (
+            md5_long(
+                F.concat(
+                    F.lit("cms"), F.col("d").cast("string"),
+                    F.lit("|"), F.col("key"),
+                )
+            )
+            % width
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def count_min_sketch_sql(
+    keys_sql: str, depth: int = 4, width: int = 1024
+) -> str:
+    """DuckDB twin of ``count_min_sketch`` over a relation with a ``k``
+    column (one row per occurrence)."""
+    return (
+        f"SELECT d, ('0x' || substr(md5('cms' || d::VARCHAR || '|' || k),"
+        f" 1, 8))::BIGINT % {width} AS bucket,"
+        " CAST(count(*) AS BIGINT) AS cnt"
+        f" FROM ({keys_sql}), range({depth}) t(d)"
+        " GROUP BY 1, 2"
+    )
+
+
+def count_min_estimate_sql(
+    keys_sql: str,
+    probe_sql: str | None = None,
+    depth: int = 4,
+    width: int = 1024,
+) -> str:
+    """DuckDB twin of sketch-build + estimate: probe keys default to the
+    stream's own distinct keys."""
+    probe = probe_sql or f"SELECT DISTINCT k FROM ({keys_sql})"
+    return (
+        "WITH sk AS ("
+        + count_min_sketch_sql(keys_sql, depth, width)
+        + f"), pr AS (SELECT k AS key, d,"
+        f" ('0x' || substr(md5('cms' || d::VARCHAR || '|' || k), 1, 8))"
+        f"::BIGINT % {width} AS bucket"
+        f" FROM ({probe}), range({depth}) t(d)) "
+        "SELECT pr.key, min(coalesce(sk.cnt, 0)) AS est FROM pr"
+        " LEFT JOIN sk ON sk.d = pr.d AND sk.bucket = pr.bucket"
+        " GROUP BY pr.key"
+    )

@@ -40,3 +40,53 @@ def test_collect_table_stats_digest_cols(spark):
     # min/max are over the digest, ndv/total_len over the raw values
     assert (got["t"].min_s, got["t"].max_s) == (digs[0], digs[-1])
     assert got["t"].ndv == 2 and got["t"].total_len == 6
+
+
+def test_count_min_upper_bound_and_exactness(spark):
+    """Estimates never undercount; with a wide sketch (no collisions)
+    they are exact; merging two batch sketches = sketch of the union."""
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.operators.stats import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 7 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "host string")
+    truth = {"a": 50, "b": 7, "c": 1}
+    # wide: 4x4096 over 3 keys — collisions across all 4 rows impossible
+    sk = count_min_sketch(df, "host", depth=4, width=4096)
+    est = {r.key: r.est for r in
+           count_min_estimate(sk, df, "host", depth=4, width=4096).collect()}
+    assert est == truth
+    # narrow: still an upper bound for every key
+    skn = count_min_sketch(df, "host", depth=2, width=4)
+    estn = {r.key: r.est for r in
+            count_min_estimate(skn, df, "host", depth=2, width=4).collect()}
+    assert all(estn[k] >= v for k, v in truth.items())
+    # mergeability: sum of per-batch sketches == sketch of the whole
+    h1, h2 = df.randomSplit([0.5, 0.5], seed=7)
+    merged = (
+        count_min_sketch(h1, "host", depth=4, width=4096)
+        .unionByName(count_min_sketch(h2, "host", depth=4, width=4096))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    estm = {r.key: r.est for r in
+            count_min_estimate(merged, df, "host", depth=4, width=4096)
+            .collect()}
+    assert estm == truth
+
+
+def test_count_min_unseen_key_is_zero(spark):
+    from comic_text_detector_spark.operators.stats import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    df = spark.createDataFrame([("a",)], "host string")
+    probe = spark.createDataFrame([("zzz",)], "host string")
+    sk = count_min_sketch(df, "host", depth=4, width=4096)
+    got = count_min_estimate(sk, probe, "host", depth=4, width=4096)
+    assert got.collect()[0].est == 0
