@@ -2935,6 +2935,45 @@ _CANONICAL_DEDUP_ORACLE = (
 )
 
 
+def _q_cdx_roundtrip(spark, sf_dir):
+    """CDXJ index lines (sources/warc.py::cdx_lines/parse_cdx — the
+    fourth Common Crawl format beside WARC/WET/WAT): emit
+    '{surt} {ts14} {json}' per capture with byte-pinned JSON layout,
+    then re-parse; the oracle rebuilds every parsed field from the
+    fixture arithmetic, so emit AND parse verify in one query."""
+    from comic_text_detector_spark.sources.warc import cdx_lines, parse_cdx
+
+    i = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://w"), (i % 5).cast("string"),
+            F.lit(".example.org/p/"), i.cast("string"),
+        ).alias("url"),
+        F.make_timestamp(
+            F.lit(2024), F.lit(1), (1 + i % 28).cast("int"),
+            F.pmod(i, F.lit(24)).cast("int"),
+            F.pmod(i, F.lit(60)).cast("int"), F.lit(0),
+        ).alias("warc_ts"),
+        F.col("text"),
+    )
+    return parse_cdx(cdx_lines(docs)).drop("ts")
+
+
+_CDX_ORACLE = (
+    "SELECT 'org,example,w' || (doc_id % 5)::VARCHAR || ')/p/' ||"
+    " doc_id::VARCHAR AS surt,"
+    " '202401' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0') ||"
+    " lpad((doc_id % 24)::VARCHAR, 2, '0') ||"
+    " lpad((doc_id % 60)::VARCHAR, 2, '0') || '00' AS ts14,"
+    " 'https://w' || (doc_id % 5)::VARCHAR || '.example.org/p/' ||"
+    " doc_id::VARCHAR AS url,"
+    " 'text/html' AS mime, CAST(200 AS INT) AS status,"
+    " md5(coalesce(text, '')) AS digest,"
+    " CAST(length(coalesce(text, '')) AS BIGINT) AS length"
+    " FROM documents"
+)
+
+
 def _q_count_min_hosts(spark, sf_dir):
     """Count-Min heavy-hitter estimates (operators/stats.py::
     count_min_sketch/count_min_estimate): md5-portable bucket hashing →
@@ -4203,6 +4242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_directives": _q_page_directives,
         "canonical_dedup": _q_canonical_dedup,
         "count_min_hosts": _q_count_min_hosts,
+        "cdx_roundtrip": _q_cdx_roundtrip,
         "refetch_candidates": _q_refetch_candidates,
         "pagerank_hosts": _q_pagerank_hosts,
         "trustrank_hosts": _q_trustrank_hosts,
@@ -5616,6 +5656,7 @@ def oracle_sql() -> dict[str, str]:
             depth=4,
             width=64,
         ),
+        "cdx_roundtrip": _CDX_ORACLE,
         "refetch_candidates": (
             "WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40)"
             " SELECT 'https://h' || CAST(i AS VARCHAR) || '/p0' AS url,"

@@ -505,3 +505,76 @@ def classify_revisits(
         F.lit(None).cast(d.schema["ts"].dataType).alias("refers_to_ts"),
     )
     return classified.unionByName(nulls)
+
+
+def cdx_lines(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "text",
+    mime: str = "text/html",
+    status: int = 200,
+) -> DataFrame:
+    """CDXJ index lines — the fourth Common Crawl format beside
+    WARC/WET/WAT: ``{surt} {ts14} {json}`` per capture, the line format
+    CC's url index serves (pywb convention). Returns (surt, ts14,
+    cdx_line); writing sorted-by-(surt, ts14) makes every domain one
+    contiguous range — the ``surt_key`` pruning argument materialized as
+    the industry's actual index file.
+
+    The JSON is built by explicit concat (NOT to_json) so field order
+    and byte layout are pinned across engines — the oracle twin
+    reproduces the line verbatim. digest = md5 of the payload (CC uses
+    sha1-b32 of the raw bytes; md5 is this repo's portable-hash
+    primitive — documented deviation, same dedup semantics). Pure
+    column exprs in the scan projection; zero shuffles."""
+    from pyspark.sql import functions as F
+
+    from ..operators.curation import surt_key
+
+    url = F.col(url_col)
+    payload = F.coalesce(F.col(payload_col).cast("string"), F.lit(""))
+    ts14 = F.date_format(F.col(ts_col), "yyyyMMddHHmmss")
+    j = F.concat(
+        F.lit('{"url": "'), url,
+        F.lit('", "mime": "'), F.lit(mime),
+        F.lit('", "status": "'), F.lit(str(int(status))),
+        F.lit('", "digest": "'), F.md5(payload),
+        F.lit('", "length": '), F.length(payload).cast("string"),
+        F.lit("}"),
+    )
+    surt = surt_key(url)
+    return df.select(
+        surt.alias("surt"),
+        ts14.alias("ts14"),
+        F.concat(surt, F.lit(" "), ts14, F.lit(" "), j).alias("cdx_line"),
+    )
+
+
+def parse_cdx(
+    lines: DataFrame, line_col: str = "cdx_line"
+) -> DataFrame:
+    """Inverse of ``cdx_lines``: (surt, ts14, ts, url, mime, status,
+    digest, length) from raw CDXJ lines. Space-split on the FIRST two
+    fields only (the JSON may contain spaces), JSON fields via
+    get_json_object, ts via try_to_timestamp (malformed timestamps →
+    NULL, drop-not-fake). Scan-projection exprs; a malformed line yields
+    NULL fields rather than killing the scan."""
+    from pyspark.sql import functions as F
+
+    l = F.col(line_col)
+    # surt is only a surt when the whole 3-field shape is present — a
+    # malformed line must yield all-NULL, not its first word
+    surt = F.regexp_extract(l, r"^([^ ]+) \d{14} ", 1)
+    ts14 = F.regexp_extract(l, r"^[^ ]+ (\d{14}) ", 1)
+    j = F.regexp_extract(l, r"^[^ ]+ \d{14} (.*)$", 1)
+    return lines.select(
+        F.when(surt != "", surt).alias("surt"),
+        F.when(ts14 != "", ts14).alias("ts14"),
+        F.try_to_timestamp(ts14, F.lit("yyyyMMddHHmmss")).alias("ts"),
+        F.get_json_object(j, "$.url").alias("url"),
+        F.get_json_object(j, "$.mime").alias("mime"),
+        F.get_json_object(j, "$.status").cast("int").alias("status"),
+        F.get_json_object(j, "$.digest").alias("digest"),
+        F.get_json_object(j, "$.length").cast("long").alias("length"),
+    )
