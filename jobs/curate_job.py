@@ -113,6 +113,19 @@ def main(argv: list[str], spark=None) -> int:
         help="minimum word count for --gopher (the other thresholds use "
         "the published defaults)",
     )
+    p.add_argument(
+        "--blocklist",
+        default=None,
+        help="parquet of (pattern, kind, category) UT1-style rules; "
+        "matched docs (by --id-col as url) drop before every other stage",
+    )
+    p.add_argument(
+        "--honor-noindex",
+        action="store_true",
+        help="parse <meta name=robots> from --html-col and drop noindex "
+        "pages before every other stage",
+    )
+    p.add_argument("--html-col", default="html")
     p.add_argument("--dup-k", type=int, default=20)
     p.add_argument("--dup-min-len", type=int, default=50)
     p.add_argument("--ngram", type=int, default=5)
@@ -139,6 +152,43 @@ def main(argv: list[str], spark=None) -> int:
     docs = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.benchmark)
     n_in = docs.count()
+
+    # optional stage 0: UT1-style URL blocklist — the curation front door
+    # (host/domain-suffix/url-prefix verdicts, broadcast-joined); matched
+    # docs never reach the expensive stages
+    n_blocklisted = 0
+    if args.blocklist:
+        from comic_text_detector_spark.operators.curation import (
+            blocklist_filter,
+        )
+
+        bl = spark.read.parquet(args.blocklist)
+        docs = (
+            blocklist_filter(docs, bl, url_col=args.id_col)
+            .filter(F.col("block_category").isNull())
+            .drop("block_category", "block_kind")
+        )
+        n_after = docs.count()
+        n_blocklisted = n_in - n_after
+
+    # optional stage 0b: meta-robots noindex — an unindexable page must
+    # not enter a training corpus; zero-shuffle directive parse + anti-join
+    n_noindexed = 0
+    if args.honor_noindex:
+        from comic_text_detector_spark.functions.links import (
+            page_directives,
+        )
+
+        noidx = (
+            page_directives(
+                docs, url_col=args.id_col, html_col=args.html_col
+            )
+            .filter(F.col("noindex"))
+            .select(F.col("url").alias(args.id_col))
+        )
+        before = n_in - n_blocklisted
+        docs = docs.join(noidx, args.id_col, "left_anti")
+        n_noindexed = before - docs.count()
 
     # stage 1: decontamination — anti-join against docs sharing more than
     # the allowed number of distinct benchmark n-grams. The leaks frame is
@@ -282,6 +332,8 @@ def main(argv: list[str], spark=None) -> int:
     n_out = spark.read.parquet(f"{args.output}/curated").count()
     summary = {
         "docs_in": n_in,
+        "blocklisted": n_blocklisted,
+        "noindexed": n_noindexed,
         "after_decontaminate": n_clean,
         "contaminated_removed": n_in - n_clean,
         "curated": n_out,

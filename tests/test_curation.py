@@ -1324,3 +1324,42 @@ def test_badword_score_weights_and_wordless(spark):
     assert got[1].bad_weight == 10 and got[1].bad_frac == 0.5
     assert got[2].n_bad == 0 and got[2].bad_weight == 0
     assert 3 not in got  # wordless: absent, not fake-clean
+
+
+def test_curate_job_blocklist_and_noindex(spark, tmp_path):
+    """--blocklist and --honor-noindex front-door stages: a blocklisted
+    domain and a meta-noindex page never reach the curated output; the
+    summary counts both."""
+    from jobs import curate_job
+
+    docs = spark.createDataFrame(
+        [
+            ("https://ok.com/a", "good words here", "en",
+             "<p>good words here</p>"),
+            ("https://ads.bad.com/x", "spammy stuff", "en", "<p>s</p>"),
+            ("https://ok.com/hidden", "secret page", "en",
+             '<meta name="robots" content="noindex">'),
+        ],
+        "url string, text string, lang string, html string",
+    )
+    corpus, bench = str(tmp_path / "c"), str(tmp_path / "b")
+    docs.write.parquet(corpus)
+    spark.createDataFrame(
+        [("unrelated benchmark text",)], "text string"
+    ).write.parquet(bench)
+    bl = str(tmp_path / "bl")
+    spark.createDataFrame(
+        [("bad.com", "domain", "adult")],
+        "pattern string, kind string, category string",
+    ).write.parquet(bl)
+    out = str(tmp_path / "out")
+    assert curate_job.main(
+        [
+            "--input", corpus, "--benchmark", bench, "--output", out,
+            "--rates", '{"en": 1.0}', "--max-shared-ngrams", "99",
+            "--blocklist", bl, "--honor-noindex",
+        ],
+        spark=spark,
+    ) == 0
+    kept = {r.url for r in spark.read.parquet(f"{out}/curated").collect()}
+    assert kept == {"https://ok.com/a"}
