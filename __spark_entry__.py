@@ -2935,6 +2935,90 @@ _CANONICAL_DEDUP_ORACLE = (
 )
 
 
+def _q_split_sentences(spark, sf_dir):
+    """Rule-based sentence segmentation (functions/textstats.py::
+    split_sentences): terminator + space + UPPERCASE boundary, masked
+    abbreviations, lowercase-follow stays joined. Fixture text is built
+    from doc_id with a protected 'Mr.', a '?'-then-lowercase non-split,
+    and a one-letter sentence; the oracle replays the identical
+    replace/regex/split chain in DuckDB (\\1 backrefs + 'g' flag)."""
+    from comic_text_detector_spark.functions.textstats import (
+        split_sentences,
+    )
+
+    i = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Mr. Smith saw h"), i.cast("string"),
+            F.lit(". It was item "), (i % 7).cast("string"),
+            F.lit(" of all! Did it scan? yes it did. A one. The end."),
+        ).alias("text"),
+    )
+    return split_sentences(docs)
+
+
+_SPLIT_SENTENCES_ORACLE = (
+    "WITH d AS (SELECT doc_id, 'Mr. Smith saw h' || doc_id::VARCHAR ||"
+    " '. It was item ' || (doc_id % 7)::VARCHAR ||"
+    " ' of all! Did it scan? yes it did. A one. The end.' AS text"
+    " FROM documents), "
+    "m AS (SELECT doc_id, replace(replace(replace(coalesce(text, ''),"
+    " 'Mr.', 'Mr' || chr(2)), 'Mrs.', 'Mrs' || chr(2)),"
+    " 'Dr.', 'Dr' || chr(2)) AS t FROM d), "
+    "b AS (SELECT doc_id, regexp_replace(t, '([.!?]) +([A-Z])',"
+    " '\\1' || chr(1) || '\\2', 'g') AS t FROM m), "
+    "s AS (SELECT doc_id, generate_subscripts(ss, 1) - 1 AS sent_idx,"
+    " trim(replace(unnest(ss), chr(2), '.')) AS sentence FROM"
+    " (SELECT doc_id, string_split(t, chr(1)) AS ss FROM b)) "
+    "SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx, sentence FROM s"
+    " WHERE sentence <> ''"
+)
+
+
+def _q_bitext_pairs(spark, sf_dir):
+    """ParaCrawl-style bitext candidate mining (operators/curation.py::
+    bitext_url_pairs): urls differing only by a language path segment
+    collide on the collapsed key; cross-language pairs emit with the
+    comparable-length ratio. Keyless urls drop pre-shuffle, oversized
+    groups drop by the star-cap rule. The oracle replays key collapse,
+    cap and self-join in DuckDB."""
+    from comic_text_detector_spark.operators.curation import (
+        bitext_url_pairs,
+    )
+
+    i = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (i % 10).cast("string"), F.lit("/"),
+            F.col("lang"), F.lit("/p"), (i % 50).cast("string"),
+        ).alias("url"),
+        "lang",
+        "text",
+    )
+    return bitext_url_pairs(docs, max_group=16)
+
+
+_BITEXT_ORACLE = (
+    "WITH d0 AS (SELECT 'https://h' || (doc_id % 10)::VARCHAR || '/' ||"
+    " lang || '/p' || (doc_id % 50)::VARCHAR AS u, lang AS l,"
+    " CAST(length(coalesce(text, '')) AS BIGINT) AS n FROM documents), "
+    "d AS (SELECT regexp_replace(regexp_replace(u,"
+    " '/(en|fr|de|es|zh|ja|pt|it|ru|ar|hi|ko|nl|pl|tr)/', '/_L_/', 'g'),"
+    " '([?&]lang=)[a-zA-Z-]+', '\\1_L_', 'g') AS bitext_key, u, l, n"
+    " FROM d0), "
+    "d1 AS (SELECT * FROM d WHERE bitext_key <> u), "
+    "ok AS (SELECT bitext_key FROM d1 GROUP BY bitext_key"
+    " HAVING count(*) <= 16), "
+    "d2 AS (SELECT d1.* FROM d1 JOIN ok USING (bitext_key)) "
+    "SELECT a.bitext_key, a.u AS url_a, a.l AS lang_a, b.u AS url_b,"
+    " b.l AS lang_b,"
+    " least(a.n, b.n) / CAST(greatest(greatest(a.n, b.n), 1) AS DOUBLE)"
+    " AS len_ratio"
+    " FROM d2 a JOIN d2 b USING (bitext_key) WHERE a.l < b.l"
+)
+
+
 def _q_cdx_roundtrip(spark, sf_dir):
     """CDXJ index lines (sources/warc.py::cdx_lines/parse_cdx — the
     fourth Common Crawl format beside WARC/WET/WAT): emit
@@ -4243,6 +4327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_dedup": _q_canonical_dedup,
         "count_min_hosts": _q_count_min_hosts,
         "cdx_roundtrip": _q_cdx_roundtrip,
+        "split_sentences": _q_split_sentences,
+        "bitext_url_pairs": _q_bitext_pairs,
         "refetch_candidates": _q_refetch_candidates,
         "pagerank_hosts": _q_pagerank_hosts,
         "trustrank_hosts": _q_trustrank_hosts,
@@ -5657,6 +5743,8 @@ def oracle_sql() -> dict[str, str]:
             width=64,
         ),
         "cdx_roundtrip": _CDX_ORACLE,
+        "split_sentences": _SPLIT_SENTENCES_ORACLE,
+        "bitext_url_pairs": _BITEXT_ORACLE,
         "refetch_candidates": (
             "WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40)"
             " SELECT 'https://h' || CAST(i AS VARCHAR) || '/p0' AS url,"

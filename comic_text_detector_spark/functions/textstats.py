@@ -1039,3 +1039,44 @@ def normalize_text(
         kernel, f"id {dict(df.dtypes)[id_col]}, text_norm string"
     )
     return out.withColumnRenamed("id", id_col)
+
+
+# known abbreviations whose trailing dot must not end a sentence; masked
+# with a sentinel before boundary detection, restored after. A fixed
+# public list — extending it is config, not code.
+SENT_ABBREVS = ("Mr.", "Mrs.", "Dr.", "Prof.", "St.", "e.g.", "i.e.",
+                "vs.", "etc.")
+_SENT_SEP = "\x01"
+_DOT_MASK = "\x02"
+
+
+def split_sentences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rule-based sentence segmentation: a boundary is a terminator
+    ([.!?]) followed by whitespace and an UPPERCASE letter — the
+    classic conservative web-text splitter (lowercase follow = no
+    split, so '? yes' stays inside its sentence). Returns (id,
+    sent_idx, sentence), wordless docs absent.
+
+    Dialect discipline: NO lookarounds (RE2 has none — the boundary
+    captures both sides and re-inserts them around a \\x01 sentinel) and
+    abbreviation dots are masked by literal replaces before the boundary
+    regex, restored after — every step replays in DuckDB with \\1-style
+    backrefs and an explicit 'g' flag. Pure column exprs in the scan
+    projection; the only shuffle-free fan-out is the sentence explode."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    for a in SENT_ABBREVS:
+        t = F.replace(t, F.lit(a), F.lit(a[:-1] + _DOT_MASK))
+    t = F.regexp_replace(t, r"([.!?]) +([A-Z])", "$1" + _SENT_SEP + "$2")
+    sents = F.filter(
+        F.transform(
+            F.split(t, _SENT_SEP),
+            lambda s: F.trim(F.replace(s, F.lit(_DOT_MASK), F.lit("."))),
+        ),
+        lambda s: s != "",
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(sents).alias("sent_idx", "sentence"),
+    ).select(F.col("id").alias(id_col), "sent_idx", "sentence")

@@ -1591,3 +1591,74 @@ def badword_score(
             (F.col("n_bad") / F.col("n_tokens")).alias("bad_frac"),
         )
     )
+
+
+# path segments / query values recognized as language markers for bitext
+# pairing — a fixed public list (ParaCrawl's URL-matching heuristic uses
+# the same idea); extending it is config, not code.
+BITEXT_LANG_SEG = "/(en|fr|de|es|zh|ja|pt|it|ru|ar|hi|ko|nl|pl|tr)/"
+
+
+def bitext_url_key(url: Column) -> Column:
+    """Language-agnostic URL key: a path segment that IS a language code
+    collapses to ``/_L_/``, a ``lang=`` query value to ``_L_`` — urls
+    that differ only by language collide. Non-overlapping left-to-right
+    replacement in both engines, so '/en/fr/' collapses its FIRST
+    marker only (documented; real sites do not nest language dirs)."""
+    k = F.regexp_replace(url, BITEXT_LANG_SEG, "/_L_/")
+    return F.regexp_replace(k, r"([?&]lang=)[a-zA-Z-]+", "$1_L_")
+
+
+def bitext_url_pairs(
+    docs: DataFrame,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    max_group: int = 16,
+) -> DataFrame:
+    """Bitext candidate mining the ParaCrawl way: pages of the SAME site
+    whose urls differ only by a language marker are translation
+    candidates. Returns (bitext_key, url_a, lang_a, url_b, lang_b,
+    len_ratio) with lang_a < lang_b and len_ratio =
+    least(len_a,len_b)/greatest(...) — the classic comparable-length
+    prefilter signal (threshold is the caller's policy).
+
+    Scale shape: the key is a scan-projection expression; urls with no
+    language marker (key == url) drop BEFORE the shuffle — the join only
+    sees multilingual candidates; groups larger than ``max_group``
+    pages drop entirely (the LSH star-cap discipline: a key shared by
+    hundreds of pages is a template artifact, and capping bounds the
+    per-key pair fan-out at C(max_group, 2)). One keyed shuffle + one
+    self-join co-located on it."""
+    key = bitext_url_key(F.col(url_col))
+    d = docs.select(
+        key.alias("bitext_key"),
+        F.col(url_col).alias("u"),
+        F.col(lang_col).alias("l"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
+            "n"
+        ),
+    ).filter(F.col("bitext_key") != F.col("u"))
+    ok = d.groupBy("bitext_key").agg(F.count("*").alias("gc")).filter(
+        F.col("gc") <= max_group
+    )
+    d = d.join(ok.select("bitext_key"), "bitext_key")
+    a = d.select(
+        "bitext_key", F.col("u").alias("url_a"), F.col("l").alias("lang_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = d.select(
+        "bitext_key", F.col("u").alias("url_b"), F.col("l").alias("lang_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(b, "bitext_key")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "bitext_key", "url_a", "lang_a", "url_b", "lang_b",
+            (
+                F.least("n_a", "n_b")
+                / F.greatest(F.greatest("n_a", "n_b"), F.lit(1))
+            ).alias("len_ratio"),
+        )
+    )

@@ -1363,3 +1363,43 @@ def test_curate_job_blocklist_and_noindex(spark, tmp_path):
     ) == 0
     kept = {r.url for r in spark.read.parquet(f"{out}/curated").collect()}
     assert kept == {"https://ok.com/a"}
+
+
+def test_bitext_url_pairs_planted(spark):
+    from comic_text_detector_spark.operators.curation import bitext_url_pairs
+
+    docs = spark.createDataFrame(
+        [
+            ("https://s/en/about", "en", "hello world"),        # pairs
+            ("https://s/fr/about", "fr", "bonjour le monde"),   # with en
+            ("https://s/de/other", "de", "x"),                  # alone
+            ("https://s/plain", "en", "no marker"),             # keyless
+            ("https://q/p?lang=en", "en", "aaaa"),              # query form
+            ("https://q/p?lang=fr", "fr", "bb"),
+        ],
+        "url string, lang string, text string",
+    )
+    got = {(r.url_a, r.url_b): r for r in bitext_url_pairs(docs).collect()}
+    assert set(got) == {
+        ("https://s/en/about", "https://s/fr/about"),
+        ("https://q/p?lang=en", "https://q/p?lang=fr"),
+    }
+    r = got[("https://s/en/about", "https://s/fr/about")]
+    assert r.lang_a == "en" and r.lang_b == "fr"
+    assert abs(r.len_ratio - len("hello world") / len("bonjour le monde")) < 1e-12
+    assert got[("https://q/p?lang=en", "https://q/p?lang=fr")].len_ratio == 0.5
+
+
+def test_bitext_url_pairs_star_cap(spark):
+    """A template key shared by too many pages drops entirely."""
+    from comic_text_detector_spark.operators.curation import bitext_url_pairs
+
+    rows = [(f"https://t/en/p{k}", "en", "x") for k in range(2)]
+    rows += [("https://t/en/tmpl", "en", "x")]
+    rows += [(f"https://t/{l}/tmpl", l, "x")
+             for l in ("fr", "de", "es", "it", "pt")]
+    docs = spark.createDataFrame(rows, "url string, lang string, text string")
+    # cap of 3: the 6-page /tmpl group vanishes, nothing else pairs
+    assert bitext_url_pairs(docs, max_group=3).count() == 0
+    # cap of 6 admits it
+    assert bitext_url_pairs(docs, max_group=6).count() > 0

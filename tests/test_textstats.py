@@ -416,3 +416,34 @@ class TestRepetitionSignals:
         )
         cols = sorted(got.columns)
         assert got[cols].equals(ora[cols].astype(got[cols].dtypes.to_dict()))
+
+
+def test_split_sentences_rules(spark):
+    """Terminator+space+capital splits; lowercase follow does not;
+    abbreviation dots are protected and restored; empty docs absent."""
+    from comic_text_detector_spark.functions.textstats import split_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Mr. Smith left. He ran! Did he scan? yes he did. A one."),
+            (2, "No terminator here"),
+            (3, ""),
+            (4, "e.g. this stays. Whole i.e. sentence."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in split_sentences(docs).collect():
+        got.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence))
+    assert [s for _, s in sorted(got[1])] == [
+        "Mr. Smith left.",
+        "He ran!",
+        "Did he scan? yes he did.",
+        "A one.",
+    ]
+    assert [s for _, s in sorted(got[2])] == ["No terminator here"]
+    assert 3 not in got
+    assert [s for _, s in sorted(got[4])] == [
+        "e.g. this stays.",
+        "Whole i.e. sentence.",
+    ]
