@@ -2935,6 +2935,16 @@ _CANONICAL_DEDUP_ORACLE = (
 )
 
 
+def _q_zipf_report(spark, sf_dir):
+    """Zipf corpus-health audit (operators/stats.py::zipf_report): word
+    ranks → milli-quantized log-log least squares summed as exact
+    bigints, so slope/intercept replay bit-for-bit in DuckDB; top-1 and
+    top-100 coverage ride the same pass."""
+    from comic_text_detector_spark.operators.stats import zipf_report
+
+    return zipf_report(_t(spark, sf_dir, "documents"))
+
+
 def _q_split_sentences(spark, sf_dir):
     """Rule-based sentence segmentation (functions/textstats.py::
     split_sentences): terminator + space + UPPERCASE boundary, masked
@@ -4329,6 +4339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_roundtrip": _q_cdx_roundtrip,
         "split_sentences": _q_split_sentences,
         "bitext_url_pairs": _q_bitext_pairs,
+        "zipf_report": _q_zipf_report,
         "refetch_candidates": _q_refetch_candidates,
         "pagerank_hosts": _q_pagerank_hosts,
         "trustrank_hosts": _q_trustrank_hosts,
@@ -5745,6 +5756,10 @@ def oracle_sql() -> dict[str, str]:
         "cdx_roundtrip": _CDX_ORACLE,
         "split_sentences": _SPLIT_SENTENCES_ORACLE,
         "bitext_url_pairs": _BITEXT_ORACLE,
+        "zipf_report": __import__(
+            "comic_text_detector_spark.operators.stats",
+            fromlist=["zipf_report_sql"],
+        ).zipf_report_sql(),
         "refetch_candidates": (
             "WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40)"
             " SELECT 'https://h' || CAST(i AS VARCHAR) || '/p0' AS url,"

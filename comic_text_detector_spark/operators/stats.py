@@ -185,3 +185,117 @@ def count_min_estimate_sql(
         " LEFT JOIN sk ON sk.d = pr.d AND sk.bucket = pr.bucket"
         " GROUP BY pr.key"
     )
+
+
+def zipf_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """One-row corpus-health audit against Zipf's law — the classic
+    sanity check that a web corpus is natural language and not template
+    sludge (a healthy corpus shows log-log slope ≈ −1; boilerplate
+    floods flatten the head, dedup failures steepen it). Returns
+    (n_types, n_tokens, top1_word, top1_count, top100_coverage,
+    zipf_slope, zipf_intercept_milli).
+
+    Determinism contract: the least-squares fit over the top-``top_n``
+    (rank, count) points runs on MILLI-QUANTIZED log10 values summed as
+    exact bigints (order-free), so the slope/intercept are single
+    IEEE divisions of exact integers — the DuckDB twin replays the
+    report bit-for-bit. Rank ties break by word ASC (row_number over
+    (count desc, word)).
+
+    Shape: one token-explode groupBy (map-side combinable) → the word
+    table; the fit consumes only ``top_n`` rows (a window over the
+    count-sorted head; single-partition but vocabulary-bounded). The
+    corpus is never collected."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    wc = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    ranked = wc.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w"))),
+    ).filter(F.col("rank") <= top_n)
+    pts = ranked.select(
+        "w", "c", "rank",
+        F.round(F.log10(F.col("rank")) * 1000.0).cast("long").alias("x"),
+        F.round(F.log10(F.col("c")) * 1000.0).cast("long").alias("y"),
+    )
+    totals = wc.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max(
+            F.when(F.col("rank") == 1, F.struct(F.col("c"), F.col("w")))
+        ).alias("top1"),
+        F.sum(F.when(F.col("rank") <= 100, F.col("c")).otherwise(0)).alias(
+            "c100"
+        ),
+    )
+    return totals.join(fit).select(
+        "n_types",
+        "n_tokens",
+        F.col("top1.w").alias("top1_word"),
+        F.col("top1.c").alias("top1_count"),
+        (F.col("c100") / F.col("n_tokens")).alias("top100_coverage"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("zipf_slope"),
+        F.round(
+            (
+                F.col("sy")
+                - (
+                    (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                )
+                * F.col("sx")
+            )
+            / F.col("n")
+        ).cast("long").alias("zipf_intercept_milli"),
+    )
+
+
+def zipf_report_sql(corpus: str = "documents", top_n: int = 1000) -> str:
+    """DuckDB twin of ``zipf_report`` — identical quantization, rank
+    tie-break and integer sums."""
+    return (
+        "WITH t AS (SELECT w FROM (SELECT"
+        " unnest(string_split(lower(coalesce(text, '')), ' ')) AS w"
+        f" FROM {corpus}) WHERE w <> ''), "
+        "wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY w), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,"
+        " CAST(sum(c) AS BIGINT) AS n_tokens FROM wc), "
+        "rk AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w)"
+        f" AS rank FROM wc QUALIFY rank <= {top_n}), "
+        "pts AS (SELECT w, c, rank,"
+        " CAST(round(log10(rank) * 1000.0) AS BIGINT) AS x,"
+        " CAST(round(log10(c) * 1000.0) AS BIGINT) AS y FROM rk), "
+        "fit AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+        " sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,"
+        " sum(x * x) AS sxx,"
+        " max(CASE WHEN rank = 1 THEN w END) AS t1w,"
+        " max(CASE WHEN rank = 1 THEN c END) AS t1c,"
+        " sum(CASE WHEN rank <= 100 THEN c ELSE 0 END) AS c100 FROM pts) "
+        "SELECT tot.n_types, tot.n_tokens, fit.t1w AS top1_word,"
+        " CAST(fit.t1c AS BIGINT) AS top1_count,"
+        " fit.c100 / CAST(tot.n_tokens AS DOUBLE) AS top100_coverage,"
+        " (fit.n * fit.sxy - fit.sx * fit.sy) /"
+        " CAST(fit.n * fit.sxx - fit.sx * fit.sx AS DOUBLE) AS zipf_slope,"
+        " CAST(round((fit.sy - ((fit.n * fit.sxy - fit.sx * fit.sy) /"
+        " CAST(fit.n * fit.sxx - fit.sx * fit.sx AS DOUBLE)) * fit.sx)"
+        " / fit.n) AS BIGINT) AS zipf_intercept_milli"
+        " FROM tot, fit"
+    )

@@ -90,3 +90,42 @@ def test_count_min_unseen_key_is_zero(spark):
     sk = count_min_sketch(df, "host", depth=4, width=4096)
     got = count_min_estimate(sk, probe, "host", depth=4, width=4096)
     assert got.collect()[0].est == 0
+
+
+def test_zipf_report_planted(spark):
+    """Planted geometric corpus (counts 64/32/16/8 at ranks 1..4): the
+    report's slope/intercept must equal the same milli-quantized
+    least-squares arithmetic replayed in plain Python, and the counts/
+    coverage/top-1 fields are known exactly."""
+    import math
+
+    from comic_text_detector_spark.operators.stats import zipf_report
+
+    words = (["aa"] * 64 + ["bb"] * 32 + ["cc"] * 16 + ["dd"] * 8)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    r = zipf_report(docs, top_n=1000).collect()[0]
+    assert r.n_types == 4 and r.n_tokens == 120
+    assert r.top1_word == "aa" and r.top1_count == 64
+    assert r.top100_coverage == 1.0
+    xs = [round(math.log10(k) * 1000) for k in (1, 2, 3, 4)]
+    ys = [round(math.log10(c) * 1000) for c in (64, 32, 16, 8)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r.zipf_slope == slope
+    assert slope < -1  # steeper than Zipf: counts halve every rank
+    assert r.zipf_intercept_milli == round((sy - slope * sx) / n)
+
+
+def test_zipf_rank_tie_breaks_by_word(spark):
+    from comic_text_detector_spark.operators.stats import zipf_report
+
+    docs = spark.createDataFrame(
+        [(1, "zz aa zz aa")], "doc_id long, text string"
+    )
+    r = zipf_report(docs).collect()[0]
+    assert r.top1_word == "aa"  # tie on count=2 → word ASC
