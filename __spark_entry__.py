@@ -2935,6 +2935,35 @@ _CANONICAL_DEDUP_ORACLE = (
 )
 
 
+def _q_sentence_dedup(spark, sf_dir):
+    """Sentence-granular boilerplate removal (operators/curation.py::
+    sentence_freq_dedup): the subscribe-prompt sentence shared by every
+    doc and the s{i%3} tail shared by ~a third both exceed the doc-freq
+    cap and drop; the per-doc unique fact survives. Oracle is the
+    closed-form fixture arithmetic."""
+    from comic_text_detector_spark.operators.curation import (
+        sentence_freq_dedup,
+    )
+
+    i = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Subscribe to H now. Unique fact "), i.cast("string"),
+            F.lit(" is here. Another s"), (i % 3).cast("string"),
+            F.lit(" tail."),
+        ).alias("text"),
+    )
+    return sentence_freq_dedup(docs, max_doc_freq=2)
+
+
+_SENTENCE_DEDUP_ORACLE = (
+    "SELECT doc_id, 'Unique fact ' || doc_id::VARCHAR || ' is here.'"
+    " AS text, CAST(3 AS BIGINT) AS n_sents_in,"
+    " CAST(1 AS BIGINT) AS n_sents_kept FROM documents"
+)
+
+
 def _q_zipf_report(spark, sf_dir):
     """Zipf corpus-health audit (operators/stats.py::zipf_report): word
     ranks → milli-quantized log-log least squares summed as exact
@@ -4340,6 +4369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sentences": _q_split_sentences,
         "bitext_url_pairs": _q_bitext_pairs,
         "zipf_report": _q_zipf_report,
+        "sentence_freq_dedup": _q_sentence_dedup,
         "refetch_candidates": _q_refetch_candidates,
         "pagerank_hosts": _q_pagerank_hosts,
         "trustrank_hosts": _q_trustrank_hosts,
@@ -5760,6 +5790,7 @@ def oracle_sql() -> dict[str, str]:
             "comic_text_detector_spark.operators.stats",
             fromlist=["zipf_report_sql"],
         ).zipf_report_sql(),
+        "sentence_freq_dedup": _SENTENCE_DEDUP_ORACLE,
         "refetch_candidates": (
             "WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40)"
             " SELECT 'https://h' || CAST(i AS VARCHAR) || '/p0' AS url,"

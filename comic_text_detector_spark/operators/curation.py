@@ -1662,3 +1662,79 @@ def bitext_url_pairs(
             ).alias("len_ratio"),
         )
     )
+
+
+def sentence_freq_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 2,
+    broadcast_freq: bool = True,
+) -> DataFrame:
+    """``line_freq_dedup`` at SENTENCE granularity: boilerplate that
+    lives inside flowing paragraphs ('Click here to subscribe. ') never
+    hits a newline boundary, so line-level dedup misses it — segment
+    with ``split_sentences`` (functions/textstats.py), drop sentences
+    occurring in more than ``max_doc_freq`` distinct documents,
+    reassemble the survivors in reading order joined by single spaces →
+    (id, text, n_sents_in, n_sents_kept).
+
+    Same scale shape as the line variant: explode → one md5 groupBy for
+    document frequencies → violators-only broadcast join back → ordered
+    reassembly; a doc whose every sentence is boilerplate survives with
+    text='' (drop-not-lose). NOTE the reassembly normalizes
+    inter-sentence whitespace to one space (sentence segmentation
+    already trims) — byte-preserving callers should use span cuts
+    (``cut_spans``) instead; this operator is the statistics-grade
+    fast path."""
+    from ..functions.textstats import split_sentences
+
+    sents = split_sentences(df, id_col, text_col).select(
+        F.col(id_col).alias("id"),
+        F.col("sent_idx").alias("pos"),
+        F.col("sentence").alias("s"),
+    ).withColumn("h", F.md5(F.col("s")))
+    freq = sents.groupBy("h").agg(F.count_distinct("id").alias("df"))
+    boiler = freq.filter(F.col("df") > max_doc_freq)
+    if broadcast_freq:
+        boiler = F.broadcast(boiler)
+    kept = sents.join(boiler, "h", "left").withColumn(
+        "keep", F.col("df").isNull()
+    )
+    out = (
+        kept.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_sents_in"),
+            F.count(F.when(F.col("keep"), 1)).cast("long").alias(
+                "n_sents_kept"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("pos"), F.col("s")),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .select(
+            F.col("id").alias(id_col), "text", "n_sents_in", "n_sents_kept"
+        )
+    )
+    # sentence-less documents (empty text) never exploded — restore them
+    # with empty output so the corpus row count is preserved
+    missing = df.select(F.col(id_col)).join(
+        out.select(id_col), id_col, "left_anti"
+    ).select(
+        id_col,
+        F.lit("").alias("text"),
+        F.lit(0).cast("long").alias("n_sents_in"),
+        F.lit(0).cast("long").alias("n_sents_kept"),
+    )
+    return out.unionByName(missing)

@@ -1403,3 +1403,28 @@ def test_bitext_url_pairs_star_cap(spark):
     assert bitext_url_pairs(docs, max_group=3).count() == 0
     # cap of 6 admits it
     assert bitext_url_pairs(docs, max_group=6).count() > 0
+
+
+def test_sentence_freq_dedup_planted(spark):
+    from comic_text_detector_spark.operators.curation import (
+        sentence_freq_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Subscribe now. Fact one here. The end."),
+            (2, "Subscribe now. Fact two here. The end."),
+            (3, "Subscribe now. Fact three here. The end."),
+            (4, ""),
+            (5, "Subscribe now. The end."),  # everything boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           sentence_freq_dedup(docs, max_doc_freq=2).collect()}
+    assert got[1].text == "Fact one here."
+    assert got[1].n_sents_in == 3 and got[1].n_sents_kept == 1
+    assert got[2].text == "Fact two here."
+    assert got[4].text == "" and got[4].n_sents_in == 0  # row preserved
+    assert got[5].text == "" and got[5].n_sents_kept == 0
+    assert len(got) == 5
