@@ -86,7 +86,14 @@ def count_min_sketch(
     the IDENTICAL sketch — deterministic, partitioning-independent.
     Build cost: one explode (×depth) + one map-side-combinable groupBy;
     at scale the depth fan-out happens inside the shuffle write, and the
-    finished sketch is broadcast-sized for estimate joins."""
+    finished sketch is broadcast-sized for estimate joins.
+
+    STREAMING: pass a streaming DataFrame and this same function IS the
+    cross-batch heavy-hitter operator — the sketch is a plain streaming
+    aggregation (groupBy cells), so Structured Streaming's state store
+    accumulates it across micro-batches with no custom state code
+    (complete/update output; asserted batch≡streaming in
+    tests/test_stateful_streaming.py)."""
     from .dedup import md5_long
 
     if depth < 1 or width < 1:
