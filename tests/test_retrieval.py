@@ -245,3 +245,56 @@ def test_positional_index_phrase_matches_direct(spark):
     assert via == direct
     assert direct[1][2] == 2   # two adjacent occurrences
     assert direct[2][2] == 0   # present but never adjacent
+
+
+def test_index_job_end_to_end(spark, tmp_path):
+    """jobs/index_job.py writes all four artifacts: sorted CDX, pruned
+    BM25 index, the host link graph, pagerank + trustrank ranks; a
+    query through the materialized index finds the planted doc."""
+    from pyspark.sql import functions as F
+
+    from jobs import index_job
+
+    docs = spark.createDataFrame(
+        [
+            ("https://a.com/1", "2024-01-01 00:00:00",
+             "needle in the haystack",
+             '<a href="https://b.com/x">b</a>'),
+            ("https://b.com/x", "2024-01-02 00:00:00",
+             "plain words only",
+             '<a href="https://a.com/1">a</a>'),
+            ("https://spam.biz/z", "2024-01-03 00:00:00",
+             "needle needle needle",
+             '<a href="https://spam.biz/z2">s</a>'),
+        ],
+        "url string, warc_ts string, text string, html string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    inp, out, seeds = (str(tmp_path / d) for d in ("in", "out", "seeds"))
+    docs.write.parquet(inp)
+    spark.createDataFrame([("a.com",)], "node string").write.parquet(seeds)
+    assert index_job.main(
+        ["--input", inp, "--output", out, "--html-col", "html",
+         "--seeds", seeds, "--n-term-buckets", "8"],
+        spark=spark,
+    ) == 0
+    cdx = spark.read.parquet(f"{out}/cdx")
+    assert cdx.count() == 3
+    assert {r.surt for r in cdx.collect()} == {
+        "com,a)/1", "com,b)/x", "biz,spam)/z"
+    }
+    # BM25 through the materialized index surfaces the needle docs
+    from comic_text_detector_spark.operators.retrieval import (
+        bm25_from_index_path,
+    )
+
+    hits = bm25_from_index_path(
+        spark, f"{out}/bm25", ["needle"], id_col="url"
+    ).collect()
+    assert {h.url for h in hits} == {"https://a.com/1", "https://spam.biz/z"}
+    pr = {r.node: r.rank for r in
+          spark.read.parquet(f"{out}/pagerank").collect()}
+    assert pr["a.com"] > 0 and pr["b.com"] > 0
+    tr = {r.node: r.rank for r in
+          spark.read.parquet(f"{out}/trustrank").collect()}
+    assert tr["b.com"] > 0      # reachable from the a.com seed
+    assert tr["spam.biz"] == 0  # the spam island holds zero trust
