@@ -2935,6 +2935,47 @@ _CANONICAL_DEDUP_ORACLE = (
 )
 
 
+def _q_percent_normalize(spark, sf_dir):
+    """RFC 3986 percent-encoding normalization (operators/curation.py::
+    percent_normalize): unreserved escapes decode, reserved escapes
+    uppercase, malformed '%' stays byte-for-byte. The oracle replays
+    the identical split/transform/rejoin in DuckDB (list slicing +
+    chr)."""
+    from comic_text_detector_spark.operators.curation import (
+        percent_normalize,
+    )
+
+    i = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (i % 9).cast("string"), F.lit("/p%4"),
+            (1 + i % 9).cast("string"), F.lit("%2fq%3a%7E/"),
+            i.cast("string"), F.lit("?x=%zz%"),
+        ).alias("url"),
+    )
+    return docs.select(
+        "doc_id", percent_normalize(F.col("url")).alias("norm_url")
+    )
+
+
+_PERCENT_NORMALIZE_ORACLE = (
+    "WITH d AS (SELECT doc_id, 'https://h' || (doc_id % 9)::VARCHAR ||"
+    " '/p%4' || (1 + doc_id % 9)::VARCHAR || '%2fq%3a%7E/' ||"
+    " doc_id::VARCHAR || '?x=%zz%' AS url FROM documents), "
+    "s AS (SELECT doc_id, string_split(url, '%') AS parts FROM d) "
+    "SELECT doc_id, parts[1] || array_to_string("
+    " [CASE WHEN regexp_matches(p, '^[0-9a-fA-F]{2}') THEN"
+    "   CASE WHEN (('0x' || upper(p[1:2]))::INT BETWEEN 48 AND 57)"
+    "     OR (('0x' || upper(p[1:2]))::INT BETWEEN 65 AND 90)"
+    "     OR (('0x' || upper(p[1:2]))::INT BETWEEN 97 AND 122)"
+    "     OR (('0x' || upper(p[1:2]))::INT IN (45, 46, 95, 126))"
+    "   THEN chr(('0x' || upper(p[1:2]))::INT) || p[3:]"
+    "   ELSE '%' || upper(p[1:2]) || p[3:] END"
+    "  ELSE '%' || p END FOR p IN parts[2:]], '') AS norm_url FROM s"
+)
+
+
 def _q_sentence_dedup(spark, sf_dir):
     """Sentence-granular boilerplate removal (operators/curation.py::
     sentence_freq_dedup): the subscribe-prompt sentence shared by every
@@ -4370,6 +4411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_url_pairs": _q_bitext_pairs,
         "zipf_report": _q_zipf_report,
         "sentence_freq_dedup": _q_sentence_dedup,
+        "percent_normalize": _q_percent_normalize,
         "refetch_candidates": _q_refetch_candidates,
         "pagerank_hosts": _q_pagerank_hosts,
         "trustrank_hosts": _q_trustrank_hosts,
@@ -5791,6 +5833,7 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["zipf_report_sql"],
         ).zipf_report_sql(),
         "sentence_freq_dedup": _SENTENCE_DEDUP_ORACLE,
+        "percent_normalize": _PERCENT_NORMALIZE_ORACLE,
         "refetch_candidates": (
             "WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id < 40)"
             " SELECT 'https://h' || CAST(i AS VARCHAR) || '/p0' AS url,"

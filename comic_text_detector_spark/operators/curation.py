@@ -1738,3 +1738,48 @@ def sentence_freq_dedup(
         F.lit(0).cast("long").alias("n_sents_kept"),
     )
     return out.unionByName(missing)
+
+
+def percent_normalize(url: Column) -> Column:
+    """RFC 3986 §2.3/§6.2.2 percent-encoding normalization — the URL
+    equivalence class ``normalize_url`` deliberately left out: decode
+    ``%XX`` when XX encodes an UNRESERVED character (ALPHA / DIGIT /
+    '-' '.' '_' '~'), uppercase the hex digits of every other escape
+    ('%3a' ≡ '%3A'), and leave malformed '%' sequences byte-for-byte
+    (drop-not-fake: a broken escape is content, not encoding). Two urls
+    that differ only by these rules identify the same resource, so
+    exact-dedup keys should pass through this BEFORE hashing.
+
+    Pure column exprs: split on '%', one ``transform`` over the tail
+    parts (hex parse via conv, char() for the decode), re-join — no
+    UDF, no recursion, replayable in DuckDB with list_transform +
+    chr()."""
+    parts = F.split(url, "%", -1)
+    n = F.size(parts)
+
+    def fix(p: Column) -> Column:
+        hx = F.upper(F.substring(p, 1, 2))
+        valid = p.rlike("^[0-9a-fA-F]{2}")
+        code = F.conv(hx, 16, 10).cast("int")
+        unreserved = (
+            code.between(48, 57)
+            | code.between(65, 90)
+            | code.between(97, 122)
+            | code.isin(45, 46, 95, 126)
+        )
+        return (
+            F.when(
+                valid & unreserved,
+                F.concat(F.char(code), F.substring(p, 3, 1 << 20)),
+            )
+            .when(
+                valid,
+                F.concat(F.lit("%"), hx, F.substring(p, 3, 1 << 20)),
+            )
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    tail = F.transform(F.slice(parts, 2, F.greatest(n - 1, F.lit(0))), fix)
+    return F.concat(
+        F.element_at(parts, 1), F.array_join(tail, "")
+    )

@@ -1428,3 +1428,25 @@ def test_sentence_freq_dedup_planted(spark):
     assert got[4].text == "" and got[4].n_sents_in == 0  # row preserved
     assert got[5].text == "" and got[5].n_sents_kept == 0
     assert len(got) == 5
+
+
+def test_percent_normalize_rfc3986(spark):
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.operators.curation import (
+        percent_normalize,
+    )
+
+    cases = {
+        "https://h/p%41%2fq%3a%7E?x=%zz%": "https://h/pA%2Fq%3A~?x=%zz%",
+        "no-escapes": "no-escapes",
+        "%": "%",
+        "a%%41b": "a%Ab",
+        "%2D%2e%5F%7e": "-._~",       # the four unreserved punctuation
+        "%20%2B": "%20%2B",           # space/plus stay encoded, upper
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = {r.url: r.n for r in df.select(
+        "url", percent_normalize(F.col("url")).alias("n")).collect()}
+    for k, want in cases.items():
+        assert got[k] == want, (k, got[k], want)
