@@ -3436,6 +3436,46 @@ def _q_lm_score_trigram(spark, sf_dir):
     return lm_score_trigram(docs, uni, big, tri)
 
 
+def _q_lm_outlier_spans(spark, sf_dir):
+    """LM quality LOCALIZATION (operators/lm.py::lm_outlier_spans): a
+    run of five OOV tokens appended to every fluent doc collapses the
+    trailing-window mean below the floor once the window is OOV-
+    dominated — the flagged run coalesces into one span per doc. The
+    rolling decision is pure bigint comparison, so the DuckDB twin
+    replays every span boundary exactly."""
+    from comic_text_detector_spark.operators.lm import (
+        lm_outlier_spans,
+        train_bigram_lm,
+    )
+
+    i = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    uni, big = train_bigram_lm(docs)
+    s = lambda c: c.cast("string")  # noqa: E731
+    mod = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" qza"), s(i), F.lit(" qzb"), s(i),
+            F.lit(" qzc"), s(i), F.lit(" qzd"), s(i), F.lit(" qze"), s(i),
+        ).alias("text"),
+    )
+    return lm_outlier_spans(mod, uni, big, window=5, min_mean_milli=-3500)
+
+
+def _lm_outlier_spans_oracle() -> str:
+    from comic_text_detector_spark.operators.lm import lm_outlier_spans_sql
+
+    corpus = (
+        "(SELECT doc_id, text || ' qza' || doc_id::VARCHAR ||"
+        " ' qzb' || doc_id::VARCHAR || ' qzc' || doc_id::VARCHAR ||"
+        " ' qzd' || doc_id::VARCHAR || ' qze' || doc_id::VARCHAR"
+        " AS text FROM documents) mc"
+    )
+    return lm_outlier_spans_sql(
+        corpus=corpus, reference="documents", window=5, min_mean_milli=-3500
+    )
+
+
 def _q_ccnet_tiers(spark, sf_dir):
     """CCNet tier extraction proper (operators/lm.py::ccnet_tiers,
     Wenzek et al. 2020 §4.3): per-language head/middle/tail tiers cut at
@@ -4388,6 +4428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u8_label_maps": _q_u8_label_maps,
         "lm_score_docs": _q_lm_score,
         "lm_score_trigram_docs": _q_lm_score_trigram,
+        "lm_outlier_spans": _q_lm_outlier_spans,
         "ccnet_tiers": _q_ccnet_tiers,
         "bm25_docs": _q_bm25,
         "bm25_phrase": _q_bm25_phrase,
@@ -4857,6 +4898,7 @@ def oracle_sql() -> dict[str, str]:
             "comic_text_detector_spark.operators.lm",
             fromlist=["lm_score_trigram_sql"],
         ).lm_score_trigram_sql(),
+        "lm_outlier_spans": _lm_outlier_spans_oracle(),
         "ccnet_tiers": (
             "WITH s AS ("
             + __import__(

@@ -78,47 +78,12 @@ def lm_score(
     milli-quantized log10 probability / 1000 (≈ negative perplexity
     exponent; higher is more reference-like). The first token scores by
     unigram probability; wordless documents are absent (no tokens to
-    score — same contract as quality_logit)."""
-    n_total = unigrams.agg(F.sum("c").alias("n")).collect()[0].n
-    if not n_total:
-        raise ValueError("empty language model (no unigram mass)")
-    toks = _tokens(docs, id_col, text_col)
-    from pyspark.sql import Window
-
-    wnd = Window.partitionBy("id").orderBy("pos")
-    pairs = toks.withColumn("prev", F.lag("w").over(wnd))
-    j = (
-        pairs.join(unigrams.withColumnRenamed("c", "cw"), "w", "left")
-        .join(
-            unigrams.select(
-                F.col("w").alias("prev"), F.col("c").alias("cprev")
-            ),
-            "prev",
-            "left",
-        )
-        .join(bigrams, ["prev", "w"], "left")
-    )
-    # first token (no prev) scores by PLAIN unigram probability — the
-    # backoff penalty applies only when falling back FROM a seen context;
-    # OOV words get alpha/N either way (documented choice)
-    p = (
-        F.when(
-            F.col("prev").isNotNull() & F.col("c2").isNotNull(),
-            F.col("c2") / F.col("cprev"),
-        )
-        .when(
-            F.col("prev").isNull() & F.col("cw").isNotNull(),
-            F.col("cw") / F.lit(float(n_total)),
-        )
-        .when(
-            F.col("cw").isNotNull(),
-            F.lit(alpha) * F.col("cw") / F.lit(float(n_total)),
-        )
-        .otherwise(F.lit(alpha) / F.lit(float(n_total)))
-    )
-    milli = F.round(F.log10(p) * 1000.0).cast("long")
+    score — same contract as quality_logit). The per-token backoff
+    ladder lives in ``lm_token_mlp`` — one definition shared with the
+    span localizer, so the two can never drift."""
     return (
-        j.select("id", milli.alias("mlp"))
+        lm_token_mlp(docs, unigrams, bigrams, id_col, text_col, alpha)
+        .select("id", "mlp")
         .groupBy("id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
@@ -453,4 +418,176 @@ def lm_score_trigram_sql(
         " sum(mlp) AS sum_milli_lp,"
         " sum(mlp) / (count(*) * 1000.0) AS score"
         " FROM scored GROUP BY id"
+    )
+
+
+def lm_token_mlp(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """(id, pos, w, mlp): the per-token milli-quantized log10
+    probability stream behind ``lm_score`` — exposed so span-level
+    consumers (``lm_outlier_spans``) and the document aggregate share
+    one definition. Same backoff ladder and exactness contract."""
+    n_total = unigrams.agg(F.sum("c").alias("n")).collect()[0].n
+    if not n_total:
+        raise ValueError("empty language model (no unigram mass)")
+    toks = _tokens(docs, id_col, text_col)
+    wnd = Window.partitionBy("id").orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("w").over(wnd))
+    j = (
+        pairs.join(unigrams.withColumnRenamed("c", "cw"), "w", "left")
+        .join(
+            unigrams.select(
+                F.col("w").alias("prev"), F.col("c").alias("cprev")
+            ),
+            "prev",
+            "left",
+        )
+        .join(bigrams, ["prev", "w"], "left")
+    )
+    p = (
+        F.when(
+            F.col("prev").isNotNull() & F.col("c2").isNotNull(),
+            F.col("c2") / F.col("cprev"),
+        )
+        .when(
+            F.col("prev").isNull() & F.col("cw").isNotNull(),
+            F.col("cw") / F.lit(float(n_total)),
+        )
+        .when(
+            F.col("cw").isNotNull(),
+            F.lit(alpha) * F.col("cw") / F.lit(float(n_total)),
+        )
+        .otherwise(F.lit(alpha) / F.lit(float(n_total)))
+    )
+    return j.select(
+        "id", "pos", "w",
+        F.round(F.log10(p) * 1000.0).cast("long").alias("mlp"),
+    )
+
+
+def lm_outlier_spans(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_mean_milli: int = -3500,
+    alpha: float = ALPHA,
+) -> DataFrame:
+    """Quality LOCALIZATION, not just scoring: flag the token runs where
+    the LM probability collapses (lorem-ipsum blocks, base64 blobs, SEO
+    keyword sludge inside otherwise-fluent pages) so the caller can cut
+    spans instead of dropping whole documents. A token is flagged when
+    the trailing ``window``-token mean milli-log-prob falls below
+    ``min_mean_milli``; maximal runs of flagged tokens coalesce into
+    spans → (id, start_pos, end_pos, n_tokens, min_mlp).
+
+    Exactness: the rolling decision compares ``sum(mlp) <
+    min_mean_milli * count`` — bigint arithmetic only, no float mean, so
+    the DuckDB twin (``lm_outlier_spans_sql``) replays spans exactly.
+    One window pass + one islands groupBy over the token stream; the
+    model joins are the audited lm_score shape."""
+    mlp = lm_token_mlp(docs, unigrams, bigrams, id_col, text_col, alpha)
+    wnd = Window.partitionBy("id").orderBy("pos")
+    roll = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        -(window - 1), 0
+    )
+    t = (
+        mlp.withColumn("rn", F.row_number().over(wnd))
+        .withColumn("wsum", F.sum("mlp").over(roll))
+        .withColumn("wcnt", F.count("*").over(roll))
+        .withColumn(
+            "flag",
+            F.col("wsum") < F.lit(int(min_mean_milli)) * F.col("wcnt"),
+        )
+    )
+    flagged = t.filter(F.col("flag")).withColumn(
+        "grp",
+        F.col("rn")
+        - F.row_number().over(Window.partitionBy("id").orderBy("rn")),
+    )
+    return (
+        flagged.groupBy("id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            F.max("pos").cast("long").alias("end_pos"),
+            F.count("*").cast("long").alias("n_tokens"),
+            F.min("mlp").alias("min_mlp"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "start_pos", "end_pos", "n_tokens", "min_mlp",
+        )
+    )
+
+
+def lm_outlier_spans_sql(
+    corpus: str = "documents",
+    reference: str = "documents",
+    id_col: str = "doc_id",
+    window: int = 5,
+    min_mean_milli: int = -3500,
+    alpha: float = ALPHA,
+) -> str:
+    """Oracle twin: the lm_score_sql training/backoff chain rebuilt at
+    TOKEN grain (pos kept), then trailing-window bigint sums, the
+    integer flag comparison, and islands via the row_number diff."""
+    w = window
+    return (
+        "WITH rt AS (SELECT t.w FROM ("
+        f"SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w"
+        f" FROM {reference}) t WHERE t.w <> ''), "
+        "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM rt"
+        " GROUP BY w), "
+        "nt AS (SELECT sum(c) AS n FROM uni), "
+        "rp AS (SELECT "
+        f" {id_col} AS id, generate_subscripts(ws, 1) AS pos, unnest(ws)"
+        f" AS w FROM (SELECT {id_col},"
+        f" string_split(coalesce(text, ''), ' ') AS ws FROM {reference})), "
+        "rp2 AS (SELECT id, pos, w FROM rp WHERE w <> ''), "
+        "big AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS c2 FROM ("
+        " SELECT lag(w) OVER (PARTITION BY id ORDER BY pos) AS prev, w"
+        " FROM rp2) WHERE prev IS NOT NULL GROUP BY prev, w), "
+        "cp AS (SELECT "
+        f" {id_col} AS id, generate_subscripts(ws, 1) - 1 AS pos,"
+        f" unnest(ws) AS w FROM (SELECT {id_col},"
+        f" string_split(coalesce(text, ''), ' ') AS ws FROM {corpus})), "
+        "cp2 AS (SELECT id, pos, w,"
+        " lag(w) OVER (PARTITION BY id ORDER BY pos) AS prev"
+        " FROM (SELECT * FROM cp WHERE w <> '')), "
+        "tok AS (SELECT cp2.id, cp2.pos,"
+        " CAST(round(log10(CASE"
+        "  WHEN cp2.prev IS NOT NULL AND b.c2 IS NOT NULL"
+        "   THEN b.c2 / CAST(up.c AS DOUBLE)"
+        "  WHEN cp2.prev IS NULL AND uw.c IS NOT NULL"
+        "   THEN uw.c / CAST((SELECT n FROM nt) AS DOUBLE)"
+        f"  WHEN uw.c IS NOT NULL THEN {alpha} * uw.c /"
+        "   CAST((SELECT n FROM nt) AS DOUBLE)"
+        f"  ELSE {alpha} / CAST((SELECT n FROM nt) AS DOUBLE) END"
+        " ) * 1000.0) AS BIGINT) AS mlp"
+        " FROM cp2"
+        " LEFT JOIN uni uw ON uw.w = cp2.w"
+        " LEFT JOIN uni up ON up.w = cp2.prev"
+        " LEFT JOIN big b ON b.prev = cp2.prev AND b.w = cp2.w), "
+        "roll AS (SELECT id, pos, mlp,"
+        " row_number() OVER (PARTITION BY id ORDER BY pos) AS rn,"
+        " sum(mlp) OVER (PARTITION BY id ORDER BY pos"
+        f" ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS wsum,"
+        " count(*) OVER (PARTITION BY id ORDER BY pos"
+        f" ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS wcnt"
+        " FROM tok), "
+        "fl AS (SELECT *, rn - row_number() OVER"
+        " (PARTITION BY id ORDER BY rn) AS grp FROM roll"
+        f" WHERE wsum < {min_mean_milli} * wcnt) "
+        f"SELECT id AS {id_col}, CAST(min(pos) AS BIGINT) AS start_pos,"
+        " CAST(max(pos) AS BIGINT) AS end_pos,"
+        " CAST(count(*) AS BIGINT) AS n_tokens, min(mlp) AS min_mlp"
+        " FROM fl GROUP BY id, grp"
     )

@@ -270,3 +270,42 @@ def test_trigram_fluent_beats_garbage(spark):
     )
     s = {r.doc_id: r.score for r in lm_score_trigram(docs, uni, big, tri).collect()}
     assert s["good"] > s["bad"]
+
+
+def test_lm_outlier_spans_planted(spark):
+    """A fluent sentence with a gibberish run in the middle: the span
+    localizer flags exactly the OOV-dominated window region and reports
+    one island whose bounds cover the gibberish tokens."""
+    from comic_text_detector_spark.operators.lm import (
+        lm_outlier_spans,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and ran to the house")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    uni, big = train_bigram_lm(ref)
+    doc = spark.createDataFrame(
+        [(1, "the cat sat qq1 qq2 qq3 qq4 qq5 on the mat"),
+         (2, "the cat sat on the mat")],
+        "doc_id long, text string",
+    )
+    import math
+
+    # N = 55 reference tokens; an OOV token scores round(log10(.4/55)e3)
+    oov = round(math.log10(0.4 / 55) * 1000.0)
+    spans = lm_outlier_spans(
+        doc, uni, big, window=3, min_mean_milli=-2000
+    ).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc  # fully fluent doc: no spans
+    assert len(by_doc[1]) == 1
+    s = by_doc[1][0]
+    # gibberish at pos 3..7; the trailing 3-window is all-OOV (and only
+    # then below the floor) at positions 5..7 exactly
+    assert (s.start_pos, s.end_pos, s.n_tokens) == (5, 7, 3)
+    assert s.min_mlp == oov
