@@ -92,12 +92,28 @@ META_ROBOTS_B = '(?i)<meta ([^>]* )?content="([^">]*)"[^>]* name="robots"'
 BASE_HREF = '(?i)<base ([^>]* )?href="([^">]*)"'
 
 
-def _decode_entities(col: Column) -> Column:
-    # &amp; decodes LAST (same ordering rationale as extract_links)
+def decode_entities(col: Column) -> Column:
+    """&apos;/&amp; entity decode, &amp; LAST (same ordering rationale
+    as extract_links). THE one definition — the feed parser
+    (operators/curation.py::parse_feed) imports this too, so link
+    normalization cannot diverge between the two parsers."""
     return F.replace(
         F.replace(col, F.lit("&apos;"), F.lit("'")),
         F.lit("&amp;"), F.lit("&"),
     )
+
+
+_decode_entities = decode_entities  # established internal alias
+
+
+def host_of(url: Column, strip_port: bool = False) -> Column:
+    """Lowercased host of a url — THE shared extraction (blocklist
+    verdicts, link-graph node identity) so host definitions cannot
+    drift per call site. ``strip_port`` drops an explicit :port —
+    blocklists and graph node ids are portless by convention; keep the
+    port only when distinguishing vhost deployments matters."""
+    h = F.lower(F.regexp_extract(url, r"^[a-zA-Z]+://([^/?#]+)", 1))
+    return F.regexp_replace(h, r":\d+$", "") if strip_port else h
 
 
 def page_directives(
@@ -156,23 +172,41 @@ def canonical_dedup(
     ts_col: str | None = None,
 ) -> DataFrame:
     """Canonicalization-based crawl dedup: pages sharing a canonical
-    target collapse to one group (group key = canonical_url when
-    declared, else the page's own url) and ONE representative survives —
-    the earliest capture when ``ts_col`` is given (ties → lexicographic
-    url), else the lexicographically-smallest url. Returns (url,
-    canonical_group, is_representative).
+    target collapse to one group and ONE representative capture survives
+    — the earliest capture when ``ts_col`` is given (ties →
+    lexicographic url), else the lexicographically-smallest url.
+    Returns (url, canonical_group, is_representative).
+
+    Group key resolution: an ABSOLUTE canonical is used as declared; a
+    ROOT-RELATIVE canonical (href="/index.html" — extremely common)
+    resolves against the page's own scheme+host (two different hosts
+    declaring "/index.html" must NOT collapse into one group); any
+    other relative form falls back to the page's own url
+    (drop-not-fake: without base resolution we must not guess an
+    identity).
 
     One shuffle on the group key (min-struct aggregate with map-side
-    combine, then a broadcast-sized join BACK is avoided by a window-free
-    self-aggregate: the min struct is joined on the group key — at crawl
-    scale group fan-in is tiny, the join is shuffle-colocated with the
-    aggregate). noindex pages should be filtered BEFORE grouping (an
-    unindexable page must not become a group representative)."""
+    combine; group fan-in is tiny at crawl scale, the join back is
+    shuffle-colocated with the aggregate). The representative test
+    compares the FULL (ts, url) key, so of several captures of the
+    winning url only the earliest one is marked. noindex pages should
+    be filtered BEFORE grouping (an unindexable page must not become a
+    group representative)."""
+    canon = F.col("canonical_url")
+    own = F.col(url_col)
+    scheme_host = F.regexp_extract(own, r"^([a-zA-Z]+://[^/?#]+)", 1)
+    resolved = (
+        F.when(canon.isNull(), own)
+        .when(canon.rlike("^[a-zA-Z]+://"), canon)
+        .when(
+            canon.startswith("/") & (scheme_host != ""),
+            F.concat(scheme_host, canon),
+        )
+        .otherwise(own)
+    )
     g = directives.select(
         F.col(url_col).alias("url"),
-        F.coalesce(F.col("canonical_url"), F.col(url_col)).alias(
-            "canonical_group"
-        ),
+        resolved.alias("canonical_group"),
         *([F.col(ts_col).alias("__ts")] if ts_col else []),
     )
     key = (
@@ -182,10 +216,11 @@ def canonical_dedup(
     )
     reps = g.groupBy("canonical_group").agg(F.min(key).alias("k"))
     return (
-        g.join(reps, "canonical_group")
+        g.withColumn("__key", key)
+        .join(reps, "canonical_group")
         .select(
             "url",
             "canonical_group",
-            (F.col("url") == F.col("k.url")).alias("is_representative"),
+            (F.col("__key") == F.col("k")).alias("is_representative"),
         )
     )

@@ -1411,17 +1411,30 @@ def parse_feed(
                 "block", r"(?s)<pubDate>\s*(.*?)\s*</pubDate>", 1
             )
         else:
-            link = F.regexp_extract(
+            # rel="alternate" (the article link) WINS over self/edit/API
+            # links whatever their order in the entry; only entries with
+            # no alternate fall back to the first href at all
+            alt_a = F.regexp_extract(
+                "block",
+                r'<link ([^>]* )?rel="alternate"[^>]* href="([^">]*)"', 2,
+            )
+            alt_b = F.regexp_extract(
+                "block",
+                r'<link ([^>]* )?href="([^">]*)"[^>]* rel="alternate"', 2,
+            )
+            any_href = F.regexp_extract(
                 "block", r'<link ([^>]* )?href="([^">]*)"', 2
             )
+            link = F.when(alt_a != "", alt_a).when(
+                alt_b != "", alt_b
+            ).otherwise(any_href)
             eid = F.regexp_extract("block", r"(?s)<id>\s*(.*?)\s*</id>", 1)
             pub = F.regexp_extract(
                 "block", r"(?s)<updated>\s*(.*?)\s*</updated>", 1
             )
-        link = F.replace(
-            F.replace(link, F.lit("&apos;"), F.lit("'")),
-            F.lit("&amp;"), F.lit("&"),
-        )
+        from ..functions.links import decode_entities
+
+        link = decode_entities(link)
         r = (
             b.select(
                 "host",
@@ -1482,10 +1495,9 @@ def blocklist_filter(
     host can only match url_prefix patterns whose own host is empty —
     i.e. effectively never; they pass (drop-not-fake: absence of
     evidence)."""
-    host = F.lower(
-        F.regexp_extract(F.col(url_col), r"^[a-zA-Z]+://([^/?#:]+)", 1)
-    )
-    d = docs.withColumn("__host", host)
+    from ..functions.links import host_of
+
+    d = docs.withColumn("__host", host_of(F.col(url_col), strip_port=True))
     bl = blocklist.select(
         F.lower(F.col("pattern")).alias("pattern"),
         F.col("kind").alias("kind"),
@@ -1518,9 +1530,7 @@ def blocklist_filter(
         .select("__u", "category", F.lit(2).alias("prio"))
     )
     # url_prefix kind: route by the pattern's host, then prefix-test
-    pat_host = F.lower(
-        F.regexp_extract(F.col("pattern"), r"^[a-z]+://([^/?#:]+)", 1)
-    )
+    pat_host = host_of(F.col("pattern"), strip_port=True)
     m_pre = (
         d.select("__host", F.col(url_col).alias("__u"))
         .join(
@@ -1570,9 +1580,12 @@ def badword_score(
             F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " ")
         ).alias("w"),
     ).filter(F.col("w") != "")
+    # concatenated public lists repeat words — dedup to max weight, or
+    # the join would duplicate token rows and corrupt even n_tokens
     lex = lexicon.select(
-        F.lower(F.col("word")).alias("w"), F.col("weight").cast("long")
-    )
+        F.lower(F.col("word")).alias("w"),
+        F.col("weight").cast("long").alias("weight"),
+    ).groupBy("w").agg(F.max("weight").alias("weight"))
     j = toks.join(F.broadcast(lex), "w", "left")
     return (
         j.groupBy("id")

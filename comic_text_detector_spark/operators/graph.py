@@ -163,14 +163,20 @@ def _pagerank_loop(
     scale: int,
     n_nodes: int,
     stop_when_stable: bool = False,
+    base_col: str | None = None,
 ) -> DataFrame:
-    """The damped-update iteration shared by the batch and incremental
-    entry points: one shuffle per round, localCheckpoint-ed lineage.
+    """The damped-update iteration shared by the batch, incremental AND
+    personalized (trustrank) entry points: one shuffle per round,
+    localCheckpoint-ed lineage. The teleport base is the uniform scalar
+    by default; ``base_col`` names a per-node bigint column on
+    ``nodes`` instead (trustrank: seed-restricted teleport) — one loop
+    definition, so checkpoint/arithmetic fixes can never diverge.
     ``stop_when_stable`` breaks early once a round changes no rank (one
     extra scalar count per round — used by convergence-to-fixpoint runs;
     the unrolled-SQL oracles always pin an exact ``n_iter``)."""
     outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     base = (1000 - damping_milli) * scale // (1000 * n_nodes)
+    base_expr = F.col(base_col) if base_col else F.lit(int(base))
     for _ in range(n_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -187,7 +193,7 @@ def _pagerank_loop(
             .select(
                 "node",
                 (
-                    F.lit(int(base))
+                    base_expr
                     + F.floor(
                         F.lit(damping_milli)
                         * F.coalesce(F.col("s"), F.lit(0))
@@ -690,38 +696,19 @@ def trustrank(
         raise ValueError("no seed node appears in the graph")
     init = scale // n_seeds
     base = (1000 - damping_milli) * scale // (1000 * n_seeds)
-    outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    nodes = nodes.select(
+        "node",
+        (F.col("is_seed") * F.lit(int(base))).cast("long").alias("base"),
+        "is_seed",
+    ).localCheckpoint()
     ranks = nodes.select(
         "node",
         (F.col("is_seed") * F.lit(int(init))).cast("long").alias("rank"),
     ).localCheckpoint()
-    for _ in range(n_iter):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.floor(F.col("rank") / F.col("deg")).cast("long").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.col("is_seed") * F.lit(int(base))
-                    + F.floor(
-                        F.lit(damping_milli)
-                        * F.coalesce(F.col("s"), F.lit(0))
-                        / F.lit(1000)
-                    )
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint()
-        )
-    return ranks
+    return _pagerank_loop(
+        e, nodes, ranks, n_iter, damping_milli, scale, n_seeds,
+        base_col="base",
+    ).select("node", "rank")
 
 
 def trustrank_sql(

@@ -533,10 +533,17 @@ def cdx_lines(
     from ..operators.curation import surt_key
 
     url = F.col(url_col)
+    # JSON string escaping for the one free-form field (backslash FIRST,
+    # then quote) — a crawl url containing '"' must round-trip through
+    # parse_cdx, not poison the line
+    url_json = F.replace(
+        F.replace(url, F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'), F.lit('\\"'),
+    )
     payload = F.coalesce(F.col(payload_col).cast("string"), F.lit(""))
     ts14 = F.date_format(F.col(ts_col), "yyyyMMddHHmmss")
     j = F.concat(
-        F.lit('{"url": "'), url,
+        F.lit('{"url": "'), url_json,
         F.lit('", "mime": "'), F.lit(mime),
         F.lit('", "status": "'), F.lit(str(int(status))),
         F.lit('", "digest": "'), F.md5(payload),

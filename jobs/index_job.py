@@ -93,7 +93,10 @@ def main(argv: list[str], spark=None) -> int:
 
     # 3+4. link graph + ranks (optional: needs page html)
     if args.html_col:
-        from comic_text_detector_spark.functions.links import extract_links
+        from comic_text_detector_spark.functions.links import (
+            extract_links,
+            host_of,
+        )
         from comic_text_detector_spark.operators.graph import (
             pagerank,
             trustrank,
@@ -102,13 +105,15 @@ def main(argv: list[str], spark=None) -> int:
         links = extract_links(
             docs, url_col=args.url_col, html_col=args.html_col
         )
-        src_host = F.regexp_extract(
-            F.col("src_url"), r"^[a-zA-Z]+://([^/?#:]+)", 1
-        )
+        # node identity = portless lowercased host on BOTH edge ends
+        # (host_of is the one shared definition) — otherwise a :8080
+        # deployment splits into two graph nodes and trust never flows
         edges = (
             links.select(
-                F.lower(src_host).alias("src"),
-                F.lower(F.col("dst_host")).alias("dst"),
+                host_of(F.col("src_url"), strip_port=True).alias("src"),
+                F.regexp_replace(
+                    F.lower(F.col("dst_host")), r":\d+$", ""
+                ).alias("dst"),
             )
             .filter((F.col("src") != "") & (F.col("dst") != ""))
             .groupBy("src", "dst")

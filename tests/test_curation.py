@@ -1450,3 +1450,45 @@ def test_percent_normalize_rfc3986(spark):
         "url", percent_normalize(F.col("url")).alias("n")).collect()}
     for k, want in cases.items():
         assert got[k] == want, (k, got[k], want)
+
+
+def test_parse_feed_atom_alternate_link_priority(spark):
+    """An Atom entry listing self/edit links BEFORE the alternate link
+    must still yield the article url; entries with no alternate fall
+    back to the first href."""
+    from comic_text_detector_spark.operators.curation import parse_feed
+
+    atom = (
+        "<feed><entry><title>A</title>"
+        '<link rel="edit" href="https://api.example/e/1"/>'
+        '<link rel="self" href="https://api.example/s/1"/>'
+        '<link rel="alternate" href="https://blog.example/post1"/>'
+        "<id>t:1</id></entry>"
+        "<entry><title>B</title>"
+        '<link href="https://blog.example/post2" rel="alternate"/>'
+        "</entry>"
+        "<entry><title>C</title>"
+        '<link href="https://plain.example/only"/>'
+        "</entry></feed>"
+    )
+    df = spark.createDataFrame([("h", atom)], "host string, feed_xml string")
+    got = {r.title: r.link for r in parse_feed(df).collect()}
+    assert got["A"] == "https://blog.example/post1"
+    assert got["B"] == "https://blog.example/post2"
+    assert got["C"] == "https://plain.example/only"
+
+
+def test_badword_score_duplicate_lexicon_rows(spark):
+    """A word listed twice (concatenated public lists) must not inflate
+    token counts; the max weight wins."""
+    from comic_text_detector_spark.operators.curation import badword_score
+
+    docs = spark.createDataFrame(
+        [(1, "bad word")], "doc_id long, text string"
+    )
+    lex = spark.createDataFrame(
+        [("bad", 1), ("bad", 5)], "word string, weight long"
+    )
+    r = badword_score(docs, lex).collect()[0]
+    assert r.n_tokens == 2 and r.n_bad == 1 and r.bad_weight == 5
+    assert r.bad_frac == 0.5

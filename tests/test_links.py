@@ -166,3 +166,46 @@ def test_canonical_dedup_earliest_capture_wins(spark):
     got = {r.url: r.is_representative
            for r in canonical_dedup(d, ts_col="warc_ts").collect()}
     assert got["https://a/z"] and not got["https://a/a"]  # earliest ts wins
+
+
+def test_canonical_dedup_relative_canonicals_resolve_per_host(spark):
+    """Root-relative canonicals resolve against the page's own host —
+    two hosts declaring '/index.html' must NOT collapse; non-root
+    relative forms fall back to the page's own url."""
+    from comic_text_detector_spark.functions.links import canonical_dedup
+
+    d = spark.createDataFrame(
+        [
+            ("https://a.com/x", "/index.html", None),
+            ("https://b.com/y", "/index.html", None),
+            ("https://a.com/z", "../rel.html", None),  # unresolvable
+        ],
+        "url string, canonical_url string, base_href string",
+    )
+    got = {r.url: r for r in canonical_dedup(d).collect()}
+    assert got["https://a.com/x"].canonical_group == "https://a.com/index.html"
+    assert got["https://b.com/y"].canonical_group == "https://b.com/index.html"
+    assert got["https://a.com/x"].is_representative
+    assert got["https://b.com/y"].is_representative  # different groups
+    assert got["https://a.com/z"].canonical_group == "https://a.com/z"
+
+
+def test_canonical_dedup_multiple_captures_one_representative(spark):
+    """Two captures of the SAME winning url: only the earliest capture
+    row is the representative (full-key comparison, not url-only)."""
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.functions.links import canonical_dedup
+
+    d = spark.createDataFrame(
+        [
+            ("https://a/u1", "https://a/c", "2024-01-01 00:00:00"),
+            ("https://a/u1", "https://a/c", "2024-02-01 00:00:00"),
+            ("https://a/u2", "https://a/c", "2024-03-01 00:00:00"),
+        ],
+        "url string, canonical_url string, warc_ts string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    rows = canonical_dedup(d, ts_col="warc_ts").collect()
+    reps = [r for r in rows if r.is_representative]
+    assert len(rows) == 3 and len(reps) == 1
+    assert reps[0].url == "https://a/u1"

@@ -259,7 +259,8 @@ def test_index_job_end_to_end(spark, tmp_path):
         [
             ("https://a.com/1", "2024-01-01 00:00:00",
              "needle in the haystack",
-             '<a href="https://b.com/x">b</a>'),
+             '<a href="https://b.com:8080/x">b</a>'),  # port must not
+             # split b.com into a second graph node
             ("https://b.com/x", "2024-01-02 00:00:00",
              "plain words only",
              '<a href="https://a.com/1">a</a>'),

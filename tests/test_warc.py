@@ -298,3 +298,18 @@ def test_cdx_sorted_index_is_domain_contiguous(spark):
     in_dom = [s.startswith("org,example") for s in surts]
     first, last = in_dom.index(True), len(in_dom) - 1 - in_dom[::-1].index(True)
     assert all(in_dom[first:last + 1])
+
+
+def test_cdx_url_with_quote_roundtrips(spark):
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.sources.warc import cdx_lines, parse_cdx
+
+    url = 'https://h/p?q="x"\\y'
+    docs = spark.createDataFrame(
+        [(url, "2024-01-01 00:00:00", "t")],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    parsed = parse_cdx(cdx_lines(docs)).collect()[0]
+    assert parsed.url == url  # escaped on emit, unescaped by the parser
+    assert parsed.length == 1
