@@ -3476,6 +3476,60 @@ def _lm_outlier_spans_oracle() -> str:
     )
 
 
+def _q_cut_lm_outliers(spark, sf_dir):
+    """The localize→cut loop closed (operators/lm.py::lm_outlier_spans
+    → cut_token_spans): the OOV-dominated flagged runs are removed and
+    the survivors reassemble in order. The oracle chains the span
+    oracle as a CTE with the token-surgery replay."""
+    from comic_text_detector_spark.operators.lm import (
+        cut_token_spans,
+        lm_outlier_spans,
+        train_bigram_lm,
+    )
+
+    i = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    uni, big = train_bigram_lm(docs)
+    s = lambda c: c.cast("string")  # noqa: E731
+    mod = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" qza"), s(i), F.lit(" qzb"), s(i),
+            F.lit(" qzc"), s(i), F.lit(" qzd"), s(i), F.lit(" qze"), s(i),
+        ).alias("text"),
+    )
+    spans = lm_outlier_spans(mod, uni, big, window=5, min_mean_milli=-3500)
+    return cut_token_spans(mod, spans)
+
+
+def _cut_lm_outliers_oracle() -> str:
+    sp = _lm_outlier_spans_oracle()
+    corpus = (
+        "(SELECT doc_id, text || ' qza' || doc_id::VARCHAR ||"
+        " ' qzb' || doc_id::VARCHAR || ' qzc' || doc_id::VARCHAR ||"
+        " ' qzd' || doc_id::VARCHAR || ' qze' || doc_id::VARCHAR"
+        " AS text FROM documents) mc2"
+    )
+    return (
+        f"WITH sp AS ({sp}), "
+        "tk AS (SELECT id, pos, w FROM (SELECT doc_id AS id,"
+        " generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS w"
+        f" FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ')"
+        f" AS ws FROM {corpus})) WHERE w <> ''), "
+        "mk AS (SELECT t.id, t.pos, t.w,"
+        " max(CASE WHEN s.doc_id IS NOT NULL AND t.pos BETWEEN"
+        " s.start_pos AND s.end_pos THEN 1 ELSE 0 END) AS cut"
+        " FROM tk t LEFT JOIN sp s ON s.doc_id = t.id"
+        " GROUP BY t.id, t.pos, t.w) "
+        "SELECT id AS doc_id,"
+        " coalesce(string_agg(w, ' ' ORDER BY pos)"
+        " FILTER (WHERE cut = 0), '') AS text,"
+        " CAST(count(*) AS BIGINT) AS n_tokens_in,"
+        " CAST(count(*) FILTER (WHERE cut = 1) AS BIGINT) AS n_tokens_cut"
+        " FROM mk GROUP BY id"
+    )
+
+
 def _q_ccnet_tiers(spark, sf_dir):
     """CCNet tier extraction proper (operators/lm.py::ccnet_tiers,
     Wenzek et al. 2020 §4.3): per-language head/middle/tail tiers cut at
@@ -4429,6 +4483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs": _q_lm_score,
         "lm_score_trigram_docs": _q_lm_score_trigram,
         "lm_outlier_spans": _q_lm_outlier_spans,
+        "cut_lm_outliers": _q_cut_lm_outliers,
         "ccnet_tiers": _q_ccnet_tiers,
         "bm25_docs": _q_bm25,
         "bm25_phrase": _q_bm25_phrase,
@@ -4899,6 +4954,7 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["lm_score_trigram_sql"],
         ).lm_score_trigram_sql(),
         "lm_outlier_spans": _lm_outlier_spans_oracle(),
+        "cut_lm_outliers": _cut_lm_outliers_oracle(),
         "ccnet_tiers": (
             "WITH s AS ("
             + __import__(

@@ -591,3 +591,68 @@ def lm_outlier_spans_sql(
         " CAST(count(*) AS BIGINT) AS n_tokens, min(mlp) AS min_mlp"
         " FROM fl GROUP BY id, grp"
     )
+
+
+def cut_token_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply ``lm_outlier_spans`` verdicts: remove the flagged token
+    ranges from each document and reassemble the survivors in order →
+    (id, text, n_tokens_in, n_tokens_cut). The whitespace-token analog
+    of curation.cut_spans' char-offset surgery (use that one when byte
+    offsets must be preserved; this one is the fast path for
+    whitespace-tokenized corpora — inter-token whitespace normalizes to
+    one space).
+
+    Shape: token explode → range join against the doc's own spans
+    (span counts per doc are tiny, and the join key is the doc id, so
+    the fan-out is |tokens| × |spans-of-that-doc| — bounded, colocated)
+    → ordered reassembly groupBy. Docs with no spans pass through
+    unchanged (modulo whitespace normalization); docs absent from
+    ``spans`` are never touched by the join's filter."""
+    toks = _tokens(docs, id_col, text_col)
+    sp = spans.select(
+        F.col(id_col).alias("id"),
+        F.col("start_pos").alias("s"),
+        F.col("end_pos").alias("e"),
+    )
+    marked = (
+        toks.join(sp, "id", "left")
+        .withColumn(
+            "cut",
+            F.col("s").isNotNull()
+            & F.col("pos").between(F.col("s"), F.col("e")),
+        )
+        .groupBy("id", "pos", "w")
+        .agg(F.max("cut").alias("cut"))
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens_in"),
+            F.count(F.when(F.col("cut"), 1)).cast("long").alias(
+                "n_tokens_cut"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("cut"),
+                                F.struct(F.col("pos"), F.col("w")),
+                            )
+                        )
+                    ),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .select(
+            F.col("id").alias(id_col), "text",
+            "n_tokens_in", "n_tokens_cut",
+        )
+    )

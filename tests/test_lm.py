@@ -309,3 +309,21 @@ def test_lm_outlier_spans_planted(spark):
     # then below the floor) at positions 5..7 exactly
     assert (s.start_pos, s.end_pos, s.n_tokens) == (5, 7, 3)
     assert s.min_mlp == oov
+
+
+def test_cut_token_spans_surgery(spark):
+    from comic_text_detector_spark.operators.lm import cut_token_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z"), (3, "only junk here")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 3), (1, 5, 5), (3, 0, 2)],  # two spans in doc 1; all of 3
+        "doc_id long, start_pos long, end_pos long",
+    )
+    got = {r.doc_id: r for r in cut_token_spans(docs, spans).collect()}
+    assert got[1].text == "a b e"  # c,d and f cut
+    assert got[1].n_tokens_in == 6 and got[1].n_tokens_cut == 3
+    assert got[2].text == "x y z" and got[2].n_tokens_cut == 0
+    assert got[3].text == "" and got[3].n_tokens_cut == 3  # row survives
