@@ -65,3 +65,53 @@ def test_streaming_incremental_checkpoint(spark, tmp_path):
     assert n2 == n1 + more.dropDuplicates(["url"]).count()
     # no url processed twice across the two incremental runs
     assert final.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_session_ops_invariant_to_partitioning(spark):
+    """Round-5 additions must not depend on physical layout: blocklist
+    verdicts, bitext pairs, sentence dedup, CMS estimates, trustrank."""
+    docs = spark.createDataFrame(
+        [
+            (i, f"https://s{i % 3}.d{i % 5}.com/{l}/p{i % 11}", l,
+             f"Common intro line. Fact {i} here. Shared tail s{i % 2}.")
+            for i, l in ((j, ["en", "fr", "de"][j % 3]) for j in range(60))
+        ],
+        "doc_id long, url string, lang string, text string",
+    )
+    bl = spark.createDataFrame(
+        [("d1.com", "domain", "x"), ("s2.d2.com", "host", "y")],
+        "pattern string, kind string, category string",
+    )
+
+    def run_all(d):
+        from comic_text_detector_spark.operators.curation import (
+            bitext_url_pairs,
+            blocklist_filter,
+            sentence_freq_dedup,
+        )
+        from comic_text_detector_spark.operators.graph import trustrank
+        from comic_text_detector_spark.operators.stats import (
+            count_min_estimate,
+            count_min_sketch,
+        )
+
+        out = []
+        out.append(sorted(map(tuple, blocklist_filter(d, bl).select(
+            "doc_id", "block_category", "block_kind").collect())))
+        out.append(sorted(map(tuple, bitext_url_pairs(d).collect())))
+        out.append(sorted(map(tuple, sentence_freq_dedup(d).collect())))
+        sk = count_min_sketch(d, "url", depth=3, width=128)
+        out.append(sorted(map(tuple, count_min_estimate(
+            sk, d, "url", depth=3, width=128).collect())))
+        edges = d.select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+            .alias("src"),
+            F.concat(F.lit("h"), ((F.col("doc_id") * 3 + 1) % 7)
+                     .cast("string")).alias("dst"),
+        )
+        seeds = spark.createDataFrame([("h1",)], "node string")
+        out.append(sorted(map(tuple, trustrank(edges, seeds, n_iter=3)
+                              .collect())))
+        return out
+
+    assert run_all(docs) == run_all(docs.repartition(13))
