@@ -4420,6 +4420,189 @@ def _q_cdc_chunks(spark, sf_dir):
     return cdc_chunks(planted, mod=16, max_words=64)
 
 
+def _page_meta_fixture_df(spark, sf_dir):
+    """Synthetic page-head HTML per url, i%4 variants: full OG block in
+    key-first attribute order (with an entity in the description); a
+    content-first block with twitter card, og:type and published_time;
+    no metadata at all; title + og:description only."""
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    html = (
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit("<title>T"), s(i),
+                F.lit('</title><meta property="og:title" content="OT '),
+                s(i),
+                F.lit('"/><meta property="og:image" content="https://img/h'),
+                s(i % 9),
+                F.lit('.jpg"/><meta name="description" content="D &amp; '),
+                s(i % 7), F.lit('"/>'),
+            ),
+        )
+        .when(
+            i % 4 == 1,
+            F.concat(
+                F.lit('<meta content="OC '), s(i),
+                F.lit('" property="og:title"/><meta content="summary"'
+                      ' name="twitter:card"/><meta property="og:type"'
+                      ' content="article"/><meta'
+                      ' property="article:published_time" content="2024-0'),
+                s(1 + i % 9), F.lit('-01T00:00:00Z"/>'),
+            ),
+        )
+        .when(i % 4 == 2, F.lit("<p>x</p>"))
+        .otherwise(
+            F.concat(
+                F.lit("<title>A &amp; B"), s(i % 5),
+                F.lit('</title><meta property="og:description" content="od '),
+                s(i % 7), F.lit('"/>'),
+            )
+        )
+    )
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://m"), s(i % 20), F.lit("/p"), s(i)).alias(
+            "url"
+        ),
+        html.alias("html"),
+    )
+
+
+def _q_page_meta(spark, sf_dir):
+    """Open Graph / page-head metadata extraction (functions/links.py::
+    page_meta): title, description, og:*, twitter:card, published_time;
+    both attribute orders, entity decode, NULL-when-absent. Oracle
+    predicts every field from the fixture arithmetic."""
+    from comic_text_detector_spark.functions.links import page_meta
+
+    return page_meta(_page_meta_fixture_df(spark, sf_dir))
+
+
+_PAGE_META_ORACLE = (
+    "SELECT 'https://m' || (doc_id % 20)::VARCHAR || '/p' ||"
+    " doc_id::VARCHAR AS url,"
+    " CASE WHEN doc_id % 4 = 0 THEN 'T' || doc_id::VARCHAR"
+    " WHEN doc_id % 4 = 3 THEN 'A & B' || (doc_id % 5)::VARCHAR END"
+    " AS title,"
+    " CASE WHEN doc_id % 4 = 0 THEN 'D & ' || (doc_id % 7)::VARCHAR END"
+    " AS description,"
+    " CASE WHEN doc_id % 4 = 0 THEN 'OT ' || doc_id::VARCHAR"
+    " WHEN doc_id % 4 = 1 THEN 'OC ' || doc_id::VARCHAR END AS og_title,"
+    " CASE WHEN doc_id % 4 = 3 THEN 'od ' || (doc_id % 7)::VARCHAR END"
+    " AS og_description,"
+    " CASE WHEN doc_id % 4 = 0 THEN 'https://img/h' ||"
+    "  (doc_id % 9)::VARCHAR || '.jpg' END AS og_image,"
+    " CASE WHEN doc_id % 4 = 1 THEN 'article' END AS og_type,"
+    " CASE WHEN doc_id % 4 = 1 THEN 'summary' END AS twitter_card,"
+    " CASE WHEN doc_id % 4 = 1 THEN '2024-0' ||"
+    "  (1 + doc_id % 9)::VARCHAR || '-01T00:00:00Z' END AS published_time"
+    " FROM documents"
+)
+
+
+def _tables_fixture_df(spark, sf_dir):
+    """Synthetic page HTML per url, i%3 variants: one 3-row table
+    (header row, a markup-wrapped cell, an empty cell, an entity);
+    two tables (one-cell table then header + trailing-empty-cell
+    table); no table at all."""
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    html = (
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit('<p>pre</p><table class="t"><tr><th>K</th><th>V'),
+                s(i % 5),
+                F.lit("</th></tr><tr><td>a"), s(i % 5),
+                F.lit("</td><td><b>"), s(i % 7),
+                F.lit("</b></td></tr><tr><td></td><td>x &amp; "),
+                s(i % 3), F.lit("</td></tr></table><p>post</p>"),
+            ),
+        )
+        .when(
+            i % 3 == 1,
+            F.concat(
+                F.lit("<table><tr><td>only"), s(i % 4),
+                F.lit("</td></tr></table><span>mid</span>"
+                      "<table><tr><th>h</th></tr><tr><td>z"),
+                s(i % 2), F.lit("</td><td></td></tr></table>"),
+            ),
+        )
+        .otherwise(F.lit("<p>none</p>"))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://t"), s(i % 20), F.lit("/p"), s(i)).alias(
+            "url"
+        ),
+        html.alias("html"),
+    )
+
+
+def _q_extract_tables(spark, sf_dir):
+    """HTML table extraction to relational rows (functions/tables.py::
+    extract_tables): per-table/per-row ordinals, header detection,
+    tag-strip + entity decode in cells, empty cells preserved. Oracle
+    rebuilds the exact row set from the fixture arithmetic."""
+    from comic_text_detector_spark.functions.tables import extract_tables
+
+    return extract_tables(_tables_fixture_df(spark, sf_dir))
+
+
+_EXTRACT_TABLES_ORACLE = (
+    "WITH u AS (SELECT doc_id AS i, 'https://t' ||"
+    " (doc_id % 20)::VARCHAR || '/p' || doc_id::VARCHAR AS url"
+    " FROM documents) "
+    "SELECT url, 0 AS table_idx, 0 AS row_idx, true AS is_header,"
+    " 2 AS n_cells, ['K', 'V' || (i % 5)::VARCHAR] AS cells"
+    " FROM u WHERE i % 3 = 0 "
+    "UNION ALL SELECT url, 0, 1, false, 2,"
+    " ['a' || (i % 5)::VARCHAR, (i % 7)::VARCHAR]"
+    " FROM u WHERE i % 3 = 0 "
+    "UNION ALL SELECT url, 0, 2, false, 2,"
+    " ['', 'x & ' || (i % 3)::VARCHAR] FROM u WHERE i % 3 = 0 "
+    "UNION ALL SELECT url, 0, 0, false, 1, ['only' || (i % 4)::VARCHAR]"
+    " FROM u WHERE i % 3 = 1 "
+    "UNION ALL SELECT url, 1, 0, true, 1, ['h'] FROM u WHERE i % 3 = 1 "
+    "UNION ALL SELECT url, 1, 1, false, 2, ['z' || (i % 2)::VARCHAR, '']"
+    " FROM u WHERE i % 3 = 1"
+)
+
+
+def _q_fix_mojibake(spark, sf_dir):
+    """cp1252-mojibake repair (functions/charset.py::fix_mojibake):
+    single-pass repairs ('cafÃ©' → 'café', including a cp1252-hole
+    byte inside a curly quote), a double-encoded fixpoint
+    ('ÃƒÂ©' → 'é'), and the two must-not-touch arms (plain ASCII,
+    genuine accented text). Oracle states the expected repaired
+    literal per fixture arm."""
+    from comic_text_detector_spark.functions.charset import fix_mojibake
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    text = (
+        F.when(i % 5 == 0, F.concat(F.lit("cafÃ© nÂ°"), s(i)))
+        .when(i % 5 == 1, F.concat(F.lit("â€œqâ€ "), s(i)))
+        .when(i % 5 == 2, F.concat(F.lit("plain "), s(i)))
+        .when(i % 5 == 3, F.concat(F.lit("naïve café "), s(i)))
+        .otherwise(F.concat(F.lit("ÃƒÂ© "), s(i)))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text")
+    )
+    return fix_mojibake(docs)
+
+
+_FIX_MOJIBAKE_ORACLE = (
+    "SELECT doc_id, CASE doc_id % 5"
+    " WHEN 0 THEN 'café n°' || doc_id::VARCHAR"
+    " WHEN 1 THEN '“q” ' || doc_id::VARCHAR"
+    " WHEN 2 THEN 'plain ' || doc_id::VARCHAR"
+    " WHEN 3 THEN 'naïve café ' || doc_id::VARCHAR"
+    " ELSE 'é ' || doc_id::VARCHAR END AS text,"
+    " doc_id % 5 IN (0, 1, 4) AS was_mojibake FROM documents"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -4591,6 +4774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_eval_prf": _q_j6_eval_prf,
         "approx_distinct_urls": _q_approx_distinct_urls,
         "a4_topk_separated": _q_a4_topk_separated,
+        "page_meta": _q_page_meta,
+        "extract_tables": _q_extract_tables,
+        "fix_mojibake": _q_fix_mojibake,
     }
 
 
@@ -6235,4 +6421,7 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) rank FROM scored)"
             " SELECT query_id, CAST(rank AS INT) rank, neighbor_id FROM r WHERE rank <= 5"
         ),
+        "page_meta": _PAGE_META_ORACLE,
+        "extract_tables": _EXTRACT_TABLES_ORACLE,
+        "fix_mojibake": _FIX_MOJIBAKE_ORACLE,
     }

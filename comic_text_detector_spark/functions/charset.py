@@ -110,3 +110,71 @@ def decode_pages(df: DataFrame, media_col: str = "media") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("media_id", media_col).mapInPandas(kernel, DECODED_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair: UTF-8 bytes that were once decoded with cp1252 (the
+# classic 'Ã©' for 'é', 'â€™' for a right single quote). The inverse
+# table is browser windows-1252: the five bytes cp1252 leaves undefined
+# map to their C1 control code points (what browsers emit), so 'â€\x9d'
+# — a mojibake'd right DOUBLE quote whose middle byte is the 0x9D hole —
+# still round-trips. Repair = re-encode through that table, strict
+# utf-8 decode, accept only if both steps succeed AND the text changed;
+# anything else returns the input untouched (drop-not-fake: a failed
+# decode means the text was NOT utf-8-through-cp1252 mojibake).
+# Applied to fixpoint (cap 4) for doubly-encoded text.
+_INV_CP1252 = {
+    (chr(b) if b in _CP1252_HOLES else bytes([b]).decode("cp1252")): b
+    for b in range(256)
+}
+
+
+def fix_mojibake_text(s: str | None, max_passes: int = 4) -> tuple[str, bool]:
+    """(repaired text, was_repaired). None → ('', False)."""
+    if s is None:
+        return "", False
+    out = s
+    for _ in range(max_passes):
+        try:
+            raw = bytes(_INV_CP1252[ch] for ch in out)
+        except KeyError:
+            break  # a char outside cp1252's image: not mojibake
+        try:
+            t = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            break  # not utf-8 underneath: leave as-is
+        if t == out:
+            break  # pure-ASCII fixpoint
+        out = t
+    return out, out != s
+
+
+def fix_mojibake(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text) → (id, text, was_mojibake) with cp1252-mojibake
+    repaired to fixpoint. Arrow-batched ``mapInPandas`` over the pure
+    per-char table kernel — map-only, no shuffle, linear in text bytes
+    (same scale shape as ``decode_pages``)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fixed, flags = [], []
+            for s in pdf[text_col]:
+                t, was = fix_mojibake_text(s)
+                fixed.append(t)
+                flags.append(was)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    text_col: fixed,
+                    "was_mojibake": flags,
+                }
+            )
+
+    schema = df.select(id_col, text_col).schema
+    ddl = (
+        f"{id_col} {schema[0].dataType.simpleString()}, "
+        f"{text_col} string, was_mojibake boolean"
+    )
+    return df.select(id_col, text_col).mapInPandas(kernel, ddl)

@@ -224,3 +224,59 @@ def canonical_dedup(
             (F.col("__key") == F.col("k")).alias("is_representative"),
         )
     )
+
+
+def _meta_first_of(h: Column, attr: str, key: str) -> Column:
+    """First <meta ATTR="KEY" content=..> value in either attribute
+    order (key-first / content-first), NULL when absent. Shared by
+    ``page_meta`` so every field follows one extraction discipline."""
+    pa = f'(?i)<meta ([^>]* )?{attr}="{key}"[^>]* content="([^">]*)"'
+    pb = f'(?i)<meta ([^>]* )?content="([^">]*)"[^>]* {attr}="{key}"'
+    a = F.regexp_extract(h, pa, 2)
+    b = F.regexp_extract(h, pb, 2)
+    return decode_entities(F.when(a != "", a).when(b != "", b))
+
+
+def page_meta(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Page-head metadata a corpus/index pipeline wants per document:
+    (url, title, description, og_title, og_description, og_image,
+    og_type, twitter_card, published_time).
+
+    * ``title`` — the <title> element text (first one, entity-decoded).
+    * ``description`` — <meta name="description">.
+    * ``og_*`` — Open Graph <meta property="og:...">; ``published_time``
+      is <meta property="article:published_time"> (raw string — the
+      caller parses; formats vary too much to fabricate a timestamp).
+    * ``twitter_card`` — <meta name="twitter:card">.
+
+    Every field is NULL when absent (drop-not-fake, same discipline as
+    ``page_directives``), both attribute orders are matched; on
+    duplicate tags the first match PER PATTERN wins with the key-first
+    order preferred (regexp_extract semantics — the same documented
+    discipline as ``page_directives``). Pure regexp
+    column expressions in the scan projection — zero shuffles, and the
+    DuckDB oracle replays the extraction verbatim.
+
+    Reference analog: the per-image metadata the detector carries
+    beside its pixel tensors (``inference.py``'s per-page dict); here
+    the page-head tags are the webtext equivalent of those sidecar
+    fields."""
+    h = F.col(html_col).cast("string")
+    title = F.regexp_extract(h, "(?i)<title>([^<]*)</title>", 1)
+    return df.select(
+        F.col(url_col).alias("url"),
+        decode_entities(F.when(title != "", title)).alias("title"),
+        _meta_first_of(h, "name", "description").alias("description"),
+        _meta_first_of(h, "property", "og:title").alias("og_title"),
+        _meta_first_of(h, "property", "og:description").alias(
+            "og_description"
+        ),
+        _meta_first_of(h, "property", "og:image").alias("og_image"),
+        _meta_first_of(h, "property", "og:type").alias("og_type"),
+        _meta_first_of(h, "name", "twitter:card").alias("twitter_card"),
+        _meta_first_of(h, "property", "article:published_time").alias(
+            "published_time"
+        ),
+    )

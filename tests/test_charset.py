@@ -65,3 +65,46 @@ def test_validation_and_fallbacks():
 def test_none_and_empty():
     assert decode_page_bytes(None) == ("", "")
     assert decode_page_bytes(b"") == ("utf-8", "")
+
+
+def test_fix_mojibake_text_kernel():
+    """Pure-kernel truth table: single repair, hole-byte curly quote,
+    double-encoded fixpoint, and the two must-not-touch cases."""
+    from comic_text_detector_spark.functions.charset import (
+        fix_mojibake_text,
+    )
+
+    assert fix_mojibake_text("caf\u00c3\u00a9 n\u00c2\u00b05") == (
+        "caf\u00e9 n\u00b05", True
+    )
+    # 'a\u0302\u20ac' + U+009D is a mojibake'd RIGHT double quote whose
+    # middle byte is cp1252's 0x9D hole: the browser-table inverse
+    # (hole bytes <-> C1 controls) must round-trip it
+    assert fix_mojibake_text(
+        "\u00e2\u20ac\u0153q\u00e2\u20ac\u009d"
+    ) == ("\u201cq\u201d", True)
+    assert fix_mojibake_text("\u00c3\u0192\u00c2\u00a9") == (
+        "\u00e9", True  # double-encoded: repaired to fixpoint
+    )
+    assert fix_mojibake_text("plain ascii") == ("plain ascii", False)
+    assert fix_mojibake_text("na\u00efve caf\u00e9") == (
+        "na\u00efve caf\u00e9", False  # genuine accents: untouched
+    )
+    assert fix_mojibake_text("\u4e2d\u6587") == (
+        "\u4e2d\u6587", False  # outside cp1252's image: not mojibake
+    )
+    assert fix_mojibake_text(None) == ("", False)
+    assert fix_mojibake_text("") == ("", False)
+
+
+def test_fix_mojibake_dataframe(spark):
+    from comic_text_detector_spark.functions.charset import fix_mojibake
+
+    df = spark.createDataFrame(
+        [(1, "caf\u00c3\u00a9"), (2, "ok"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in fix_mojibake(df).collect()}
+    assert rows[1].text == "caf\u00e9" and rows[1].was_mojibake
+    assert rows[2].text == "ok" and not rows[2].was_mojibake
+    assert rows[3].text == "" and not rows[3].was_mojibake

@@ -209,3 +209,40 @@ def test_canonical_dedup_multiple_captures_one_representative(spark):
     reps = [r for r in rows if r.is_representative]
     assert len(rows) == 3 and len(reps) == 1
     assert reps[0].url == "https://a/u1"
+
+
+def test_page_meta_planted(spark):
+    """OG/meta extraction: both attribute orders, entity decode in the
+    value, first-match-wins on duplicate tags, NULL when absent."""
+    from comic_text_detector_spark.functions.links import page_meta
+
+    html = (
+        b"<html><head><title>First &amp; Title</title>"
+        b"<title>Second ignored</title>"
+        b'<meta name="description" content="a desc"/>'
+        b'<meta content="OG T" property="og:title"/>'
+        b'<meta property="og:title" content="dup ignored"/>'
+        b'<meta property="og:image" content="https://i.example/x.jpg"/>'
+        b'<meta name="twitter:card" content="summary_large_image"/>'
+        b'<meta property="article:published_time"'
+        b' content="2023-07-01T12:00:00Z"/>'
+        b"</head></html>"
+    )
+    df = spark.createDataFrame(
+        [("u1", html), ("u2", b"<p>nothing</p>")], "url string, html binary"
+    )
+    rows = {r.url: r for r in page_meta(df).collect()}
+    r1 = rows["u1"]
+    assert r1.title == "First & Title"
+    assert r1.description == "a desc"
+    # first match is per-PATTERN with key-first order preferred (the
+    # page_directives discipline): the key-first duplicate wins even
+    # though the content-first tag appears earlier in the document
+    assert r1.og_title == "dup ignored"
+    assert r1.og_image == "https://i.example/x.jpg"
+    assert r1.og_description is None
+    assert r1.twitter_card == "summary_large_image"
+    assert r1.published_time == "2023-07-01T12:00:00Z"
+    r2 = rows["u2"]
+    assert r2.title is None and r2.og_title is None
+    assert r2.description is None and r2.twitter_card is None

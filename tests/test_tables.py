@@ -1,0 +1,57 @@
+"""HTML table extraction to relational rows (functions/tables.py)."""
+
+from __future__ import annotations
+
+from comic_text_detector_spark.functions.tables import extract_tables
+
+
+def _rows(spark, html: bytes):
+    df = spark.createDataFrame([("u", html)], "url string, html binary")
+    return sorted(
+        extract_tables(df).collect(),
+        key=lambda r: (r.table_idx, r.row_idx),
+    )
+
+
+def test_extract_tables_planted(spark):
+    html = (
+        b"<p>pre</p>"
+        b'<table class="wide"><tr><th>Name</th><th>Qty</th></tr>'
+        b"<tr><td>apples</td><td><b>3</b></td></tr>"
+        b"<tr><td></td><td>tom &amp; jerry</td></tr></table>"
+        b"<div>between</div>"
+        b"<table><tr><td> spaced\n  text </td></tr></table>"
+        b"<p>post</p>"
+    )
+    rows = _rows(spark, html)
+    assert [(r.table_idx, r.row_idx) for r in rows] == [
+        (0, 0), (0, 1), (0, 2), (1, 0),
+    ]
+    hdr, r1, r2, t2 = rows
+    assert hdr.is_header and hdr.cells == ["Name", "Qty"]
+    # markup-wrapped cell is tag-stripped, not dropped
+    assert not r1.is_header and r1.cells == ["apples", "3"]
+    # empty <td></td> survives as '' (a real cell); entity decoded
+    assert r2.cells == ["", "tom & jerry"]
+    assert r2.n_cells == 2
+    # whitespace collapsed + trimmed
+    assert t2.cells == ["spaced text"] and not t2.is_header
+
+
+def test_extract_tables_no_table_and_null(spark):
+    df = spark.createDataFrame(
+        [("a", b"<p>plain page</p>"), ("b", None)],
+        "url string, html binary",
+    )
+    assert extract_tables(df).count() == 0
+
+
+def test_extract_tables_attrs_and_case(spark):
+    html = (
+        b'<TABLE border="1"><TR><TD align="left">X</TD>'
+        b"<TH>mixed</TH></TR></TABLE>"
+    )
+    rows = _rows(spark, html)
+    assert len(rows) == 1
+    # a row containing any <th> counts as header
+    assert rows[0].is_header and rows[0].cells == ["X", "mixed"]
