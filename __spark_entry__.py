@@ -4568,6 +4568,71 @@ _EXTRACT_TABLES_ORACLE = (
 )
 
 
+def _q_extract_jsonld(spark, sf_dir):
+    """JSON-LD structured-data extraction (functions/jsonld.py::
+    extract_jsonld): ordinal skip past a non-LD script, object- and
+    bare-string author forms, malformed-JSON block kept with
+    valid=false and NULL fields, top-level fields only. Oracle
+    predicts every row from the fixture arithmetic."""
+    from comic_text_detector_spark.functions.jsonld import extract_jsonld
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    html = (
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit('<script>var x=1;</script>'
+                      '<script type="application/ld+json">'
+                      '{"@type":"Article","headline":"H'),
+                s(i),
+                F.lit('","author":{"name":"A'), s(i % 7),
+                F.lit('"},"datePublished":"2024-03-0'), s(1 + i % 9),
+                F.lit('","description":"d'), s(i % 5),
+                F.lit('"}</script>'),
+            ),
+        )
+        .when(
+            i % 4 == 1,
+            F.concat(
+                F.lit('<script type="application/ld+json" id="a">'
+                      '{"@type":"Product","name":"P'),
+                s(i % 5),
+                F.lit('","author":"B'), s(i % 3), F.lit('"}</script>'),
+            ),
+        )
+        .when(
+            i % 4 == 2,
+            F.lit('<script type="application/ld+json">{oops</script>'),
+        )
+        .otherwise(F.lit("<p>none</p>"))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://j"), s(i % 20), F.lit("/p"), s(i)).alias(
+            "url"
+        ),
+        html.alias("html"),
+    )
+    return extract_jsonld(docs)
+
+
+_EXTRACT_JSONLD_ORACLE = (
+    "WITH u AS (SELECT doc_id AS i, 'https://j' ||"
+    " (doc_id % 20)::VARCHAR || '/p' || doc_id::VARCHAR AS url"
+    " FROM documents) "
+    "SELECT url, 1 AS block_idx, true AS valid, 'Article' AS ld_type,"
+    " NULL::VARCHAR AS name, 'H' || i::VARCHAR AS headline,"
+    " 'A' || (i % 7)::VARCHAR AS author_name,"
+    " '2024-03-0' || (1 + i % 9)::VARCHAR AS date_published,"
+    " 'd' || (i % 5)::VARCHAR AS description FROM u WHERE i % 4 = 0 "
+    "UNION ALL SELECT url, 0, true, 'Product',"
+    " 'P' || (i % 5)::VARCHAR, NULL, 'B' || (i % 3)::VARCHAR, NULL, NULL"
+    " FROM u WHERE i % 4 = 1 "
+    "UNION ALL SELECT url, 0, false, NULL, NULL, NULL, NULL, NULL, NULL"
+    " FROM u WHERE i % 4 = 2"
+)
+
+
 def _q_fix_mojibake(spark, sf_dir):
     """cp1252-mojibake repair (functions/charset.py::fix_mojibake):
     single-pass repairs ('cafÃ©' → 'café', including a cp1252-hole
@@ -4777,6 +4842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_meta": _q_page_meta,
         "extract_tables": _q_extract_tables,
         "fix_mojibake": _q_fix_mojibake,
+        "extract_jsonld": _q_extract_jsonld,
     }
 
 
@@ -6424,4 +6490,5 @@ def oracle_sql() -> dict[str, str]:
         "page_meta": _PAGE_META_ORACLE,
         "extract_tables": _EXTRACT_TABLES_ORACLE,
         "fix_mojibake": _FIX_MOJIBAKE_ORACLE,
+        "extract_jsonld": _EXTRACT_JSONLD_ORACLE,
     }

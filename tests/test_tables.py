@@ -55,3 +55,41 @@ def test_extract_tables_attrs_and_case(spark):
     assert len(rows) == 1
     # a row containing any <th> counts as header
     assert rows[0].is_header and rows[0].cells == ["X", "mixed"]
+
+
+def test_extract_jsonld_planted(spark):
+    """JSON-LD blocks: ordinal skips past non-LD scripts, object and
+    bare-string author forms, malformed JSON keeps the row with
+    valid=false and NULL fields."""
+    from comic_text_detector_spark.functions.jsonld import extract_jsonld
+
+    html1 = (
+        "<script>var x=1;</script>"
+        '<script type="application/ld+json">{"@type":"Article",'
+        '"headline":"H1","author":{"name":"A B"},'
+        '"datePublished":"2024-01-02","description":"d"}</script>'
+        '<script type="application/ld+json" id="x">{"@type":"Product",'
+        '"name":"P","author":"Bare"}</script>'
+    )
+    df = spark.createDataFrame(
+        [
+            ("u1", html1),
+            ("u2", '<script type="application/ld+json">{oops</script>'),
+            ("u3", "<p>none</p>"),
+            ("u4", None),
+        ],
+        "url string, html string",
+    )
+    rows = sorted(
+        extract_jsonld(df).collect(), key=lambda r: (r.url, r.block_idx)
+    )
+    assert [(r.url, r.block_idx) for r in rows] == [
+        ("u1", 1), ("u1", 2), ("u2", 0),
+    ]
+    art, prod, bad = rows
+    assert art.valid and art.ld_type == "Article"
+    assert art.headline == "H1" and art.author_name == "A B"
+    assert art.date_published == "2024-01-02" and art.name is None
+    assert prod.ld_type == "Product" and prod.name == "P"
+    assert prod.author_name == "Bare" and prod.headline is None
+    assert not bad.valid and bad.ld_type is None
