@@ -4568,6 +4568,75 @@ _EXTRACT_TABLES_ORACLE = (
 )
 
 
+def _q_http_response_meta(spark, sf_dir):
+    """HTTP response-envelope parsing (functions/http.py::
+    http_response_meta): OK html with charset + declared length, a
+    301 with Location, a 200 PDF (no charset), a truncated envelope
+    (headers never terminated → NULL body), and a non-envelope
+    payload (all fields NULL). Oracle predicts each field per arm."""
+    from comic_text_detector_spark.functions.http import (
+        http_response_meta,
+    )
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    payload = (
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit("HTTP/1.1 200 OK\r\nServer: x\r\nContent-Type:"
+                      " text/html; charset=UTF-8\r\nContent-Length: "),
+                s(10 + i % 90),
+                F.lit("\r\n\r\n<p>b"), s(i), F.lit("</p>"),
+            ),
+        )
+        .when(
+            i % 5 == 1,
+            F.concat(
+                F.lit("HTTP/1.0 301 Moved Permanently\r\nLocation:"
+                      " https://r"),
+                s(i % 9), F.lit("/\r\n\r\n"),
+            ),
+        )
+        .when(
+            i % 5 == 2,
+            F.lit("HTTP/1.1 200 OK\r\nContent-Type: application/pdf"
+                  "\r\n\r\n%PDF-1.4"),
+        )
+        .when(
+            i % 5 == 3,
+            F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html"),
+        )
+        .otherwise(F.concat(F.lit("<html>raw"), s(i), F.lit("</html>")))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://w"), s(i % 20), F.lit("/p"), s(i)).alias(
+            "url"
+        ),
+        payload.alias("payload"),
+    )
+    return http_response_meta(docs)
+
+
+_HTTP_META_ORACLE = (
+    "SELECT 'https://w' || (doc_id % 20)::VARCHAR || '/p' ||"
+    " doc_id::VARCHAR AS url,"
+    " CASE WHEN doc_id % 5 IN (0, 2, 3) THEN 200"
+    " WHEN doc_id % 5 = 1 THEN 301 END::INT AS status,"
+    " CASE WHEN doc_id % 5 IN (0, 3) THEN 'text/html'"
+    " WHEN doc_id % 5 = 2 THEN 'application/pdf' END AS content_type,"
+    " CASE WHEN doc_id % 5 = 0 THEN 'utf-8' END AS charset,"
+    " CASE WHEN doc_id % 5 = 0 THEN 10 + doc_id % 90 END::BIGINT"
+    " AS content_length,"
+    " CASE WHEN doc_id % 5 = 1 THEN 'https://r' ||"
+    "  (doc_id % 9)::VARCHAR || '/' END AS location,"
+    " CASE WHEN doc_id % 5 = 0 THEN '<p>b' || doc_id::VARCHAR || '</p>'"
+    " WHEN doc_id % 5 = 1 THEN ''"
+    " WHEN doc_id % 5 = 2 THEN '%PDF-1.4' END AS body"
+    " FROM documents"
+)
+
+
 def _q_extract_jsonld(spark, sf_dir):
     """JSON-LD structured-data extraction (functions/jsonld.py::
     extract_jsonld): ordinal skip past a non-LD script, object- and
@@ -4843,6 +4912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tables": _q_extract_tables,
         "fix_mojibake": _q_fix_mojibake,
         "extract_jsonld": _q_extract_jsonld,
+        "http_response_meta": _q_http_response_meta,
     }
 
 
@@ -6491,4 +6561,5 @@ def oracle_sql() -> dict[str, str]:
         "extract_tables": _EXTRACT_TABLES_ORACLE,
         "fix_mojibake": _FIX_MOJIBAKE_ORACLE,
         "extract_jsonld": _EXTRACT_JSONLD_ORACLE,
+        "http_response_meta": _HTTP_META_ORACLE,
     }

@@ -1,0 +1,69 @@
+"""HTTP response-envelope parsing (functions/http.py)."""
+
+from __future__ import annotations
+
+from comic_text_detector_spark.functions.http import (
+    http_response_meta,
+    keep_html_ok,
+)
+
+OK = (
+    "HTTP/1.1 200 OK\r\nServer: x\r\nContent-Type: text/html;"
+    " charset=UTF-8\r\nContent-Length: 13\r\n\r\n<p>hello</p>!"
+)
+
+
+def _meta(spark, rows):
+    df = spark.createDataFrame(rows, "url string, payload string")
+    return {r.url: r for r in http_response_meta(df).collect()}
+
+
+def test_http_response_meta_planted(spark):
+    rows = _meta(
+        spark,
+        [
+            ("ok", OK),
+            ("redir", "HTTP/1.0 301 Moved Permanently\r\nLocation:"
+                      " https://n.example/\r\n\r\n"),
+            ("pdf", "HTTP/1.1 200 OK\r\nContent-Type:"
+                    " application/pdf\r\n\r\n%PDF-1.4"),
+            ("trunc", "HTTP/1.1 200 OK\r\nContent-Type: text/html"),
+            ("raw", "<html>no envelope</html>"),
+            ("null", None),
+        ],
+    )
+    ok = rows["ok"]
+    assert ok.status == 200 and ok.content_type == "text/html"
+    assert ok.charset == "utf-8" and ok.content_length == 13
+    assert ok.body == "<p>hello</p>!"
+    r = rows["redir"]
+    assert r.status == 301 and r.location == "https://n.example/"
+    assert r.content_type is None and r.body == ""
+    assert rows["pdf"].content_type == "application/pdf"
+    assert rows["pdf"].charset is None
+    # headers never terminated: body NULL, not '' (drop-not-fake)
+    assert rows["trunc"].status == 200 and rows["trunc"].body is None
+    # not an envelope at all: every field NULL
+    raw = rows["raw"]
+    assert raw.status is None and raw.content_type is None
+    assert raw.body is None
+    assert rows["null"].status is None
+
+
+def test_keep_html_ok_front_door(spark):
+    df = spark.createDataFrame(
+        [
+            ("keep", OK),
+            ("xhtml", "HTTP/1.1 200 OK\r\nContent-Type:"
+                      " application/xhtml+xml\r\n\r\n<html/>"),
+            ("err", "HTTP/1.1 404 Not Found\r\nContent-Type:"
+                    " text/html\r\n\r\nnope"),
+            ("bin", "HTTP/1.1 200 OK\r\nContent-Type:"
+                    " image/png\r\n\r\nPNG"),
+        ],
+        "url string, payload string",
+    )
+    kept = sorted(
+        r.url for r in keep_html_ok(http_response_meta(df)).collect()
+    )
+    assert kept == ["keep", "xhtml"]
