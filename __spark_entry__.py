@@ -4637,6 +4637,173 @@ _HTTP_META_ORACLE = (
 )
 
 
+def _q_parse_sitemap(spark, sf_dir):
+    """Sitemap parsing (functions/sitemaps.py::parse_sitemap): a
+    urlset arm (full-field entry + loc-only entry + a loc-less entry
+    that must be dropped), a sitemap-index arm, and a non-sitemap arm
+    yielding no rows. Oracle predicts every field per arm, including
+    the &amp; entity decode and the priority double."""
+    from comic_text_detector_spark.functions.sitemaps import parse_sitemap
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/'
+              'schemas/sitemap/0.9"><url><loc>https://s'),
+        s(i % 20), F.lit(".ex/p"), s(i),
+        F.lit("?a=1&amp;b=2</loc><lastmod>2025-0"), s(1 + i % 9),
+        F.lit("-01</lastmod><changefreq>DAILY</changefreq><priority>0."),
+        s(i % 10),
+        F.lit("</priority></url><url><loc> https://s"),
+        s(i % 20), F.lit(".ex/q"), s(i),
+        F.lit(" </loc></url><url><lastmod>x</lastmod></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://s"), s(i % 20),
+        F.lit(".ex/map"), s(i % 7),
+        F.lit(".xml</loc><lastmod>2025-02-02T10:00:00Z</lastmod>"
+              "</sitemap></sitemapindex>"),
+    )
+    xml = (
+        F.when(i % 3 == 0, urlset)
+        .when(i % 3 == 1, index)
+        .otherwise(F.concat(F.lit("<html>junk"), s(i), F.lit("</html>")))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("m"), s(i)).alias("url"), xml.alias("xml")
+    )
+    return parse_sitemap(docs)
+
+
+_PARSE_SITEMAP_ORACLE = (
+    "WITH d AS (SELECT doc_id AS i FROM documents) "
+    "SELECT 'm' || i::VARCHAR AS sitemap_url, 0 AS entry_idx,"
+    " false AS is_index,"
+    " 'https://s' || (i % 20)::VARCHAR || '.ex/p' || i::VARCHAR"
+    " || '?a=1&b=2' AS loc,"
+    " '2025-0' || (1 + i % 9)::VARCHAR || '-01' AS lastmod,"
+    " 'daily' AS changefreq, (i % 10) / 10.0 AS priority"
+    " FROM d WHERE i % 3 = 0 "
+    "UNION ALL SELECT 'm' || i::VARCHAR, 1, false,"
+    " 'https://s' || (i % 20)::VARCHAR || '.ex/q' || i::VARCHAR,"
+    " NULL, NULL, NULL FROM d WHERE i % 3 = 0 "
+    "UNION ALL SELECT 'm' || i::VARCHAR, 0, true,"
+    " 'https://s' || (i % 20)::VARCHAR || '.ex/map' || (i % 7)::VARCHAR"
+    " || '.xml', '2025-02-02T10:00:00Z', NULL, NULL"
+    " FROM d WHERE i % 3 = 1"
+)
+
+
+def _q_resolve_redirects(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py::
+    resolve_redirects): each doc plants a 4-url fetch group — a
+    3-hop 301/302/307 chain into a 200 terminal, or a 2-cycle +
+    broken-relative-Location + plain-404 group. Oracle states the
+    closed-form chain outcome per (arm, position), including the
+    hop-capped cycle and the root-relative Location resolution."""
+    from comic_text_detector_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("https://d"), s(i))
+    nul = F.lit(None).cast("string")
+
+    def fr(j, st, loc):
+        return F.struct(
+            F.concat(host, F.lit(f"/p{j}")).alias("url"),
+            F.lit(st).alias("status"),
+            (F.lit(loc) if loc is not None else nul).alias("location"),
+        )
+
+    chain = F.array(
+        fr(0, 301, "/p1"), fr(1, 302, "/p2"),
+        fr(2, 307, "/p3"), fr(3, 200, None),
+    )
+    cyc = F.array(
+        fr(0, 301, "/p1"), fr(1, 302, "/p0"),
+        fr(2, 301, "rel.html"), fr(3, 404, None),
+    )
+    fetches = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.when(i % 3 != 2, chain).otherwise(cyc)).alias("f"))
+        .select("f.url", "f.status", "f.location")
+    )
+    return resolve_redirects(fetches, max_hops=4)
+
+
+_RESOLVE_REDIRECTS_ORACLE = (
+    "WITH d AS (SELECT doc_id AS i, 'https://d' || doc_id::VARCHAR AS h,"
+    " doc_id % 3 <> 2 AS chain FROM documents),"
+    " j AS (SELECT i, h, chain, u.j FROM d,"
+    " (SELECT unnest([0,1,2,3]) AS j) u) "
+    "SELECT h || '/p' || j::VARCHAR AS url,"
+    " CASE WHEN chain AND j < 3 THEN h || '/p3'"
+    "  WHEN chain THEN h || '/p3'"
+    "  WHEN j = 0 THEN h || '/p0' WHEN j = 1 THEN h || '/p1'"
+    "  WHEN j = 2 THEN h || '/p2' ELSE h || '/p3' END AS final_url,"
+    " CASE WHEN chain THEN 3 - j"
+    "  WHEN j IN (0, 1) THEN 4 ELSE 0 END AS n_hops,"
+    " CASE WHEN chain THEN 200"
+    "  WHEN j = 0 THEN 301 WHEN j = 1 THEN 302"
+    "  WHEN j = 2 THEN 301 ELSE 404 END AS terminal_status,"
+    " CASE WHEN chain THEN true"
+    "  WHEN j = 3 THEN true ELSE false END AS resolved"
+    " FROM j"
+)
+
+
+import zlib as _zlib  # noqa: E402
+
+_GZ_BODY = b"gzip payload ok"
+_gz_co = _zlib.compressobj(9, _zlib.DEFLATED, _zlib.MAX_WBITS | 16)
+_GZ_HEX = (_gz_co.compress(_GZ_BODY) + _gz_co.flush()).hex()
+del _gz_co
+
+
+def _q_decode_bodies(spark, sf_dir):
+    """HTTP body transfer/content decoding (functions/http.py::
+    decode_bodies): identity pass-through, chunked-framing removal,
+    gzip inflation of a shared precomputed literal, a corrupt-gzip
+    refusal (NULL), and a NULL body. Oracle states the decoded text
+    per arm — the gzip arm's expected output is the plaintext the
+    embedded literal was compressed from."""
+    from comic_text_detector_spark.functions.http import decode_bodies
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    tok = F.concat(F.lit("w"), s(i % 10), F.lit("xy"))  # 4 bytes exactly
+    body_s = (
+        F.when(i % 5 == 0, F.concat(F.lit("<p>x"), s(i), F.lit("</p>")))
+        .when(i % 5 == 1, F.concat(F.lit("4\r\n"), tok, F.lit("\r\n0\r\n\r\n")))
+        .when(i % 5 == 3, F.concat(F.lit("nope"), s(i)))
+    )
+    body = F.when(i % 5 == 2, F.unhex(F.lit(_GZ_HEX))).otherwise(
+        F.encode(body_s, "UTF-8")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        body.alias("body"),
+        F.when(i % 5 == 1, F.lit("chunked")).alias("transfer_encoding"),
+        F.when(i % 5 == 2, F.lit("gzip"))
+        .when(i % 5 == 3, F.lit("gzip"))
+        .alias("content_encoding"),
+    )
+    return decode_bodies(docs).select(
+        "doc_id", F.col("decoded_body").cast("string").alias("decoded")
+    )
+
+
+_DECODE_BODIES_ORACLE = (
+    "SELECT doc_id, CASE doc_id % 5"
+    " WHEN 0 THEN '<p>x' || doc_id::VARCHAR || '</p>'"
+    " WHEN 1 THEN 'w' || (doc_id % 10)::VARCHAR || 'xy'"
+    " WHEN 2 THEN 'gzip payload ok' END AS decoded"
+    " FROM documents"
+)
+
+
 def _q_extract_jsonld(spark, sf_dir):
     """JSON-LD structured-data extraction (functions/jsonld.py::
     extract_jsonld): ordinal skip past a non-LD script, object- and
@@ -4913,6 +5080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": _q_fix_mojibake,
         "extract_jsonld": _q_extract_jsonld,
         "http_response_meta": _q_http_response_meta,
+        "parse_sitemap_docs": _q_parse_sitemap,
+        "resolve_redirects_chains": _q_resolve_redirects,
+        "decode_bodies_docs": _q_decode_bodies,
     }
 
 
@@ -6562,4 +6732,7 @@ def oracle_sql() -> dict[str, str]:
         "fix_mojibake": _FIX_MOJIBAKE_ORACLE,
         "extract_jsonld": _EXTRACT_JSONLD_ORACLE,
         "http_response_meta": _HTTP_META_ORACLE,
+        "parse_sitemap_docs": _PARSE_SITEMAP_ORACLE,
+        "resolve_redirects_chains": _RESOLVE_REDIRECTS_ORACLE,
+        "decode_bodies_docs": _DECODE_BODIES_ORACLE,
     }

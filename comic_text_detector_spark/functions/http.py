@@ -19,6 +19,11 @@ policy there).
 
 from __future__ import annotations
 
+import zlib
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -104,3 +109,114 @@ def keep_html_ok(meta: DataFrame) -> DataFrame:
         & F.col("content_type").isin("text/html", "application/xhtml+xml")
         & F.col("body").isNotNull()
     )
+
+
+# ---------------------------------------------------------------------------
+# Body transfer/content decoding. Chunked framing and gzip both need a
+# data-dependent loop, so these are Arrow-batched mapInPandas kernels
+# (the functions/charset.py shape) over BINARY columns — map-only, no
+# shuffle, linear in payload bytes. Discipline: decodable-or-NULL,
+# never partial-guess — a malformed chunk frame or a corrupt gzip
+# stream yields NULL, not a truncated body the extractor would treat
+# as real page text. A decompressed-size cap refuses gzip bombs the
+# same way the JPEG decoder refuses forged dimensions.
+
+_MAX_DECODED = 64 * 1024 * 1024  # bytes; past this, refuse (bomb guard)
+
+
+def dechunk_bytes(body: bytes | None) -> bytes | None:
+    """RFC 9112 §7.1 chunked transfer decoding. None/malformed → None.
+
+    Grammar walked exactly: hex size [;ext] CRLF data CRLF, repeated,
+    terminated by a 0-size chunk; trailer fields after the last chunk
+    are allowed and discarded. Anything off-grammar (bad hex, missing
+    CRLF, truncated data) refuses."""
+    if body is None:
+        return None
+    out, pos, total = [], 0, 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            return None
+        size_s = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_s, 16)
+        except ValueError:
+            return None
+        if size < 0:
+            return None
+        pos = nl + 2
+        if size == 0:
+            return b"".join(out)  # trailers (if any) discarded
+        total += size
+        if total > _MAX_DECODED:
+            return None
+        data = body[pos : pos + size]
+        if len(data) != size or body[pos + size : pos + size + 2] != b"\r\n":
+            return None
+        out.append(data)
+        pos += size + 2
+
+
+def gunzip_bytes(body: bytes | None) -> bytes | None:
+    """gzip (RFC 1952) or raw-deflate Content-Encoding decode with a
+    decompressed-size cap. None/corrupt/oversized → None."""
+    if body is None:
+        return None
+    for wbits in (zlib.MAX_WBITS | 16, -zlib.MAX_WBITS):  # gzip, deflate
+        d = zlib.decompressobj(wbits)
+        try:
+            out = d.decompress(body, _MAX_DECODED)
+        except zlib.error:
+            continue
+        if d.unconsumed_tail or not d.eof:
+            continue  # over the cap or truncated stream: refuse
+        return out
+    return None
+
+
+def decode_bodies(
+    df: DataFrame,
+    body_col: str = "body",
+    transfer_encoding_col: str | None = "transfer_encoding",
+    content_encoding_col: str | None = "content_encoding",
+) -> DataFrame:
+    """Append ``decoded_body`` (binary): chunked framing removed when
+    Transfer-Encoding says chunked, then gzip/deflate inflated when
+    Content-Encoding says so — the layering order RFC 9110 mandates.
+    Identity encodings pass the body through; a NULL from either stage
+    propagates (refused, never partial)."""
+    cols = list(df.columns)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            te = (
+                pdf[transfer_encoding_col]
+                if transfer_encoding_col
+                else pd.Series([None] * len(pdf))
+            )
+            ce = (
+                pdf[content_encoding_col]
+                if content_encoding_col
+                else pd.Series([None] * len(pdf))
+            )
+            decoded = []
+            for body, t, c in zip(pdf[body_col], te, ce):
+                b = bytes(body) if body is not None else None
+                if t is not None and "chunked" in str(t).lower():
+                    b = dechunk_bytes(b)
+                if c is not None and str(c).lower().strip() in (
+                    "gzip",
+                    "x-gzip",
+                    "deflate",
+                ):
+                    b = gunzip_bytes(b)
+                decoded.append(b)
+            out = pdf.copy()
+            out["decoded_body"] = decoded
+            yield out
+
+    ddl = ", ".join(
+        f"{c} {t}" for c, t in df.dtypes
+    ) + ", decoded_body binary"
+    return df.mapInPandas(kernel, ddl).select(*cols, "decoded_body")

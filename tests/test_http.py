@@ -67,3 +67,59 @@ def test_keep_html_ok_front_door(spark):
         r.url for r in keep_html_ok(http_response_meta(df)).collect()
     )
     assert kept == ["keep", "xhtml"]
+
+
+def test_dechunk_and_gunzip_kernels():
+    import zlib
+
+    from comic_text_detector_spark.functions.http import (
+        dechunk_bytes,
+        gunzip_bytes,
+    )
+
+    chunked = b"4\r\nWiki\r\n7;ext=1\r\npedia i\r\nB\r\nn \r\nchunks.\r\n0\r\nX-T: v\r\n\r\n"
+    assert dechunk_bytes(chunked) == b"Wikipedia in \r\nchunks."
+    assert dechunk_bytes(b"zz\r\nhi\r\n0\r\n\r\n") is None  # bad hex
+    assert dechunk_bytes(b"5\r\nhi\r\n0\r\n\r\n") is None  # short data
+    assert dechunk_bytes(b"4\r\nWiki") is None  # truncated
+    assert dechunk_bytes(None) is None
+
+    co = zlib.compressobj(9, zlib.DEFLATED, zlib.MAX_WBITS | 16)
+    gz = co.compress(b"hello gzip body") + co.flush()
+    assert gunzip_bytes(gz) == b"hello gzip body"
+    assert gunzip_bytes(zlib.compress(b"raw deflate")[2:-4]) == b"raw deflate"
+    assert gunzip_bytes(b"\x1f\x8b corrupt") is None
+    assert gunzip_bytes(gz[:-3]) is None  # truncated stream: refused
+    assert gunzip_bytes(None) is None
+
+
+def test_decode_bodies_dataframe(spark):
+    import zlib
+
+    from comic_text_detector_spark.functions.http import decode_bodies
+
+    co = zlib.compressobj(9, zlib.DEFLATED, zlib.MAX_WBITS | 16)
+    gz = co.compress(b"<p>zipped</p>") + co.flush()
+    chunked_gz = (
+        b"%x\r\n" % len(gz[:5]) + gz[:5] + b"\r\n"
+        b"%x\r\n" % len(gz[5:]) + gz[5:] + b"\r\n0\r\n\r\n"
+    )
+    rows = [
+        ("plain", bytearray(b"<p>x</p>"), None, None),
+        ("gz", bytearray(gz), None, "gzip"),
+        ("both", bytearray(chunked_gz), "chunked", "gzip"),
+        ("badgz", bytearray(b"nope"), None, "gzip"),
+        ("nullb", None, "chunked", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, body binary, transfer_encoding string,"
+        " content_encoding string",
+    )
+    out = {r.url: bytes(r.decoded_body) if r.decoded_body is not None
+           else None for r in decode_bodies(df).collect()}
+    assert out["plain"] == b"<p>x</p>"
+    assert out["gz"] == b"<p>zipped</p>"
+    assert out["both"] == b"<p>zipped</p>"
+    assert out["badgz"] is None
+    assert out["nullb"] is None
