@@ -4804,6 +4804,51 @@ _DECODE_BODIES_ORACLE = (
 )
 
 
+def _q_bloom_frontier(spark, sf_dir):
+    """Deterministic Bloom-filter frontier dedup (operators/bloom.py):
+    build the filter from even-doc urls, probe EVERY url. Evens must
+    answer true (no false negatives); odds answer the exact md5-salted
+    bit arithmetic — the oracle replays the WHOLE filter (build +
+    probe), so even false positives must match bit-for-bit."""
+    from comic_text_detector_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://w"), (i % 50).cast("string"), F.lit("/p"),
+        i.cast("string"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    seen = docs.filter(i % 2 == 0).select("url")
+    bloom = bloom_build(seen, m_bits=1 << 16, k=3)
+    return bloom_contains(
+        docs.select("url"), bloom, m_bits=1 << 16, k=3
+    )
+
+
+_BLOOM_FRONTIER_ORACLE = (
+    "WITH u AS (SELECT doc_id, 'https://w' || (doc_id % 50)::VARCHAR"
+    " || '/p' || doc_id::VARCHAR AS url FROM documents),"
+    " j AS (SELECT unnest([0, 1, 2]) AS j),"
+    " pos AS (SELECT ('0x' || substr(md5(j.j::VARCHAR || ':' || u.url),"
+    "  1, 15))::BIGINT % 65536 AS idx FROM u, j WHERE u.doc_id % 2 = 0),"
+    " words AS (SELECT idx // 63 AS word,"
+    "  bit_or((1::BIGINT << (idx % 63)::INT)) AS bits"
+    "  FROM pos GROUP BY 1),"
+    " ppos AS (SELECT u.url, ('0x' || substr(md5(j.j::VARCHAR || ':'"
+    "  || u.url), 1, 15))::BIGINT % 65536 AS idx FROM u, j) "
+    "SELECT p.url, bool_and(w.bits IS NOT NULL AND"
+    " (w.bits & (1::BIGINT << (p.idx % 63)::INT)) ="
+    " (1::BIGINT << (p.idx % 63)::INT)) AS maybe_present"
+    " FROM ppos p LEFT JOIN words w ON p.idx // 63 = w.word"
+    " GROUP BY p.url"
+)
+
+
 def _q_extract_jsonld(spark, sf_dir):
     """JSON-LD structured-data extraction (functions/jsonld.py::
     extract_jsonld): ordinal skip past a non-LD script, object- and
@@ -5083,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_sitemap_docs": _q_parse_sitemap,
         "resolve_redirects_chains": _q_resolve_redirects,
         "decode_bodies_docs": _q_decode_bodies,
+        "bloom_frontier": _q_bloom_frontier,
     }
 
 
@@ -6735,4 +6781,5 @@ def oracle_sql() -> dict[str, str]:
         "parse_sitemap_docs": _PARSE_SITEMAP_ORACLE,
         "resolve_redirects_chains": _RESOLVE_REDIRECTS_ORACLE,
         "decode_bodies_docs": _DECODE_BODIES_ORACLE,
+        "bloom_frontier": _BLOOM_FRONTIER_ORACLE,
     }
