@@ -2668,8 +2668,9 @@ def _q_robots_sitemaps(spark, sf_dir):
 def _sitemap_fixture_df(spark, sf_dir):
     """Synthetic sitemap XML per host: entries with lastmod, without,
     with surrounding whitespace + &amp; entities, a loc-less block (must
-    drop), an invalid lastmod ('soon' → NULL date, raw string kept), and
-    a sitemapindex entry (kind='sitemap')."""
+    drop), an invalid lastmod ('soon' → NULL date, raw string kept) +
+    an invalid priority ('high' → NULL), a full changefreq/priority
+    entry, and a sitemapindex entry (kind='sitemap')."""
     i = F.col("doc_id")
     return (
         _t(spark, sf_dir, "documents")
@@ -2680,13 +2681,17 @@ def _sitemap_fixture_df(spark, sf_dir):
                 F.lit("<urlset>\n<url><loc>https://h"), i.cast("string"),
                 F.lit("/p0</loc><lastmod>2024-0"),
                 (1 + i % 9).cast("string"),
-                F.lit("-15</lastmod></url>\n<url><loc>\n  https://h"),
+                F.lit("-15</lastmod><changefreq>DAILY</changefreq>"
+                      "<priority>0."),
+                (i % 10).cast("string"),
+                F.lit("</priority></url>\n<url><loc>\n  https://h"),
                 i.cast("string"),
                 F.lit("/p1?a=1&amp;b="), (i % 5).cast("string"),
                 F.lit(" </loc></url>\n<url><lastmod>2020-01-01</lastmod>"
                       "</url>\n<url><loc>https://h"),
                 i.cast("string"),
-                F.lit("/p2</loc><lastmod>soon</lastmod></url>\n</urlset>\n"
+                F.lit("/p2</loc><lastmod>soon</lastmod>"
+                      "<priority>high</priority></url>\n</urlset>\n"
                       "<sitemapindex><sitemap><loc>https://h"),
                 i.cast("string"),
                 F.lit("/more"), (i % 3).cast("string"),
@@ -4637,63 +4642,6 @@ _HTTP_META_ORACLE = (
 )
 
 
-def _q_parse_sitemap(spark, sf_dir):
-    """Sitemap parsing (functions/sitemaps.py::parse_sitemap): a
-    urlset arm (full-field entry + loc-only entry + a loc-less entry
-    that must be dropped), a sitemap-index arm, and a non-sitemap arm
-    yielding no rows. Oracle predicts every field per arm, including
-    the &amp; entity decode and the priority double."""
-    from comic_text_detector_spark.functions.sitemaps import parse_sitemap
-
-    i = F.col("doc_id")
-    s = lambda c: c.cast("string")  # noqa: E731
-    urlset = F.concat(
-        F.lit('<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/'
-              'schemas/sitemap/0.9"><url><loc>https://s'),
-        s(i % 20), F.lit(".ex/p"), s(i),
-        F.lit("?a=1&amp;b=2</loc><lastmod>2025-0"), s(1 + i % 9),
-        F.lit("-01</lastmod><changefreq>DAILY</changefreq><priority>0."),
-        s(i % 10),
-        F.lit("</priority></url><url><loc> https://s"),
-        s(i % 20), F.lit(".ex/q"), s(i),
-        F.lit(" </loc></url><url><lastmod>x</lastmod></url></urlset>"),
-    )
-    index = F.concat(
-        F.lit("<sitemapindex><sitemap><loc>https://s"), s(i % 20),
-        F.lit(".ex/map"), s(i % 7),
-        F.lit(".xml</loc><lastmod>2025-02-02T10:00:00Z</lastmod>"
-              "</sitemap></sitemapindex>"),
-    )
-    xml = (
-        F.when(i % 3 == 0, urlset)
-        .when(i % 3 == 1, index)
-        .otherwise(F.concat(F.lit("<html>junk"), s(i), F.lit("</html>")))
-    )
-    docs = _t(spark, sf_dir, "documents").select(
-        F.concat(F.lit("m"), s(i)).alias("url"), xml.alias("xml")
-    )
-    return parse_sitemap(docs)
-
-
-_PARSE_SITEMAP_ORACLE = (
-    "WITH d AS (SELECT doc_id AS i FROM documents) "
-    "SELECT 'm' || i::VARCHAR AS sitemap_url, 0 AS entry_idx,"
-    " false AS is_index,"
-    " 'https://s' || (i % 20)::VARCHAR || '.ex/p' || i::VARCHAR"
-    " || '?a=1&b=2' AS loc,"
-    " '2025-0' || (1 + i % 9)::VARCHAR || '-01' AS lastmod,"
-    " 'daily' AS changefreq, (i % 10) / 10.0 AS priority"
-    " FROM d WHERE i % 3 = 0 "
-    "UNION ALL SELECT 'm' || i::VARCHAR, 1, false,"
-    " 'https://s' || (i % 20)::VARCHAR || '.ex/q' || i::VARCHAR,"
-    " NULL, NULL, NULL FROM d WHERE i % 3 = 0 "
-    "UNION ALL SELECT 'm' || i::VARCHAR, 0, true,"
-    " 'https://s' || (i % 20)::VARCHAR || '.ex/map' || (i % 7)::VARCHAR"
-    " || '.xml', '2025-02-02T10:00:00Z', NULL, NULL"
-    " FROM d WHERE i % 3 = 1"
-)
-
-
 def _q_resolve_redirects(spark, sf_dir):
     """Redirect-chain resolution (operators/redirects.py::
     resolve_redirects): each doc plants a 4-url fetch group — a
@@ -4846,6 +4794,72 @@ _BLOOM_FRONTIER_ORACLE = (
     " (1::BIGINT << (p.idx % 63)::INT)) AS maybe_present"
     " FROM ppos p LEFT JOIN words w ON p.idx // 63 = w.word"
     " GROUP BY p.url"
+)
+
+
+def _q_recrawl_schedule(spark, sf_dir):
+    """Recrawl scheduling (operators/recrawl.py::recrawl_schedule):
+    each doc plants a capture history — 1..5 captures, per-doc
+    interval 2000..6900 s, digest changing every 1..3 captures — and
+    the oracle replays the lag window, the integer rate estimates, and
+    the clamped next-fetch policy (min clamp engages for the hottest
+    arms, the policy division for the rest, the default for
+    singletons)."""
+    from comic_text_detector_spark.operators.recrawl import (
+        recrawl_schedule,
+    )
+
+    i = F.col("doc_id")
+    n = F.when(i % 5 == 0, F.lit(1)).otherwise(2 + i % 4)
+    dt = 2000 + (i % 50) * 100
+    step = 1 + i % 3
+    caps = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit("https://r"), i.cast("string")).alias("url"),
+            dt.alias("dt"),
+            step.alias("step"),
+            (1_700_000_000 + (i % 1000) * 7).alias("t0"),
+            F.explode(F.sequence(F.lit(0), n - 1)).alias("j"),
+        )
+        .select(
+            "url",
+            (F.col("t0") + F.col("j") * F.col("dt")).alias("ts"),
+            F.concat(
+                F.lit("g"),
+                ((F.col("j") - F.col("j") % F.col("step")) / F.col("step"))
+                .cast("long")
+                .cast("string"),
+            ).alias("digest"),
+        )
+    )
+    return recrawl_schedule(caps)
+
+
+_RECRAWL_ORACLE = (
+    "WITH d AS (SELECT doc_id AS i,"
+    " CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 + doc_id % 4 END AS n,"
+    " 2000 + (doc_id % 50) * 100 AS dt, 1 + doc_id % 3 AS step,"
+    " 1700000000 + (doc_id % 1000) * 7 AS t0 FROM documents),"
+    " caps AS (SELECT 'https://r' || i::VARCHAR AS url, t0, dt, step,"
+    "  unnest(generate_series(0, n - 1)) AS j FROM d),"
+    " c2 AS (SELECT url, t0 + j * dt AS ts,"
+    "  'g' || (j // step)::VARCHAR AS digest FROM caps),"
+    " m AS (SELECT url, ts,"
+    "  CASE WHEN lag(digest) OVER w IS NULL THEN 0"
+    "   WHEN lag(digest) OVER w <> digest THEN 1 ELSE 0 END AS chg"
+    "  FROM c2 WINDOW w AS (PARTITION BY url ORDER BY ts, digest)),"
+    " a AS (SELECT url, count(*) AS nc, sum(chg) AS ch, min(ts) AS f,"
+    "  max(ts) AS l FROM m GROUP BY url) "
+    "SELECT url, nc AS n_captures, ch::BIGINT AS n_changes,"
+    " CASE WHEN nc >= 2 THEN (l - f) // (nc - 1) END AS avg_interval_s,"
+    " CASE WHEN nc >= 2 THEN (ch * 1000) // (nc - 1) END"
+    " AS change_ratio_milli,"
+    " l + (CASE WHEN nc >= 2 THEN greatest(3600, least(2592000,"
+    "  (((l - f) // (nc - 1)) * 2000) //"
+    "  (1000 + ((ch * 1000) // (nc - 1)) * 2)))"
+    "  ELSE 604800 END) AS next_fetch_ts"
+    " FROM a"
 )
 
 
@@ -5125,10 +5139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": _q_fix_mojibake,
         "extract_jsonld": _q_extract_jsonld,
         "http_response_meta": _q_http_response_meta,
-        "parse_sitemap_docs": _q_parse_sitemap,
         "resolve_redirects_chains": _q_resolve_redirects,
         "decode_bodies_docs": _q_decode_bodies,
         "bloom_frontier": _q_bloom_frontier,
+        "recrawl_schedule": _q_recrawl_schedule,
     }
 
 
@@ -6427,16 +6441,19 @@ def oracle_sql() -> dict[str, str]:
             " SELECT 'h' || CAST(i AS VARCHAR) AS host, 'url' AS kind,"
             "  'https://h' || CAST(i AS VARCHAR) || '/p0' AS loc,"
             "  '2024-0' || CAST(1 + i % 9 AS VARCHAR) || '-15' AS lastmod,"
+            "  'daily' AS changefreq, (i % 10) / 10.0 AS priority,"
             "  CAST('2024-0' || CAST(1 + i % 9 AS VARCHAR) || '-15' AS DATE)"
             "   AS lastmod_date FROM d"
             " UNION ALL SELECT 'h' || CAST(i AS VARCHAR), 'url',"
             "  'https://h' || CAST(i AS VARCHAR) || '/p1?a=1&b='"
-            "   || CAST(i % 5 AS VARCHAR), NULL, NULL FROM d"
+            "   || CAST(i % 5 AS VARCHAR), NULL, NULL, NULL, NULL FROM d"
             " UNION ALL SELECT 'h' || CAST(i AS VARCHAR), 'url',"
-            "  'https://h' || CAST(i AS VARCHAR) || '/p2', 'soon', NULL FROM d"
+            "  'https://h' || CAST(i AS VARCHAR) || '/p2', 'soon',"
+            "  NULL, NULL, NULL FROM d"
             " UNION ALL SELECT 'h' || CAST(i AS VARCHAR), 'sitemap',"
             "  'https://h' || CAST(i AS VARCHAR) || '/more'"
-            "   || CAST(i % 3 AS VARCHAR) || '.xml', NULL, NULL FROM d"
+            "   || CAST(i % 3 AS VARCHAR) || '.xml', NULL, NULL, NULL,"
+            "  NULL FROM d"
         ),
         "parse_feed": _PARSE_FEED_ORACLE,
         "blocklist_filter": _BLOCKLIST_ORACLE,
@@ -6778,8 +6795,8 @@ def oracle_sql() -> dict[str, str]:
         "fix_mojibake": _FIX_MOJIBAKE_ORACLE,
         "extract_jsonld": _EXTRACT_JSONLD_ORACLE,
         "http_response_meta": _HTTP_META_ORACLE,
-        "parse_sitemap_docs": _PARSE_SITEMAP_ORACLE,
         "resolve_redirects_chains": _RESOLVE_REDIRECTS_ORACLE,
         "decode_bodies_docs": _DECODE_BODIES_ORACLE,
         "bloom_frontier": _BLOOM_FRONTIER_ORACLE,
+        "recrawl_schedule": _RECRAWL_ORACLE,
     }

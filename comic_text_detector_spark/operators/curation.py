@@ -1195,7 +1195,8 @@ def parse_sitemap(
     host_col: str = "host",
     xml_col: str = "sitemap_xml",
 ) -> DataFrame:
-    """Sitemap XML → (host, kind, loc, lastmod, lastmod_date) rows — the
+    """Sitemap XML → (host, kind, loc, lastmod, changefreq, priority,
+    lastmod_date) rows — the
     step after ``robots_sitemaps`` in the frontier pipeline (sitemaps
     protocol: ``<urlset>`` files list pages, ``<sitemapindex>`` files
     list MORE sitemaps; ``kind`` says which, so a driver loop can fetch
@@ -1229,6 +1230,12 @@ def parse_sitemap(
     allb = blocks[0].unionByName(blocks[1])
     loc = F.regexp_extract("block", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
     lastmod = F.regexp_extract("block", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    changefreq = F.regexp_extract(
+        "block", r"(?s)<changefreq>\s*(.*?)\s*</changefreq>", 1
+    )
+    priority = F.regexp_extract(
+        "block", r"(?s)<priority>\s*(.*?)\s*</priority>", 1
+    )
     return (
         allb.select(
             "host",
@@ -1240,6 +1247,16 @@ def parse_sitemap(
                 F.lit("&amp;"), F.lit("&"),
             ).alias("loc"),
             F.when(lastmod != "", lastmod).alias("lastmod"),
+            # scheduling hints (sitemaps.org): changefreq normalized to
+            # lowercase; priority a double, NULL when absent or
+            # non-numeric (drop-not-fake — 'high' is not a priority)
+            F.when(changefreq != "", F.lower(changefreq)).alias(
+                "changefreq"
+            ),
+            F.when(
+                priority.rlike(r"^[0-9]+(\.[0-9]+)?$"),
+                priority.cast("double"),
+            ).alias("priority"),
         )
         .filter(F.col("loc") != "")
         .withColumn(

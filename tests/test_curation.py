@@ -925,9 +925,12 @@ class TestSitemaps:
         xml = (
             "<urlset>\n"
             "  <url>\n    <loc>  https://h/a?x=1&amp;y=2  </loc>\n"
-            "    <lastmod>2024-03-05T10:00:00Z</lastmod>\n  </url>\n"
+            "    <lastmod>2024-03-05T10:00:00Z</lastmod>\n"
+            "    <changefreq>Weekly</changefreq>\n"
+            "    <priority>0.5</priority>\n  </url>\n"
             "  <url><lastmod>2024-01-01</lastmod></url>\n"  # no loc → drop
-            "  <url><loc>https://h/b</loc><lastmod>junk</lastmod></url>\n"
+            "  <url><loc>https://h/b</loc><lastmod>junk</lastmod>"
+            "<priority>high</priority></url>\n"
             "</urlset>\n"
             "<sitemapindex><sitemap><loc>https://h/s1.xml</loc></sitemap>"
             "</sitemapindex>"
@@ -937,8 +940,11 @@ class TestSitemaps:
         assert set(rows) == {"https://h/a?x=1&y=2", "https://h/b", "https://h/s1.xml"}
         a = rows["https://h/a?x=1&y=2"]
         assert a["kind"] == "url" and str(a["lastmod_date"]) == "2024-03-05"
+        assert a["changefreq"] == "weekly" and a["priority"] == 0.5
         assert rows["https://h/b"]["lastmod"] == "junk"
         assert rows["https://h/b"]["lastmod_date"] is None
+        assert rows["https://h/b"]["priority"] is None  # 'high': refused
+        assert rows["https://h/b"]["changefreq"] is None
         assert rows["https://h/s1.xml"]["kind"] == "sitemap"
 
     def test_refetch_unknown_lastmod_is_not_modified(self, spark):
