@@ -4863,6 +4863,100 @@ _RECRAWL_ORACLE = (
 )
 
 
+def _q_image_dhash(spark, sf_dir):
+    """Perceptual dHash (multimodal/imagehash.py) through REAL decoded
+    pixels: each doc becomes an 18x16 stripe PNG whose 9 column values
+    are modular arithmetic in doc_id (stripe 8 repeats stripe 7, so
+    row bit 7 is 0 and the 8-row hash is rowbyte · 0x0101…01 without
+    signed overflow); every 7th doc is a 4x4 PNG the kernel must
+    REFUSE (below the 9x8 lattice → NULL). The oracle predicts the
+    64-bit hash closed-form from the gradient signs."""
+    import numpy as np
+    import pandas as pd
+
+    from comic_text_detector_spark.multimodal.imagehash import dhash_images
+    from comic_text_detector_spark.multimodal.pixels import encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            media = []
+            for i in ids:
+                if i % 7 == 6:
+                    media.append(encode_png(np.zeros((4, 4, 3), np.uint8)))
+                    continue
+                arr = np.zeros((16, 18, 3), dtype=np.uint8)
+                for x in range(9):
+                    arr[:, 2 * x : 2 * x + 2, :] = (
+                        i * 7 + min(x, 7) * 13
+                    ) % 256
+                media.append(encode_png(arr))
+            yield pd.DataFrame(
+                {"media_id": [str(i) for i in ids], "media": media}
+            )
+
+    m = docs.mapInPandas(synth, "media_id string, media binary")
+    return dhash_images(m).select(
+        F.col("media_id").cast("bigint").alias("doc_id"), "dhash"
+    )
+
+
+_IMAGE_DHASH_ORACLE = (
+    # row byte: bit x set iff stripe x+1 > stripe x, i.e. no mod-256
+    # wrap when adding 13: ((i*7 + 13x) % 256) < 243; bit 7 always 0.
+    "WITH d AS (SELECT doc_id AS i FROM documents),"
+    " b AS (SELECT i, CAST(sum(CASE WHEN ((i * 7 + 13 * x.x) % 256) < 243"
+    "  THEN 1 << x.x ELSE 0 END) AS BIGINT) AS rowbyte"
+    "  FROM d, (SELECT unnest(generate_series(0, 6)) AS x) x"
+    "  WHERE i % 7 <> 6 GROUP BY i) "
+    "SELECT i AS doc_id, rowbyte * 72340172838076673 AS dhash FROM b"
+    " UNION ALL SELECT i, NULL FROM d WHERE i % 7 = 6"
+)
+
+
+def _q_image_neardup(spark, sf_dir):
+    """Banded-Hamming image near-dup (multimodal/imagehash.py::
+    hamming_pairs): odd docs carry their even predecessor's hash with
+    ONE bit flipped — every (2k, 2k+1) pair must surface at dist 1;
+    incidental 16-bit band collisions between unrelated hashes are
+    emitted by both engines and killed by the same dist ≤ 6 verify.
+    The oracle replays banding, candidate join, and bit_count."""
+    from comic_text_detector_spark.multimodal.imagehash import hamming_pairs
+    from comic_text_detector_spark.operators.dedup import md5_long
+
+    i = F.col("doc_id")
+    base = md5_long(
+        F.concat(F.lit("ih:"), (i - i % 2).cast("string")), 15
+    )
+    flip = F.pow(F.lit(2.0), (i % 13).cast("double")).cast("long")
+    h = F.when(i % 2 == 0, base).otherwise(base.bitwiseXOR(flip))
+    hashed = _t(spark, sf_dir, "documents").select(
+        i.alias("media_id"), h.alias("dhash")
+    )
+    return hamming_pairs(hashed, max_dist=6)
+
+
+_IMAGE_NEARDUP_ORACLE = (
+    "WITH h AS (SELECT doc_id AS id,"
+    " CASE WHEN doc_id % 2 = 0 THEN"
+    "  ('0x' || substr(md5('ih:' || doc_id::VARCHAR), 1, 15))::BIGINT"
+    " ELSE xor(('0x' || substr(md5('ih:' || (doc_id - 1)::VARCHAR),"
+    "  1, 15))::BIGINT, (1::BIGINT << (doc_id % 13)::INT)) END AS hv"
+    " FROM documents),"
+    " k AS (SELECT id, hv, j.j,"
+    "  (hv >> (16 * j.j)::INT) & 65535 AS key"
+    "  FROM h, (SELECT unnest([0, 1, 2, 3]) AS j) j),"
+    " c AS (SELECT DISTINCT a.id AS ia, b.id AS ib, a.hv AS ha,"
+    "  b.hv AS hb FROM k a JOIN k b ON a.j = b.j AND a.key = b.key"
+    "  AND a.id < b.id) "
+    "SELECT ia AS media_id_a, ib AS media_id_b,"
+    " bit_count(xor(ha, hb)) AS dist FROM c"
+    " WHERE bit_count(xor(ha, hb)) <= 6"
+)
+
+
 def _q_extract_jsonld(spark, sf_dir):
     """JSON-LD structured-data extraction (functions/jsonld.py::
     extract_jsonld): ordinal skip past a non-LD script, object- and
@@ -5143,6 +5237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_bodies_docs": _q_decode_bodies,
         "bloom_frontier": _q_bloom_frontier,
         "recrawl_schedule": _q_recrawl_schedule,
+        "image_dhash": _q_image_dhash,
+        "image_neardup_pairs": _q_image_neardup,
     }
 
 
@@ -6799,4 +6895,6 @@ def oracle_sql() -> dict[str, str]:
         "decode_bodies_docs": _DECODE_BODIES_ORACLE,
         "bloom_frontier": _BLOOM_FRONTIER_ORACLE,
         "recrawl_schedule": _RECRAWL_ORACLE,
+        "image_dhash": _IMAGE_DHASH_ORACLE,
+        "image_neardup_pairs": _IMAGE_NEARDUP_ORACLE,
     }
