@@ -4957,6 +4957,62 @@ _IMAGE_NEARDUP_ORACLE = (
 )
 
 
+def _q_detect_traps(spark, sf_dir):
+    """Crawl-trap detection (operators/traps.py::detect_traps): five
+    session-id hosts minting a distinct query per doc on one path,
+    three calendar hosts repeating a path segment 3x, and twelve
+    healthy hosts. The oracle rebuilds the shape columns per arm and
+    replays both aggregation levels and the threshold flags."""
+    from comic_text_detector_spark.operators.traps import detect_traps
+
+    i = F.col("doc_id")
+    g = i % 20
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = (
+        F.when(
+            g < 5,
+            F.concat(F.lit("https://h"), s(g), F.lit(".ex/shop?sid="), s(i)),
+        )
+        .when(
+            g < 8,
+            F.concat(
+                F.lit("https://h"), s(g), F.lit(".ex/cal/"), s(i % 4),
+                F.lit("/cal/"), s(i % 4), F.lit("/cal"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h"), s(g), F.lit(".ex/p"), s(i % 6),
+                F.when(i % 3 == 0, F.lit("?x=1")).otherwise(F.lit("")),
+            )
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select(url.alias("url"))
+    return detect_traps(docs, query_variant_threshold=10)
+
+
+_DETECT_TRAPS_ORACLE = (
+    "WITH u AS (SELECT doc_id AS i, doc_id % 20 AS g FROM documents),"
+    " shaped AS (SELECT 'h' || g::VARCHAR || '.ex' AS host,"
+    "  CASE WHEN g < 5 THEN '/shop'"
+    "   WHEN g < 8 THEN '/cal/' || (i % 4)::VARCHAR || '/cal/'"
+    "    || (i % 4)::VARCHAR || '/cal'"
+    "   ELSE '/p' || (i % 6)::VARCHAR END AS path,"
+    "  CASE WHEN g < 5 THEN 'sid=' || i::VARCHAR"
+    "   WHEN g >= 8 AND i % 3 = 0 THEN 'x=1' END AS query,"
+    "  CASE WHEN g < 5 THEN 1 WHEN g < 8 THEN 5 ELSE 1 END AS depth,"
+    "  CASE WHEN g < 8 AND g >= 5 THEN 3 ELSE 1 END AS rep FROM u),"
+    " pp AS (SELECT host, path, count(*) AS n,"
+    "  count(DISTINCT query) AS qv, max(depth) AS d, max(rep) AS r"
+    "  FROM shaped GROUP BY 1, 2) "
+    "SELECT host, sum(n) AS n_urls, count(*) AS n_paths,"
+    " max(qv) AS max_query_variants, max(d) AS max_depth,"
+    " max(r) AS max_seg_repeat, max(qv) >= 10 AS query_trap,"
+    " max(r) >= 3 AS repeat_trap, max(d) >= 12 AS depth_trap"
+    " FROM pp GROUP BY host"
+)
+
+
 def _q_extract_jsonld(spark, sf_dir):
     """JSON-LD structured-data extraction (functions/jsonld.py::
     extract_jsonld): ordinal skip past a non-LD script, object- and
@@ -5239,6 +5295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": _q_recrawl_schedule,
         "image_dhash": _q_image_dhash,
         "image_neardup_pairs": _q_image_neardup,
+        "detect_traps": _q_detect_traps,
     }
 
 
@@ -6897,4 +6954,5 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_schedule": _RECRAWL_ORACLE,
         "image_dhash": _IMAGE_DHASH_ORACLE,
         "image_neardup_pairs": _IMAGE_NEARDUP_ORACLE,
+        "detect_traps": _DETECT_TRAPS_ORACLE,
     }
