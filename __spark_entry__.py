@@ -5013,6 +5013,85 @@ _DETECT_TRAPS_ORACLE = (
 )
 
 
+def _q_soft404(spark, sf_dir):
+    """Soft-404 detection (functions/http.py::soft404_signals): title
+    alone flags, body-phrase + tiny flags, body phrase alone (an
+    article ABOUT 404s) does not, a real 404 status never flags, and
+    NULL title/text contribute only the tininess signal. Oracle
+    predicts every signal and the weighted score per arm."""
+    from comic_text_detector_spark.functions.http import soft404_signals
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    pad = F.repeat(F.lit("word "), 200)
+    m = i % 6
+    status = F.when(m == 3, F.lit(404)).otherwise(F.lit(200))
+    title = (
+        F.when(m == 0, F.lit("404 Page Not Found"))
+        .when(m == 1, F.lit("Oops"))
+        .when(m == 2, F.concat(F.lit("Blog "), s(i)))
+        .when(m == 3, F.lit("Page not found"))
+        .when(m == 4, F.concat(F.lit("Hello "), s(i)))
+    )
+    text = (
+        F.when(m == 0, pad)
+        .when(m == 1, F.lit("Sorry, page not found."))
+        .when(m == 2, F.concat(F.lit("the page not found error "), pad))
+        .when(m == 3, F.lit("gone"))
+        .when(m == 4, pad)
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("u"), s(i)).alias("url"),
+        status.alias("status"),
+        title.alias("title"),
+        text.alias("text"),
+    )
+    return soft404_signals(docs)
+
+
+_SOFT404_ORACLE = (
+    "SELECT 'u' || doc_id::VARCHAR AS url,"
+    " doc_id % 6 IN (0, 3) AS title_nf,"
+    " doc_id % 6 IN (1, 2) AS body_nf,"
+    " doc_id % 6 IN (1, 3, 5) AS tiny,"
+    " CASE doc_id % 6 WHEN 0 THEN 600 WHEN 1 THEN 500 WHEN 2 THEN 400"
+    "  WHEN 3 THEN 700 WHEN 4 THEN 0 ELSE 100 END AS soft404_score,"
+    " doc_id % 6 IN (0, 1) AS is_soft404"
+    " FROM documents"
+)
+
+
+def _q_extract_hreflang(spark, sf_dir):
+    """hreflang alternate extraction (functions/links.py::
+    extract_hreflang): two valid tags per doc (one each attribute
+    order, one needing lowercase + entity decode), a tag without href
+    (dropped), and a stylesheet link (never matched)."""
+    from comic_text_detector_spark.functions.links import extract_hreflang
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    html = F.concat(
+        F.lit('<head><link rel="alternate" hreflang="en" href="https://e'),
+        s(i), F.lit('/en"/><link href="https://e'), s(i),
+        F.lit('/de?a=1&amp;b='), s(i % 9),
+        F.lit('" hreflang="DE-de"><link rel="alternate" hreflang="fr">'
+              '<link rel="stylesheet" href="/s.css"></head>'),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("p"), s(i)).alias("url"), html.alias("html")
+    )
+    return extract_hreflang(docs)
+
+
+_HREFLANG_ORACLE = (
+    "SELECT 'p' || doc_id::VARCHAR AS url, 'en' AS hreflang,"
+    " 'https://e' || doc_id::VARCHAR || '/en' AS href FROM documents"
+    " UNION ALL SELECT 'p' || doc_id::VARCHAR, 'de-de',"
+    " 'https://e' || doc_id::VARCHAR || '/de?a=1&b='"
+    " || (doc_id % 9)::VARCHAR FROM documents"
+)
+
+
 def _q_extract_jsonld(spark, sf_dir):
     """JSON-LD structured-data extraction (functions/jsonld.py::
     extract_jsonld): ordinal skip past a non-LD script, object- and
@@ -5296,6 +5375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": _q_image_dhash,
         "image_neardup_pairs": _q_image_neardup,
         "detect_traps": _q_detect_traps,
+        "soft404_signals": _q_soft404,
+        "extract_hreflang": _q_extract_hreflang,
     }
 
 
@@ -6955,4 +7036,6 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash": _IMAGE_DHASH_ORACLE,
         "image_neardup_pairs": _IMAGE_NEARDUP_ORACLE,
         "detect_traps": _DETECT_TRAPS_ORACLE,
+        "soft404_signals": _SOFT404_ORACLE,
+        "extract_hreflang": _HREFLANG_ORACLE,
     }

@@ -280,3 +280,36 @@ def page_meta(
             "published_time"
         ),
     )
+
+
+# hreflang alternates: the multilingual-cluster discovery signal that
+# feeds bitext mining (operators/curation.py::bitext_url_pairs reads url
+# patterns; hreflang is the page-declared version of the same linkage).
+_HREFLANG_TAG = '(?is)<link\\s[^>]*hreflang="[^">]*"[^>]*>'
+
+
+def extract_hreflang(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per <link ... hreflang=.. href=..> tag: (url, hreflang
+    lowercased, href entity-decoded). Tags missing either attribute
+    are dropped, never guessed; rel="alternate" is NOT required (real
+    pages omit it, the hreflang attribute is the signal). Explode of a
+    regexp_extract_all — map-side, zero shuffles, oracle-replayable."""
+    h = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(h, F.lit(_HREFLANG_TAG), 0)
+    t = F.col("tag")
+    lang = F.regexp_extract(t, '(?i)\\shreflang="([^">]*)"', 1)
+    href = F.regexp_extract(t, '(?i)\\shref="([^">]*)"', 1)
+    return (
+        df.select(
+            F.col(url_col).alias("url"),
+            F.explode(tags).alias("tag"),
+        )
+        .select(
+            "url",
+            F.when(lang != "", F.lower(lang)).alias("hreflang"),
+            F.when(href != "", decode_entities(href)).alias("href"),
+        )
+        .filter(F.col("hreflang").isNotNull() & F.col("href").isNotNull())
+    )

@@ -123,3 +123,29 @@ def test_decode_bodies_dataframe(spark):
     assert out["both"] == b"<p>zipped</p>"
     assert out["badgz"] is None
     assert out["nullb"] is None
+
+
+def test_soft404_signals(spark):
+    from comic_text_detector_spark.functions.http import soft404_signals
+
+    long_pad = "word " * 200
+    rows = [
+        ("t", 200, "404 Page Not Found", long_pad),       # title alone
+        ("bt", 200, "Oops", "Sorry, page not found. " ),  # body + tiny
+        ("b", 200, "Blog", "the page not found error " + long_pad),
+        ("real404", 404, "Page not found", "gone"),        # real 404
+        ("ok", 200, "Hello", long_pad),
+        ("nulls", 200, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, status int, title string, text string"
+    )
+    got = {r.url: r for r in soft404_signals(df).collect()}
+    assert got["t"].is_soft404 and got["t"].soft404_score == 600
+    assert got["bt"].is_soft404 and got["bt"].soft404_score == 500
+    assert not got["b"].is_soft404  # body phrase alone: article about 404s
+    assert got["b"].soft404_score == 400
+    assert not got["real404"].is_soft404  # real status speaks for itself
+    assert not got["ok"].is_soft404 and got["ok"].soft404_score == 0
+    n = got["nulls"]  # absence of evidence except tininess
+    assert n.soft404_score == 100 and not n.is_soft404

@@ -246,3 +246,24 @@ def test_page_meta_planted(spark):
     r2 = rows["u2"]
     assert r2.title is None and r2.og_title is None
     assert r2.description is None and r2.twitter_card is None
+
+
+def test_extract_hreflang(spark):
+    from comic_text_detector_spark.functions.links import extract_hreflang
+
+    html = (
+        '<head><link rel="alternate" hreflang="en" href="https://e/en"/>'
+        '<link hreflang="DE-de" href="https://e/de?a=1&amp;b=2">'
+        '<link rel="alternate" hreflang="fr">'  # no href: dropped
+        '<link rel="stylesheet" href="/s.css"></head>'
+    )
+    df = spark.createDataFrame(
+        [("p", html), ("q", "<p>no links</p>")], "url string, html string"
+    )
+    rows = extract_hreflang(df).collect()
+    assert all(r.url == "p" for r in rows)
+    got = {r.hreflang: r.href for r in rows}
+    assert got == {
+        "en": "https://e/en",
+        "de-de": "https://e/de?a=1&b=2",  # lowercased + entity-decoded
+    }
