@@ -120,6 +120,21 @@ def main(argv: list[str], spark=None) -> int:
         "matched docs (by --id-col as url) drop before every other stage",
     )
     p.add_argument(
+        "--drop-traps",
+        action="store_true",
+        help="run operators/traps.py::detect_traps over --id-col urls and "
+        "drop every doc on a host flagged for query/repeat/depth traps "
+        "(thresholds via --trap-query-variants)",
+    )
+    p.add_argument("--trap-query-variants", type=int, default=50)
+    p.add_argument(
+        "--drop-soft404",
+        action="store_true",
+        help="drop pages functions/http.py::soft404_signals flags from "
+        "the page title (via page_meta on --html-col) + --text-col; "
+        "corpus rows are fetched-ok captures, so status is taken as 200",
+    )
+    p.add_argument(
         "--honor-noindex",
         action="store_true",
         help="parse <meta name=robots> from --html-col and drop noindex "
@@ -189,6 +204,57 @@ def main(argv: list[str], spark=None) -> int:
         before = n_in - n_blocklisted
         docs = docs.join(noidx, args.id_col, "left_anti")
         n_noindexed = before - docs.count()
+
+    # optional stage 0c: crawl-trap host drop — a trapped host's docs are
+    # template spam by construction; one aggregate over the url column,
+    # flagged hosts anti-joined back (broadcast-sized: hosts, not urls)
+    n_trapped = 0
+    if args.drop_traps:
+        from comic_text_detector_spark.operators.traps import detect_traps
+
+        trapped = (
+            detect_traps(
+                docs.select(F.col(args.id_col).alias("url")),
+                query_variant_threshold=args.trap_query_variants,
+            )
+            .filter("query_trap OR repeat_trap OR depth_trap")
+            .select("host")
+        )
+        before = docs.count()
+        docs = docs.join(
+            trapped.withColumnRenamed("host", "__th"),
+            F.expr(
+                f"regexp_extract({args.id_col},"
+                " '^[a-zA-Z]+://([^/?#]+)', 1) = __th"
+            ),
+            "left_anti",
+        )
+        n_trapped = before - docs.count()
+
+    # optional stage 0d: soft-404 scrub — 200-status not-found templates
+    # must not enter the dedup tier; title from page_meta, zero shuffles
+    n_soft404 = 0
+    if args.drop_soft404:
+        from comic_text_detector_spark.functions.http import soft404_signals
+        from comic_text_detector_spark.functions.links import page_meta
+
+        meta = page_meta(
+            docs, url_col=args.id_col, html_col=args.html_col
+        ).select(F.col("url").alias(args.id_col), "title")
+        flagged = (
+            soft404_signals(
+                docs.select(
+                    args.id_col, F.lit(200).alias("status"), args.text_col
+                ).join(meta, args.id_col, "left"),
+                url_col=args.id_col,
+                text_col=args.text_col,
+            )
+            .filter("is_soft404")
+            .select(F.col("url").alias(args.id_col))
+        )
+        before = docs.count()
+        docs = docs.join(flagged, args.id_col, "left_anti")
+        n_soft404 = before - docs.count()
 
     # stage 1: decontamination — anti-join against docs sharing more than
     # the allowed number of distinct benchmark n-grams. The leaks frame is
@@ -334,6 +400,8 @@ def main(argv: list[str], spark=None) -> int:
         "docs_in": n_in,
         "blocklisted": n_blocklisted,
         "noindexed": n_noindexed,
+        "trap_dropped": n_trapped,
+        "soft404_dropped": n_soft404,
         "after_decontaminate": n_clean,
         "contaminated_removed": n_in - n_clean,
         "curated": n_out,

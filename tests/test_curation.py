@@ -1498,3 +1498,40 @@ def test_badword_score_duplicate_lexicon_rows(spark):
     r = badword_score(docs, lex).collect()[0]
     assert r.n_tokens == 2 and r.n_bad == 1 and r.bad_weight == 5
     assert r.bad_frac == 0.5
+
+
+def test_curate_job_traps_and_soft404(spark, tmp_path):
+    """--drop-traps removes every doc on a query-trap host;
+    --drop-soft404 removes a 200-status not-found template page."""
+    from jobs import curate_job
+
+    good = "real text " * 30
+    docs = spark.createDataFrame(
+        # trap host: one path, 12 distinct session queries
+        [(f"http://trap.ex/shop?sid={k}", good + str(k),
+          f"<html><title>Shop</title><p>{good}</p></html>", "en")
+         for k in range(12)]
+        # soft-404 page on a healthy host
+        + [("http://ok.ex/missing",
+            "Sorry, this page not found.",
+            "<html><title>404 Page Not Found</title></html>", "en")]
+        # healthy pages
+        + [(f"http://ok.ex/p{k}", good + f"p{k}",
+            f"<html><title>Page {k}</title><p>{good}</p></html>", "en")
+           for k in range(3)],
+        "url string, text string, html string, lang string",
+    )
+    corpus = str(tmp_path / "corpus2")
+    bench = str(tmp_path / "bench2")
+    docs.write.parquet(corpus)
+    spark.createDataFrame([("zz qq ww",)], "text string").write.parquet(bench)
+
+    out = str(tmp_path / "out_traps")
+    assert curate_job.main(
+        ["--input", corpus, "--output", out, "--benchmark", bench,
+         "--rates", '{"en": 1.0}', "--drop-traps",
+         "--trap-query-variants", "10", "--drop-soft404"],
+        spark=spark,
+    ) == 0
+    kept = [r.url for r in spark.read.parquet(f"{out}/curated").collect()]
+    assert sorted(kept) == [f"http://ok.ex/p{k}" for k in range(3)]
