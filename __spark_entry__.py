@@ -5092,6 +5092,37 @@ _HREFLANG_ORACLE = (
 )
 
 
+def _q_doc_keywords(spark, sf_dir):
+    """Per-doc TF-IDF keywords (operators/retrieval.py::topk_keywords)
+    over the REAL documents.text column — whitespace token space shared
+    with the BM25 index, Lucene idf micro-quantized, rank ties broken
+    lexicographically. The oracle replays tokenization, df, the idf
+    micro, and the window."""
+    from comic_text_detector_spark.operators.retrieval import topk_keywords
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return topk_keywords(docs, k=3, min_len=3)
+
+
+_DOC_KEYWORDS_ORACLE = (
+    "WITH toks AS (SELECT doc_id AS id, t.w FROM documents,"
+    " unnest(string_split(coalesce(text, ''), ' ')) AS t(w)"
+    " WHERE t.w <> '' AND length(t.w) >= 3),"
+    " tf AS (SELECT id, w, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),"
+    " nn AS (SELECT count(DISTINCT id) AS n FROM toks),"
+    " dfq AS (SELECT w, count(*)::BIGINT AS df,"
+    "  CAST(round(1000000 * ln(((SELECT n FROM nn) - count(*) + 0.5)"
+    "   / (count(*) + 0.5) + 1.0)) AS BIGINT) AS im"
+    "  FROM tf GROUP BY w),"
+    " sc AS (SELECT tf.id, tf.w, tf.tf, dfq.df,"
+    "  tf.tf * dfq.im AS score_micro FROM tf JOIN dfq ON tf.w = dfq.w),"
+    " r AS (SELECT *, row_number() OVER (PARTITION BY id"
+    "  ORDER BY score_micro DESC, w) AS rank FROM sc) "
+    "SELECT id AS doc_id, w AS term, tf, df, score_micro,"
+    " rank::INT AS rank FROM r WHERE rank <= 3"
+)
+
+
 def _q_extract_jsonld(spark, sf_dir):
     """JSON-LD structured-data extraction (functions/jsonld.py::
     extract_jsonld): ordinal skip past a non-LD script, object- and
@@ -5377,6 +5408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_traps": _q_detect_traps,
         "soft404_signals": _q_soft404,
         "extract_hreflang": _q_extract_hreflang,
+        "doc_keywords": _q_doc_keywords,
     }
 
 
@@ -7038,4 +7070,5 @@ def oracle_sql() -> dict[str, str]:
         "detect_traps": _DETECT_TRAPS_ORACLE,
         "soft404_signals": _SOFT404_ORACLE,
         "extract_hreflang": _HREFLANG_ORACLE,
+        "doc_keywords": _DOC_KEYWORDS_ORACLE,
     }

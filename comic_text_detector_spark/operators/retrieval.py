@@ -570,3 +570,66 @@ def bm25_phrase_from_index(
     return _bm25_phrase_from(
         post, bag, terms, id_col, phrase_weight, prox_weight
     )
+
+
+def topk_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_len: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords: (id, term, tf, df,
+    score_micro, rank) — the corpus-audit summary of what each page is
+    ABOUT, built from the same token space as the BM25 index
+    (``_token_stream``) and the same Lucene idf micro-quantization as
+    ``bm25_score``, so rankings agree with retrieval.
+
+    ``score_micro`` = tf · round(1e6 · ln((n−df+0.5)/(df+0.5)+1)) — an
+    exact bigint once the idf micro is fixed, so ordering (score desc,
+    term asc) is deterministic across engines; ties resolve
+    lexicographically. Terms shorter than ``min_len`` chars are
+    dropped (single-char noise); stopwords need no list — idf sinks
+    them.
+
+    Scale: one (id, term) aggregate, a broadcast df join, one window
+    on id. The only driver scalar is the corpus doc count."""
+    toks = _token_stream(docs, id_col, text_col).filter(
+        F.length("w") >= min_len
+    )
+    tf = toks.groupBy("id", "w").agg(F.count("*").cast("long").alias("tf"))
+    n_docs = toks.select("id").distinct().count()
+    if n_docs == 0:
+        raise ValueError("no documents with at least one token")
+    dfreq = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    idf_micro = F.round(
+        F.lit(1e6)
+        * F.log(
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfreq.select("w", "df", idf_micro.alias("im"))), "w")
+        .select(
+            "id", "w", "tf", "df",
+            (F.col("tf") * F.col("im")).alias("score_micro"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("id").orderBy(
+            F.col("score_micro").desc(), F.col("w")
+        )
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("w").alias("term"),
+            "tf", "df", "score_micro", "rank",
+        )
+    )

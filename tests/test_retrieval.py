@@ -299,3 +299,25 @@ def test_index_job_end_to_end(spark, tmp_path):
           spark.read.parquet(f"{out}/trustrank").collect()}
     assert tr["b.com"] > 0      # reachable from the a.com seed
     assert tr["spam.biz"] == 0  # the spam island holds zero trust
+
+
+def test_topk_keywords(spark):
+    from comic_text_detector_spark.operators.retrieval import topk_keywords
+
+    rows = [
+        (1, "spark spark spark common common word"),
+        (2, "duck duck common common word"),
+        (3, "common word xx"),  # 'xx' below min_len
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = topk_keywords(df, k=2, min_len=3)
+    got = {(r.doc_id, r.rank): r for r in out.collect()}
+    # 'spark' is unique to doc 1 (df=1) and tf=3: top keyword
+    assert got[(1, 1)].term == "spark" and got[(1, 1)].tf == 3
+    assert got[(2, 1)].term == "duck"
+    # 'common' appears in all docs -> idf floor, never outranks unique
+    assert got[(1, 2)].term in ("common", "word")
+    # doc 3 has only corpus-wide terms; tie at equal score resolves
+    # lexicographically: 'common' before 'word'
+    assert got[(3, 1)].term == "common" and got[(3, 2)].term == "word"
+    assert all(r.rank <= 2 for r in out.collect())
