@@ -4590,7 +4590,10 @@ def _q_http_response_meta(spark, sf_dir):
             i % 5 == 0,
             F.concat(
                 F.lit("HTTP/1.1 200 OK\r\nServer: x\r\nContent-Type:"
-                      " text/html; charset=UTF-8\r\nContent-Length: "),
+                      " text/html; charset=UTF-8\r\nETag: \"v"),
+                s(i % 4),
+                F.lit("\"\r\nLast-Modified: Mon, 0"), s(1 + i % 9),
+                F.lit(" Jan 2024 00:00:00 GMT\r\nContent-Length: "),
                 s(10 + i % 90),
                 F.lit("\r\n\r\n<p>b"), s(i), F.lit("</p>"),
             ),
@@ -4635,6 +4638,10 @@ _HTTP_META_ORACLE = (
     " AS content_length,"
     " CASE WHEN doc_id % 5 = 1 THEN 'https://r' ||"
     "  (doc_id % 9)::VARCHAR || '/' END AS location,"
+    " CASE WHEN doc_id % 5 = 0 THEN '\"v' || (doc_id % 4)::VARCHAR"
+    "  || '\"' END AS etag,"
+    " CASE WHEN doc_id % 5 = 0 THEN 'Mon, 0' || (1 + doc_id % 9)::VARCHAR"
+    "  || ' Jan 2024 00:00:00 GMT' END AS last_modified,"
     " CASE WHEN doc_id % 5 = 0 THEN '<p>b' || doc_id::VARCHAR || '</p>'"
     " WHEN doc_id % 5 = 1 THEN ''"
     " WHEN doc_id % 5 = 2 THEN '%PDF-1.4' END AS body"
@@ -5123,6 +5130,40 @@ _DOC_KEYWORDS_ORACLE = (
 )
 
 
+def _q_readability(spark, sf_dir):
+    """Integer Flesch readability (functions/textstats.py::
+    readability_scores) over the REAL documents.text column; the
+    oracle replays the sentence split, vowel-run syllables with the
+    vowel-less-word floor, and the floor-division score formulas."""
+    from comic_text_detector_spark.functions.textstats import (
+        readability_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return readability_scores(docs)
+
+
+_READABILITY_ORACLE = (
+    "WITH b AS (SELECT doc_id, coalesce(text, '') AS t,"
+    " lower(coalesce(text, '')) AS lo FROM documents),"
+    " c AS (SELECT doc_id,"
+    "  len(list_filter(regexp_split_to_array(t, '[.!?]+'),"
+    "   s -> trim(s) <> ''))::BIGINT AS ns,"
+    "  len(list_filter(regexp_split_to_array(lo, '\\s+'),"
+    "   w -> w <> ''))::BIGINT AS nw,"
+    "  (len(regexp_extract_all(lo, '[aeiouy]+'))"
+    "   + len(list_filter(regexp_split_to_array(lo, '\\s+'),"
+    "     w -> w <> '' AND NOT regexp_matches(w, '[aeiouy]'))))::BIGINT"
+    "   AS sy FROM b) "
+    "SELECT doc_id, ns AS n_sentences, nw AS n_words, sy AS n_syllables,"
+    " CASE WHEN ns > 0 AND nw > 0 THEN 206835 - (1015 * nw) // ns"
+    "  - (84600 * sy) // nw END AS flesch_milli,"
+    " CASE WHEN ns > 0 AND nw > 0 THEN (390 * nw) // ns"
+    "  + (11800 * sy) // nw - 15590 END AS fk_grade_milli"
+    " FROM c"
+)
+
+
 def _q_extract_jsonld(spark, sf_dir):
     """JSON-LD structured-data extraction (functions/jsonld.py::
     extract_jsonld): ordinal skip past a non-LD script, object- and
@@ -5409,6 +5450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_signals": _q_soft404,
         "extract_hreflang": _q_extract_hreflang,
         "doc_keywords": _q_doc_keywords,
+        "readability_docs": _q_readability,
     }
 
 
@@ -7071,4 +7113,5 @@ def oracle_sql() -> dict[str, str]:
         "soft404_signals": _SOFT404_ORACLE,
         "extract_hreflang": _HREFLANG_ORACLE,
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
+        "readability_docs": _READABILITY_ORACLE,
     }

@@ -92,6 +92,11 @@ def http_response_meta(
             "content_length"
         ),
         F.when(is_http, _header(env, "location")).alias("location"),
+        # validators for conditional revisits (revisit_request_headers)
+        F.when(is_http, _header(env, "etag")).alias("etag"),
+        F.when(is_http, _header(env, "last-modified")).alias(
+            "last_modified"
+        ),
         F.when(
             is_http & (env_end > 0),
             F.substring(p, env_end + 4, 2_147_483_647),
@@ -278,4 +283,23 @@ def soft404_signals(
         (
             (F.col(status_col) == 200) & (score >= SOFT404_THRESHOLD)
         ).alias("is_soft404"),
+    )
+
+
+def revisit_request_headers(meta: DataFrame) -> DataFrame:
+    """Conditional-GET plan for a recrawl: (url, if_none_match,
+    if_modified_since, conditional) from a prior capture's parsed
+    envelope. RFC 9110 §13.1: send the stored ETag back verbatim as
+    If-None-Match (weak validators included — fine for GET), and the
+    stored Last-Modified as If-Modified-Since; ``conditional`` is
+    false when the origin gave no validator at all (the fetcher must
+    do a full GET — never invent a validator). Pure projection; pairs
+    with ``operators/recrawl.py::recrawl_schedule`` for WHEN to ask."""
+    return meta.select(
+        "url",
+        F.col("etag").alias("if_none_match"),
+        F.col("last_modified").alias("if_modified_since"),
+        (
+            F.col("etag").isNotNull() | F.col("last_modified").isNotNull()
+        ).alias("conditional"),
     )

@@ -1080,3 +1080,63 @@ def split_sentences(
         F.col(id_col).alias("id"),
         F.posexplode(sents).alias("sent_idx", "sentence"),
     ).select(F.col("id").alias(id_col), "sent_idx", "sentence")
+
+
+def readability_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Integer Flesch readability: (id, n_sentences, n_words,
+    n_syllables, flesch_milli, fk_grade_milli) — the curation-tier
+    reading-level signal beside quality_score (a corpus skewed to
+    grade-2 listicles or grade-19 legalese is a mixture bug).
+
+    Heuristics, stated exactly so the oracle replays them:
+
+    * sentences = non-blank chunks of a ``[.!?]+`` split;
+    * words = whitespace tokens;
+    * syllables = [aeiouy]+ runs in the lowercased text, plus one per
+      vowel-less word (the max(1,·) floor of the classic heuristic —
+      runs cannot span words, so the text-level count equals the
+      word-level sum);
+    * flesch_milli = 206835 − (1015·words) // sentences −
+      (84600·syllables) // words, integer floor divisions — NULL when
+      a denominator is 0 (no fabricated score for empty text);
+      fk_grade_milli is the Flesch-Kincaid grade analogue.
+
+    Pure higher-order column expressions — zero shuffles, zero
+    Python; at 10^12 docs the cost is the regexp passes."""
+    t = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    low = F.lower(t)
+    sents = F.size(
+        F.filter(F.split(t, r"[.!?]+"), lambda s: F.trim(s) != "")
+    ).cast("long")
+    words_arr = F.filter(F.split(low, r"\s+"), lambda w: w != "")
+    words = F.size(words_arr).cast("long")
+    runs = F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), 0)).cast(
+        "long"
+    )
+    novowel = F.size(
+        F.filter(words_arr, lambda w: ~w.rlike("[aeiouy]"))
+    ).cast("long")
+    syl = runs + novowel
+    ok = (sents > 0) & (words > 0)
+    flesch = F.when(
+        ok,
+        F.lit(206835)
+        - ((F.lit(1015) * words) / sents).cast("long")
+        - ((F.lit(84600) * syl) / words).cast("long"),
+    )
+    fk = F.when(
+        ok,
+        ((F.lit(390) * words) / sents).cast("long")
+        + ((F.lit(11800) * syl) / words).cast("long")
+        - F.lit(15590),
+    )
+    return df.select(
+        F.col(id_col).alias(id_col),
+        sents.alias("n_sentences"),
+        words.alias("n_words"),
+        syl.alias("n_syllables"),
+        flesch.alias("flesch_milli"),
+        fk.alias("fk_grade_milli"),
+    )

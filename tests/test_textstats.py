@@ -447,3 +447,31 @@ def test_split_sentences_rules(spark):
         "e.g. this stays.",
         "Whole i.e. sentence.",
     ]
+
+
+def test_readability_scores(spark):
+    from comic_text_detector_spark.functions.textstats import (
+        readability_scores,
+    )
+
+    rows = [
+        (1, "The cat sat. The dog ran!"),     # 2 sents, 6 words, 6 syl
+        (2, "xyz 123"),                        # vowel-less words floor
+        (3, ""),                               # empty: NULL scores
+        (4, "Extraordinary bureaucracy."),     # polysyllabic
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in readability_scores(df).collect()}
+    a = got[1]
+    assert (a.n_sentences, a.n_words, a.n_syllables) == (2, 6, 6)
+    # 206835 - 1015*6//2 - 84600*6//6 = 206835 - 3045 - 84600 = 119190
+    assert a.flesch_milli == 119190
+    assert a.fk_grade_milli == 390 * 6 // 2 + 11800 - 15590
+    b = got[2]
+    assert b.n_sentences == 1 and b.n_syllables == 2  # one floor each
+    c = got[3]
+    assert c.n_words == 0 and c.flesch_milli is None
+    d = got[4]
+    # extraordinary: e-xtrao-rdi-na-ry -> runs: e,ao,i,a,y = 5;
+    # bureaucracy: u,eau,a,y = 4
+    assert d.n_syllables == 9
