@@ -5164,6 +5164,44 @@ _READABILITY_ORACLE = (
 )
 
 
+def _q_extract_headings(spark, sf_dir):
+    """Heading outline (functions/tables.py::extract_headings): an h1
+    with an entity, an h2 with inner markup + padding whitespace, an
+    empty h(1+i%3) that must survive as '', and a no-heading arm
+    yielding no rows. Oracle predicts ordinal, level, and cleaned
+    text per arm."""
+    from comic_text_detector_spark.functions.tables import extract_headings
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    html = F.when(
+        i % 4 == 3,
+        F.concat(F.lit("<p>plain"), s(i), F.lit("</p>")),
+    ).otherwise(
+        F.concat(
+            F.lit("<html><h1>T&amp;"), s(i),
+            F.lit("</h1><p>x</p><h2> S <em>"), s(i % 5),
+            F.lit("</em> </h2><h"), s(1 + i % 3),
+            F.lit("></h"), s(1 + i % 3),
+            F.lit("><p>tail</p></html>"),
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("d"), s(i)).alias("url"), html.alias("html")
+    )
+    return extract_headings(docs)
+
+
+_EXTRACT_HEADINGS_ORACLE = (
+    "WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id % 4 <> 3) "
+    "SELECT 'd' || i::VARCHAR AS url, 0 AS heading_idx, 1 AS level,"
+    " 'T&' || i::VARCHAR AS text FROM d"
+    " UNION ALL SELECT 'd' || i::VARCHAR, 1, 2,"
+    " 'S ' || (i % 5)::VARCHAR FROM d"
+    " UNION ALL SELECT 'd' || i::VARCHAR, 2, (1 + i % 3)::INT, '' FROM d"
+)
+
+
 def _q_extract_jsonld(spark, sf_dir):
     """JSON-LD structured-data extraction (functions/jsonld.py::
     extract_jsonld): ordinal skip past a non-LD script, object- and
@@ -5451,6 +5489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_hreflang": _q_extract_hreflang,
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
+        "extract_headings": _q_extract_headings,
     }
 
 
@@ -7114,4 +7153,5 @@ def oracle_sql() -> dict[str, str]:
         "extract_hreflang": _HREFLANG_ORACLE,
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
+        "extract_headings": _EXTRACT_HEADINGS_ORACLE,
     }

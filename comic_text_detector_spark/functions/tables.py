@@ -101,3 +101,41 @@ def extract_tables(
             cells.alias("cells"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heading outline: the document's declared section structure, for
+# structure-aware training-data chunking (split at h2 boundaries
+# instead of blind windows — operators/packing.py::chunk_sliding is
+# the blind complement) and for corpus audits (title-vs-h1 drift).
+
+HEADING_CHUNK = "(?is)<h([1-6])[^>]*>(.*)$"
+
+
+def extract_headings(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per <h1>–<h6>: (url, heading_idx, level, text), in
+    document order. Same close-tag-split generator as
+    ``extract_tables`` (zero shuffles, map-side explode); heading text
+    gets the shared tag-strip + entity decode + whitespace collapse,
+    and an empty heading survives as '' (it is a real element).
+    ``heading_idx`` is the ordinal of the close tag; chunks without a
+    matching open tag are dropped, never fabricated. The level is read
+    from the OPEN tag — a mismatched </h3> closing an <h2> ends the
+    chunk early (garbled-but-deterministic, like nested tables)."""
+    h = F.col(html_col).cast("string")
+    chunks = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.split(h, "(?i)</h[1-6]>")).alias(
+            "heading_idx", "hc"
+        ),
+    )
+    level = F.regexp_extract(F.col("hc"), HEADING_CHUNK, 1)
+    body = F.regexp_extract(F.col("hc"), HEADING_CHUNK, 2)
+    return chunks.filter(level != "").select(
+        "url",
+        "heading_idx",
+        level.cast("int").alias("level"),
+        _cell_text(body).alias("text"),
+    )

@@ -93,3 +93,26 @@ def test_extract_jsonld_planted(spark):
     assert prod.ld_type == "Product" and prod.name == "P"
     assert prod.author_name == "Bare" and prod.headline is None
     assert not bad.valid and bad.ld_type is None
+
+
+def test_extract_headings(spark):
+    from comic_text_detector_spark.functions.tables import extract_headings
+
+    html = (
+        "<html><h1>Main &amp; Title</h1><p>x</p>"
+        "<h2> Section <em>one</em> </h2>"
+        "<h3></h3>"  # empty heading is a real element
+        "<h2>Last</h2><p>tail</p></html>"
+    )
+    df = spark.createDataFrame(
+        [("p", html), ("q", "<p>no headings</p>")], "url string, html string"
+    )
+    rows = sorted(extract_headings(df).collect(), key=lambda r: r.heading_idx)
+    assert all(r.url == "p" for r in rows)
+    assert [(r.level, r.text) for r in rows] == [
+        (1, "Main & Title"),
+        (2, "Section one"),
+        (3, ""),
+        (2, "Last"),
+    ]
+    assert [r.heading_idx for r in rows] == [0, 1, 2, 3]
