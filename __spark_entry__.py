@@ -5202,6 +5202,42 @@ _EXTRACT_HEADINGS_ORACLE = (
 )
 
 
+def _q_section_chunks(spark, sf_dir):
+    """Section-grain chunking (functions/tables.py::section_chunks):
+    preamble text, an entity-decoded h1 section with multi-tag body,
+    an attributed h2 section, and a never-closed h3 that must drop;
+    every 4th doc has a markup-only preamble that must emit no row."""
+    from comic_text_detector_spark.functions.tables import section_chunks
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    pre = F.when(i % 4 == 0, F.lit("<html><br/>")).otherwise(
+        F.concat(F.lit("<html><p>intro "), s(i), F.lit("</p>"))
+    )
+    html = F.concat(
+        pre,
+        F.lit("<h1>T&amp;"), s(i), F.lit("</h1><p>body"), s(i % 7),
+        F.lit("</p><div>more</div><h2 class=x>Sub"), s(i % 5),
+        F.lit("</h2>tail text<h3>broken</html>"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("d"), s(i)).alias("url"), html.alias("html")
+    )
+    return section_chunks(docs)
+
+
+_SECTION_CHUNKS_ORACLE = (
+    "WITH d AS (SELECT doc_id AS i FROM documents) "
+    "SELECT 'd' || i::VARCHAR AS url, 0 AS section_idx,"
+    " NULL::INT AS level, NULL::VARCHAR AS heading,"
+    " 'intro ' || i::VARCHAR AS body FROM d WHERE i % 4 <> 0"
+    " UNION ALL SELECT 'd' || i::VARCHAR, 1, 1, 'T&' || i::VARCHAR,"
+    " 'body' || (i % 7)::VARCHAR || ' more' FROM d"
+    " UNION ALL SELECT 'd' || i::VARCHAR, 2, 2,"
+    " 'Sub' || (i % 5)::VARCHAR, 'tail text' FROM d"
+)
+
+
 def _q_extract_jsonld(spark, sf_dir):
     """JSON-LD structured-data extraction (functions/jsonld.py::
     extract_jsonld): ordinal skip past a non-LD script, object- and
@@ -5490,6 +5526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "section_chunks": _q_section_chunks,
     }
 
 
@@ -7154,4 +7191,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "section_chunks": _SECTION_CHUNKS_ORACLE,
     }

@@ -139,3 +139,45 @@ def extract_headings(
         level.cast("int").alias("level"),
         _cell_text(body).alias("text"),
     )
+
+
+SECTION_CHUNK = "(?is)^(.*?)</h([1-6])>(.*)$"
+
+
+def section_chunks(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Section-grain document chunks: (url, section_idx, level,
+    heading, body) — the structure-aware alternative to blind
+    ``chunk_sliding`` windows for training-data assembly.
+
+    Split on heading OPEN tags, so every chunk k ≥ 1 is
+    'heading</hN> body…': heading and level come from the chunk's own
+    close tag, body is everything after it (tag-stripped, entity-
+    decoded, whitespace-collapsed). Chunk 0 is the preamble — emitted
+    with NULL heading/level when it has any text (content before the
+    first heading is real content). A chunk whose close tag never
+    comes (malformed nesting) is dropped, never guessed. One split +
+    one map-side explode: zero shuffles, linear in page bytes."""
+    h = F.col(html_col).cast("string")
+    chunks = df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.split(h, "(?i)<h[1-6][^>]*>")).alias(
+            "section_idx", "sc"
+        ),
+    )
+    c = F.col("sc")
+    head = F.regexp_extract(c, SECTION_CHUNK, 1)
+    level = F.regexp_extract(c, SECTION_CHUNK, 2)
+    body = F.regexp_extract(c, SECTION_CHUNK, 3)
+    is_pre = F.col("section_idx") == 0
+    pre_text = _cell_text(c)
+    return chunks.filter(
+        (is_pre & (pre_text != "")) | (~is_pre & (level != ""))
+    ).select(
+        "url",
+        "section_idx",
+        F.when(~is_pre, level.cast("int")).alias("level"),
+        F.when(~is_pre, _cell_text(head)).alias("heading"),
+        F.when(is_pre, pre_text).otherwise(_cell_text(body)).alias("body"),
+    )

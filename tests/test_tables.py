@@ -116,3 +116,28 @@ def test_extract_headings(spark):
         (2, "Last"),
     ]
     assert [r.heading_idx for r in rows] == [0, 1, 2, 3]
+
+
+def test_section_chunks(spark):
+    from comic_text_detector_spark.functions.tables import section_chunks
+
+    html = (
+        "<html><p>intro text</p>"
+        "<h1>Title &amp; One</h1><p>first body</p><div>more</div>"
+        "<h2 class=x>Sub</h2>second body"
+        "<h3>Broken<p>never closed</html>"
+    )
+    df = spark.createDataFrame([("p", html)], "url string, html string")
+    rows = sorted(section_chunks(df).collect(), key=lambda r: r.section_idx)
+    assert [(r.section_idx, r.level, r.heading, r.body) for r in rows] == [
+        (0, None, None, "intro text"),
+        (1, 1, "Title & One", "first body more"),
+        (2, 2, "Sub", "second body"),
+        # the h3 chunk has no close tag: dropped, never guessed
+    ]
+    # a page whose preamble is pure markup emits no preamble row
+    df2 = spark.createDataFrame(
+        [("q", "<html><h1>T</h1>b</html>")], "url string, html string"
+    )
+    rows2 = section_chunks(df2).collect()
+    assert [(r.section_idx, r.heading) for r in rows2] == [(1, "T")]
