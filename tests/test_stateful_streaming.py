@@ -347,3 +347,67 @@ def test_streaming_count_min_accumulates_across_batches(spark, tmp_path):
         ).collect()
     }
     assert est["a"] == 8 and est["b"] == 2 and est["c"] == 4
+
+
+def test_bloom_filter_stream_bounded_state(spark, tmp_path):
+    """Cross-batch Bloom seen-filter: batch-2 repeats suppressed, new
+    urls pass; the python hash mirror equals the batch operator's."""
+    from comic_text_detector_spark.operators.bloom import _positions
+    from comic_text_detector_spark.streaming.stateful_bloom import (
+        _positions_py,
+        bloom_filter_stream,
+    )
+
+    # hash-contract assertion: python mirror == Spark column positions
+    probe = spark.createDataFrame([("https://x/1",)], "url string")
+    spark_pos = probe.select(
+        *[p.alias(f"p{j}") for j, p in
+          enumerate(_positions(F.col("url"), 1 << 16, 3))]
+    ).collect()[0]
+    assert list(spark_pos) == _positions_py("https://x/1", 1 << 16, 3)
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "ckpt")
+    )
+
+    def run_once():
+        stream = spark.readStream.schema("url string").parquet(in_dir)
+        q = (
+            bloom_filter_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        import time as _t
+
+        deadline = _t.time() + 120
+        while _t.time() < deadline and q.isActive:
+            st = q.status
+            if (
+                not st["isDataAvailable"]
+                and not st["isTriggerActive"]
+                and q.recentProgress
+            ):
+                break
+            _t.sleep(0.5)
+        if q.isActive:
+            q.stop()
+        q.awaitTermination(60)
+
+    batch1 = [(f"https://h{i}/p{i}",) for i in range(40)]
+    spark.createDataFrame(batch1, "url string").write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_once()
+    seen1 = {r.url for r in spark.read.parquet(out_dir).collect()}
+    assert seen1 == {u for (u,) in batch1}  # no false positives at this load
+
+    batch2 = batch1[:10] + [(f"https://new{i}/q{i}",) for i in range(5)]
+    spark.createDataFrame(batch2, "url string").write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_once()
+    seen2 = {r.url for r in spark.read.parquet(out_dir).collect()}
+    assert seen2 == seen1 | {f"https://new{i}/q{i}" for i in range(5)}
