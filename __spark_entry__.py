@@ -2837,6 +2837,26 @@ def _q_unigram_tokenize(spark, sf_dir):
     return unigram_tokenize(_t(spark, sf_dir, "documents"), pieces)
 
 
+def _q_wordpiece_tokenize(spark, sf_dir):
+    """BERT-style WordPiece greedy longest-match tokenization
+    (operators/tokenize.py::wordpiece_tokenize, Wu et al. 2016) of the
+    REAL documents.text under a broadcast membership map — the third
+    subword scheme beside the BPE chain and the unigram Viterbi, with
+    the all-or-nothing [UNK] rule the demo vocab deliberately triggers
+    (no '##y' continuation, so 'key'/'query' collapse to [UNK]). The
+    oracle replays the greedy loop as a recursive CTE with the same
+    descending longest-first scan."""
+    from comic_text_detector_spark.operators.tokenize import (
+        WORDPIECE_DEMO_VOCAB,
+        wordpiece_tokenize,
+    )
+
+    vocab = spark.createDataFrame(
+        [(p,) for p in WORDPIECE_DEMO_VOCAB], "piece string"
+    )
+    return wordpiece_tokenize(_t(spark, sf_dir, "documents"), vocab)
+
+
 def _directives_fixture_df(spark, sf_dir):
     """Synthetic page-head HTML per url, i%5 variants: canonical in
     attribute order A with a noindex,nofollow meta; order B with
@@ -5338,6 +5358,72 @@ _FIX_MOJIBAKE_ORACLE = (
 )
 
 
+def _c4_page_lines(prefix: str = "") -> tuple[str, str]:
+    """(spark_unused, duckdb_sql) builder is inlined in both sides below;
+    kept as a docstring anchor for the shared page recipe: L1 kept
+    sentence from the real text, L2 short line (dropped), L3 javascript
+    line (dropped), L4 policy phrase (dropped), L5 three extra sentences
+    (skipped when doc_id%5==0 → too_few_sentences), L6 lorem when
+    doc_id%7==0, L7 brace when doc_id%11==0."""
+    raise NotImplementedError("documentation anchor only")
+
+
+def _q_c4_filter(spark, sf_dir):
+    """C4 cleaning battery (operators/curation.py::c4_line_filter; rules
+    from Raffel et al. 2020 §2.2) over deterministic multi-line pages
+    built from the REAL documents table so every line and page rule
+    fires at sf0.01: terminal-punctuation keep, short-line drop,
+    javascript/policy-phrase drops, lorem-ipsum / brace / sentence-count
+    page drops. The oracle replays the page synthesis AND the filter."""
+    from comic_text_detector_spark.operators.curation import c4_line_filter
+
+    d = F.col("doc_id")
+    base = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)
+    page = F.concat_ws(
+        "\n",
+        F.concat(base, F.lit(" end.")),
+        F.lit("short line"),
+        F.concat(F.lit("Enable javascript to view page "),
+                 d.cast("string"), F.lit(".")),
+        F.lit("This site uses cookies for analytics."),
+        F.when(
+            d % 5 != 0,
+            F.lit("Sentence two is fine! Sentence three is fine?"
+                  " Sentence four is fine."),
+        ),
+        F.when(d % 7 == 0, F.lit("Lorem ipsum dolor sit amet."))
+        .otherwise(F.lit("Normal closing sentence here.")),
+        F.when(d % 11 == 0, F.lit("code { x } sample.")),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", page.alias("text")
+    )
+    return c4_line_filter(docs)
+
+
+def _c4_filter_oracle() -> str:
+    from comic_text_detector_spark.operators.curation import (
+        c4_line_filter_sql,
+    )
+
+    page = (
+        "SELECT doc_id, concat_ws(chr(10),"
+        " substr(coalesce(text, ''), 1, 40) || ' end.',"
+        " 'short line',"
+        " 'Enable javascript to view page ' || doc_id::VARCHAR || '.',"
+        " 'This site uses cookies for analytics.',"
+        " CASE WHEN doc_id % 5 <> 0 THEN"
+        "  'Sentence two is fine! Sentence three is fine?"
+        " Sentence four is fine.' END,"
+        " CASE WHEN doc_id % 7 = 0 THEN 'Lorem ipsum dolor sit amet.'"
+        "  ELSE 'Normal closing sentence here.' END,"
+        " CASE WHEN doc_id % 11 = 0 THEN 'code { x } sample.' END"
+        ") AS text FROM documents"
+    )
+    twin = c4_line_filter_sql(table="page")
+    return twin.replace("WITH ", f"WITH page AS ({page}), ", 1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -5416,6 +5502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": _q_blocklist_filter,
         "badword_score": _q_badword_score,
         "unigram_tokenize_docs": _q_unigram_tokenize,
+        "wordpiece_tokenize_docs": _q_wordpiece_tokenize,
         "train_unigram_pieces_docs": _q_train_unigram,
         "page_directives": _q_page_directives,
         "canonical_dedup": _q_canonical_dedup,
@@ -5527,6 +5614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
         "section_chunks": _q_section_chunks,
+        "c4_filter_docs": _q_c4_filter,
     }
 
 
@@ -6846,6 +6934,10 @@ def oracle_sql() -> dict[str, str]:
             "comic_text_detector_spark.operators.tokenize",
             fromlist=["unigram_tokenize_sql"],
         ).unigram_tokenize_sql(),
+        "wordpiece_tokenize_docs": __import__(
+            "comic_text_detector_spark.operators.tokenize",
+            fromlist=["wordpiece_tokenize_sql"],
+        ).wordpiece_tokenize_sql(),
         "train_unigram_pieces_docs": __import__(
             "comic_text_detector_spark.operators.tokenize",
             fromlist=["train_unigram_pieces_sql"],
@@ -7192,4 +7284,5 @@ def oracle_sql() -> dict[str, str]:
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
         "section_chunks": _SECTION_CHUNKS_ORACLE,
+        "c4_filter_docs": _c4_filter_oracle(),
     }

@@ -1813,3 +1813,134 @@ def percent_normalize(url: Column) -> Column:
     return F.concat(
         F.element_at(parts, 1), F.array_join(tail, "")
     )
+
+
+# C4 (Raffel et al. 2020, JMLR 21(140) §2.2 — public paper) line and page
+# rules. Engine-added for web-text tier extraction: the reference pipeline
+# has no corpus cleaning stage at all (it consumes already-curated manga
+# pages), so this battery is the web-scale analog of its per-image
+# validity gates (utils/io_utils.py's skip-on-bad-image discipline).
+C4_POLICY_PHRASES: tuple[str, ...] = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """The C4 cleaning battery as ONE whole-stage-codegen projection:
+    per-LINE rules (keep only lines that end in a terminal punctuation
+    mark, have >= ``min_words_per_line`` whitespace words, and do not
+    contain 'javascript' or a policy boilerplate phrase), then per-PAGE
+    rules on what survives (drop pages containing '{', 'lorem ipsum',
+    or fewer than ``min_sentences`` sentences after line filtering).
+
+    Returns every input row — (id, text [cleaned], n_lines_in,
+    n_lines_kept, n_sentences, doc_pass, drop_reason) — rather than
+    filtering, so audits can measure what each rule removes before a
+    downstream ``.filter('doc_pass')`` commits to the drop; at 100 TB
+    the rule-attribution histogram is the tuning signal and recomputing
+    it would mean a second full scan.
+
+    Scale shape: zero shuffles, zero joins, zero Python — every rule is
+    a higher-order array expression over the row's own line split, so
+    the stage pipelines with whatever scan/exchange surrounds it and
+    the cost is one pass over the bytes per row. Sentence counting
+    reuses readability_scores' rule (split on [.!?]+ runs, count
+    non-blank segments) so the two stages agree on what a sentence is.
+    """
+    # CRLF → LF up front: Java regex '$' would otherwise match before a
+    # trailing '\r' while RE2's (the oracle's) would not.
+    t = F.replace(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit("\r"), F.lit("")
+    )
+    lines = F.split(t, "\n")
+
+    def _keep(ln: Column) -> Column:
+        tr = F.trim(ln)
+        lo = F.lower(ln)
+        n_words = F.size(
+            F.filter(F.split(tr, "\\s+"), lambda w: w != "")
+        )
+        bad_phrase = F.lit(False)
+        for p in ("javascript",) + C4_POLICY_PHRASES:
+            bad_phrase = bad_phrase | lo.contains(p)
+        return (
+            tr.rlike('[.!?"]$')
+            & (n_words >= min_words_per_line)
+            & ~bad_phrase
+        )
+
+    kept = F.filter(lines, _keep)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(
+        F.filter(
+            F.split(clean, "[.!?]+"), lambda s: F.trim(s) != ""
+        )
+    )
+    has_brace = t.contains("{")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    reason = (
+        F.when(has_brace, F.lit("brace"))
+        .when(has_lorem, F.lit("lorem_ipsum"))
+        .when(n_sent < min_sentences, F.lit("too_few_sentences"))
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("text"),
+        F.size(lines).cast("bigint").alias("n_lines_in"),
+        F.size(kept).cast("bigint").alias("n_lines_kept"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        reason.isNull().alias("doc_pass"),
+        reason.alias("drop_reason"),
+    )
+
+
+def c4_line_filter_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> str:
+    """DuckDB twin of ``c4_line_filter`` — replays every rule with
+    list_filter/regexp over the same line split."""
+    phrases = ("javascript",) + C4_POLICY_PHRASES
+    bad = " OR ".join(
+        f"contains(lower(ln), '{p}')" for p in phrases
+    )
+    keep = (
+        "ln -> regexp_matches(trim(ln), '[.!?\"]$')"
+        " AND len(list_filter(regexp_split_to_array(trim(ln), '\\s+'),"
+        f" w -> w <> '')) >= {min_words_per_line}"
+        f" AND NOT ({bad})"
+    )
+    return (
+        f"WITH b AS (SELECT {id_col},"
+        f" replace(coalesce({text_col}, ''), chr(13), '') AS t"
+        f" FROM {table}),"
+        " l AS (SELECT *, str_split(t, chr(10)) AS lines FROM b),"
+        f" k AS (SELECT *, list_filter(lines, {keep}) AS kept FROM l),"
+        " c AS (SELECT *, array_to_string(kept, chr(10)) AS clean,"
+        " len(list_filter(regexp_split_to_array("
+        " array_to_string(kept, chr(10)), '[.!?]+'),"
+        " s -> trim(s) <> ''))::BIGINT AS n_sent FROM k),"
+        " r AS (SELECT *, CASE WHEN contains(t, '{') THEN 'brace'"
+        " WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'"
+        f" WHEN n_sent < {min_sentences} THEN 'too_few_sentences'"
+        " END AS drop_reason FROM c) "
+        f"SELECT {id_col}, clean AS text,"
+        " len(lines)::BIGINT AS n_lines_in,"
+        " len(kept)::BIGINT AS n_lines_kept,"
+        " n_sent AS n_sentences,"
+        " drop_reason IS NULL AS doc_pass, drop_reason FROM r"
+    )

@@ -737,3 +737,192 @@ fin AS (SELECT piece, cnt FROM {prev} WHERE length(piece) = 1
 tf AS (SELECT sum(cnt) AS t FROM fin)
 SELECT piece, {prob.format(tot='tf')} AS milli_lp, cnt FROM fin""")
     return "WITH RECURSIVE " + "".join(parts)
+
+
+def wordpiece_word_pieces(
+    word,
+    m,
+    max_piece_len: int = 10,
+    max_word_len: int = 100,
+    unk: str = "[UNK]",
+):
+    """Column expression: WordPiece greedy longest-match-first
+    segmentation of one word (Wu et al. 2016 / the BERT tokenizer rule —
+    the third classic subword scheme beside the BPE chain and the
+    unigram Viterbi above). From position p, take the LONGEST piece in
+    the vocab map ``m`` — prefixed '##' when p > 0 — and advance; if no
+    piece matches at any position, or the word exceeds
+    ``max_word_len`` chars, the WHOLE word becomes ``unk`` (BERT's
+    all-or-nothing rule, not a per-char fallback — this is what makes
+    greedy differ observably from Viterbi).
+
+    One ``aggregate`` runtime loop over at most len(word) steps, each
+    step an O(max_piece_len) descending scan for the longest map hit —
+    zero Python, zero shuffles, compiles to the same plan for any word
+    length."""
+    L = max_piece_len
+    n = F.length(word)
+
+    def piece_at(pos: Column, l: Column) -> Column:
+        base = F.substr(word, pos + 1, l)
+        return F.when(pos == 0, base).otherwise(F.concat(F.lit("##"), base))
+
+    def step(acc, _):
+        pos = acc["pos"]
+        live = ~acc["bad"] & (pos < n)
+        best_l = F.get(
+            F.filter(
+                F.sequence(F.least(F.lit(L), n - pos), F.lit(1), F.lit(-1)),
+                lambda l: F.element_at(m, piece_at(pos, l)).isNotNull(),
+            ),
+            0,
+        )
+        return F.when(~live, acc).otherwise(
+            F.when(
+                best_l.isNull(),
+                F.struct(
+                    n.cast("int").alias("pos"),
+                    acc["ps"].alias("ps"),
+                    F.lit(True).alias("bad"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (pos + best_l).cast("int").alias("pos"),
+                    F.concat(
+                        acc["ps"], F.array(piece_at(pos, best_l))
+                    ).alias("ps"),
+                    F.lit(False).alias("bad"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.lit(0).cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("ps"),
+        F.lit(False).alias("bad"),
+    )
+    out = F.aggregate(F.sequence(F.lit(1), F.greatest(n, F.lit(1))), init, step)
+    return F.when(
+        (n > max_word_len) | out["bad"], F.array(F.lit(unk))
+    ).otherwise(out["ps"])
+
+
+def wordpiece_tokenize(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 10,
+    max_word_len: int = 100,
+    unk: str = "[UNK]",
+) -> DataFrame:
+    """Whole-corpus WordPiece tokenization: (id, tokens array<string>,
+    n_tokens, n_unk). ``vocab`` is one column ``piece`` (continuations
+    carry the '##' prefix, exactly the BERT vocab file convention).
+
+    Scale shape mirrors ``unigram_tokenize``: the vocab collapses to a
+    ONE-ROW membership map cross-join-broadcast onto every document
+    (a 30k-piece BERT vocab is ~400 KB — far under any broadcast
+    threshold), words split and segmented inside one projection — ZERO
+    corpus shuffles, no UDF; per-word cost is O(len × max_piece_len)
+    JVM map lookups. n_unk is the coverage audit signal: at 100 TB you
+    watch unk-rate per language shard, not per-doc output."""
+    mrow = vocab.select(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("piece"), F.lit(1)))
+        ).alias("__m")
+    )
+    d = docs.join(F.broadcast(mrow))
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda w: w != "",
+    )
+    toks = F.flatten(
+        F.transform(
+            words,
+            lambda w: wordpiece_word_pieces(
+                w, F.col("__m"), max_piece_len, max_word_len, unk
+            ),
+        )
+    )
+    return d.select(
+        F.col(id_col),
+        toks.alias("tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t == unk))
+        .cast("long")
+        .alias("n_unk"),
+    )
+
+
+# demo vocab for the oracled query: all single-char START pieces over
+# ascii lowercase, all '##' continuation chars EXCEPT '##y' (so words
+# with a non-initial 'y' — 'key', 'query' — hit the all-or-nothing UNK
+# rule), plus multi-char pieces that make greedy-vs-Viterbi observable.
+WORDPIECE_DEMO_VOCAB: tuple[str, ...] = tuple(
+    [c for c in "abcdefghijklmnopqrstuvwxyz"]
+    + ["##" + c for c in "abcdefghijklmnopqrstuvwxz"]
+    + [
+        "ta", "table", "##ble", "##able", "scan", "##can", "row", "##ow",
+        "val", "##alue", "batch", "##atch", "wind", "##dow", "##ndow",
+        "st", "##ream", "qu", "##ery", "gr", "##oup", "##der", "or",
+    ]
+)
+
+
+def wordpiece_tokenize_sql(
+    corpus: str = "documents",
+    id_col: str = "doc_id",
+    vocab: tuple[str, ...] = WORDPIECE_DEMO_VOCAB,
+    max_piece_len: int = 10,
+    max_word_len: int = 100,
+    unk: str = "[UNK]",
+) -> str:
+    """DuckDB twin of ``wordpiece_tokenize``: the greedy loop replayed
+    as a recursive CTE over distinct words — each step picks the first
+    (longest) matching candidate length via a descending-range list
+    comprehension, the same longest-match rule as the Spark aggregate
+    loop — then per-doc reassembly in word order."""
+    L = max_piece_len
+    vals = ", ".join("('" + p.replace("'", "''") + "')" for p in vocab)
+    piece = (
+        "CASE WHEN pos = 0 THEN substr(w, 1, l)"
+        " ELSE '##' || substr(w, pos + 1, l) END"
+    )
+    return f"""
+WITH RECURSIVE
+vp AS (SELECT * FROM (VALUES {vals}) AS v(piece)),
+vm AS (SELECT list(piece) AS vl FROM vp),
+wpos AS (SELECT {id_col} AS id, wi, w FROM (
+  SELECT {id_col}, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+  FROM (SELECT {id_col}, string_split(coalesce(text, ''), ' ') AS ws
+        FROM {corpus})) WHERE w <> ''),
+wd AS (SELECT DISTINCT w FROM wpos),
+g AS (
+  SELECT w, 0 AS pos, CAST([] AS VARCHAR[]) AS ps, false AS bad FROM wd
+  UNION ALL
+  SELECT w,
+    CASE WHEN bl IS NULL THEN length(w) ELSE pos + bl END,
+    CASE WHEN bl IS NULL THEN ps
+         ELSE list_append(ps, CASE WHEN pos = 0 THEN substr(w, 1, bl)
+              ELSE '##' || substr(w, pos + 1, bl) END) END,
+    bad OR bl IS NULL
+  FROM (
+    SELECT w, pos, ps, bad,
+      [l FOR l IN range(least({L}, length(w) - pos), 0, -1)
+       IF list_contains(vl, {piece})][1] AS bl
+    FROM g, vm WHERE pos < length(w) AND NOT bad)
+),
+wt AS (SELECT w,
+  CASE WHEN length(w) > {max_word_len} OR bad
+       THEN ['{unk}'] ELSE ps END AS ps
+  FROM g WHERE pos = length(w)),
+dt AS (SELECT id, flatten(list(ps ORDER BY wi)) AS tokens
+       FROM wpos JOIN wt USING (w) GROUP BY id)
+SELECT d.{id_col}, coalesce(t.tokens, []) AS tokens,
+  CAST(coalesce(len(t.tokens), 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(len(list_filter(t.tokens, x -> x = '{unk}')), 0)
+       AS BIGINT) AS n_unk
+FROM (SELECT {id_col} FROM {corpus}) d
+LEFT JOIN dt t ON t.id = d.{id_col}
+"""

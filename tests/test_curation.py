@@ -1535,3 +1535,68 @@ def test_curate_job_traps_and_soft404(spark, tmp_path):
     ) == 0
     kept = [r.url for r in spark.read.parquet(f"{out}/curated").collect()]
     assert sorted(kept) == [f"http://ok.ex/p{k}" for k in range(3)]
+
+
+def test_c4_line_filter_rules(spark):
+    from comic_text_detector_spark.operators.curation import c4_line_filter
+
+    page_ok = "\n".join(
+        [
+            "The first sentence is long enough to keep.",
+            "too short",  # no terminal punct, 2 words
+            "Please enable javascript to continue reading.",  # js drop
+            "We explained our cookie policy in detail.",  # policy drop
+            "Second one stays! Third stays? Fourth stays.",
+            "Fifth keeps the page over the sentence floor.",
+        ]
+    )
+    rows = spark.createDataFrame(
+        [
+            (0, page_ok),
+            (1, page_ok + "\nsample with a { brace inside."),
+            (2, page_ok + "\nLorem Ipsum dolor sit amet."),
+            (3, "One sentence only stays here.\nshort"),
+            (4, None),
+            (5, "Ends mid line no punct at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in c4_line_filter(rows).collect()}
+    assert got[0].doc_pass and got[0].drop_reason is None
+    assert got[0].n_lines_in == 6 and got[0].n_lines_kept == 3
+    assert got[0].n_sentences == 5
+    assert "javascript" not in got[0].text
+    assert "cookie" not in got[0].text
+    assert got[1].drop_reason == "brace"
+    assert got[2].drop_reason == "lorem_ipsum"  # case-insensitive
+    assert got[3].drop_reason == "too_few_sentences"
+    assert got[3].n_lines_kept == 1
+    assert got[4].drop_reason == "too_few_sentences" and got[4].text == ""
+    assert got[5].n_lines_kept == 0  # no terminal punctuation
+
+
+def test_c4_line_filter_matches_sql_twin(spark, tmp_path):
+    import duckdb
+
+    from comic_text_detector_spark.operators.curation import (
+        c4_line_filter,
+        c4_line_filter_sql,
+    )
+
+    data = [
+        (i, f"Line number {i} ends well.\nshort\nUses Cookies banner here.")
+        for i in range(20)
+    ] + [(99, "Brace { page.\nLong enough sentence to keep around.")]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in c4_line_filter(df).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        __import__("pandas").DataFrame(
+            data, columns=["doc_id", "text"]
+        ),
+    )
+    want = sorted(tuple(r) for r in con.execute(c4_line_filter_sql()).fetchall())
+    assert got == want

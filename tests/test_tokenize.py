@@ -221,3 +221,84 @@ def test_train_unigram_hard_em_planted(spark):
     seg = unigram_tokenize(docs, p.select("piece", "milli_lp"))
     toks = {r.doc_id: r.tokens for r in seg.collect()}
     assert toks[2] == ["scan", "scan", "s", "table"]
+
+
+def _wp(spark, vocab, words):
+    from comic_text_detector_spark.operators.tokenize import (
+        wordpiece_tokenize,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    v = spark.createDataFrame([(p,) for p in vocab], "piece string")
+    return {
+        r.doc_id: (list(r.tokens), r.n_tokens, r.n_unk)
+        for r in wordpiece_tokenize(docs, v).collect()
+    }
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    # greedy takes 'tab' then must do '##l ##e'; Viterbi would prefer
+    # 'ta ##ble' (2 pieces) — the classic greedy-vs-optimal divergence.
+    got = _wp(
+        spark,
+        ["tab", "ta", "##ble", "##l", "##e", "t", "a", "b"],
+        ["table"],
+    )
+    assert got[0][0] == ["tab", "##l", "##e"]
+
+
+def test_wordpiece_unk_is_all_or_nothing(spark):
+    got = _wp(
+        spark,
+        ["he", "##llo", "wor"],  # 'world' dies at position 3
+        ["hello world hello"],
+    )
+    toks, n, n_unk = got[0]
+    assert toks == ["he", "##llo", "[UNK]", "he", "##llo"]
+    assert n == 5 and n_unk == 1
+
+
+def test_wordpiece_long_word_and_empty(spark):
+    vocab = [c for c in "ax"] + ["##" + c for c in "ax"]
+    got = _wp(spark, vocab, ["a" * 101, "", None, "ax " + "a" * 100])
+    assert got[0][0] == ["[UNK]"]  # > max_word_len
+    assert got[1] == ([], 0, 0)
+    assert got[2] == ([], 0, 0)
+    assert got[3][1] == 2 + 100 and got[3][2] == 0
+
+
+def test_wordpiece_matches_sql_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from comic_text_detector_spark.operators.tokenize import (
+        WORDPIECE_DEMO_VOCAB,
+        wordpiece_tokenize,
+        wordpiece_tokenize_sql,
+    )
+
+    data = [
+        (0, "table scan window stream"),
+        (1, "key query value batch"),
+        (2, "order group row customer"),
+        (3, ""),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(data, "doc_id long, text string")
+    v = spark.createDataFrame(
+        [(p,) for p in WORDPIECE_DEMO_VOCAB], "piece string"
+    )
+    got = {
+        r.doc_id: (list(r.tokens), r.n_tokens, r.n_unk)
+        for r in wordpiece_tokenize(docs, v).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(data, columns=["doc_id", "text"]))
+    want = {
+        r[0]: (list(r[1]), r[2], r[3])
+        for r in con.execute(wordpiece_tokenize_sql()).fetchall()
+    }
+    assert got == want
+    assert got[1][0][0] == "[UNK]"  # 'key': no '##y' continuation
