@@ -4384,6 +4384,18 @@ def _q_ann_pq_topk(spark, sf_dir):
     return ann_pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _q_ann_int8_topk(spark, sf_dir):
+    """Int8 scalar-quantized ANN with exact centi re-scoring
+    (operators/clustering.py::ann_int8_topk): max-abs int8 codes over
+    the centi lattice score the candidate cut, the exact integer dot
+    re-ranks — both stages value-gated because every number is either
+    an exact bigint or a single correctly-rounded double floor."""
+    from comic_text_detector_spark.operators.clustering import ann_int8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_int8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def _q_ann_ivf_trained(spark, sf_dir):
     """IVF ANN whose TRAINED coarse quantizer passes the value gate — the
     centi-int k-means closes exactly the gap that keeps the float-mean
@@ -5424,6 +5436,67 @@ def _c4_filter_oracle() -> str:
     return twin.replace("WITH ", f"WITH page AS ({page}), ", 1)
 
 
+_SCRIPT_VARIANTS: tuple[str, ...] = (
+    "",  # slot 0 uses the real (latin) text
+    "Привет мир как дела сегодня",
+    "γειά σου κόσμε σήμερα",
+    "مرحبا بالعالم اليوم",
+    "你好世界 こんにちは",  # kana 5 > han 4 → kana dominates
+    "안녕하세요 세계",
+    "123 !!! %%% 456",  # no scripted letter → 'none'
+)
+
+
+def _q_script_profile(spark, sf_dir):
+    """Unicode script detection (functions/textstats.py::script_profile)
+    over doc_id%7 multilingual variants planted on the REAL documents
+    table — Cyrillic/Greek/Arabic/Han+Kana/Hangul pages plus the
+    letterless 'none' arm; slot 0 keeps the real Latin text. The oracle
+    replays the nine block strips and the priority-ordered argmax."""
+    from comic_text_detector_spark.functions.textstats import script_profile
+
+    d = F.col("doc_id")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    for i, s in enumerate(_SCRIPT_VARIANTS):
+        if i == 0:
+            continue
+        text = F.when(d % 7 == i, F.lit(s)).otherwise(text)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text")
+    )
+    return script_profile(docs)
+
+
+def _script_profile_oracle() -> str:
+    from comic_text_detector_spark.functions.textstats import (
+        script_profile_sql,
+    )
+
+    arms = " ".join(
+        f"WHEN doc_id % 7 = {i} THEN '{s}'"
+        for i, s in enumerate(_SCRIPT_VARIANTS)
+        if i > 0
+    )
+    page = (
+        f"SELECT doc_id, CASE {arms} ELSE coalesce(text, '') END AS text"
+        " FROM documents"
+    )
+    twin = script_profile_sql(table="page")
+    return twin.replace("WITH ", f"WITH page AS ({page}), ", 1)
+
+
+def _q_train_order_shards(spark, sf_dir):
+    """Deterministic global training-order shuffle + hash-range sharding
+    (operators/curation.py::train_order_shards) over the REAL documents
+    ids — the epoch-reproducible permutation a pretraining loader reads;
+    the oracle replays sort key, shard bucket and per-shard position."""
+    from comic_text_detector_spark.operators.curation import (
+        train_order_shards,
+    )
+
+    return train_order_shards(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -5560,6 +5633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_ivf_trained": _q_ann_ivf_trained,
+        "ann_int8_topk": _q_ann_int8_topk,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "crawl_depth_hosts": _q_crawl_depth_hosts,
         "surt_keys": _q_surt_keys,
@@ -5615,6 +5689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_headings": _q_extract_headings,
         "section_chunks": _q_section_chunks,
         "c4_filter_docs": _q_c4_filter,
+        "script_profile_docs": _q_script_profile,
+        "train_order_shards": _q_train_order_shards,
     }
 
 
@@ -6205,6 +6281,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_pq_topk": _clu.ann_pq_topk_sql(k=5),
         "ann_ivf_trained": _clu.ivf_topk_int_sql(k=5),
+        "ann_int8_topk": _clu.ann_int8_topk_sql(k=5),
         "ann_ivfpq_topk": _clu.ann_ivfpq_topk_sql(k=5),
         "crawl_depth_hosts": _crawl_depth_oracle(),
         "surt_keys": _SURT_ORACLE,
@@ -7285,4 +7362,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
         "section_chunks": _SECTION_CHUNKS_ORACLE,
         "c4_filter_docs": _c4_filter_oracle(),
+        "script_profile_docs": _script_profile_oracle(),
+        "train_order_shards": __import__(
+            "comic_text_detector_spark.operators.curation",
+            fromlist=["train_order_shards_sql"],
+        ).train_order_shards_sql(),
     }

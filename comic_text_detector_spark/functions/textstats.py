@@ -1140,3 +1140,82 @@ def readability_scores(
         flesch.alias("flesch_milli"),
         fk.alias("fk_grade_milli"),
     )
+
+
+# Unicode script blocks (BMP only — deliberately: Java regex walks UTF-16
+# code units and RE2 walks code points, which only agree inside the BMP;
+# astral chars simply fall outside every class on both engines). Public
+# Unicode block ranges; the tuple order IS the dominant-script tie-break.
+SCRIPT_BLOCKS: tuple[tuple[str, str], ...] = (
+    ("latin", "A-Za-zÀ-ÖØ-öø-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+    ("hebrew", "֐-׿"),
+    ("devanagari", "ऀ-ॿ"),
+    ("hangul", "가-힣"),
+    ("kana", "぀-ヿ"),
+    ("han", "一-鿿"),
+)
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode-script detection: per-document letter counts for the nine
+    major script blocks plus the dominant script — the routing signal a
+    multilingual pipeline applies BEFORE any language model touches the
+    text (lang_id's n-gram profiles only separate languages within a
+    script; a Cyrillic page fed to a Latin-profile scorer is garbage-in).
+    Returns (id, n_latin, ..., n_han, n_letters, script) where script is
+    the argmax count with ties broken by SCRIPT_BLOCKS order and 'none'
+    when no scripted letter occurs.
+
+    Integer char counts via one regexp_replace strip per block — nine
+    regex passes in ONE codegen projection, zero shuffles, zero Python,
+    bit-identical across engines (BMP classes, see SCRIPT_BLOCKS note).
+    """
+    t = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    counts = {
+        name: F.length(F.regexp_replace(t, f"[^{cls}]", "")).cast("long")
+        for name, cls in SCRIPT_BLOCKS
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    top = F.greatest(*counts.values())
+    script = F.when(total == 0, F.lit("none"))
+    for name, _ in SCRIPT_BLOCKS:
+        script = script.when(counts[name] == top, F.lit(name))
+    return df.select(
+        F.col(id_col),
+        *[counts[n].alias(f"n_{n}") for n, _ in SCRIPT_BLOCKS],
+        total.alias("n_letters"),
+        script.alias("script"),
+    )
+
+
+def script_profile_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``script_profile`` (note the explicit 'g' flag —
+    DuckDB's regexp_replace is first-match-only by default where
+    Spark's is global)."""
+    cnt = ", ".join(
+        f"length(regexp_replace(t, '[^{cls}]', '', 'g'))::BIGINT AS n_{n}"
+        for n, cls in SCRIPT_BLOCKS
+    )
+    tot = " + ".join(f"n_{n}" for n, _ in SCRIPT_BLOCKS)
+    top = ", ".join(f"n_{n}" for n, _ in SCRIPT_BLOCKS)
+    dom = " ".join(
+        f"WHEN n_{n} = greatest({top}) THEN '{n}'" for n, _ in SCRIPT_BLOCKS
+    )
+    return (
+        f"WITH b AS (SELECT {id_col},"
+        f" coalesce({text_col}, '') AS t FROM {table}),"
+        f" c AS (SELECT {id_col}, {cnt} FROM b) "
+        f"SELECT *, ({tot})::BIGINT AS n_letters,"
+        f" CASE WHEN ({tot}) = 0 THEN 'none' {dom} END AS script FROM c"
+    )

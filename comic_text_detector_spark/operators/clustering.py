@@ -59,6 +59,8 @@ __all__ = [
     "ann_pq_topk",
     "ivf_topk_int",
     "ann_ivfpq_topk",
+    "quantize_int8",
+    "ann_int8_topk",
 ]
 
 CENTI = 100
@@ -960,3 +962,121 @@ def ann_ivfpq_topk_sql(
         f" SELECT query_id, rank, neighbor_id, score FROM r "
         f"WHERE rank <= {k}"
     )
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """(q8 array<long> in [-127,127], scale bigint): symmetric max-abs
+    int8 scalar quantization OVER the centi-int lattice — q_i =
+    floor(127·c_i / max|c|), with the all-zero vector mapping to all
+    zeros. 127·c_i is an exact bigint product and the single double
+    division is correctly rounded identically everywhere, so the codes
+    are bit-deterministic across engines (the same argument as the
+    k-means floor(sum/count) means above)."""
+    c = quantize_centi(vec)
+    s = F.array_max(F.transform(c, F.abs))
+    q = F.transform(
+        c,
+        lambda x: F.when(
+            s > 0, F.floor(F.lit(127.0) * x / s).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return q, s
+
+
+def ann_int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_mult: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized brute-force ANN with exact re-scoring: score
+    every (query, corpus) pair on int8 codes (the memory-bandwidth
+    fast path — 8 bytes/dim centi-longs collapse to what is logically
+    1 byte/dim, and the dot is pure bigint), keep the top
+    ``rerank_mult·k`` candidates per query, then re-rank those few by
+    the EXACT centi dot product → (qid, cid, score8, score_centi,
+    rank). Both stages break ties by candidate id, so the result is a
+    pure function of the input — the DuckDB twin replays quantization,
+    candidate cut and re-scoring bit-for-bit.
+
+    Scale shape: queries broadcast (an ANN batch is thousands of rows
+    vs a 10^10-vector corpus); the corpus streams through one
+    projection computing the int8 dot, one per-query window takes the
+    candidate cut, and the exact dot runs only on the survivors. The
+    100 TB upgrade path keeps the same two-stage contract and swaps
+    the scan for the IVF routing below (``ivf_topk_int``)."""
+    cq, _ = quantize_int8(F.col(vec_col))
+    cent = quantize_centi(F.col(vec_col))
+    base = corpus.select(
+        F.col(id_col).alias("cid"), cq.alias("c8"), cent.alias("ccenti")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("qid"), cq.alias("q8"), cent.alias("qcenti")
+    )
+    pairs = base.join(F.broadcast(qs))
+    w8 = Window.partitionBy("qid").orderBy(
+        F.desc("score8"), F.asc("cid")
+    )
+    cand = (
+        pairs.select(
+            "qid",
+            "cid",
+            _dot_int(F.col("c8"), F.col("q8")).alias("score8"),
+            "ccenti",
+            "qcenti",
+        )
+        .withColumn("r8", F.row_number().over(w8))
+        .filter(F.col("r8") <= rerank_mult * k)
+    )
+    wex = Window.partitionBy("qid").orderBy(
+        F.desc("score_centi"), F.asc("cid")
+    )
+    return (
+        cand.select(
+            "qid",
+            "cid",
+            "score8",
+            _dot_int(F.col("ccenti"), F.col("qcenti")).alias("score_centi"),
+        )
+        .withColumn("rank", F.row_number().over(wex))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "score8", "score_centi", "rank")
+    )
+
+
+def ann_int8_topk_sql(
+    k: int = 5,
+    rerank_mult: int = 3,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_where: str = "id < 10",
+) -> str:
+    """DuckDB twin of ``ann_int8_topk``: quantization, int8 candidate
+    cut and exact centi re-scoring replayed with list transforms."""
+    return f"""
+WITH c AS (SELECT {id_col} AS id, list_transform({vec_col},
+    x -> CAST(floor(CAST(x AS DOUBLE)*100) AS BIGINT)) AS cv
+  FROM {table}),
+s AS (SELECT id, cv,
+    list_max(list_transform(cv, x -> abs(x))) AS sc FROM c),
+q8 AS (SELECT id, cv, list_transform(cv, x -> CASE WHEN sc > 0
+    THEN CAST(floor(127.0 * x / sc) AS BIGINT)
+    ELSE CAST(0 AS BIGINT) END) AS v8 FROM s),
+qs AS (SELECT * FROM q8 WHERE {query_where}),
+cand AS (SELECT qs.id AS qid, c8.id AS cid,
+    {_dot_sql('c8.v8', 'qs.v8', dim)} AS score8,
+    {_dot_sql('c8.cv', 'qs.cv', dim)} AS score_centi
+  FROM q8 c8, qs),
+cut AS (SELECT *, row_number() OVER (PARTITION BY qid
+    ORDER BY score8 DESC, cid) AS r8 FROM cand),
+fin AS (SELECT qid, cid, score8, score_centi,
+    row_number() OVER (PARTITION BY qid
+      ORDER BY score_centi DESC, cid) AS rank
+  FROM cut WHERE r8 <= {rerank_mult * k})
+SELECT qid, cid, score8, score_centi, rank::INT AS rank
+FROM fin WHERE rank <= {k}
+"""

@@ -1944,3 +1944,63 @@ def c4_line_filter_sql(
         " n_sent AS n_sentences,"
         " drop_reason IS NULL AS doc_pass, drop_reason FROM r"
     )
+
+
+def train_order_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + contiguous
+    sharding: (id, sort_key, shard, pos) where ``sort_key`` is the hex
+    md5 of ``salt:id``, ``shard`` is the hash-RANGE bucket
+    floor(n_shards·u) with u the same md5-derived uniform as
+    ``hash_uniform``, and ``pos`` numbers rows within the shard in
+    sort_key order. Reading shards 0..n−1 each in pos order replays ONE
+    global permutation that is a pure function of (id, salt) — the
+    property a resumable pretraining loader needs: re-running the job,
+    adding executors, or repartitioning the input cannot reorder the
+    epoch (df.sample/orderBy(rand()) guarantee neither), and epoch e is
+    just salt='epoch-e'.
+
+    Scale shape: shard = a hash RANGE, so shards are contiguous in key
+    space and the physical writer is repartitionByRange(shard) +
+    sortWithinPartitions(sort_key) — one exchange, no global sort; the
+    per-shard pos window parallelizes across shards (n_shards partitions
+    at 100 TB each well under executor memory by construction: shard
+    count is chosen as corpus_bytes / target_shard_bytes)."""
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    u = hash_uniform(F.col(id_col), salt=salt)
+    shard = F.floor(u * n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("sort_key"),
+            shard.alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
+def train_order_shards_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuffle",
+) -> str:
+    """DuckDB twin of ``train_order_shards`` — the same md5 sort key,
+    hash-range shard and per-shard position."""
+    key = f"md5('{salt}:' || CAST({id_col} AS VARCHAR))"
+    u = (
+        f"('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 8))"
+        "::BIGINT / 4294967296.0"
+    )
+    return (
+        f"WITH b AS (SELECT {id_col}, {key} AS sort_key,"
+        f" CAST(floor({u} * {n_shards}) AS INT) AS shard FROM {table}) "
+        f"SELECT {id_col}, sort_key, shard,"
+        " row_number() OVER (PARTITION BY shard"
+        f" ORDER BY sort_key, {id_col})::BIGINT AS pos FROM b"
+    )

@@ -350,3 +350,54 @@ def test_ivfpq_blob_recall_and_determinism(spark):
         assert r.neighbor_id // 1000 == r.query_id // 1000, r
     again = ann_ivfpq_topk(df.repartition(7), queries, **kw).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_quantize_int8_bounds_and_zero(spark):
+    from comic_text_detector_spark.operators.clustering import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, -1.0, 0.5, -0.25]),
+            (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [0.003, -0.003, 0.001, 0.0]),  # centi rounds ±0.003 to 0/-1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q, s = quantize_int8(F.col("embedding"))
+    got = {r.vec_id: (r.q, r.s) for r in df.select("vec_id", q.alias("q"), s.alias("s")).collect()}
+    assert got[0][0] == [127, -127, 63, -32]  # floor toward -inf
+    assert got[1] == ([0, 0, 0, 0], 0)
+    assert all(-127 <= v <= 127 for v in got[2][0])
+
+
+def test_ann_int8_self_is_top1_and_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from comic_text_detector_spark.operators.clustering import (
+        ann_int8_topk,
+        ann_int8_topk_sql,
+    )
+
+    np = __import__("numpy")
+    rng = np.random.default_rng(7)
+    vs = rng.normal(0, 1, (40, 8))
+    vs = vs / np.linalg.norm(vs, axis=1, keepdims=True)  # MIPS==cosine
+    data = [(i, [float(x) for x in vs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    out = ann_int8_topk(emb, emb.filter(F.col("vec_id") < 3), k=4)
+    rows = out.collect()
+    top1 = {r.qid: r.cid for r in rows if r.rank == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}  # unit norms: self wins exact re-score
+    con = duckdb.connect()
+    con.register(
+        "embeddings", pd.DataFrame(data, columns=["vec_id", "embedding"])
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            ann_int8_topk_sql(k=4, dim=8, query_where="id < 3")
+        ).fetchall()
+    )
+    got = sorted(tuple(r) for r in rows)
+    assert got == want

@@ -1600,3 +1600,39 @@ def test_c4_line_filter_matches_sql_twin(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.execute(c4_line_filter_sql()).fetchall())
     assert got == want
+
+
+def test_train_order_shards_permutation_and_determinism(spark):
+    from comic_text_detector_spark.operators.curation import (
+        train_order_shards,
+    )
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = train_order_shards(df, n_shards=4).collect()
+    assert len(out) == 500
+    shards = {}
+    for r in out:
+        shards.setdefault(r.shard, []).append((r.pos, r.sort_key, r.doc_id))
+    assert set(shards) == {0, 1, 2, 3}
+    for s, rows in shards.items():
+        rows.sort()
+        assert [p for p, _, _ in rows] == list(range(1, len(rows) + 1))
+        keys = [k for _, k, _ in rows]
+        assert keys == sorted(keys)  # pos order == key order
+    # shard ranges are contiguous in key space: max key of shard i <
+    # min key of shard j is NOT required (hash-range on first 8 hex),
+    # but the first-8-hex prefix buckets must be monotone with shard id
+    firsts = {
+        s: (min(k for _, k, _ in rows), max(k for _, k, _ in rows))
+        for s, rows in shards.items()
+    }
+    for s in range(3):
+        assert firsts[s][1][:8] <= firsts[s + 1][0][:8]
+    # epoch salt changes the permutation
+    out2 = train_order_shards(df, n_shards=4, salt="epoch-1").collect()
+    perm1 = sorted((r.shard, r.pos, r.doc_id) for r in out)
+    perm2 = sorted((r.shard, r.pos, r.doc_id) for r in out2)
+    assert perm1 != perm2
+    # repartitioning the input cannot change the assignment
+    out3 = train_order_shards(df.repartition(7), n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out3))

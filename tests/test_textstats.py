@@ -475,3 +475,51 @@ def test_readability_scores(spark):
     # extraordinary: e-xtrao-rdi-na-ry -> runs: e,ao,i,a,y = 5;
     # bureaucracy: u,eau,a,y = 4
     assert d.n_syllables == 9
+
+
+def test_script_profile_blocks_and_tiebreak(spark):
+    from comic_text_detector_spark.functions.textstats import script_profile
+
+    rows = spark.createDataFrame(
+        [
+            (0, "hello world"),
+            (1, "שלום עולם וברכה"),  # hebrew
+            (2, "नमस्ते दुनिया आज"),  # devanagari
+            (3, "ab Ёж"),  # latin 2 vs cyrillic 2 → tie → latin first
+            (4, "... 123"),
+            (5, None),
+            (6, "Καλημέρα κόσμε"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in script_profile(rows).collect()}
+    assert got[0].script == "latin" and got[0].n_latin == 10
+    assert got[1].script == "hebrew" and got[1].n_hebrew == 13
+    assert got[2].script == "devanagari"
+    assert got[3].script == "latin"  # priority-order tie-break
+    assert got[4].script == "none" and got[4].n_letters == 0
+    assert got[5].script == "none"
+    assert got[6].script == "greek"
+
+
+def test_script_profile_matches_sql_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from comic_text_detector_spark.functions.textstats import (
+        script_profile,
+        script_profile_sql,
+    )
+
+    data = [
+        (0, "mixed Привет text with Ёлка and latin tail"),
+        (1, "你好世界 こんにちは 안녕"),
+        (2, ""),
+        (3, None),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = sorted(tuple(r) for r in script_profile(df).collect())
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(data, columns=["doc_id", "text"]))
+    want = sorted(tuple(r) for r in con.execute(script_profile_sql()).fetchall())
+    assert got == want
