@@ -5485,6 +5485,83 @@ def _script_profile_oracle() -> str:
     return twin.replace("WITH ", f"WITH page AS ({page}), ", 1)
 
 
+def _q_train_topic_softmax(spark, sf_dir):
+    """IN-SPARK multiclass softmax TRAINING of the hashed-BoW topic
+    router (operators/topic.py::train_topic_softmax — the K-way sibling
+    of the binary quality trainer, same integer-GD contract with the
+    class-ordered list softmax). Labels are the deterministic doc_id%3
+    split with a class keyword appended so the fit has signal; the
+    oracle replays the whole 2-iteration fit as unrolled CTE quartets."""
+    from comic_text_detector_spark.operators.topic import (
+        train_topic_softmax,
+    )
+
+    kw = F.element_at(
+        F.array(F.lit("alpha"), F.lit("beta"), F.lit("gamma")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.concat_ws(" ", F.col("text"), kw, kw).alias("text"),
+        (F.col("doc_id") % 3).alias("label"),
+    )
+    w = train_topic_softmax(
+        docs, n_classes=3, id_col="id", n_buckets=1024, n_iter=2
+    )
+    rows = sorted((c, b, mw) for (c, b), mw in w.items())
+    if not rows:
+        return spark.createDataFrame([], "c int, b long, mw long")
+    return spark.createDataFrame(rows, "c int, b long, mw long")
+
+
+def _train_topic_oracle() -> str:
+    from comic_text_detector_spark.operators.topic import (
+        train_topic_softmax_sql,
+    )
+
+    inner = train_topic_softmax_sql(n_classes=3, n_buckets=1024, n_iter=2)
+    assert inner.startswith("WITH ")
+    return (
+        "WITH labeled AS (SELECT doc_id AS id,"
+        " concat_ws(' ', text, kw, kw) AS text, y FROM ("
+        "SELECT doc_id, text, doc_id % 3 AS y,"
+        " (['alpha', 'beta', 'gamma'])[(doc_id % 3) + 1] AS kw"
+        " FROM documents)), "
+        + inner[len("WITH "):]
+    )
+
+
+_TOPIC_DEMO_WORDS: dict[str, tuple[int, int]] = {
+    # word -> (class, milliweight): a hand-built router over corpus vocab
+    "table": (0, 900), "scan": (0, 700), "row": (0, 500),
+    "window": (1, 900), "stream": (1, 700), "batch": (1, 500),
+    "customer": (2, 900), "order": (2, 700), "query": (2, 500),
+}
+
+
+def _topic_demo_weights(n_buckets: int = 1 << 12):
+    import hashlib
+
+    out = {}
+    for wrd, (c, mw) in _TOPIC_DEMO_WORDS.items():
+        b = int(hashlib.md5(wrd.encode()).hexdigest()[:8], 16) % n_buckets
+        out[(c, b)] = out.get((c, b), 0) + mw
+    return out
+
+
+def _q_topic_classify(spark, sf_dir):
+    """K-way topic routing under a FIXED literal model
+    (operators/topic.py::topic_scores): exact bigint logits per class
+    from the broadcast (c, b, mw) table, argmax with smallest-class
+    tie-break, all-zero docs routed to class 0 — one broadcast join +
+    one aggregate + one argmax over the REAL documents."""
+    from comic_text_detector_spark.operators.topic import topic_scores
+
+    return topic_scores(
+        _t(spark, sf_dir, "documents"), _topic_demo_weights(), n_classes=3
+    )
+
+
 def _q_train_order_shards(spark, sf_dir):
     """Deterministic global training-order shuffle + hash-range sharding
     (operators/curation.py::train_order_shards) over the REAL documents
@@ -5691,6 +5768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter_docs": _q_c4_filter,
         "script_profile_docs": _q_script_profile,
         "train_order_shards": _q_train_order_shards,
+        "train_topic_softmax": _q_train_topic_softmax,
+        "topic_classify_docs": _q_topic_classify,
     }
 
 
@@ -7367,4 +7446,10 @@ def oracle_sql() -> dict[str, str]:
             "comic_text_detector_spark.operators.curation",
             fromlist=["train_order_shards_sql"],
         ).train_order_shards_sql(),
+        "train_topic_softmax": _train_topic_oracle(),
+        "topic_classify_docs": __import__(
+            "comic_text_detector_spark.operators.topic",
+            fromlist=["topic_scores_sql"],
+        ).topic_scores_sql(_topic_demo_weights(), n_classes=3,
+                           n_buckets=1 << 12),
     }
