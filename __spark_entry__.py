@@ -5574,6 +5574,145 @@ def _q_train_order_shards(spark, sf_dir):
     return train_order_shards(_t(spark, sf_dir, "documents"))
 
 
+def _q_video_frame_sample(spark, sf_dir):
+    """The VIDEO leg of §2.8 through real container bytes, gate-checked:
+    each doc_id becomes a genuine Y4M stream (mono, 1 + doc_id%7 frames,
+    frame k's luma the constant (k*7+31)&255 — multimodal/pixels.py::
+    synthesize_y4m), y4m_frame_stats demuxes it and keeps every 2nd
+    frame, and the oracle predicts each sampled frame's integer luma sum
+    arithmetically — so a demux stride bug, a wrong-cadence sample, or a
+    dropped frame changes a value DuckDB recomputes from the fixture
+    arithmetic (same discipline as multimodal_gif_frames)."""
+    import pandas as pd
+
+    from comic_text_detector_spark.multimodal.pixels import (
+        synthesize_y4m,
+        y4m_frame_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [str(i) for i in ids],
+                    "media": [
+                        synthesize_y4m(4 + i % 13, 3 + i % 11, 1 + i % 7)
+                        for i in ids
+                    ],
+                }
+            )
+
+    m = docs.mapInPandas(synth, "media_id string, media binary")
+    return y4m_frame_stats(m, every_n=2).select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "frame_idx", "width", "height", "luma_sum",
+    )
+
+
+def _q_split_by_host(spark, sf_dir):
+    """Leakage-safe train/val/test assignment (operators/curation.py::
+    split_by_host): urls synthesized over 97 hosts with every 29th doc a
+    RELATIVE url (the hostless NULL-split path), exact-binary split
+    weights 0.75/0.125/0.125 so the cumulative bounds are bit-identical
+    literals in both engines, and the md5-portable host hash replayed
+    verbatim by DuckDB — same row-for-row split on any engine."""
+    from comic_text_detector_spark.operators.curation import split_by_host
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.when(
+        F.col("doc_id") % 29 == 0,
+        F.concat(F.lit("/p/"), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("https://w"),
+            F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    return split_by_host(
+        d, [("train", 0.75), ("val", 0.125), ("test", 0.125)]
+    )
+
+
+def _q_mixture_allocate(spark, sf_dir):
+    """Training-mixture planning (operators/curation.py::
+    mixture_allocate): apportion a 100_003-char budget across the REAL
+    documents languages by largest-remainder — integer end to end, with
+    a deliberately-missing group ('xx') exercising the available=0 /
+    full-shortfall path and the odd budget forcing remainder bonuses.
+    DuckDB replays quota/floor/remainder-rank arithmetic bit-for-bit."""
+    from comic_text_detector_spark.operators.curation import (
+        mixture_allocate,
+    )
+
+    return mixture_allocate(
+        _t(spark, sf_dir, "documents"),
+        {"en": 500_000, "de": 150_000, "es": 150_000, "fr": 100_000,
+         "zh": 50_000, "xx": 50_000},
+        budget=100_003,
+        by="lang",
+        size_col="n_chars",
+    )
+
+
+def _q_align_bitext(spark, sf_dir):
+    """Bitext sentence alignment (operators/curation.py::
+    align_bitext_sentences) over arithmetic sentence fixtures: doc d's
+    'a' side has 2+d%4 sentences of length 1+(d+3k)%9, its 'b' side
+    2+(d+1)%4 of length 1+(2d+5k)%9 — unequal counts and totals, so the
+    proportional-anchor scaling is really exercised — and DuckDB
+    replays prefix sums, the exact-integer interval test, and the
+    milli-ratio from the same generate_series arithmetic."""
+    from comic_text_detector_spark.operators.curation import (
+        align_bitext_sentences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+
+    def sents(n_expr, len_fn):
+        return F.transform(
+            F.sequence(F.lit(0), n_expr - 1),
+            lambda k: F.repeat(F.lit("a"), len_fn(k).cast("int")),
+        )
+
+    d = docs.select(
+        did.cast("string").alias("bitext_key"),
+        sents(
+            F.lit(2) + F.pmod(did, F.lit(4)),
+            lambda k: F.lit(1) + F.pmod(did + 3 * k, F.lit(9)),
+        ).alias("sents_a"),
+        sents(
+            F.lit(2) + F.pmod(did + 1, F.lit(4)),
+            lambda k: F.lit(1) + F.pmod(2 * did + 5 * k, F.lit(9)),
+        ).alias("sents_b"),
+    )
+    return align_bitext_sentences(d)
+
+
+def _q_host_quality_shrunk(spark, sf_dir):
+    """Empirical-Bayes per-host quality (operators/curation.py::
+    host_quality_shrunk): hosts synthesized over doc_id%23, score =
+    n_chars, prior strength 20 pseudo-docs — the integer milli-quantized
+    shrinkage replayed bit-for-bit by DuckDB."""
+    from comic_text_detector_spark.operators.curation import (
+        host_quality_shrunk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("w"), F.pmod(F.col("doc_id"), F.lit(23)).cast("string")
+        ).alias("host"),
+        F.col("n_chars").alias("score"),
+    )
+    return host_quality_shrunk(docs, prior_strength=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -5770,6 +5909,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_order_shards": _q_train_order_shards,
         "train_topic_softmax": _q_train_topic_softmax,
         "topic_classify_docs": _q_topic_classify,
+        "video_frame_sample": _q_video_frame_sample,
+        "split_by_host": _q_split_by_host,
+        "mixture_allocate": _q_mixture_allocate,
+        "align_bitext": _q_align_bitext,
+        "host_quality_shrunk": _q_host_quality_shrunk,
     }
 
 
@@ -7452,4 +7596,107 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["topic_scores_sql"],
         ).topic_scores_sql(_topic_demo_weights(), n_classes=3,
                            n_buckets=1 << 12),
+        # the sampled-frame luma sums recomputed from the Y4M fixture
+        # arithmetic: frame k of doc d is the constant (k*7+31)&255 over
+        # a (4+d%13) x (3+d%11) luma plane; every 2nd frame is kept
+        "video_frame_sample": (
+            "SELECT d.doc_id, CAST(k AS INTEGER) AS frame_idx,"
+            " CAST(4 + d.doc_id % 13 AS INTEGER) AS width,"
+            " CAST(3 + d.doc_id % 11 AS INTEGER) AS height,"
+            " CAST((4 + d.doc_id % 13) * (3 + d.doc_id % 11)"
+            "   * ((k * 7 + 31) % 256) AS BIGINT) AS luma_sum"
+            " FROM documents d,"
+            " unnest(generate_series(0, CAST(d.doc_id % 7 AS BIGINT)))"
+            "  AS t(k)"
+            " WHERE k % 2 = 0"
+        ),
+        # host extraction + md5-uniform + cumulative CASE replayed; the
+        # 0.75/0.125/0.125 bounds are exact binary fractions so the
+        # float literals agree bit-for-bit across engines
+        "split_by_host": (
+            "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 29 = 0"
+            "  THEN '/p/' || doc_id::VARCHAR"
+            "  ELSE 'https://w' || (doc_id % 97)::VARCHAR"
+            "   || '.example.org/p/' || doc_id::VARCHAR END AS url"
+            "  FROM documents),"
+            " h AS (SELECT doc_id, url,"
+            "  regexp_replace(lower(regexp_extract(url,"
+            "   '^[a-zA-Z]+://([^/?#]+)', 1)), ':\\d+$', '') AS host"
+            "  FROM d),"
+            " u AS (SELECT *, ('0x' || substr(md5('split:' || host), 1, 8))"
+            "  ::BIGINT / 4294967296.0 AS uu FROM h)"
+            " SELECT doc_id, url, host,"
+            " CASE WHEN host = '' THEN NULL"
+            "  WHEN uu < 0.75 THEN 'train'"
+            "  WHEN uu < 0.875 THEN 'val'"
+            "  WHEN uu < 1.0 THEN 'test' END AS split FROM u"
+        ),
+        # largest-remainder apportionment replayed in exact integers:
+        # quota = budget*ppm, floor + remainder-ranked bonus, clamp
+        "mixture_allocate": (
+            "WITH counts AS (SELECT lang AS g,"
+            "  CAST(SUM(n_chars) AS BIGINT) AS available"
+            "  FROM documents GROUP BY lang),"
+            " w AS (SELECT * FROM (VALUES ('de', 150000), ('en', 500000),"
+            "  ('es', 150000), ('fr', 100000), ('xx', 50000),"
+            "  ('zh', 50000)) AS t(g, weight_ppm)),"
+            " j AS (SELECT w.g, COALESCE(c.available, 0) AS available,"
+            "  CAST(w.weight_ppm AS BIGINT) AS weight_ppm,"
+            "  CAST(100003 AS BIGINT) * w.weight_ppm AS quota"
+            "  FROM w LEFT JOIN counts c ON w.g = c.g),"
+            " b AS (SELECT *, quota // 1000000 AS base,"
+            "  quota % 1000000 AS rem FROM j),"
+            " r AS (SELECT *, row_number() OVER"
+            "   (ORDER BY rem DESC, g ASC) AS rk,"
+            "  SUM(base) OVER () AS sb FROM b),"
+            " a AS (SELECT *, base + CASE WHEN rk <= 100003 - sb"
+            "   THEN 1 ELSE 0 END AS alloc FROM r)"
+            " SELECT g AS lang, available, weight_ppm,"
+            " CAST(alloc AS BIGINT) AS alloc,"
+            " CAST(LEAST(alloc, available) AS BIGINT) AS granted,"
+            " CAST(alloc - LEAST(alloc, available) AS BIGINT) AS shortfall"
+            " FROM a"
+        ),
+        # proportional-anchor alignment replayed: prefix sums per side,
+        # the exact-integer midpoint-interval join test, milli ratio
+        "align_bitext": (
+            "WITH a AS (SELECT d.doc_id, CAST(k AS INTEGER) AS a_idx,"
+            "  CAST(1 + (d.doc_id + 3 * k) % 9 AS BIGINT) AS len_a"
+            "  FROM documents d, unnest(generate_series(0,"
+            "   CAST(1 + d.doc_id % 4 AS BIGINT))) t(k)),"
+            " a2 AS (SELECT doc_id, a_idx, len_a,"
+            "  SUM(len_a) OVER (PARTITION BY doc_id ORDER BY a_idx)"
+            "   AS cum_a,"
+            "  SUM(len_a) OVER (PARTITION BY doc_id) AS tot_a FROM a),"
+            " b AS (SELECT d.doc_id, CAST(k AS INTEGER) AS b_idx,"
+            "  CAST(1 + (2 * d.doc_id + 5 * k) % 9 AS BIGINT) AS len_b"
+            "  FROM documents d, unnest(generate_series(0,"
+            "   CAST(1 + (d.doc_id + 1) % 4 AS BIGINT))) t(k)),"
+            " b2 AS (SELECT doc_id, b_idx, len_b,"
+            "  SUM(len_b) OVER (PARTITION BY doc_id ORDER BY b_idx)"
+            "   AS cum_b,"
+            "  SUM(len_b) OVER (PARTITION BY doc_id) AS tot_b FROM b)"
+            " SELECT CAST(a2.doc_id AS VARCHAR) AS bitext_key,"
+            "  a_idx, b_idx, len_a, len_b,"
+            "  CAST(LEAST(len_a, len_b) * 1000 // GREATEST(len_a, len_b)"
+            "   AS BIGINT) AS len_milli_ratio"
+            " FROM a2 JOIN b2 ON a2.doc_id = b2.doc_id"
+            " WHERE 2 * tot_a * (cum_b - len_b)"
+            "   <= (2 * cum_a - len_a) * tot_b"
+            "  AND (2 * cum_a - len_a) * tot_b < 2 * tot_a * cum_b"
+        ),
+        # milli-quantized empirical-Bayes shrinkage, integers throughout
+        "host_quality_shrunk": (
+            "WITH d AS (SELECT 'w' || (doc_id % 23)::VARCHAR AS host,"
+            "  CAST(n_chars AS BIGINT) AS score FROM documents),"
+            " g AS (SELECT 1000 * SUM(score) // COUNT(*) AS g_milli"
+            "  FROM d),"
+            " p AS (SELECT host, COUNT(*)::BIGINT AS n_docs,"
+            "  SUM(score) AS s FROM d GROUP BY host)"
+            " SELECT host, n_docs,"
+            "  CAST(1000 * s // n_docs AS BIGINT) AS mean_milli,"
+            "  CAST((1000 * s + 20 * g.g_milli) // (n_docs + 20)"
+            "   AS BIGINT) AS shrunk_milli"
+            " FROM p, g"
+        ),
     }

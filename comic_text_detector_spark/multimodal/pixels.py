@@ -480,3 +480,49 @@ def sample_y4m_frames(
         kernel,
         "media_id string, frame_idx int, width int, height int, frame_png binary",
     )
+
+
+def y4m_frame_stats(
+    df: DataFrame, every_n: int = 1, media_col: str = "media"
+) -> DataFrame:
+    """Frame-sampling AUDIT rows for the video leg: demux Y4M, keep every
+    ``every_n``-th frame, and emit (media_id, frame_idx, width, height,
+    luma_sum) — the integer sum of the sampled frame's luma plane. This is
+    the gate-checkable face of ``sample_y4m_frames`` (whose PNG payloads an
+    SQL oracle cannot rebuild): the sum is exact integer arithmetic over
+    the decoded bytes, so a demux bug (wrong stride, wrong chroma skip,
+    off-by-one frame walk) or a sampling bug (wrong cadence) changes a
+    value the oracle predicts. Undecodable/non-Y4M blobs yield no rows
+    (drop-not-fake, same contract as ``iter_y4m_frames``).
+
+    Scale: one-to-many Arrow-batched map — no shuffle, no driver state;
+    frame budget is inherited from the demuxer's header sanity cap."""
+    import pandas as pd
+
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[media_col]):
+                for w, h, idx, luma in iter_y4m_frames(blob):
+                    if idx % every_n:
+                        continue
+                    s = int(
+                        np.frombuffer(luma, dtype=np.uint8)
+                        .astype(np.int64)
+                        .sum()
+                    )
+                    rows.append((mid, idx, w, h, s))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height",
+                         "luma_sum"],
+            )
+
+    return df.select("media_id", media_col).mapInPandas(
+        kernel,
+        "media_id string, frame_idx int, width int, height int,"
+        " luma_sum long",
+    )

@@ -2004,3 +2004,271 @@ def train_order_shards_sql(
         " row_number() OVER (PARTITION BY shard"
         f" ORDER BY sort_key, {id_col})::BIGINT AS pos FROM b"
     )
+
+
+def split_by_host(
+    df: DataFrame,
+    splits: list[tuple[str, float]] | None = None,
+    url_col: str = "url",
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of the page's REGISTERED HOST, so every page of a site —
+    and therefore the boilerplate-sharing near-duplicates within it —
+    lands in ONE split. Splitting by document hash (the naive recipe)
+    leaks template text across train/val and inflates eval; host-keyed
+    splitting is the standard web-corpus guard (same motivation as the
+    reference keeping each manga page's crops in one fold,
+    /root/reference/train_db.py:33-38 — grouped, not i.i.d., splits).
+
+    ``splits`` is an ordered list of (name, weight); weights must be
+    positive and sum to ≤ 1 (a sum < 1 leaves a NULL-split holdout —
+    explicit, never silently rescaled). Assignment: ``u =
+    hash_uniform(host, salt)`` and the first split whose cumulative
+    bound exceeds ``u`` wins — md5-portable, so re-runs, repartitioning,
+    and independent engines agree row for row. Hostless rows (relative /
+    malformed / NULL urls) get a NULL split: guessing a bucket would
+    scatter them by accident of string content (drop-not-fake).
+
+    Scale: embarrassingly parallel — one pure-column projection, zero
+    shuffles, no driver state. Emits the input columns plus (host,
+    split)."""
+    from ..functions.links import host_of
+
+    if splits is None:
+        splits = [("train", 0.98), ("val", 0.01), ("test", 0.01)]
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = 0.0
+    for name, w in splits:
+        if not name or w <= 0:
+            raise ValueError(f"split ({name!r}, {w}) must have a name"
+                             " and a positive weight")
+        total += w
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split weights sum to {total} > 1")
+    host = host_of(F.col(url_col), strip_port=True)
+    u = hash_uniform(host, salt)
+    expr = None
+    bound = 0.0
+    for name, w in splits:
+        bound += w
+        cond = u < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.when(host != "", expr)
+    return df.select(*df.columns, host.alias("host"), split.alias("split"))
+
+
+def mixture_allocate(
+    df: DataFrame,
+    weights_ppm: dict[str, int],
+    budget: int,
+    by: str = "lang",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Training-mixture PLANNING: apportion a token/document ``budget``
+    across the corpus groups of column ``by`` according to target
+    ``weights_ppm`` (parts-per-million, must sum to exactly 1_000_000),
+    by largest-remainder (Hamilton) apportionment — the standard way a
+    pretraining run turns "30% code, 60% web, 10% books" into exact
+    per-source token counts that sum to the budget. Integer end to end:
+    quota = budget·ppm, base = quota // 10^6, and the ``budget −
+    Σbase`` leftover units go to the largest fractional remainders
+    (ties → group name ascending), so the plan is bit-identical in any
+    engine — no float shares that "almost" sum to the budget.
+
+    Availability is the group's row count (or ``sum(size_col)`` when
+    given, e.g. token counts from ``token_count_*``). The granted
+    amount clamps to availability and the clamped deficit is reported
+    as ``shortfall`` — NOT silently redistributed: an under-supplied
+    source is a decision for the mixture owner (re-weight, upsample,
+    or accept), not for the planner (drop-not-fake, planner edition).
+    Groups named in the weights but absent from the corpus report
+    ``available = 0``; corpus groups without a weight are excluded (an
+    explicit mixture enumerates its sources).
+
+    Emits one row per weighted group: (``by``, available, weight_ppm,
+    alloc, granted, shortfall) with ``Σalloc = budget`` always.
+
+    Scale: one map-side-combinable groupBy over the corpus; everything
+    after runs on #groups rows (a mixture has tens of sources, not
+    millions), so the single-partition ranking window is trivially
+    driver-safe."""
+    if not weights_ppm:
+        raise ValueError("weights_ppm must be non-empty")
+    if any(v < 0 for v in weights_ppm.values()):
+        raise ValueError("weights must be >= 0")
+    s = sum(weights_ppm.values())
+    if s != 1_000_000:
+        raise ValueError(f"weights_ppm must sum to 1000000, got {s}")
+    if budget < 0 or budget * 1_000_000 >= (1 << 63):
+        raise ValueError(f"budget {budget} out of the exact-bigint range")
+    size = F.count("*") if size_col is None else F.sum(size_col)
+    counts = df.groupBy(F.col(by).alias("__g")).agg(
+        size.cast("long").alias("available")
+    )
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(weights_ppm.items()), f"__g string, weight_ppm long"
+    )
+    g = wdf.join(counts, "__g", "left").select(
+        F.col("__g").alias(by),
+        F.coalesce(F.col("available"), F.lit(0)).alias("available"),
+        "weight_ppm",
+    )
+    b = int(budget)
+    # `div`, not `/`: float division is only exact below 2^53 and a
+    # 10^12-token budget × ppm is 10^18 — the planner must stay integer
+    quota = F.lit(b) * F.col("weight_ppm")
+    g = g.withColumn(
+        "__base", F.expr(f"weight_ppm * CAST({b} AS BIGINT) div 1000000")
+    ).withColumn("__rem", quota % F.lit(1_000_000))
+    w_all = Window.partitionBy(F.lit(1))
+    w_rank = w_all.orderBy(F.col("__rem").desc(), F.col(by).asc())
+    leftover = F.lit(int(budget)) - F.sum("__base").over(w_all)
+    g = g.withColumn(
+        "alloc",
+        F.col("__base")
+        + F.when(F.row_number().over(w_rank) <= leftover, 1).otherwise(0),
+    )
+    granted = F.least(F.col("alloc"), F.col("available"))
+    return g.select(
+        by, "available", "weight_ppm",
+        F.col("alloc").cast("long").alias("alloc"),
+        granted.cast("long").alias("granted"),
+        (F.col("alloc") - granted).cast("long").alias("shortfall"),
+    )
+
+
+def align_bitext_sentences(
+    df: DataFrame,
+    key_col: str = "bitext_key",
+    a_col: str = "sents_a",
+    b_col: str = "sents_b",
+) -> DataFrame:
+    """Sentence-level bitext alignment for the candidate pairs
+    ``bitext_url_pairs`` mines: PROPORTIONAL-ANCHOR alignment — sentence
+    ``a_i`` pairs with the ``b_j`` whose character interval contains
+    ``a_i``'s midpoint after scaling the two documents onto a common
+    length axis. This is the integer-deterministic recast of
+    Gale–Church: keep the monotone path through the cumulative-length
+    lattice (lengths are ~translation-invariant), drop the probabilistic
+    DP cost — the shape hunalign-style pipelines use as their coarse
+    anchor pass before any lexical rescoring.
+
+    Exact integer test (no divisions, so bit-identical in any engine):
+    with prefix sums ``cumA/cumB`` and totals ``totA/totB``, a_i maps to
+    the unique j with
+
+        2·totA·cumB[j-1] ≤ (cumA[i-1]+cumA[i])·totB < 2·totA·cumB[j]
+
+    Monotone by construction (midpoints increase), one b per a; a 1-many
+    or many-1 sentence split shows up as consecutive a's sharing a j —
+    exactly the signal a downstream merger consumes. Documents with a
+    zero-length side drop whole (nothing to scale against); zero-length
+    b-sentences have empty intervals and are never matched; a trailing
+    zero-length a-sentence's midpoint sits ON the right edge and drops
+    (drop-not-fake, all three documented edges).
+
+    Emits (key, a_idx, b_idx, len_a, len_b, len_milli_ratio) where the
+    ratio is ``min·1000 div max`` of the paired lengths — the classic
+    per-pair quality prefilter, micro-quantized so it stays exact.
+
+    Scale shape: posexplode each side, one window per side keyed on the
+    pair (prefix sums), then an equi-join on the pair key with the
+    interval test as the join filter — co-located keyed exchanges only,
+    per-key fan-out bounded by sentences-per-document, no all-pairs
+    anywhere."""
+    key = F.col(key_col)
+    a = df.select(key.alias("k"), F.posexplode(a_col).alias("a_idx", "sa"))
+    b = df.select(key.alias("k"), F.posexplode(b_col).alias("b_idx", "sb"))
+    wa = Window.partitionBy("k").orderBy("a_idx")
+    wb = Window.partitionBy("k").orderBy("b_idx")
+    a = a.select(
+        "k", "a_idx",
+        F.length("sa").cast("long").alias("len_a"),
+        F.sum(F.length("sa")).over(wa).cast("long").alias("cum_a"),
+        F.sum(F.length("sa"))
+        .over(Window.partitionBy("k"))
+        .cast("long")
+        .alias("tot_a"),
+    ).filter(F.col("tot_a") > 0)
+    b = b.select(
+        "k", "b_idx",
+        F.length("sb").cast("long").alias("len_b"),
+        F.sum(F.length("sb")).over(wb).cast("long").alias("cum_b"),
+        F.sum(F.length("sb"))
+        .over(Window.partitionBy("k"))
+        .cast("long")
+        .alias("tot_b"),
+    ).filter(F.col("tot_b") > 0)
+    mid2 = (2 * F.col("cum_a") - F.col("len_a")) * F.col("tot_b")
+    lo = 2 * F.col("tot_a") * (F.col("cum_b") - F.col("len_b"))
+    hi = 2 * F.col("tot_a") * F.col("cum_b")
+    ratio = F.expr(
+        "least(len_a, len_b) * 1000 div greatest(len_a, len_b)"
+    )
+    return (
+        a.join(b, "k")
+        .filter((lo <= mid2) & (mid2 < hi))
+        .select(
+            F.col("k").alias(key_col),
+            "a_idx", "b_idx", "len_a", "len_b",
+            ratio.cast("long").alias("len_milli_ratio"),
+        )
+    )
+
+
+def host_quality_shrunk(
+    df: DataFrame,
+    host_col: str = "host",
+    score_col: str = "score",
+    prior_strength: int = 20,
+) -> DataFrame:
+    """Domain-level quality with EMPIRICAL-BAYES shrinkage: a host's mean
+    document score pulled toward the corpus mean with the weight of
+    ``prior_strength`` pseudo-documents —
+
+        shrunk = (Σscore_h + m·ḡ) / (n_h + m)
+
+    — so a 3-page host with three lucky scores cannot outrank a
+    500-page host of consistently good pages. This is how per-domain
+    allow/deny decisions are actually made over crawl data (RefinedWeb/
+    CCNet-style curation): raw per-host means are dominated by small-n
+    noise exactly where the decisions matter.
+
+    Integer end to end: the corpus mean is milli-quantized ONCE
+    (``g_milli = 1000·Σ div N`` — exact bigints), then each host's
+    ``shrunk_milli = (1000·Σ_h + m·g_milli) div (n_h + m)``. No float
+    enters, so any engine replays it bit-for-bit, and per-host products
+    stay ≤ 10^3·Σ_h — no 10^21 blowup from the naive cross-multiplied
+    form at corpus scale.
+
+    Scale: one map-side-combinable groupBy(host) + one broadcast of the
+    single global row; scores are expected integer-valued (milli-scores
+    from ``quality_logit``/``lm_score`` floors — cast upstream).
+
+    Emits (host, n_docs, mean_milli, shrunk_milli), raw mean beside the
+    shrunk one so the shrinkage applied is auditable."""
+    if prior_strength < 0:
+        raise ValueError(f"prior_strength must be >= 0, got {prior_strength}")
+    m = int(prior_strength)
+    per = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col(score_col).cast("long")).alias("__s"),
+    )
+    glob = df.agg(
+        F.count("*").cast("long").alias("__gn"),
+        F.sum(F.col(score_col).cast("long")).alias("__gs"),
+    ).select(F.expr("1000 * __gs div __gn").alias("__g_milli"))
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "host",
+            "n_docs",
+            F.expr("1000 * __s div n_docs").alias("mean_milli"),
+            F.expr(
+                f"(1000 * __s + {m} * __g_milli) div (n_docs + {m})"
+            ).alias("shrunk_milli"),
+        )
+    )

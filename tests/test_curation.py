@@ -1636,3 +1636,176 @@ def test_train_order_shards_permutation_and_determinism(spark):
     # repartitioning the input cannot change the assignment
     out3 = train_order_shards(df.repartition(7), n_shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out3))
+
+
+def test_split_by_host_leakage_guard(spark):
+    from comic_text_detector_spark.operators.curation import split_by_host
+
+    rows = [(i, f"https://h{i % 7}.example.org/p/{i}") for i in range(200)]
+    rows += [(900, "/relative/path"), (901, None)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = split_by_host(
+        df, [("train", 0.5), ("val", 0.25), ("test", 0.25)]
+    ).collect()
+    by_host = {}
+    for r in out:
+        if r.host:
+            by_host.setdefault(r.host, set()).add(r.split)
+    # the leakage guard: every page of a host lands in exactly one split
+    assert by_host and all(len(s) == 1 for s in by_host.values())
+    # hostless rows are explicitly unassigned, never guessed
+    hostless = [r for r in out if not r.host]
+    assert len(hostless) == 2
+    assert all(r.split is None for r in hostless)
+    # deterministic: a re-run (fresh plan) assigns identically
+    again = split_by_host(
+        df, [("train", 0.5), ("val", 0.25), ("test", 0.25)]
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_split_by_host_holdout_and_validation(spark):
+    import pytest as _pytest
+
+    from comic_text_detector_spark.operators.curation import split_by_host
+
+    df = spark.createDataFrame(
+        [(i, f"https://h{i}.example.org/") for i in range(64)],
+        "doc_id long, url string",
+    )
+    # weights summing below 1 leave a NULL-split holdout rather than
+    # silently rescaling
+    out = split_by_host(df, [("train", 0.25)]).collect()
+    assert {r.split for r in out} == {"train", None}
+    with _pytest.raises(ValueError):
+        split_by_host(df, [("a", 0.7), ("b", 0.4)])
+    with _pytest.raises(ValueError):
+        split_by_host(df, [("a", 0.0)])
+    with _pytest.raises(ValueError):
+        split_by_host(df, [])
+
+
+def test_mixture_allocate_hamilton(spark):
+    import pytest as _pytest
+
+    from comic_text_detector_spark.operators.curation import (
+        mixture_allocate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["a", "a", "a", "b", "c"][i % 5], 10) for i in range(50)],
+        "doc_id long, src string, toks int",
+    )
+    # counts: a=30 rows, b=10, c=10; weights 1/3 each (inexact thirds
+    # force remainder bonuses), budget 100 -> quotas 33.3331 each
+    w = {"a": 333_333, "b": 333_333, "c": 333_334}
+    out = {
+        r.src: r
+        for r in mixture_allocate(df, w, budget=100, by="src").collect()
+    }
+    assert sum(r.alloc for r in out.values()) == 100  # exact apportionment
+    # floors are 33+33+33 = 99, so exactly one bonus unit exists and it
+    # goes to the largest remainder: c (rem 333400 vs 333300)
+    assert out["c"].alloc == 34 and out["a"].alloc == 33
+    assert out["b"].alloc == 33
+    # availability clamp: a has 30 rows < 33 allocated
+    assert out["a"].granted == 30 and out["a"].shortfall == 3
+    assert out["b"].granted == 10 and out["b"].shortfall == 23
+    # size_col mode: 10 tokens per row scales availability x10 - no clamp
+    out2 = {
+        r.src: r
+        for r in mixture_allocate(
+            df, w, budget=100, by="src", size_col="toks"
+        ).collect()
+    }
+    assert all(r.shortfall == 0 for r in out2.values())
+    # a weighted group absent from the corpus: full shortfall
+    out3 = {
+        r.src: r
+        for r in mixture_allocate(
+            df, {"a": 500_000, "zz": 500_000}, budget=10, by="src"
+        ).collect()
+    }
+    assert out3["zz"].available == 0 and out3["zz"].shortfall == 5
+    with _pytest.raises(ValueError):
+        mixture_allocate(df, {"a": 1}, budget=10, by="src")
+    with _pytest.raises(ValueError):
+        mixture_allocate(df, {}, budget=10, by="src")
+
+
+def test_align_bitext_sentences_planted(spark):
+    from comic_text_detector_spark.operators.curation import (
+        align_bitext_sentences,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # equal totals: proportional midpoints land directly on B
+            ("p1", ["aaaa", "bb", "cccccc"], ["xx", "yyyy", "zzzzzz"]),
+            ("z0", ["aaa"], []),           # zero-length b side: dropped
+            ("z1", [], ["bbb"]),           # zero-length a side: dropped
+        ],
+        "bitext_key string, sents_a array<string>, sents_b array<string>",
+    )
+    out = sorted(
+        (r.bitext_key, r.a_idx, r.b_idx, r.len_a, r.len_b,
+         r.len_milli_ratio)
+        for r in align_bitext_sentences(df).collect()
+    )
+    # a0 (mid 2.0) sits exactly on the b0/b1 boundary -> b1 (half-open
+    # intervals); a1 (mid 5) -> b1; a2 (mid 9) -> b2. The consecutive
+    # a's sharing b1 are the 2-into-1 merge signal downstream consumes.
+    assert out == [
+        ("p1", 0, 1, 4, 4, 1000),
+        ("p1", 1, 1, 2, 4, 500),
+        ("p1", 2, 2, 6, 6, 1000),
+    ]
+
+
+def test_align_bitext_scaled_and_monotone(spark):
+    from comic_text_detector_spark.operators.curation import (
+        align_bitext_sentences,
+    )
+
+    # b twice as long as a: alignment must scale, not match absolutes
+    df = spark.createDataFrame(
+        [("p", ["aa", "bb", "cc"], ["xxxx", "yyyy", "zzzz"])],
+        "bitext_key string, sents_a array<string>, sents_b array<string>",
+    )
+    out = {r.a_idx: r.b_idx for r in align_bitext_sentences(df).collect()}
+    assert out == {0: 0, 1: 1, 2: 2}
+    # monotone: b_idx never decreases along a_idx
+    seq = [out[i] for i in sorted(out)]
+    assert seq == sorted(seq)
+
+
+def test_host_quality_shrunk(spark):
+    import pytest as _pytest
+
+    from comic_text_detector_spark.operators.curation import (
+        host_quality_shrunk,
+    )
+
+    rows = [("h1", 1000)] + [("h2", 500)] * 9
+    df = spark.createDataFrame(rows, "host string, score int")
+    out = {
+        r.host: r
+        for r in host_quality_shrunk(df, prior_strength=20).collect()
+    }
+    # global mean 550.0 -> g_milli 550000
+    assert out["h1"].mean_milli == 1_000_000
+    assert out["h1"].shrunk_milli == (1_000_000 + 20 * 550_000) // 21
+    assert out["h2"].mean_milli == 500_000
+    assert out["h2"].shrunk_milli == (4_500_000 + 20 * 550_000) // 29
+    # the 1-doc outlier host is pulled most of the way to the prior;
+    # the 9-doc host moves far less (that is the point of shrinkage)
+    assert abs(out["h1"].shrunk_milli - 550_000) < 25_000
+    assert abs(out["h1"].shrunk_milli - 1_000_000) > 400_000
+    # m=0 degenerates to the raw mean
+    raw = {
+        r.host: r
+        for r in host_quality_shrunk(df, prior_strength=0).collect()
+    }
+    assert all(r.shrunk_milli == r.mean_milli for r in raw.values())
+    with _pytest.raises(ValueError):
+        host_quality_shrunk(df, prior_strength=-1)

@@ -550,3 +550,34 @@ def test_warp_region_axis_aligned_equals_crop(spark):
     assert np.array_equal(got[:, :, 0], arr[2:10, 3:13, 0])
     for bad_id in ("bad", "nullpt", "shortpt"):
         assert not out[bad_id].ok and out[bad_id].region_png is None
+
+
+def test_y4m_frame_stats_sampling(spark):
+    import pytest as _pytest
+
+    from comic_text_detector_spark.multimodal.pixels import (
+        synthesize_y4m,
+        y4m_frame_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("v1", bytearray(synthesize_y4m(8, 4, n_frames=7))),
+            ("v2", bytearray(synthesize_y4m(3, 5, n_frames=1))),
+            ("junk", bytearray(b"not a video")),
+        ],
+        "media_id string, media binary",
+    )
+    rows = {
+        (r.media_id, r.frame_idx): r
+        for r in y4m_frame_stats(df, every_n=3).collect()
+    }
+    # every 3rd frame of v1 (0,3,6), the single frame of v2, junk dropped
+    assert set(rows) == {("v1", 0), ("v1", 3), ("v1", 6), ("v2", 0)}
+    for (mid, k), r in rows.items():
+        w, h = (8, 4) if mid == "v1" else (3, 5)
+        assert (r.width, r.height) == (w, h)
+        # constant luma (k*7+31)&255 by construction -> exact sum
+        assert r.luma_sum == w * h * ((k * 7 + 31) & 0xFF)
+    with _pytest.raises(ValueError):
+        y4m_frame_stats(df, every_n=0)
