@@ -5713,6 +5713,25 @@ def _q_host_quality_shrunk(spark, sf_dir):
     return host_quality_shrunk(docs, prior_strength=20)
 
 
+def _q_postings_compress(spark, sf_dir):
+    """Blocked delta+LEB128 postings compression (operators/retrieval.py::
+    compress_postings) over the REAL documents token space: the index is
+    built by build_inverted_index, packed in blocks of 4 (small enough
+    that real terms split across blocks), and the gate checks (w, block,
+    n_postings, first_id, bytes_len) where bytes_len is the EXACT LEB128
+    length ladder DuckDB re-sums from the same gap arithmetic — the
+    byte-for-byte content is covered by the decompress roundtrip tests."""
+    from comic_text_detector_spark.operators.retrieval import (
+        build_inverted_index,
+        compress_postings,
+    )
+
+    postings, _ = build_inverted_index(_t(spark, sf_dir, "documents"))
+    return compress_postings(postings, block=4).select(
+        "w", "block_idx", "n_postings", "first_id", "bytes_len"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -5914,6 +5933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_allocate": _q_mixture_allocate,
         "align_bitext": _q_align_bitext,
         "host_quality_shrunk": _q_host_quality_shrunk,
+        "postings_compress": _q_postings_compress,
     }
 
 
@@ -7699,4 +7719,8 @@ def oracle_sql() -> dict[str, str]:
             "   AS BIGINT) AS shrunk_milli"
             " FROM p, g"
         ),
+        "postings_compress": __import__(
+            "comic_text_detector_spark.operators.retrieval",
+            fromlist=["postings_blocks_sql"],
+        ).postings_blocks_sql(block=4),
     }

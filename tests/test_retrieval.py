@@ -321,3 +321,80 @@ def test_topk_keywords(spark):
     # lexicographically: 'common' before 'word'
     assert got[(3, 1)].term == "common" and got[(3, 2)].term == "word"
     assert all(r.rank <= 2 for r in out.collect())
+
+
+def test_postings_compress_roundtrip(spark):
+    from comic_text_detector_spark.operators.retrieval import (
+        compress_postings,
+        decompress_postings,
+    )
+
+    # gaps crossing every interesting varint width (1, 127, 128, 16384,
+    # 2^21) and a df larger than the block size to force block splits
+    ids_a = [0, 1, 128, 256, 16640, 16641, (1 << 21) + 16641, 1 << 40]
+    rows = [("a", i, 1 + k % 3) for k, i in enumerate(ids_a)]
+    rows += [("b", 2 * k + 5, 1) for k in range(10)]  # 10 > block 4
+    df = spark.createDataFrame(rows, "w string, id long, tf long")
+    blocks = compress_postings(df, block=4)
+    got = blocks.collect()
+    # block accounting: ceil(8/4)=2 blocks for a, ceil(10/4)=3 for b
+    assert sorted((r.w, r.block_idx) for r in got) == [
+        ("a", 0), ("a", 1), ("b", 0), ("b", 1), ("b", 2)
+    ]
+    for r in got:
+        assert r.bytes_len == len(r.blob)  # emitted length IS the blob's
+        assert r.n_postings <= 4
+    # first block of 'a': gaps 0,1,127,128 + tfs -> 1+1+1+1 (gaps 0,1,127
+    # are 1 byte, 128 is 2) + 4 tf bytes = 9
+    a0 = next(r for r in got if (r.w, r.block_idx) == ("a", 0))
+    assert (a0.first_id, a0.bytes_len) == (0, 9)
+    back = sorted(
+        (r.w, r.id, r.tf) for r in decompress_postings(blocks).collect()
+    )
+    assert back == sorted(rows)
+
+
+def test_postings_compress_guards(spark):
+    import pytest as _pytest
+
+    from comic_text_detector_spark.operators.retrieval import (
+        _read_varint,
+        _varint,
+        compress_postings,
+        decompress_postings,
+    )
+
+    # varint unit vectors
+    for v, want in [(0, b"\x00"), (127, b"\x7f"), (128, b"\x80\x01"),
+                    (16384, b"\x80\x80\x01")]:
+        assert _varint(v) == want
+        assert _read_varint(want, 0) == (v, len(want))
+    with _pytest.raises(ValueError):
+        _read_varint(b"\x80", 0)  # truncated continuation
+    with _pytest.raises(ValueError):
+        _varint(-1)
+    with _pytest.raises(ValueError):
+        compress_postings(
+            spark.createDataFrame([("a", 0, 1)], "w string, id long, tf long"),
+            block=0,
+        )
+    # duplicate doc id within a term: the kernel must refuse, not emit
+    # an undecodable block
+    dup = spark.createDataFrame(
+        [("a", 3, 1), ("a", 3, 2)], "w string, id long, tf long"
+    )
+    with _pytest.raises(Exception):
+        compress_postings(dup, block=4).collect()
+    # corrupt blob: decompress raises rather than fabricating postings
+    ok = compress_postings(
+        spark.createDataFrame([("a", 5, 2)], "w string, id long, tf long"),
+        block=4,
+    ).collect()[0]
+    bad = spark.createDataFrame(
+        [(ok.w, ok.block_idx, ok.n_postings, ok.first_id,
+          ok.bytes_len + 1, bytes(ok.blob) + b"\x00")],
+        "w string, block_idx int, n_postings long, first_id long,"
+        " bytes_len long, blob binary",
+    )
+    with _pytest.raises(Exception):
+        decompress_postings(bad).collect()
