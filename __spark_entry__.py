@@ -5732,6 +5732,25 @@ def _q_postings_compress(spark, sf_dir):
     )
 
 
+def _q_bm25_compressed(spark, sf_dir):
+    """BM25 served off the COMPRESSED blocked index (operators/
+    retrieval.py::compress_postings → bm25_from_compressed): the query
+    terms' blocks are filtered pre-decode, LEB128-decoded, and scored
+    through the shared tail — bit-identical to bm25_docs/bm25_index by
+    construction, so the SAME DuckDB oracle must match; a single wrong
+    gap or tf anywhere in the codec shifts a score and fails the gate."""
+    from comic_text_detector_spark.operators.retrieval import (
+        bm25_from_compressed,
+        build_inverted_index,
+        compress_postings,
+    )
+
+    postings, lengths = build_inverted_index(_t(spark, sf_dir, "documents"))
+    return bm25_from_compressed(
+        compress_postings(postings, block=8), lengths, _BM25_TERMS
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -5934,6 +5953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_bitext": _q_align_bitext,
         "host_quality_shrunk": _q_host_quality_shrunk,
         "postings_compress": _q_postings_compress,
+        "bm25_compressed": _q_bm25_compressed,
     }
 
 
@@ -7723,4 +7743,10 @@ def oracle_sql() -> dict[str, str]:
             "comic_text_detector_spark.operators.retrieval",
             fromlist=["postings_blocks_sql"],
         ).postings_blocks_sql(block=4),
+        # served off the compressed blocks, scored by the shared tail:
+        # the plain BM25 oracle must match bit-for-bit
+        "bm25_compressed": __import__(
+            "comic_text_detector_spark.operators.retrieval",
+            fromlist=["bm25_sql"],
+        ).bm25_sql(_BM25_TERMS),
     }

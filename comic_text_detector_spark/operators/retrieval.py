@@ -816,3 +816,33 @@ def postings_blocks_sql(
         " AS bytes_len"
         " FROM b GROUP BY w, block_idx"
     )
+
+
+def bm25_from_compressed(
+    blocks: DataFrame,
+    lengths: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 served straight off the COMPRESSED index: filter the blocked
+    blobs to the |q| query terms (a term-column filter the scan pushes
+    down — only the hit terms' blocks are ever decoded), LEB128-decode
+    just those, and score through the shared ``bm25_from_index`` tail —
+    so scores are bit-identical to both the raw-postings path and the
+    direct corpus path, and the compression layer provably costs zero
+    correctness. This is the read path that makes ``compress_postings``
+    an index format rather than a storage trick: at 100 TB the query
+    touches |q| terms × their blocks, never the corpus.
+
+    Scale: the filter prunes BEFORE the Arrow decode stage; decode
+    fan-out is ≤block postings per row; the scoring tail's only driver
+    traffic is the same two scalars as ``bm25_from_index``."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    hit = blocks.filter(F.col("w").isin(list(terms)))
+    return bm25_from_index(
+        decompress_postings(hit), lengths, tuple(terms), id_col, k1, b
+    )

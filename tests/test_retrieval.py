@@ -398,3 +398,34 @@ def test_postings_compress_guards(spark):
     )
     with _pytest.raises(Exception):
         decompress_postings(bad).collect()
+
+
+def test_bm25_from_compressed_parity(spark):
+    from comic_text_detector_spark.operators.retrieval import (
+        bm25_from_compressed,
+        bm25_from_index,
+        build_inverted_index,
+        compress_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog the dog the dog"),
+            (3, "cats are not dogs"),
+            (4, "the the the the the the the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    postings, lengths = build_inverted_index(docs)
+    q = ("the", "dog")
+    raw = sorted(map(tuple, bm25_from_index(postings, lengths, q).collect()))
+    comp = sorted(
+        map(
+            tuple,
+            bm25_from_compressed(
+                compress_postings(postings, block=2), lengths, q
+            ).collect(),
+        )
+    )
+    assert raw == comp  # compression provably costs zero correctness
