@@ -5751,6 +5751,150 @@ def _q_bm25_compressed(spark, sf_dir):
     )
 
 
+def _md_fixture(spark, sf_dir):
+    """Deterministic per-doc markdown: a python fence, a lang-less
+    fence, headings (incl. a fence-interior decoy, a 7-# non-heading
+    and a bare ##), inline link + image, a fence-interior link decoy,
+    and — every 3rd doc — an UNTERMINATED trailing fence that must
+    emit no code row."""
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    md = F.concat(
+        F.lit("# H"), s(i % 3),
+        F.lit("\npara *one* with [l"), s(i % 5),
+        F.lit("](/p"), s(i % 7),
+        F.lit(") and ![im](i.png) `x`\n```python\ncode"), s(i % 7),
+        F.lit("\n```\n## Sub ##\n####### no\n##\n```\nplain"), s(i % 5),
+        F.lit("```\n[no href] tail"),
+        F.when(i % 3 == 0, F.lit("\n```rust\nopen")).otherwise(F.lit("")),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("d"), s(i)).alias("url"), md.alias("md")
+    )
+
+
+def _q_markdown_fences(spark, sf_dir):
+    """Fenced code extraction (functions/markdown.py::
+    extract_code_fences): info-string lang, verbatim code, and the
+    unterminated-trailing-fence refusal arm."""
+    from comic_text_detector_spark.functions.markdown import (
+        extract_code_fences,
+    )
+
+    return extract_code_fences(_md_fixture(spark, sf_dir))
+
+
+_MARKDOWN_FENCES_ORACLE = (
+    "WITH d AS (SELECT doc_id AS i FROM documents) "
+    "SELECT 'd' || i::VARCHAR AS url, 0 AS fence_idx,"
+    " 'python' AS lang, 'code' || (i % 7)::VARCHAR || chr(10) AS code"
+    " FROM d UNION ALL "
+    "SELECT 'd' || i::VARCHAR, 1, '',"
+    " 'plain' || (i % 5)::VARCHAR FROM d"
+)
+
+
+def _q_markdown_outline(spark, sf_dir):
+    """ATX outline (functions/markdown.py::markdown_outline): fence
+    interiors can't fabricate headings, 7+ runs are not headings, a
+    bare ## is a real empty heading, closing runs are stripped."""
+    from comic_text_detector_spark.functions.markdown import (
+        markdown_outline,
+    )
+
+    return markdown_outline(_md_fixture(spark, sf_dir))
+
+
+# line_idx = chunk_pos*100000 + line_pos within the prose chunk:
+# '# H..' is chunk 0 line 0; '## Sub ##'/'##' live in chunk 2
+# (after the python fence) at line positions 1 and 3.
+_MARKDOWN_OUTLINE_ORACLE = (
+    "WITH d AS (SELECT doc_id AS i FROM documents) "
+    "SELECT 'd' || i::VARCHAR AS url, 0 AS line_idx, 1 AS level,"
+    " 'H' || (i % 3)::VARCHAR AS text FROM d UNION ALL "
+    "SELECT 'd' || i::VARCHAR, 200001, 2, 'Sub' FROM d UNION ALL "
+    "SELECT 'd' || i::VARCHAR, 200003, 2, '' FROM d"
+)
+
+
+def _q_markdown_links(spark, sf_dir):
+    """Inline links/images (functions/markdown.py::markdown_links):
+    ordinal, is_image split, fence-interior decoys stripped, bare
+    [no href] emits nothing."""
+    from comic_text_detector_spark.functions.markdown import (
+        markdown_links,
+    )
+
+    return markdown_links(_md_fixture(spark, sf_dir))
+
+
+_MARKDOWN_LINKS_ORACLE = (
+    "WITH d AS (SELECT doc_id AS i FROM documents) "
+    "SELECT 'd' || i::VARCHAR AS url, 0 AS link_idx, FALSE AS is_image,"
+    " 'l' || (i % 5)::VARCHAR AS text,"
+    " '/p' || (i % 7)::VARCHAR AS href FROM d UNION ALL "
+    "SELECT 'd' || i::VARCHAR, 1, TRUE, 'im', 'i.png' FROM d"
+)
+
+
+def _q_markdown_text(spark, sf_dir):
+    """Plain-text projection (functions/markdown.py::
+    markdown_to_text): fences removed (incl. the unterminated arm),
+    links/images to their text/alt, ATX + emphasis markers stripped,
+    whitespace collapsed — the closed form is predictable per doc."""
+    from comic_text_detector_spark.functions.markdown import (
+        markdown_to_text,
+    )
+
+    return markdown_to_text(_md_fixture(spark, sf_dir))
+
+
+_MARKDOWN_TEXT_ORACLE = (
+    "WITH d AS (SELECT doc_id AS i FROM documents) "
+    "SELECT 'd' || i::VARCHAR AS url,"
+    " 'H' || (i % 3)::VARCHAR || ' para one with l' || (i % 5)::VARCHAR"
+    " || ' and im x Sub ####### no [no href] tail' AS text FROM d"
+)
+
+
+def _q_code_lang(spark, sf_dir):
+    """Heuristic code-language routing (functions/markdown.py::
+    code_lang_guess): five snippet arms (python/js/c/sql/none) keyed
+    by doc_id, marker counts exact."""
+    from comic_text_detector_spark.functions.markdown import (
+        code_lang_guess,
+    )
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    arm = i % 5
+    code = (
+        F.when(arm == 0, F.concat(
+            F.lit("import os\ndef f(self):\n    return self.x"), s(i % 3)))
+        .when(arm == 1, F.concat(
+            F.lit("const a"), s(i % 3), F.lit(" = 1;\nconsole.log(a)")))
+        .when(arm == 2, F.concat(
+            F.lit('#include <x.h>\nint main(){printf("%d", '), s(i % 3),
+            F.lit(");}")))
+        .when(arm == 3, F.concat(
+            F.lit("SELECT a"), s(i % 3), F.lit(" FROM t WHERE b = 1")))
+        .otherwise(F.concat(F.lit("plain words "), s(i % 3), F.lit(" here")))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        i.alias("id"), code.alias("code")
+    )
+    return code_lang_guess(docs).select("id", "lang_guess", "lang_hits")
+
+
+_CODE_LANG_ORACLE = (
+    "SELECT doc_id AS id,"
+    " CASE doc_id % 5 WHEN 0 THEN 'python' WHEN 1 THEN 'javascript'"
+    " WHEN 2 THEN 'c' WHEN 3 THEN 'sql' ELSE '' END AS lang_guess,"
+    " CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 2"
+    " WHEN 3 THEN 1 ELSE 0 END AS lang_hits FROM documents"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -5941,6 +6085,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "markdown_fences": _q_markdown_fences,
+        "markdown_outline": _q_markdown_outline,
+        "markdown_links": _q_markdown_links,
+        "markdown_text": _q_markdown_text,
+        "code_lang": _q_code_lang,
         "section_chunks": _q_section_chunks,
         "c4_filter_docs": _q_c4_filter,
         "script_profile_docs": _q_script_profile,
@@ -7623,6 +7772,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "markdown_fences": _MARKDOWN_FENCES_ORACLE,
+        "markdown_outline": _MARKDOWN_OUTLINE_ORACLE,
+        "markdown_links": _MARKDOWN_LINKS_ORACLE,
+        "markdown_text": _MARKDOWN_TEXT_ORACLE,
+        "code_lang": _CODE_LANG_ORACLE,
         "section_chunks": _SECTION_CHUNKS_ORACLE,
         "c4_filter_docs": _c4_filter_oracle(),
         "script_profile_docs": _script_profile_oracle(),
