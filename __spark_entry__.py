@@ -5895,6 +5895,87 @@ _CODE_LANG_ORACLE = (
 )
 
 
+def _q_token_prf(spark, sf_dir):
+    """Token-multiset extraction eval (plans/eval.py::token_prf): four
+    arms — perfect, partial-with-wrong-token, empty prediction (honest
+    zeros), and a repeated-token multiset arm; metrics as exact
+    micro-quantized bigints."""
+    from comic_text_detector_spark.plans.eval import token_prf
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    gold_t = F.concat(F.lit("a"), s(i % 3), F.lit(" b c c"))
+    arm = i % 4
+    pred_t = (
+        F.when(arm == 0, gold_t)
+        .when(arm == 1, F.concat(F.lit("a"), s(i % 3), F.lit(" b x")))
+        .when(arm == 2, F.lit(""))
+        .otherwise(F.lit("c c c"))
+    )
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("d"), s(i)).alias("url")
+    gold = docs.select(url, gold_t.alias("text"))
+    pred = docs.select(url, pred_t.alias("text"))
+    return token_prf(gold, pred)
+
+
+_TOKEN_PRF_ORACLE = (
+    "WITH d AS (SELECT doc_id AS i, doc_id % 4 AS arm FROM documents) "
+    "SELECT 'd' || i::VARCHAR AS url,"
+    " CASE arm WHEN 0 THEN 4 WHEN 1 THEN 2 WHEN 2 THEN 0 ELSE 2 END"
+    "  AS inter_n, 4 AS gold_n,"
+    " CASE arm WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 0 ELSE 3 END"
+    "  AS pred_n,"
+    " CASE arm WHEN 0 THEN 1000000 WHEN 2 THEN 0 ELSE 666666 END"
+    "  AS p_micro,"
+    " CASE arm WHEN 0 THEN 1000000 WHEN 2 THEN 0 ELSE 500000 END"
+    "  AS r_micro,"
+    " CASE arm WHEN 0 THEN 1000000 WHEN 2 THEN 0 ELSE 571428 END"
+    "  AS f1_micro FROM d"
+)
+
+
+def _q_fuzzy_title_pairs(spark, sf_dir):
+    """Blocked edit-distance near-dup (operators/dedup.py::
+    fuzzy_pairs_edit): 4-member blocks with a substitution arm, a
+    deletion arm and a far arm; the DuckDB oracle replays blocking,
+    the length prefilter AND levenshtein itself."""
+    from comic_text_detector_spark.operators.dedup import fuzzy_pairs_edit
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    g = F.expr("doc_id div 4")
+    arm = i % 4
+    mid = s(g % 9)
+    t = (
+        F.when(arm == 0, F.concat(F.lit("title "), mid, F.lit(" alpha beta")))
+        .when(arm == 1, F.concat(F.lit("title "), mid, F.lit(" alphq beta")))
+        .when(arm == 2, F.concat(F.lit("title "), mid, F.lit(" alph beta")))
+        .otherwise(F.concat(F.lit("completely different entry "), s(i)))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        i.alias("id"), g.alias("blk"), t.alias("t")
+    )
+    return fuzzy_pairs_edit(docs, ["blk"], text_col="t", id_col="id",
+                            max_dist=2)
+
+
+_FUZZY_TITLE_PAIRS_ORACLE = (
+    "WITH d AS (SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS arm"
+    " FROM documents), "
+    "s AS (SELECT id, g, CASE arm"
+    " WHEN 0 THEN 'title ' || (g % 9)::VARCHAR || ' alpha beta'"
+    " WHEN 1 THEN 'title ' || (g % 9)::VARCHAR || ' alphq beta'"
+    " WHEN 2 THEN 'title ' || (g % 9)::VARCHAR || ' alph beta'"
+    " ELSE 'completely different entry ' || id::VARCHAR END AS t FROM d) "
+    "SELECT a.id AS id_a, b.id AS id_b,"
+    " levenshtein(a.t, b.t)::INT AS dist"
+    " FROM s a JOIN s b ON a.g = b.g AND a.id < b.id"
+    " WHERE abs(length(a.t) - length(b.t)) <= 2"
+    " AND levenshtein(a.t, b.t) <= 2"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6085,6 +6166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "token_prf_eval": _q_token_prf,
+        "fuzzy_title_pairs": _q_fuzzy_title_pairs,
         "markdown_fences": _q_markdown_fences,
         "markdown_outline": _q_markdown_outline,
         "markdown_links": _q_markdown_links,
@@ -7772,6 +7855,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "token_prf_eval": _TOKEN_PRF_ORACLE,
+        "fuzzy_title_pairs": _FUZZY_TITLE_PAIRS_ORACLE,
         "markdown_fences": _MARKDOWN_FENCES_ORACLE,
         "markdown_outline": _MARKDOWN_OUTLINE_ORACLE,
         "markdown_links": _MARKDOWN_LINKS_ORACLE,

@@ -834,3 +834,52 @@ def cdc_chunks(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def fuzzy_pairs_edit(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "id",
+    max_dist: int = 2,
+    max_bucket_size: int = 32,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs within caller-supplied blocks:
+    (id_a, id_b, dist) with ``dist = levenshtein ≤ max_dist``.
+
+    The record-linkage workhorse for SHORT strings — titles, product
+    names, URLs, author fields — where token-set similarity (jaccard/
+    minhash) is too coarse: 'iPhone 15 Pro' vs 'iPhone 15 Pr' is one
+    edit but only ~0.5 trigram-jaccard. Candidate generation is the
+    caller's blocking key (host, length band, sort-key prefix, an LSH
+    band from ``banded_signatures`` — anything cheap and high-recall);
+    this operator contributes the bounded pair emission and the exact
+    verify, same division of labor as the minhash family.
+
+    Scale shape: reuses ``bucket_pairs`` (one signature pass, hot
+    blocks emit star+chain ≤2k rows, never C(k,2)), then a zero-cost
+    length prefilter — ``|len(a)−len(b)| ≤ max_dist`` is a necessary
+    condition for edit distance ≤ max_dist — before the O(len·max_dist)
+    banded Levenshtein, which the JVM evaluates with the threshold
+    short-circuit (``levenshtein(a, b, t)`` returns −1 past t without
+    filling the full matrix). Everything is whole-stage codegen; no
+    Python.
+    """
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.col(text_col).cast("string").alias("t"),
+    )
+    pairs = bucket_pairs(
+        banded, list(block_cols), payload_cols=["t"],
+        max_bucket_size=max_bucket_size,
+    )
+    a, b = F.col("t_a"), F.col("t_b")
+    dist = F.levenshtein(a, b, max_dist)
+    return (
+        pairs.filter(
+            F.abs(F.length(a) - F.length(b)) <= max_dist
+        )
+        .select("id_a", "id_b", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )
