@@ -49,7 +49,123 @@ _NAMED_ENTITIES = {
     "gt": ">",
     "quot": '"',
     "apos": "'",
-    "nbsp": " ",
+    "nbsp": "\u00a0",
+    # the high-frequency tail of real pages: typographic punctuation,
+    # legal marks, Latin-1 letters, common math/Greek — HTML4 §24 /
+    # WHATWG named refs (public spec constants). Unknown names still
+    # pass through verbatim (decodable-or-left, never guessed).
+    "mdash": "\u2014",
+    "ndash": "\u2013",
+    "hellip": "\u2026",
+    "lsquo": "\u2018",
+    "rsquo": "\u2019",
+    "ldquo": "\u201c",
+    "rdquo": "\u201d",
+    "sbquo": "\u201a",
+    "bdquo": "\u201e",
+    "prime": "\u2032",
+    "Prime": "\u2033",
+    "laquo": "\u00ab",
+    "raquo": "\u00bb",
+    "copy": "\u00a9",
+    "reg": "\u00ae",
+    "trade": "\u2122",
+    "deg": "\u00b0",
+    "middot": "\u00b7",
+    "bull": "\u2022",
+    "dagger": "\u2020",
+    "Dagger": "\u2021",
+    "sect": "\u00a7",
+    "para": "\u00b6",
+    "plusmn": "\u00b1",
+    "times": "\u00d7",
+    "divide": "\u00f7",
+    "frac12": "\u00bd",
+    "frac14": "\u00bc",
+    "frac34": "\u00be",
+    "sup1": "\u00b9",
+    "sup2": "\u00b2",
+    "sup3": "\u00b3",
+    "micro": "\u00b5",
+    "cent": "\u00a2",
+    "pound": "\u00a3",
+    "yen": "\u00a5",
+    "euro": "\u20ac",
+    "curren": "\u00a4",
+    "iexcl": "\u00a1",
+    "iquest": "\u00bf",
+    "szlig": "\u00df",
+    "agrave": "\u00e0",
+    "aacute": "\u00e1",
+    "acirc": "\u00e2",
+    "atilde": "\u00e3",
+    "auml": "\u00e4",
+    "aring": "\u00e5",
+    "aelig": "\u00e6",
+    "ccedil": "\u00e7",
+    "egrave": "\u00e8",
+    "eacute": "\u00e9",
+    "ecirc": "\u00ea",
+    "euml": "\u00eb",
+    "igrave": "\u00ec",
+    "iacute": "\u00ed",
+    "icirc": "\u00ee",
+    "iuml": "\u00ef",
+    "ntilde": "\u00f1",
+    "ograve": "\u00f2",
+    "oacute": "\u00f3",
+    "ocirc": "\u00f4",
+    "otilde": "\u00f5",
+    "ouml": "\u00f6",
+    "oslash": "\u00f8",
+    "ugrave": "\u00f9",
+    "uacute": "\u00fa",
+    "ucirc": "\u00fb",
+    "uuml": "\u00fc",
+    "yacute": "\u00fd",
+    "yuml": "\u00ff",
+    "Agrave": "\u00c0",
+    "Aacute": "\u00c1",
+    "Auml": "\u00c4",
+    "Aring": "\u00c5",
+    "AElig": "\u00c6",
+    "Ccedil": "\u00c7",
+    "Egrave": "\u00c8",
+    "Eacute": "\u00c9",
+    "Ntilde": "\u00d1",
+    "Ouml": "\u00d6",
+    "Oslash": "\u00d8",
+    "Uuml": "\u00dc",
+    "shy": "\u00ad",
+    "ensp": "\u2002",
+    "emsp": "\u2003",
+    "thinsp": "\u2009",
+    "zwnj": "\u200c",
+    "zwj": "\u200d",
+    "lrm": "\u200e",
+    "rlm": "\u200f",
+    "oline": "\u203e",
+    "frasl": "\u2044",
+    "permil": "\u2030",
+    "larr": "\u2190",
+    "uarr": "\u2191",
+    "rarr": "\u2192",
+    "darr": "\u2193",
+    "harr": "\u2194",
+    "minus": "\u2212",
+    "lowast": "\u2217",
+    "infin": "\u221e",
+    "ne": "\u2260",
+    "le": "\u2264",
+    "ge": "\u2265",
+    "alpha": "\u03b1",
+    "beta": "\u03b2",
+    "gamma": "\u03b3",
+    "delta": "\u03b4",
+    "pi": "\u03c0",
+    "sigma": "\u03c3",
+    "omega": "\u03c9",
+    "Omega": "\u03a9",
 }
 
 

@@ -163,3 +163,16 @@ def test_extract_batches_slicewise_memory_bound():
     total_html = sum(len(h) for h in htmls)
     assert peak_sliced < peak_full * 0.6, (peak_sliced, peak_full)
     assert peak_sliced < total_html, (peak_sliced, total_html)
+
+
+def test_entity_tail_decoding():
+    # the high-frequency named-entity tail decodes; unknown names pass
+    # through verbatim (never guessed)
+    from comic_text_detector_spark.functions.html import unescape
+
+    assert unescape("a&mdash;b&hellip;") == "a—b…"
+    assert unescape("&copy; 2026 &middot; caf&eacute;") == "© 2026 · café"
+    assert unescape("&euro;5 &frac12; &sup2;") == "€5 ½ ²"
+    assert unescape("&rsquo;&ldquo;&rdquo;") == "’“”"
+    assert unescape("&notanentity; &x;") == "&notanentity; &x;"
+    assert unescape("&#x2014; &#8212;") == "— —"
