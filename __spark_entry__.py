@@ -5976,6 +5976,31 @@ _FUZZY_TITLE_PAIRS_ORACLE = (
 )
 
 
+def _q_score_shards(spark, sf_dir):
+    """Exact score-grain ntile without a corpus sort (operators/
+    curation.py::score_shards): histogram + distinct-score window +
+    exact bigint floor shard assignment, replayed in DuckDB."""
+    from comic_text_detector_spark.operators.curation import score_shards
+
+    i = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        i.alias("id"), ((i * 7) % 13).alias("q")
+    )
+    return score_shards(docs, "q", 4)
+
+
+_SCORE_SHARDS_ORACLE = (
+    "WITH d AS (SELECT doc_id AS id, (doc_id * 7) % 13 AS q"
+    " FROM documents), "
+    "h AS (SELECT q, count(*) AS n FROM d GROUP BY q), "
+    "c AS (SELECT q, sum(n) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED"
+    " PRECEDING AND CURRENT ROW) - n AS cum, sum(n) OVER () AS tot"
+    " FROM h), "
+    "m AS (SELECT q, CAST((cum * 4) // tot AS INT) AS shard FROM c) "
+    "SELECT d.id, d.q, m.shard FROM d JOIN m USING (q)"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6166,6 +6191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "score_shards": _q_score_shards,
         "token_prf_eval": _q_token_prf,
         "fuzzy_title_pairs": _q_fuzzy_title_pairs,
         "markdown_fences": _q_markdown_fences,
@@ -7855,6 +7881,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "score_shards": _SCORE_SHARDS_ORACLE,
         "token_prf_eval": _TOKEN_PRF_ORACLE,
         "fuzzy_title_pairs": _FUZZY_TITLE_PAIRS_ORACLE,
         "markdown_fences": _MARKDOWN_FENCES_ORACLE,

@@ -2272,3 +2272,54 @@ def host_quality_shrunk(
             ).alias("shrunk_milli"),
         )
     )
+
+
+def score_shards(
+    df: DataFrame,
+    score_col: str,
+    n_shards: int,
+    ascending: bool = True,
+) -> DataFrame:
+    """Exact score-grain ntile WITHOUT a corpus sort: append ``shard``
+    (0..n_shards-1) such that shards are contiguous in score order and
+    sizes are as equal as score-tie granularity allows.
+
+    The curriculum-ordering primitive (easy→hard training schedules,
+    quality-stratified eval slices): ``ccnet_tiers`` gets adaptive cut
+    points from a per-language WINDOW — a full per-language sort. This
+    operator exploits the engine's integer-quantized score discipline
+    instead: scores have bounded cardinality (milli/micro lattices), so
+
+    1. one ``groupBy(score).count()`` histogram (map-side partials),
+    2. one window over the DISTINCT SCORES ONLY — thousands of rows,
+       bounded by the lattice, NOT by corpus size — computing each
+       score's cumulative predecessor count,
+    3. ``shard = (cum_before · n) div total`` (exact bigint floor),
+    4. one broadcast join back.
+
+    Zero corpus exchanges beyond the histogram's partial aggregate; at
+    10^12 docs the sort that never happens is the whole win. Every row
+    of a tied score lands in ONE shard (shard sizes deviate by at most
+    the largest tie group — the honest cost of not splitting ties
+    arbitrarily); the result is a pure function of the score column, so
+    it is repartition-invariant and engine-portable. Compose with
+    ``train_order_shards`` for a deterministic shuffle WITHIN each
+    curriculum shard."""
+    from pyspark.sql.functions import broadcast
+
+    s = F.col(score_col)
+    hist = df.groupBy(s.alias("__sc")).agg(F.count("*").alias("__n"))
+    order = F.col("__sc").asc() if ascending else F.col("__sc").desc()
+    w = Window.orderBy(order)
+    wall = Window.orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_before = (F.sum("__n").over(w) - F.col("__n")).alias("__cum")
+    total = F.sum("__n").over(wall).alias("__tot")
+    mapping = hist.select("__sc", cum_before, total).select(
+        "__sc",
+        F.expr(f"(__cum * {int(n_shards)}L) div __tot")
+        .cast("int")
+        .alias("shard"),
+    )
+    return df.join(broadcast(mapping), s == F.col("__sc")).drop("__sc")

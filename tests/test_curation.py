@@ -1809,3 +1809,42 @@ def test_host_quality_shrunk(spark):
     assert all(r.shrunk_milli == r.mean_milli for r in raw.values())
     with _pytest.raises(ValueError):
         host_quality_shrunk(df, prior_strength=-1)
+
+
+def test_score_shards_exact_ntile(spark):
+    from comic_text_detector_spark.operators.curation import score_shards
+
+    # 12 rows, scores 0..11, 4 shards -> exact quartiles
+    df = spark.createDataFrame(
+        [(i, i) for i in range(12)], "id long, q long"
+    )
+    got = {r.id: r.shard for r in score_shards(df, "q", 4).collect()}
+    assert got == {i: i // 3 for i in range(12)}
+    # descending curriculum: highest scores first
+    got_d = {
+        r.id: r.shard
+        for r in score_shards(df, "q", 4, ascending=False).collect()
+    }
+    assert got_d == {i: (11 - i) // 3 for i in range(12)}
+
+
+def test_score_shards_ties_stay_together(spark):
+    from comic_text_detector_spark.operators.curation import score_shards
+
+    # one dominant tie group: all of score 5 lands in ONE shard
+    rows = [(i, 5) for i in range(8)] + [(8, 1), (9, 9)]
+    df = spark.createDataFrame(rows, "id long, q long")
+    got = {r.id: r.shard for r in score_shards(df, "q", 2).collect()}
+    assert got[8] == 0 and got[9] == 1
+    assert len({got[i] for i in range(8)}) == 1  # never split
+
+
+def test_score_shards_repartition_invariant(spark):
+    from comic_text_detector_spark.operators.curation import score_shards
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13) for i in range(200)], "id long, q long"
+    )
+    a = sorted(map(tuple, score_shards(df, "q", 5).collect()))
+    b = sorted(map(tuple, score_shards(df.repartition(7), "q", 5).collect()))
+    assert a == b
