@@ -6001,6 +6001,78 @@ _SCORE_SHARDS_ORACLE = (
 )
 
 
+def _q_bm25_anchors(spark, sf_dir):
+    """Anchor-expanded BM25 (operators/retrieval.py::
+    build_anchor_index → bm25_from_index): every doc's decade-head
+    page accumulates weighted anchor tokens; dangling hrefs (every 5th
+    link, pointing outside the corpus) are dropped, never indexed."""
+    from comic_text_detector_spark.operators.retrieval import (
+        bm25_from_index,
+        build_anchor_index,
+    )
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    text = (
+        F.when(i % 3 == 0, F.lit("alpha beta"))
+        .when(i % 3 == 1, F.lit("beta gamma gamma"))
+        .otherwise(F.lit("delta"))
+    )
+    base = _t(spark, sf_dir, "documents")
+    docs = base.select(F.concat(F.lit("u"), s(i)).alias("doc_id"),
+                       text.alias("text"))
+    links = base.select(
+        F.concat(F.lit("u"), s(i)).alias("src"),
+        F.when(i % 5 == 0, F.lit("x999999"))
+        .otherwise(F.concat(F.lit("u"), s(i - i % 10)))
+        .alias("href"),
+        F.when(i % 2 == 0, F.lit("alpha hub"))
+        .otherwise(F.lit("gamma"))
+        .alias("anchor"),
+    )
+    postings, lengths = build_anchor_index(
+        docs, links, anchor_weight=2
+    )
+    return bm25_from_index(postings, lengths, ("alpha", "gamma"))
+
+
+_BM25_ANCHORS_ORACLE = (
+    "WITH docs AS (SELECT 'u' || doc_id::VARCHAR AS id,"
+    " CASE doc_id % 3 WHEN 0 THEN 'alpha beta'"
+    " WHEN 1 THEN 'beta gamma gamma' ELSE 'delta' END AS text"
+    " FROM documents), "
+    "links AS (SELECT CASE WHEN doc_id % 5 = 0 THEN 'x999999'"
+    " ELSE 'u' || (doc_id - doc_id % 10)::VARCHAR END AS href,"
+    " CASE doc_id % 2 WHEN 0 THEN 'alpha hub' ELSE 'gamma' END AS anchor"
+    " FROM documents), "
+    "toks AS ("
+    " SELECT id, w, CAST(1 AS BIGINT) AS c FROM"
+    "  (SELECT id, unnest(string_split(text, ' ')) AS w FROM docs)"
+    "  WHERE w <> ''"
+    " UNION ALL"
+    " SELECT href AS id, w, CAST(2 AS BIGINT) AS c FROM"
+    "  (SELECT href, unnest(string_split(anchor, ' ')) AS w FROM links"
+    "   WHERE href IN (SELECT id FROM docs))"
+    "  WHERE w <> ''), "
+    "dl AS (SELECT id, sum(c) AS dl FROM toks GROUP BY id), "
+    "tot AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl), "
+    "tf AS (SELECT id, w, sum(c) AS tf FROM toks"
+    " WHERE w IN ('alpha', 'gamma') GROUP BY id, w), "
+    "dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf"
+    " GROUP BY w), "
+    "scored AS (SELECT tf.id, dl.dl, CAST(round("
+    " ln((CAST((SELECT n FROM tot) AS DOUBLE) - df + 0.5)"
+    " / (df + 0.5) + 1.0)"
+    " * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /"
+    " (CAST((SELECT tot FROM tot) AS DOUBLE) /"
+    " CAST((SELECT n FROM tot) AS DOUBLE))))"
+    " * 1000000.0) AS BIGINT) AS m"
+    " FROM tf JOIN dfreq USING (w) JOIN dl ON dl.id = tf.id) "
+    "SELECT id AS doc_id, dl, CAST(count(*) AS BIGINT) AS n_hit_terms,"
+    " sum(m) / 1000000.0 AS score FROM scored GROUP BY id, dl"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6191,6 +6263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "bm25_anchors": _q_bm25_anchors,
         "score_shards": _q_score_shards,
         "token_prf_eval": _q_token_prf,
         "fuzzy_title_pairs": _q_fuzzy_title_pairs,
@@ -7881,6 +7954,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "bm25_anchors": _BM25_ANCHORS_ORACLE,
         "score_shards": _SCORE_SHARDS_ORACLE,
         "token_prf_eval": _TOKEN_PRF_ORACLE,
         "fuzzy_title_pairs": _FUZZY_TITLE_PAIRS_ORACLE,

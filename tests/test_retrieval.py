@@ -429,3 +429,54 @@ def test_bm25_from_compressed_parity(spark):
         )
     )
     assert raw == comp  # compression provably costs zero correctness
+
+
+def test_anchor_index_expansion(spark):
+    from comic_text_detector_spark.operators.retrieval import (
+        bm25_from_index,
+        build_anchor_index,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "cats and dogs"), ("b", "plain page"), ("c", "other")],
+        "doc_id string, text string",
+    )
+    links = spark.createDataFrame(
+        [
+            ("x", "b", "best cats resource"),
+            ("y", "b", "cats"),
+            ("z", "nowhere", "cats cats cats"),  # dangling: dropped
+        ],
+        "src string, href string, anchor string",
+    )
+    postings, lengths = build_anchor_index(docs, links, anchor_weight=2)
+    p = {(r.w, r.id): r.tf for r in postings.collect()}
+    # b's virtual doc: 'plain page' + 2x('best cats resource') + 2x('cats')
+    assert p[("cats", "b")] == 4  # 2 anchors x weight 2
+    assert p[("cats", "a")] == 1  # own text only
+    assert ("cats", "nowhere") not in p
+    dl = {r.id: r.dl for r in lengths.collect()}
+    assert dl["b"] == 2 + 2 * 3 + 2 * 1  # own 2 + weighted anchor tokens
+    assert dl["a"] == 3 and dl["c"] == 1
+    # anchor-aware ranking: b now outranks a for 'cats'
+    scores = {
+        r.doc_id: r.score
+        for r in bm25_from_index(postings, lengths, ("cats",)).collect()
+    }
+    assert scores["b"] > scores["a"]
+    assert "c" not in scores
+
+
+def test_anchor_index_weight_guard(spark):
+    import pytest
+
+    from comic_text_detector_spark.operators.retrieval import (
+        build_anchor_index,
+    )
+
+    docs = spark.createDataFrame([("a", "t")], "doc_id string, text string")
+    links = spark.createDataFrame(
+        [("s", "a", "x")], "src string, href string, anchor string"
+    )
+    with pytest.raises(ValueError):
+        build_anchor_index(docs, links, anchor_weight=0)
