@@ -6073,6 +6073,44 @@ _BM25_ANCHORS_ORACLE = (
 )
 
 
+_LPA_EDGES_SQL = (
+    "SELECT 'n' || (doc_id // 6)::VARCHAR || '_' ||"
+    " (doc_id % 6)::VARCHAR AS src,"
+    " 'n' || (doc_id // 6)::VARCHAR || '_' ||"
+    " (CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 0"
+    " WHEN 3 THEN 4 WHEN 4 THEN 5"
+    " ELSE (CASE WHEN (doc_id // 6) % 5 = 0 THEN 5 ELSE 3 END)"
+    " END)::VARCHAR AS dst FROM documents"
+)
+
+
+def _q_lpa_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation (operators/
+    graph.py::label_propagation): per 6-doc group two planted
+    triangles (0-1-2 and 3-4-5); every 5th group replaces its (5,3)
+    edge with a SELF-LOOP so the self-loop-drop + self-vote arms fire.
+    The DuckDB twin (lpa_sql) replays all 3 unrolled rounds."""
+    from comic_text_detector_spark.operators.graph import label_propagation
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    g = F.expr("doc_id div 6")
+    m = i % 6
+    node = lambda mm: F.concat(F.lit("n"), s(g), F.lit("_"), s(mm))  # noqa: E731
+    dst_m = (
+        F.when(m == 0, F.lit(1))
+        .when(m == 1, F.lit(2))
+        .when(m == 2, F.lit(0))
+        .when(m == 3, F.lit(4))
+        .when(m == 4, F.lit(5))
+        .otherwise(F.when(g % 5 == 0, F.lit(5)).otherwise(F.lit(3)))
+    )
+    edges = _t(spark, sf_dir, "documents").select(
+        node(m).alias("src"), node(dst_m).alias("dst")
+    )
+    return label_propagation(edges, n_iter=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6263,6 +6301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "lpa_communities": _q_lpa_communities,
         "bm25_anchors": _q_bm25_anchors,
         "score_shards": _q_score_shards,
         "token_prf_eval": _q_token_prf,
@@ -6542,6 +6581,7 @@ def oracle_sql() -> dict[str, str]:
         repetition_signals_sql,
     )
     from comic_text_detector_spark.operators import clustering as _clu
+    from comic_text_detector_spark.operators.graph import lpa_sql as _lpa_sql
     from comic_text_detector_spark.operators.layout import (
         zorder_key_sql as _zorder_key_sql,
     )
@@ -7954,6 +7994,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "lpa_communities": _lpa_sql(_LPA_EDGES_SQL, 3),
         "bm25_anchors": _BM25_ANCHORS_ORACLE,
         "score_shards": _SCORE_SHARDS_ORACLE,
         "token_prf_eval": _TOKEN_PRF_ORACLE,

@@ -18,7 +18,7 @@ truncates physical recomputation, not analysis), so every round is
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -752,3 +752,129 @@ def trustrank_sql(
         )
     parts.append(f" SELECT node, rank FROM r{n_iter}")
     return "WITH " + "".join(parts)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, made deterministic): (node, community) over the
+    UNDIRECTED graph of ``edges``.
+
+    Where ``connected_components`` answers "reachable at all" (dup
+    clusters) and ``pagerank``/``trustrank`` answer "how authoritative",
+    LPA answers "which densely-linked neighborhood" — the host-community
+    signal behind link-farm and mutual-admiration-ring detection: a
+    spam ring collapses into one community whose internal link mass
+    dwarfs its external edges.
+
+    Determinism contract (the classic algorithm is notoriously
+    order-dependent; this recast is not): updates are SYNCHRONOUS
+    (round t+1 reads only round t), every node casts one SELF-VOTE for
+    its own current label (the standard stabilization — without it a
+    lone edge p—q oscillates p↔q forever under synchronous updates),
+    the new label is the vote with the highest count, ties broken by
+    SMALLEST label — so
+    the result is a pure function of the edge set, independent of
+    partitioning and engine, and an unrolled SQL twin (``lpa_sql``)
+    replays it bit-for-bit. Self-loops are dropped; parallel edges
+    count once (distinct neighbor pairs); a node whose only edges were
+    self-loops keeps its own id as its community.
+
+    Scale shape: per round ONE (node, nlabel) aggregate and one
+    argmax window on node — both hash on the node key; labels are
+    ``localCheckpoint``-ed per round (plan-growth cap, same as
+    pagerank). n_iter is small (3-5) because LPA either converges in
+    a few rounds or oscillates — bounded rounds ARE the algorithm."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nbrs = (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .unionByName(
+            e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nbrs = (
+        nbrs.unionByName(
+            nodes.select("node", F.col("node").alias("nbr"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.desc("n"), F.col("nlabel").asc()
+    )
+    for _ in range(n_iter):
+        counts = (
+            nbrs.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nlabel")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "nlabel")
+            .agg(F.count("*").alias("n"))
+        )
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nlabel").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def lpa_sql(edges_sql: str, n_iter: int = 3) -> str:
+    """Unrolled oracle twin of ``label_propagation``: one counts/argmax
+    CTE pair per round over an ``edges_sql`` relation (src, dst)."""
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql})"
+        " WHERE src <> dst), "
+        "nodes0 AS (SELECT src AS node FROM"
+        f" ({edges_sql}) UNION SELECT dst FROM ({edges_sql})), "
+        "nb AS (SELECT src AS node, dst AS nbr FROM e"
+        " UNION SELECT dst, src FROM e"
+        " UNION SELECT node, node FROM nodes0), "
+        "l0 AS (SELECT node, node AS label FROM nodes0) "
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"l{i - 1}"
+        parts.append(
+            f", c{i} AS (SELECT nb.node, p.label AS nlabel,"
+            f" count(*) AS n FROM nb JOIN {prev} p ON p.node = nb.nbr"
+            f" GROUP BY nb.node, p.label)"
+            f", b{i} AS (SELECT node, nlabel FROM (SELECT node, nlabel,"
+            f" row_number() OVER (PARTITION BY node ORDER BY n DESC,"
+            f" nlabel ASC) AS rn FROM c{i}) WHERE rn = 1)"
+            f", l{i} AS (SELECT p.node,"
+            f" coalesce(b.nlabel, p.label) AS label FROM {prev} p"
+            f" LEFT JOIN b{i} b ON b.node = p.node)"
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f" SELECT node, label AS community FROM l{n_iter}"
+    )
