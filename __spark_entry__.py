@@ -6111,6 +6111,52 @@ def _q_lpa_communities(spark, sf_dir):
     return label_propagation(edges, n_iter=3)
 
 
+def _q_snippet_window(spark, sf_dir):
+    """Query-biased snippet selection off the positional index
+    (operators/retrieval.py::snippet_window): three arms — tied
+    2-term windows resolved to the smallest start, an all-terms
+    window, and a no-hit doc that must be absent."""
+    from comic_text_detector_spark.operators.retrieval import (
+        build_positional_index,
+        snippet_window,
+    )
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    text = (
+        F.when(i % 3 == 0, F.lit("f f alpha f gamma f f alpha beta"))
+        .when(i % 3 == 1, F.lit("f alpha beta gamma f f"))
+        .otherwise(F.lit("f f f f"))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("d"), s(i)).alias("doc_id"), text.alias("text")
+    )
+    postings, _ = build_positional_index(docs)
+    return snippet_window(postings, ("alpha", "beta", "gamma"), window=4)
+
+
+_SNIPPET_WINDOW_ORACLE = (
+    "WITH docs AS (SELECT 'd' || doc_id::VARCHAR AS id,"
+    " CASE doc_id % 3 WHEN 0 THEN 'f f alpha f gamma f f alpha beta'"
+    " WHEN 1 THEN 'f alpha beta gamma f f' ELSE 'f f f f' END AS text"
+    " FROM documents), "
+    "post AS (SELECT id, i AS pos, list_extract(ts, i) AS w FROM"
+    " (SELECT id, string_split(text, ' ') AS ts FROM docs),"
+    " unnest(generate_series(1, len(ts))) AS u(i)"
+    " WHERE list_extract(ts, i) IN ('alpha', 'beta', 'gamma')), "
+    "j AS (SELECT a.id, a.pos AS apos, b.w FROM post a JOIN post b"
+    " ON b.id = a.id AND b.pos >= a.pos AND b.pos < a.pos + 4), "
+    "g AS (SELECT id, apos, CAST(count(DISTINCT w) AS BIGINT) AS"
+    " n_terms, CAST(count(*) AS BIGINT) AS n_hits FROM j"
+    " GROUP BY id, apos), "
+    "b AS (SELECT id, apos, n_terms, n_hits, row_number() OVER"
+    " (PARTITION BY id ORDER BY n_terms DESC, n_hits DESC, apos ASC)"
+    " AS rn FROM g) "
+    "SELECT id AS doc_id, apos AS start_pos, apos + 3 AS end_pos,"
+    " n_terms, n_hits FROM b WHERE rn = 1"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6301,6 +6347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "snippet_window": _q_snippet_window,
         "lpa_communities": _q_lpa_communities,
         "bm25_anchors": _q_bm25_anchors,
         "score_shards": _q_score_shards,
@@ -7994,6 +8041,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "snippet_window": _SNIPPET_WINDOW_ORACLE,
         "lpa_communities": _lpa_sql(_LPA_EDGES_SQL, 3),
         "bm25_anchors": _BM25_ANCHORS_ORACLE,
         "score_shards": _SCORE_SHARDS_ORACLE,

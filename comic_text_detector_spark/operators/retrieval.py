@@ -900,3 +900,64 @@ def build_anchor_index(
     postings = unioned.groupBy("w", "id").agg(F.sum("c").alias("tf"))
     lengths = unioned.groupBy("id").agg(F.sum("c").alias("dl"))
     return postings, lengths
+
+
+def snippet_window(
+    postings: DataFrame,
+    query_terms: tuple[str, ...],
+    window: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-biased snippet selection from the POSITIONAL index: for
+    each document hitting ≥1 query term, the best fixed-width token
+    window — (id, start_pos, end_pos, n_terms, n_hits) — where best
+    means most DISTINCT query terms covered, then most total hits,
+    then smallest start (every tie broken, fully deterministic). The
+    serving layer slices tokens [start_pos, end_pos] out of the stored
+    text to render the result-page snippet; the corpus itself is never
+    re-scanned (the whole point of the positional index).
+
+    Candidate starts are hit positions only — any window containing k
+    hits can be left-shifted until its first hit is at the start
+    without losing hits, so restricting anchors to hits loses nothing.
+
+    Scale shape: hit postings explode to (id, w, pos) rows — |q| terms
+    only, NOT the corpus token stream; the anchor×hit self-join is
+    keyed on id (one co-partitioned exchange) and is O(h²) per doc in
+    the number of query-term hits h, which is small for real queries —
+    a query containing a stopword makes h large, so cap positions
+    upstream (slice the postings row) before pathological queries, the
+    same discipline as the phrase scorer."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    uniq = sorted(set(query_terms))
+    hit = postings.filter(F.col("w").isin(uniq)).select(
+        "id", "w", F.explode("positions").alias("pos")
+    )
+    anchors = hit.select(F.col("id").alias("aid"), F.col("pos").alias("apos"))
+    j = anchors.join(
+        hit,
+        (F.col("aid") == F.col("id"))
+        & (F.col("pos") >= F.col("apos"))
+        & (F.col("pos") < F.col("apos") + F.lit(int(window))),
+    )
+    grp = j.groupBy("aid", "apos").agg(
+        F.countDistinct("w").cast("long").alias("n_terms"),
+        F.count("*").cast("long").alias("n_hits"),
+    )
+    w_best = Window.partitionBy("aid").orderBy(
+        F.desc("n_terms"), F.desc("n_hits"), F.col("apos").asc()
+    )
+    return (
+        grp.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("aid").alias(id_col),
+            F.col("apos").alias("start_pos"),
+            (F.col("apos") + F.lit(int(window) - 1)).alias("end_pos"),
+            "n_terms",
+            "n_hits",
+        )
+    )

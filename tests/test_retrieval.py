@@ -480,3 +480,51 @@ def test_anchor_index_weight_guard(spark):
     )
     with pytest.raises(ValueError):
         build_anchor_index(docs, links, anchor_weight=0)
+
+
+def test_snippet_window_best(spark):
+    from comic_text_detector_spark.operators.retrieval import (
+        build_positional_index,
+        snippet_window,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # alpha@3, gamma@5, alpha@8, beta@9: best 4-window is [5,8]?
+            # windows from hits: @3 covers alpha,gamma (2 terms, 2 hits)
+            # @5 covers gamma@5, alpha@8 (2 terms) ... @8 covers
+            # alpha@8, beta@9 (2 terms). Tie on terms+hits -> min start 3
+            ("d1", "f f alpha f gamma f f alpha beta"),
+            # all three terms inside one window anchored at 2
+            ("d2", "f alpha beta gamma f f"),
+            # no query terms at all: absent from output
+            ("d3", "f f f"),
+        ],
+        "doc_id string, text string",
+    )
+    postings, _ = build_positional_index(docs)
+    got = {
+        r.doc_id: (r.start_pos, r.end_pos, r.n_terms, r.n_hits)
+        for r in snippet_window(
+            postings, ("alpha", "beta", "gamma"), window=4
+        ).collect()
+    }
+    assert got["d2"] == (2, 5, 3, 3)
+    assert got["d1"][2] == 2 and got["d1"][0] == 3
+    assert "d3" not in got
+
+
+def test_snippet_window_guards(spark):
+    import pytest
+
+    from comic_text_detector_spark.operators.retrieval import (
+        build_positional_index,
+        snippet_window,
+    )
+
+    docs = spark.createDataFrame([("d", "a b")], "doc_id string, text string")
+    postings, _ = build_positional_index(docs)
+    with pytest.raises(ValueError):
+        snippet_window(postings, (), window=4)
+    with pytest.raises(ValueError):
+        snippet_window(postings, ("a",), window=0)
