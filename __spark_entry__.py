@@ -6157,6 +6157,65 @@ _SNIPPET_WINDOW_ORACLE = (
 )
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup (operators/dedup.py::
+    containment_pairs): per 3-doc group an article (arm 0), a wrapper
+    that embeds it verbatim (arm 1), and a disjoint doc (arm 2) —
+    full A-in-B containment with low B-in-A, replayed end to end."""
+    from comic_text_detector_spark.operators.dedup import containment_pairs
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    g = F.expr("doc_id div 3")
+    wg = lambda w: F.concat(F.lit(w), s(g))  # noqa: E731
+    base = F.concat_ws(
+        " ", wg("a"), wg("b"), wg("c"), wg("d"), wg("e"), wg("f"),
+        wg("g"), wg("h")
+    )
+    arm = i % 3
+    text = (
+        F.when(arm == 0, base)
+        .when(arm == 1, F.concat_ws(" ", base, wg("i"), wg("j"), wg("k")))
+        .otherwise(F.concat_ws(" ", wg("z1"), wg("z2"), wg("z3"),
+                               wg("z4"), wg("z5"), wg("z6")))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        i.alias("doc_id"), text.alias("text")
+    )
+    return containment_pairs(docs, n=5, min_containment_milli=800)
+
+
+_CONTAINMENT_ORACLE = (
+    "WITH d AS (SELECT doc_id AS id, doc_id // 3 AS g, doc_id % 3 AS arm"
+    " FROM documents), "
+    "docs AS (SELECT id, CASE arm"
+    " WHEN 0 THEN 'a'||g||' b'||g||' c'||g||' d'||g||' e'||g||' f'||g"
+    "  ||' g'||g||' h'||g"
+    " WHEN 1 THEN 'a'||g||' b'||g||' c'||g||' d'||g||' e'||g||' f'||g"
+    "  ||' g'||g||' h'||g||' i'||g||' j'||g||' k'||g"
+    " ELSE 'z1'||g||' z2'||g||' z3'||g||' z4'||g||' z5'||g||' z6'||g"
+    " END AS text FROM d), "
+    "w AS (SELECT id, string_split(text, ' ') AS ws FROM docs), "
+    "sh AS (SELECT DISTINCT id, array_to_string(ws[i:i+4], ' ') AS kg"
+    " FROM w, unnest(generate_series(1, len(ws) - 4)) AS u(i)), "
+    "dfreq AS (SELECT kg, count(*) AS df FROM sh GROUP BY kg), "
+    "kept AS (SELECT sh.id, sh.kg FROM sh JOIN dfreq USING (kg)"
+    " WHERE df <= 64), "
+    "sizes AS (SELECT id, count(*) AS n_sh FROM kept GROUP BY id), "
+    "shared AS (SELECT kept.id, kept.kg FROM kept JOIN dfreq USING (kg)"
+    " WHERE df >= 2 AND df <= 64), "
+    "pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared"
+    " FROM shared a JOIN shared b ON a.kg = b.kg AND a.id < b.id"
+    " GROUP BY a.id, b.id), "
+    "o AS (SELECT id_a, id_b, n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b,"
+    " (1000 * n_shared) // sa.n_sh AS cont_a_milli,"
+    " (1000 * n_shared) // sb.n_sh AS cont_b_milli"
+    " FROM pairs JOIN sizes sa ON sa.id = pairs.id_a"
+    " JOIN sizes sb ON sb.id = pairs.id_b) "
+    "SELECT * FROM o WHERE greatest(cont_a_milli, cont_b_milli) >= 800"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6347,6 +6406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "containment_pairs": _q_containment_pairs,
         "snippet_window": _q_snippet_window,
         "lpa_communities": _q_lpa_communities,
         "bm25_anchors": _q_bm25_anchors,
@@ -8041,6 +8101,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "containment_pairs": _CONTAINMENT_ORACLE,
         "snippet_window": _SNIPPET_WINDOW_ORACLE,
         "lpa_communities": _lpa_sql(_LPA_EDGES_SQL, 3),
         "bm25_anchors": _BM25_ANCHORS_ORACLE,

@@ -883,3 +883,81 @@ def fuzzy_pairs_edit(
         .select("id_a", "id_b", dist.alias("dist"))
         .filter(F.col("dist") >= 0)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_df: int = 64,
+    min_containment_milli: int = 800,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: document pairs where one side's
+    shingle set is (mostly) CONTAINED in the other's — the quote page,
+    the mirror-with-extra-chrome, the article republished inside a
+    roundup. Jaccard misses these by construction (a 10× larger
+    wrapper caps jaccard at ~0.1 however perfect the containment), so
+    the near-dup family needs this second axis.
+
+    Returns (id_a, id_b, n_shared, n_a, n_b, cont_a_milli,
+    cont_b_milli) for pairs whose GREATER containment crosses the
+    threshold; ``cont_x_milli = (1000·n_shared) div n_x`` — exact
+    bigint floor, engine-portable.
+
+    Scale shape: distinct word n-gram shingles explode once; shingles
+    with corpus df > ``max_df`` are dropped from BOTH numerator and
+    denominator (boilerplate n-grams would otherwise make every
+    footer-sharing pair 'contained' AND blow up the join — the cap
+    bounds per-shingle pair fan-out at C(max_df, 2), keeping the
+    candidate join linear in corpus size; the recall trade is
+    documented, not hidden: containment within dropped-boilerplate
+    space is invisible). The pair aggregate and both size joins key on
+    ids. Same discipline as ``bucket_pairs``' star+chain cap."""
+    if n < 1 or max_df < 2:
+        raise ValueError("need n >= 1 and max_df >= 2")
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col).cast("string"), n))
+        ).alias("kg"),
+    )
+    dfreq = sh.groupBy("kg").agg(F.count("*").alias("df"))
+    informative = dfreq.filter(F.col("df") <= max_df).select("kg")
+    kept = sh.join(informative, "kg", "left_semi")
+    sizes = kept.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # only shingles shared by >= 2 docs can produce a pair
+    shared = kept.join(
+        dfreq.filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("kg"),
+        "kg",
+        "left_semi",
+    )
+    a = shared.alias("a")
+    b = shared.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.kg") == F.col("b.kg"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        pairs.join(sizes.select(F.col("id").alias("id_a"),
+                                F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a", "id_b", "n_shared", "n_a", "n_b",
+            F.expr("(1000 * n_shared) div n_a").alias("cont_a_milli"),
+            F.expr("(1000 * n_shared) div n_b").alias("cont_b_milli"),
+        )
+    )
+    return out.filter(
+        F.greatest(F.col("cont_a_milli"), F.col("cont_b_milli"))
+        >= int(min_containment_milli)
+    )

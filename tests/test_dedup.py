@@ -445,3 +445,45 @@ def test_dedup_job_incremental_band_index(spark, tmp_path):
     assert dup == {"n1"}
     surv = {r["url"] for r in spark.read.parquet(f"{incr_out}/survivors").collect()}
     assert surv == {"n2"}  # n1 dup-of-base, n3 clustered under n2
+
+
+def test_containment_pairs_asymmetric(spark):
+    from comic_text_detector_spark.operators.dedup import containment_pairs
+
+    wrapper = (
+        "site nav chrome header junk alpha beta gamma delta epsilon "
+        "zeta eta theta footer legal boilerplate end"
+    )
+    article = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "completely different words about other topics entirely here"
+    docs = spark.createDataFrame(
+        [(1, article), (2, wrapper), (3, other)],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(
+        docs, n=3, min_containment_milli=900
+    ).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r.id_a, r.id_b) == (1, 2)
+    # every article shingle appears in the wrapper -> full containment
+    assert r.cont_a_milli == 1000
+    # but the wrapper is NOT contained in the article
+    assert r.cont_b_milli < 500
+    # jaccard would have been n_shared/(n_a+n_b-n_shared) ~ 0.4: the
+    # asymmetric axis is the whole point
+    assert r.n_shared == r.n_a
+
+
+def test_containment_pairs_boilerplate_df_cap(spark):
+    from comic_text_detector_spark.operators.dedup import containment_pairs
+
+    # every doc shares the same footer; with max_df=2 the footer
+    # shingles are dropped so footer-only pairs vanish
+    rows = [(i, f"unique{i} body{i} text{i} footer legal boilerplate")
+            for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_pairs(
+        docs, n=3, max_df=2, min_containment_milli=500
+    ).collect()
+    assert got == []
