@@ -6216,6 +6216,36 @@ _CONTAINMENT_ORACLE = (
 )
 
 
+def _q_diversify_topk(spark, sf_dir):
+    """Host-diversified top-k (operators/retrieval.py::
+    diversify_topk): integer scores with planted cross-host ties,
+    per-host cap 2, global k=10 — every tie broken by id so the
+    result is exact."""
+    from comic_text_detector_spark.operators.retrieval import diversify_topk
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    scored = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("u"), s(i)).alias("doc_id"),
+        F.concat(F.lit("h"), s(i % 7)).alias("host"),
+        ((i * 13) % 101).cast("long").alias("score"),
+    )
+    return diversify_topk(scored, k=10, per_group=2)
+
+
+_DIVERSIFY_ORACLE = (
+    "WITH d AS (SELECT 'u' || doc_id::VARCHAR AS id,"
+    " 'h' || (doc_id % 7)::VARCHAR AS grp,"
+    " CAST((doc_id * 13) % 101 AS BIGINT) AS s FROM documents), "
+    "g AS (SELECT id, grp, s, row_number() OVER (PARTITION BY grp"
+    " ORDER BY s DESC, id ASC) AS gr FROM d), "
+    "t AS (SELECT id, grp, s FROM g WHERE gr <= 2"
+    " ORDER BY s DESC, id ASC LIMIT 10) "
+    "SELECT id AS doc_id, grp AS host, s AS score, row_number() OVER"
+    " (ORDER BY s DESC, id ASC) AS rank FROM t"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6406,6 +6436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "diversify_topk": _q_diversify_topk,
         "containment_pairs": _q_containment_pairs,
         "snippet_window": _q_snippet_window,
         "lpa_communities": _q_lpa_communities,
@@ -8101,6 +8132,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "diversify_topk": _DIVERSIFY_ORACLE,
         "containment_pairs": _CONTAINMENT_ORACLE,
         "snippet_window": _SNIPPET_WINDOW_ORACLE,
         "lpa_communities": _lpa_sql(_LPA_EDGES_SQL, 3),

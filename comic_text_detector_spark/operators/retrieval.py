@@ -961,3 +961,55 @@ def snippet_window(
             "n_hits",
         )
     )
+
+
+def diversify_topk(
+    scored: DataFrame,
+    k: int,
+    per_group: int = 2,
+    id_col: str = "doc_id",
+    group_col: str = "host",
+    score_col: str = "score",
+) -> DataFrame:
+    """Result diversification: global top-``k`` with at most
+    ``per_group`` results per group (host, domain, source) — the
+    standard SERP rule preventing one template-heavy site from
+    monopolizing a results page, and equally the corpus-sampling rule
+    preventing one host from monopolizing an inspection sample.
+
+    Two-stage, both bounded: (1) a per-group window keeps each group's
+    ``per_group`` best (score desc, id asc — fully tie-broken), which
+    shrinks the relation to ≤ per_group·|groups| rows; (2)
+    ``orderBy(...).limit(k)`` over the survivors — physically a
+    TakeOrderedAndProject (per-partition top-k heaps merged once), NOT
+    a global sort and NOT a single-partition window; the final rank is
+    then a window over the k surviving rows only, trivially bounded.
+
+    Emits (id, group, score, rank) with rank 1..k dense over the final
+    ordering."""
+    if k < 1 or per_group < 1:
+        raise ValueError("need k >= 1 and per_group >= 1")
+    survivors = (
+        scored.select(
+            F.col(id_col).alias("id"),
+            F.col(group_col).alias("grp"),
+            F.col(score_col).alias("s"),
+        )
+        .withColumn(
+            "gr",
+            F.row_number().over(
+                Window.partitionBy("grp").orderBy(
+                    F.desc("s"), F.col("id").asc()
+                )
+            ),
+        )
+        .filter(F.col("gr") <= int(per_group))
+    )
+    top = survivors.orderBy(F.desc("s"), F.col("id").asc()).limit(int(k))
+    w_k = Window.orderBy(F.desc("s"), F.col("id").asc())  # over k rows
+    return top.withColumn("rank", F.row_number().over(w_k)).select(
+        F.col("id").alias(id_col),
+        F.col("grp").alias(group_col),
+        F.col("s").alias(score_col),
+        "rank",
+    )

@@ -528,3 +528,35 @@ def test_snippet_window_guards(spark):
         snippet_window(postings, (), window=4)
     with pytest.raises(ValueError):
         snippet_window(postings, ("a",), window=0)
+
+
+def test_diversify_topk(spark):
+    from comic_text_detector_spark.operators.retrieval import diversify_topk
+
+    rows = [
+        ("a1", "h1", 10.0), ("a2", "h1", 9.0), ("a3", "h1", 8.0),
+        ("b1", "h2", 7.0), ("b2", "h2", 6.0),
+        ("c1", "h3", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, host string, score double")
+    got = [
+        (r.doc_id, r.rank)
+        for r in diversify_topk(df, k=4, per_group=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    # a3 is h1's third result: displaced despite outscoring b2/c1
+    assert got == [("a1", 1), ("a2", 2), ("b1", 3), ("b2", 4)]
+
+
+def test_diversify_topk_tie_break(spark):
+    from comic_text_detector_spark.operators.retrieval import diversify_topk
+
+    rows = [("x2", "h", 5.0), ("x1", "h", 5.0), ("y1", "g", 5.0)]
+    df = spark.createDataFrame(rows, "doc_id string, host string, score double")
+    got = [
+        (r.doc_id, r.rank)
+        for r in diversify_topk(df, k=3, per_group=1).orderBy("rank").collect()
+    ]
+    # ties broken by id everywhere: x1 beats x2 within h; x1 < y1 globally
+    assert got == [("x1", 1), ("y1", 2)]
