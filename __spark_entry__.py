@@ -6246,6 +6246,52 @@ _DIVERSIFY_ORACLE = (
 )
 
 
+_MERGE_OLD_TEXT_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'alpha beta' WHEN 1 THEN 'beta gamma'"
+    " ELSE 'alpha' END"
+)
+_MERGE_NEW_TEXT_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'alpha delta' WHEN 1 THEN 'delta'"
+    " ELSE 'beta' END"
+)
+
+
+def _q_postings_merge(spark, sf_dir):
+    """Incremental compressed-index merge (operators/retrieval.py::
+    merge_postings_delta): old generation indexed and compressed, new
+    generation (ids offset by 10^9 — monotone append) merged in; the
+    oracle is compress_postings' OWN length ladder over the unioned
+    corpus, so the merge must be byte-shape-identical to a full
+    rebuild."""
+    from comic_text_detector_spark.operators.retrieval import (
+        build_inverted_index,
+        compress_postings,
+        merge_postings_delta,
+    )
+
+    i = F.col("doc_id")
+    old_text = (
+        F.when(i % 3 == 0, F.lit("alpha beta"))
+        .when(i % 3 == 1, F.lit("beta gamma"))
+        .otherwise(F.lit("alpha"))
+    )
+    new_text = (
+        F.when(i % 3 == 0, F.lit("alpha delta"))
+        .when(i % 3 == 1, F.lit("delta"))
+        .otherwise(F.lit("beta"))
+    )
+    base = _t(spark, sf_dir, "documents")
+    old = base.select(i.alias("doc_id"), old_text.alias("text"))
+    new = base.select(
+        (F.lit(1_000_000_000) + i).alias("doc_id"), new_text.alias("text")
+    )
+    blocks = compress_postings(build_inverted_index(old)[0], block=4)
+    np_, _ = build_inverted_index(new)
+    return merge_postings_delta(blocks, np_, block=4).select(
+        "w", "block_idx", "n_postings", "first_id", "bytes_len"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6436,6 +6482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "postings_merge": _q_postings_merge,
         "diversify_topk": _q_diversify_topk,
         "containment_pairs": _q_containment_pairs,
         "snippet_window": _q_snippet_window,
@@ -8265,6 +8312,20 @@ def oracle_sql() -> dict[str, str]:
             "comic_text_detector_spark.operators.retrieval",
             fromlist=["postings_blocks_sql"],
         ).postings_blocks_sql(block=4),
+        # the merged index must match a FULL REBUILD's length ladder
+        # over the unioned two-generation corpus
+        "postings_merge": __import__(
+            "comic_text_detector_spark.operators.retrieval",
+            fromlist=["postings_blocks_sql"],
+        ).postings_blocks_sql(
+            block=4,
+            source=(
+                f"(SELECT doc_id, {_MERGE_OLD_TEXT_SQL} AS text"
+                " FROM documents UNION ALL"
+                f" SELECT 1000000000 + doc_id, {_MERGE_NEW_TEXT_SQL}"
+                " FROM documents)"
+            ),
+        ),
         # served off the compressed blocks, scored by the shared tail:
         # the plain BM25 oracle must match bit-for-bit
         "bm25_compressed": __import__(

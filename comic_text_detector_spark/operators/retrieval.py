@@ -1013,3 +1013,132 @@ def diversify_topk(
         F.col("s").alias(score_col),
         "rank",
     )
+
+
+def merge_postings_delta(
+    blocks: DataFrame,
+    new_postings: DataFrame,
+    block: int = 128,
+) -> DataFrame:
+    """Incremental index maintenance: merge a NEW crawl generation's
+    postings (w, id, tf) into an existing compressed block index
+    without touching the blocks that cannot change — the Lucene
+    segment-append recast relationally.
+
+    Contract: new doc ids are strictly greater than every indexed id
+    of the same term (monotone crawl append — assign generation ids
+    upstream; ``neardup_incremental_pairs`` follows the same snapshot
+    discipline). A violating id RAISES in the kernel: an index is
+    internal state, so corruption is a bug to surface, not crawl
+    garbage to skip. The result is BYTE-IDENTICAL to
+    ``compress_postings`` over the unioned postings:
+
+    * terms with no new postings: every block passes through untouched
+      (never decoded, never shuffled beyond the pass-through filter);
+    * affected terms: only the LAST block is decoded — blocks before
+      it hold exactly ``block`` postings whose ranks cannot shift under
+      append, and each block's gaps are self-contained (gap_0 is 0
+      against the stored absolute ``first_id``) — merged with the new
+      list and re-encoded from ``last_idx`` onward.
+
+    Scale shape: the delta side aggregates once per affected term; the
+    tail join moves ONE block row per affected term; untouched blocks
+    stream through a filter. Work is O(delta + affected-term tails),
+    independent of total index size — the property that makes daily
+    recrawl index updates affordable at 10^12 docs."""
+    if block < 1:
+        raise ValueError(f"block must be >= 1, got {block}")
+    import pandas as pd
+
+    out_schema = (
+        "w string, block_idx int, n_postings long, first_id long,"
+        " bytes_len long, blob binary"
+    )
+    affected = new_postings.select("w").distinct()
+    last = (
+        blocks.join(affected, "w", "left_semi")
+        .groupBy("w")
+        .agg(F.max("block_idx").alias("last_idx"))
+    )
+    untouched = (
+        blocks.join(last, "w", "left")
+        .filter(
+            F.col("last_idx").isNull()
+            | (F.col("block_idx") < F.col("last_idx"))
+        )
+        .select(
+            "w", "block_idx", "n_postings", "first_id", "bytes_len", "blob"
+        )
+    )
+    tail = blocks.join(last, "w").filter(
+        F.col("block_idx") == F.col("last_idx")
+    ).select(
+        "w",
+        F.col("blob").alias("tail_blob"),
+        F.col("first_id").alias("tail_first"),
+        "last_idx",
+    )
+    newlist = new_postings.groupBy("w").agg(
+        F.sort_array(F.collect_list(F.struct("id", "tf"))).alias("nl")
+    )
+    merged_in = newlist.join(tail, "w", "left")
+
+    blk = int(block)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for w, nl, tb, tfid, li in zip(
+                pdf["w"], pdf["nl"], pdf["tail_blob"], pdf["tail_first"],
+                pdf["last_idx"],
+            ):
+                pl = []
+                if tb is not None:
+                    # gap_0 is stored as 0; the absolute start is the
+                    # block's first_id column — reconstruct against it
+                    buf, pos, prev = bytes(tb), 0, int(tfid)
+                    first = True
+                    while pos < len(buf):
+                        gap, pos = _read_varint(buf, pos)
+                        tfv, pos = _read_varint(buf, pos)
+                        if first and gap != 0:
+                            raise ValueError(
+                                f"corrupt tail block for '{w}':"
+                                f" gap_0={gap}"
+                            )
+                        cur = prev if first else prev + gap
+                        pl.append((cur, tfv))
+                        prev = cur
+                        first = False
+                start_idx = 0 if tb is None else int(li)
+                new_pairs = [(int(e["id"]), int(e["tf"])) for e in nl]
+                if pl and new_pairs and new_pairs[0][0] <= pl[-1][0]:
+                    raise ValueError(
+                        f"monotone-append violated for '{w}':"
+                        f" new id {new_pairs[0][0]} <= indexed"
+                        f" {pl[-1][0]}"
+                    )
+                merged = pl + new_pairs
+                for j in range(0, len(merged), blk):
+                    chunk = merged[j : j + blk]
+                    buf2 = bytearray()
+                    prev2 = None
+                    for i, t in chunk:
+                        gap = 0 if prev2 is None else i - prev2
+                        if prev2 is not None and gap <= 0:
+                            raise ValueError(f"non-monotone id {i} in '{w}'")
+                        buf2 += _varint(gap)
+                        buf2 += _varint(t)
+                        prev2 = i
+                    rows.append(
+                        (w, start_idx + j // blk, len(chunk), chunk[0][0],
+                         len(buf2), bytes(buf2))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["w", "block_idx", "n_postings", "first_id",
+                         "bytes_len", "blob"],
+            )
+
+    merged_blocks = merged_in.mapInPandas(kernel, out_schema)
+    return untouched.unionByName(merged_blocks)

@@ -560,3 +560,82 @@ def test_diversify_topk_tie_break(spark):
     ]
     # ties broken by id everywhere: x1 beats x2 within h; x1 < y1 globally
     assert got == [("x1", 1), ("y1", 2)]
+
+
+def _blocks_dict(df):
+    return {
+        (r.w, r.block_idx): (r.n_postings, r.first_id, r.bytes_len,
+                             bytes(r.blob))
+        for r in df.collect()
+    }
+
+
+def test_merge_postings_delta_byte_identical(spark):
+    from comic_text_detector_spark.operators.retrieval import (
+        build_inverted_index,
+        compress_postings,
+        merge_postings_delta,
+    )
+
+    old = spark.createDataFrame(
+        [(i, "alpha beta " + ("gamma " * (i % 3))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, "alpha delta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    both = old.unionByName(new)
+    op, _ = build_inverted_index(old)
+    np_, _ = build_inverted_index(new)
+    merged = merge_postings_delta(compress_postings(op, block=4), np_,
+                                  block=4)
+    want = compress_postings(build_inverted_index(both)[0], block=4)
+    assert _blocks_dict(merged) == _blocks_dict(want)
+
+
+def test_merge_postings_delta_monotone_guard(spark):
+    import pytest
+
+    from comic_text_detector_spark.operators.retrieval import (
+        build_inverted_index,
+        compress_postings,
+        merge_postings_delta,
+    )
+
+    old = spark.createDataFrame(
+        [(5, "alpha"), (9, "alpha")], "doc_id long, text string"
+    )
+    # new id 7 interleaves with indexed ids: must RAISE, not mis-merge
+    bad = spark.createDataFrame([(7, "alpha")], "doc_id long, text string")
+    op, _ = build_inverted_index(old)
+    np_, _ = build_inverted_index(bad)
+    with pytest.raises(Exception, match="monotone-append"):
+        merge_postings_delta(
+            compress_postings(op, block=4), np_, block=4
+        ).collect()
+
+
+def test_merge_postings_delta_untouched_blocks(spark):
+    from comic_text_detector_spark.operators.retrieval import (
+        build_inverted_index,
+        compress_postings,
+        merge_postings_delta,
+    )
+
+    # 'quiet' never appears in the delta: its block must pass through
+    old = spark.createDataFrame(
+        [(1, "quiet alpha"), (2, "quiet alpha"), (3, "quiet")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame([(50, "alpha")], "doc_id long, text string")
+    op, _ = build_inverted_index(old)
+    np_, _ = build_inverted_index(new)
+    base = _blocks_dict(compress_postings(op, block=2))
+    got = _blocks_dict(
+        merge_postings_delta(compress_postings(op, block=2), np_, block=2)
+    )
+    assert got[("quiet", 0)] == base[("quiet", 0)]
+    assert got[("quiet", 1)] == base[("quiet", 1)]
+    # alpha gained a posting: tail block re-encoded
+    assert got[("alpha", 1)][0] == 1 and got[("alpha", 1)][1] == 50
