@@ -12,7 +12,11 @@ Composes four oracle-checked operator families over the SAME corpus scan:
 3. host link graph (``extract_links``; needs --html-col) — (src_host,
    dst_host, n_links) edges;
 4. authority ranks over that graph — integer-deterministic ``pagerank``,
-   plus ``trustrank`` when --seeds names a parquet of trusted hosts.
+   plus ``trustrank`` when --seeds names a parquet of trusted hosts;
+5. (--communities) label-propagation host communities — the link-farm /
+   mutual-ring signal beside the authority ranks;
+6. (--anchors) the anchor-expanded BM25 index (``build_anchor_index``,
+   anchor tokens at field weight 2) written beside the plain one.
 
 Usage:
   spark-submit --py-files dist/ctd_spark.zip jobs/index_job.py \
@@ -48,7 +52,22 @@ def main(argv: list[str], spark=None) -> int:
     )
     p.add_argument("--n-term-buckets", type=int, default=64)
     p.add_argument("--pagerank-iters", type=int, default=3)
+    p.add_argument(
+        "--anchors",
+        action="store_true",
+        help="also write the anchor-expanded BM25 index (needs "
+        "--html-col; anchors whose href is not a corpus url are "
+        "dropped — canonicalize upstream)",
+    )
+    p.add_argument(
+        "--communities",
+        action="store_true",
+        help="also write label-propagation host communities (needs "
+        "--html-col)",
+    )
     args = p.parse_args(argv)
+    if (args.anchors or args.communities) and not args.html_col:
+        p.error("--anchors/--communities require --html-col")
 
     from pyspark.sql import functions as F
 
@@ -136,6 +155,39 @@ def main(argv: list[str], spark=None) -> int:
             summary["trusted_nodes"] = spark.read.parquet(
                 f"{args.output}/trustrank"
             ).filter(F.col("rank") > 0).count()
+        if args.communities:
+            from comic_text_detector_spark.operators.graph import (
+                label_propagation,
+            )
+
+            label_propagation(edges, n_iter=3).write.mode(
+                "overwrite"
+            ).parquet(f"{args.output}/communities")
+            comm = spark.read.parquet(f"{args.output}/communities")
+            summary["communities"] = (
+                comm.select("community").distinct().count()
+            )
+        if args.anchors:
+            from comic_text_detector_spark.operators.retrieval import (
+                build_anchor_index,
+            )
+
+            a_post, a_len = build_anchor_index(
+                docs,
+                links,
+                id_col=args.url_col,
+                text_col=args.text_col,
+                anchor_weight=2,
+            )
+            a_post.write.mode("overwrite").parquet(
+                f"{args.output}/bm25_anchor/postings"
+            )
+            a_len.write.mode("overwrite").parquet(
+                f"{args.output}/bm25_anchor/lengths"
+            )
+            summary["anchor_postings"] = spark.read.parquet(
+                f"{args.output}/bm25_anchor/postings"
+            ).count()
 
     print(json.dumps(summary))
     if owns_session:

@@ -275,7 +275,8 @@ def test_index_job_end_to_end(spark, tmp_path):
     spark.createDataFrame([("a.com",)], "node string").write.parquet(seeds)
     assert index_job.main(
         ["--input", inp, "--output", out, "--html-col", "html",
-         "--seeds", seeds, "--n-term-buckets", "8"],
+         "--seeds", seeds, "--n-term-buckets", "8",
+         "--anchors", "--communities"],
         spark=spark,
     ) == 0
     cdx = spark.read.parquet(f"{out}/cdx")
@@ -299,6 +300,24 @@ def test_index_job_end_to_end(spark, tmp_path):
           spark.read.parquet(f"{out}/trustrank").collect()}
     assert tr["b.com"] > 0      # reachable from the a.com seed
     assert tr["spam.biz"] == 0  # the spam island holds zero trust
+    # communities: the a.com<->b.com pair fuses; spam.biz stays alone
+    comm = {r.node: r.community for r in
+            spark.read.parquet(f"{out}/communities").collect()}
+    assert comm["a.com"] == comm["b.com"] == "a.com"
+    assert comm["spam.biz"] == "spam.biz"
+    # anchor index: a.com/1 gains the weighted anchor token 'a' from
+    # b.com's link; the port-mismatched href to b.com:8080/x matched
+    # no corpus url, so it indexed nothing
+    from comic_text_detector_spark.operators.retrieval import (
+        bm25_from_index,
+    )
+
+    a_post = spark.read.parquet(f"{out}/bm25_anchor/postings")
+    a_len = spark.read.parquet(f"{out}/bm25_anchor/lengths")
+    hits_a = bm25_from_index(a_post, a_len, ("a",), id_col="url").collect()
+    assert {h.url for h in hits_a} == {"https://a.com/1"}
+    hits_b = bm25_from_index(a_post, a_len, ("b",), id_col="url").collect()
+    assert hits_b == []
 
 
 def test_topk_keywords(spark):
