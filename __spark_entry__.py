@@ -6292,6 +6292,72 @@ def _q_postings_merge(spark, sf_dir):
     )
 
 
+def _q_vocab_drift(spark, sf_dir):
+    """Dunning-G² vocabulary drift between two synthesized crawl
+    generations (operators/stats.py::vocab_drift): burst/decay/stable
+    term arms, exact micro quantization of one shared double tree."""
+    from comic_text_detector_spark.operators.stats import vocab_drift
+
+    i = F.col("doc_id")
+    old_text = (
+        F.when(i % 4 == 0, F.lit("w0 w1"))
+        .when(i % 4 == 1, F.lit("w1 w2"))
+        .when(i % 4 == 2, F.lit("w2"))
+        .otherwise(F.lit("w0"))
+    )
+    new_text = (
+        F.when(i % 4 == 0, F.lit("w0 w3"))
+        .when(i % 4 == 1, F.lit("w3 w3"))
+        .when(i % 4 == 2, F.lit("w2"))
+        .otherwise(F.lit("w1"))
+    )
+    base = _t(spark, sf_dir, "documents")
+    return vocab_drift(
+        base.select(old_text.alias("text")),
+        base.select(new_text.alias("text")),
+        top_k=10,
+    )
+
+
+def _xlx_sql(x):
+    return (
+        f"(CASE WHEN ({x}) > 0 THEN CAST(({x}) AS DOUBLE)"
+        f" * ln(CAST(({x}) AS DOUBLE)) ELSE 0.0 END)"
+    )
+
+
+_VOCAB_DRIFT_ORACLE = (
+    "WITH oldd AS (SELECT CASE doc_id % 4 WHEN 0 THEN 'w0 w1'"
+    " WHEN 1 THEN 'w1 w2' WHEN 2 THEN 'w2' ELSE 'w0' END AS text"
+    " FROM documents), "
+    "newd AS (SELECT CASE doc_id % 4 WHEN 0 THEN 'w0 w3'"
+    " WHEN 1 THEN 'w3 w3' WHEN 2 THEN 'w2' ELSE 'w1' END AS text"
+    " FROM documents), "
+    "ca AS (SELECT term, CAST(count(*) AS BIGINT) AS n_old FROM"
+    " (SELECT unnest(string_split(text, ' ')) AS term FROM oldd)"
+    " WHERE term <> '' GROUP BY term), "
+    "cb AS (SELECT term, CAST(count(*) AS BIGINT) AS n_new FROM"
+    " (SELECT unnest(string_split(text, ' ')) AS term FROM newd)"
+    " WHERE term <> '' GROUP BY term), "
+    "tot AS (SELECT (SELECT sum(n_old) FROM ca) AS na,"
+    " (SELECT sum(n_new) FROM cb) AS nb), "
+    "j AS (SELECT coalesce(ca.term, cb.term) AS term,"
+    " coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new"
+    " FROM ca FULL OUTER JOIN cb ON ca.term = cb.term) "
+    "SELECT term, n_old, n_new, CAST(round(2.0 * ("
+    + _xlx_sql("n_old") + " + " + _xlx_sql("n_new") + " + "
+    + _xlx_sql("na - n_old") + " + " + _xlx_sql("nb - n_new") + " - "
+    + _xlx_sql("n_old + n_new") + " - "
+    + _xlx_sql("na + nb - n_old - n_new") + " - "
+    + _xlx_sql("na") + " - " + _xlx_sql("nb") + " + "
+    + _xlx_sql("na + nb")
+    + ") * 1000000.0) AS BIGINT) AS llr_micro,"
+    " CASE WHEN n_new * na > n_old * nb THEN 'up' ELSE 'down' END"
+    " AS direction FROM j, tot"
+    " ORDER BY llr_micro DESC, term ASC LIMIT 10"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6482,6 +6548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "vocab_drift": _q_vocab_drift,
         "postings_merge": _q_postings_merge,
         "diversify_topk": _q_diversify_topk,
         "containment_pairs": _q_containment_pairs,
@@ -8179,6 +8246,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "vocab_drift": _VOCAB_DRIFT_ORACLE,
         "diversify_topk": _DIVERSIFY_ORACLE,
         "containment_pairs": _CONTAINMENT_ORACLE,
         "snippet_window": _SNIPPET_WINDOW_ORACLE,

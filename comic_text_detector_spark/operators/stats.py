@@ -306,3 +306,90 @@ def zipf_report_sql(corpus: str = "documents", top_n: int = 1000) -> str:
         " / fit.n) AS BIGINT) AS zipf_intercept_milli"
         " FROM tot, fit"
     )
+
+
+def _xlx(c):
+    """x·ln(x) with the 0·ln(0)=0 convention — the Dunning G² atom.
+    Operands are exact bigints entering one ``ln`` each, so the double
+    tree replays bit-identically in DuckDB (same contract as BM25's
+    idf)."""
+    x = c.cast("double")
+    return F.when(c > 0, x * F.log(x)).otherwise(F.lit(0.0))
+
+
+def vocab_drift(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus drift report between two crawl generations: the
+    ``top_k`` terms whose frequency shifted most by Dunning's
+    log-likelihood ratio (the G² test on the 2×2 table term/rest ×
+    old/new — the standard "surprising change" statistic, robust where
+    raw frequency deltas drown in corpus-size differences).
+
+    Emits (term, n_old, n_new, llr_micro, direction) ranked by
+    (llr_micro desc, term asc); ``direction`` is 'up' when the term is
+    over-represented in the NEW corpus (exact bigint cross-multiply,
+    no float compare), 'down' otherwise. ``llr_micro`` is the G²
+    statistic micro-quantized from one shared double expression tree —
+    xlx(k11)+xlx(k12)+xlx(k21)+xlx(k22)−xlx(r1)−xlx(r2)−xlx(c1)
+    −xlx(c2)+xlx(N), each xlx one ln over an exact bigint.
+
+    The drift monitor a recrawl pipeline runs per generation: template
+    rollouts, spam bursts, seasonal vocabulary, encoding regressions
+    all surface as top-LLR terms before any model sees the data.
+
+    Scale shape: two token-count aggregates, one full-outer join on
+    term, one codegen projection, TakeOrdered(top_k). Two scalar
+    totals reach the driver."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+
+    def counts(df, alias):
+        return (
+            df.select(
+                F.explode(
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+                ).alias("term")
+            )
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias(alias))
+        )
+
+    a = counts(old_docs, "n_old")
+    b = counts(new_docs, "n_new")
+    tot_a = a.agg(F.sum("n_old")).collect()[0][0] or 0
+    tot_b = b.agg(F.sum("n_new")).collect()[0][0] or 0
+    if tot_a == 0 or tot_b == 0:
+        raise ValueError("both corpora need at least one token")
+    j = a.join(b, "term", "full_outer").select(
+        "term",
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    k11, k12 = F.col("n_old"), F.col("n_new")
+    k21, k22 = F.lit(tot_a) - k11, F.lit(tot_b) - k12
+    r1, r2 = k11 + k12, k21 + k22
+    n = F.lit(int(tot_a + tot_b))
+    g2 = 2.0 * (
+        _xlx(k11) + _xlx(k12) + _xlx(k21) + _xlx(k22)
+        - _xlx(r1) - _xlx(r2)
+        - _xlx(F.lit(int(tot_a))) - _xlx(F.lit(int(tot_b)))
+        + _xlx(n)
+    )
+    direction = F.when(
+        k12 * F.lit(int(tot_a)) > k11 * F.lit(int(tot_b)), F.lit("up")
+    ).otherwise(F.lit("down"))
+    scored = j.select(
+        "term",
+        "n_old",
+        "n_new",
+        F.round(g2 * F.lit(1e6)).cast("long").alias("llr_micro"),
+        direction.alias("direction"),
+    )
+    return scored.orderBy(
+        F.desc("llr_micro"), F.col("term").asc()
+    ).limit(int(top_k))

@@ -129,3 +129,46 @@ def test_zipf_rank_tie_breaks_by_word(spark):
     )
     r = zipf_report(docs).collect()[0]
     assert r.top1_word == "aa"  # tie on count=2 → word ASC
+
+
+def test_vocab_drift_dunning(spark):
+    import math
+
+    from comic_text_detector_spark.operators.stats import vocab_drift
+
+    old = spark.createDataFrame(
+        [(1, "stable stable stable quiet")], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "stable stable stable burst burst burst burst")],
+        "id long, text string",
+    )
+    rows = vocab_drift(old, new, top_k=10).collect()
+    by_term = {r.term: r for r in rows}
+    # 'burst' (0 -> 4) must dominate; direction up
+    assert rows[0].term == "burst" and rows[0].direction == "up"
+    assert by_term["quiet"].direction == "down"
+    # hand-check burst's G2: k11=0,k12=4,k21=4,k22=3, N=11
+    def xlx(x):
+        return x * math.log(x) if x > 0 else 0.0
+
+    g2 = 2.0 * (
+        xlx(0) + xlx(4) + xlx(4) + xlx(3)
+        - xlx(4) - xlx(7) - xlx(4) - xlx(7) + xlx(11)
+    )
+    assert by_term["burst"].llr_micro == round(g2 * 1e6)
+    # 'stable' (3 vs 3) drifts less than 'burst'
+    assert by_term["stable"].llr_micro < by_term["burst"].llr_micro
+
+
+def test_vocab_drift_guards(spark):
+    import pytest
+
+    from comic_text_detector_spark.operators.stats import vocab_drift
+
+    docs = spark.createDataFrame([(1, "a")], "id long, text string")
+    empty = spark.createDataFrame([(1, "")], "id long, text string")
+    with pytest.raises(ValueError):
+        vocab_drift(docs, empty)
+    with pytest.raises(ValueError):
+        vocab_drift(docs, docs, top_k=0)
