@@ -6358,6 +6358,47 @@ _VOCAB_DRIFT_ORACLE = (
 )
 
 
+def _q_term_dict(spark, sf_dir):
+    """Scalable dense-id dictionary (operators/layout.py::dense_ids)
+    over index document frequencies: ids 0..|V|−1 by (df desc, term
+    asc), assigned via range-sort + per-partition offsets — never a
+    single-partition window."""
+    from comic_text_detector_spark.operators.layout import dense_ids
+    from comic_text_detector_spark.operators.retrieval import (
+        build_inverted_index,
+    )
+
+    i = F.col("doc_id")
+    text = (
+        F.when(i % 4 == 0, F.lit("w0 w1"))
+        .when(i % 4 == 1, F.lit("w1 w2"))
+        .when(i % 4 == 2, F.lit("w2 w3"))
+        .otherwise(F.lit("w3"))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        i.alias("doc_id"), text.alias("text")
+    )
+    postings, _ = build_inverted_index(docs)
+    dfreq = postings.groupBy("w").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    return dense_ids(dfreq, [F.desc("df"), F.asc("w")])
+
+
+_TERM_DICT_ORACLE = (
+    "WITH docs AS (SELECT doc_id, CASE doc_id % 4 WHEN 0 THEN 'w0 w1'"
+    " WHEN 1 THEN 'w1 w2' WHEN 2 THEN 'w2 w3' ELSE 'w3' END AS text"
+    " FROM documents), "
+    "toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w"
+    " FROM docs), "
+    "tf AS (SELECT w, id FROM toks GROUP BY w, id), "
+    "dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf"
+    " GROUP BY w) "
+    "SELECT w, df, CAST(row_number() OVER (ORDER BY df DESC, w ASC) - 1"
+    " AS BIGINT) AS dense_id FROM dfreq"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6548,6 +6589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "term_dict": _q_term_dict,
         "vocab_drift": _q_vocab_drift,
         "postings_merge": _q_postings_merge,
         "diversify_topk": _q_diversify_topk,
@@ -8246,6 +8288,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "term_dict": _TERM_DICT_ORACLE,
         "vocab_drift": _VOCAB_DRIFT_ORACLE,
         "diversify_topk": _DIVERSIFY_ORACLE,
         "containment_pairs": _CONTAINMENT_ORACLE,

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "write_zordered"]
+__all__ = ["zorder_key", "write_zordered", "dense_ids"]
 
 
 def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
@@ -67,4 +67,63 @@ def write_zordered(
         .drop("_z")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def dense_ids(
+    df: DataFrame,
+    sort_cols: list,
+    id_name: str = "dense_id",
+) -> DataFrame:
+    """Deterministic dense ids 0..N−1 in the total order of
+    ``sort_cols`` (which must be a TOTAL order — include a unique
+    tie-break column) WITHOUT a single-partition window.
+
+    The dictionary-building primitive: term → dense int for compact
+    postings, node → int for graph compression, label → id for
+    classifier heads. A naive ``row_number() OVER (ORDER BY …)``
+    collapses the whole relation onto one task; this is the standard
+    scalable recast:
+
+    1. range-repartition + sort within partitions on the order keys;
+    2. ONE tiny aggregate of per-partition row counts (numPartitions
+       rows to the driver — driver-scale by construction);
+    3. id = cumulative offset of the partition (partitions are ordered
+       by the range exchange) + the row's within-partition rank.
+
+    The assigned IDS are a pure function of the data and the sort keys
+    — range boundaries may vary between runs, but moving a row to a
+    neighbouring partition moves its offset and local rank in lockstep,
+    so the (row → id) mapping never changes (asserted by the
+    repartition-invariance test)."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
+    s = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    # pin ONE materialization: the size pass and the id pass must see
+    # identical partition boundaries (range sampling re-rolls per
+    # execution otherwise)
+    s = s.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
+    sizes = sorted(
+        (r["__pid"], r["n"])
+        for r in s.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in sizes:
+        offsets[pid] = acc
+        acc += n
+    omap = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        s.withColumn(
+            id_name,
+            (
+                omap[F.col("__pid")]
+                + F.row_number().over(w)
+                - F.lit(1)
+            ).cast("long"),
+        )
+        .drop("__pid")
     )

@@ -401,3 +401,39 @@ def test_ann_int8_self_is_top1_and_twin(spark):
     )
     got = sorted(tuple(r) for r in rows)
     assert got == want
+
+
+def test_dense_ids_total_order(spark):
+    from comic_text_detector_spark.operators.layout import dense_ids
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("b", 2), ("a", 9), ("c", 1), ("a", 3)], "w string, df long"
+    )
+    got = {
+        (r.w, r.df): r.dense_id
+        for r in dense_ids(df, [F.desc("df"), F.asc("w")]).collect()
+    }
+    # order: (a,9) (a,3) (b,2) (c,1) by df desc then w asc
+    assert got == {("a", 9): 0, ("a", 3): 1, ("b", 2): 2, ("c", 1): 3}
+
+
+def test_dense_ids_repartition_invariant(spark):
+    from comic_text_detector_spark.operators.layout import dense_ids
+    from pyspark.sql import functions as F
+
+    rows = [(f"t{i:03d}", (i * 7) % 23) for i in range(300)]
+    df = spark.createDataFrame(rows, "w string, df long")
+    a = sorted(
+        (r.w, r.dense_id)
+        for r in dense_ids(df, [F.desc("df"), F.asc("w")]).collect()
+    )
+    b = sorted(
+        (r.w, r.dense_id)
+        for r in dense_ids(
+            df.repartition(13), [F.desc("df"), F.asc("w")]
+        ).collect()
+    )
+    assert a == b
+    # ids are a dense permutation of 0..N-1
+    assert sorted(i for _, i in a) == list(range(300))
