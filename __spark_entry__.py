@@ -6399,6 +6399,35 @@ _TERM_DICT_ORACLE = (
 )
 
 
+def _q_best_representatives(spark, sf_dir):
+    """Quality-aware near-dup survivors (operators/graph.py::
+    keep_best_representatives): 4-doc chain clusters, survivor =
+    per-cluster max score with id tie-break — NOT the min id."""
+    from comic_text_detector_spark.operators.graph import (
+        keep_best_representatives,
+    )
+
+    i = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        i.alias("doc_id"), ((i * 17) % 31).cast("long").alias("q")
+    )
+    pairs = (
+        _t(spark, sf_dir, "documents")
+        .filter(i % 4 < 3)
+        .select(i.alias("id_a"), (i + 1).alias("id_b"))
+    )
+    return keep_best_representatives(docs, pairs, "doc_id", "q")
+
+
+_BEST_REPS_ORACLE = (
+    "WITH d AS (SELECT doc_id AS id, doc_id // 4 AS g,"
+    " CAST((doc_id * 17) % 31 AS BIGINT) AS q FROM documents), "
+    "b AS (SELECT id, g, q, row_number() OVER (PARTITION BY g"
+    " ORDER BY q DESC, id ASC) AS rn FROM d) "
+    "SELECT id AS doc_id, q FROM b WHERE rn = 1"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6589,6 +6618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "best_representatives": _q_best_representatives,
         "term_dict": _q_term_dict,
         "vocab_drift": _q_vocab_drift,
         "postings_merge": _q_postings_merge,
@@ -8288,6 +8318,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "best_representatives": _BEST_REPS_ORACLE,
         "term_dict": _TERM_DICT_ORACLE,
         "vocab_drift": _VOCAB_DRIFT_ORACLE,
         "diversify_topk": _DIVERSIFY_ORACLE,

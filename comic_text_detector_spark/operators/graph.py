@@ -878,3 +878,38 @@ def lpa_sql(edges_sql: str, n_iter: int = 3) -> str:
         + "".join(parts)
         + f" SELECT node, label AS community FROM l{n_iter}"
     )
+
+
+def keep_best_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware near-dup survivor selection: like
+    ``dedup_keep_representatives`` (min-id winner) but each duplicate
+    cluster keeps its HIGHEST-``score_col`` member (ties by smallest
+    id) — the policy real pipelines want, because the min-id member of
+    a mirror cluster is as likely the ad-ridden copy as the clean one.
+    Unpaired documents always survive.
+
+    One ``connected_components`` run (localCheckpoint-ed pointer
+    jumping), one id join to attach scores, one per-cluster argmax
+    window keyed on the cluster representative, one anti join back —
+    every exchange hashes on id/cluster keys."""
+    cc = connected_components(pairs)
+    members = cc.join(
+        docs.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("__s")
+        ),
+        "id",
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("__s"), F.col("id").asc()
+    )
+    losers = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -299,3 +299,42 @@ def test_trustrank_no_seed_in_graph_raises(spark):
     seeds = spark.createDataFrame([("zzz",)], "node string")
     with _pytest.raises(ValueError):
         trustrank(edges, seeds)
+
+
+def test_keep_best_representatives(spark):
+    from comic_text_detector_spark.operators.graph import (
+        keep_best_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 90), (3, 50), (7, 5), (9, 99)],
+        "doc_id long, q long",
+    )
+    # cluster {1,2,3} via a chain; 7 and 9 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in keep_best_representatives(docs, pairs, "doc_id", "q")
+        .collect()
+    )
+    # best-quality member 2 survives (NOT min-id 1); singletons stay
+    assert kept == [2, 7, 9]
+
+
+def test_keep_best_representatives_tie(spark):
+    from comic_text_detector_spark.operators.graph import (
+        keep_best_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(5, 10), (6, 10)], "doc_id long, q long"
+    )
+    pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    kept = [
+        r.doc_id
+        for r in keep_best_representatives(docs, pairs, "doc_id", "q")
+        .collect()
+    ]
+    assert kept == [5]  # score tie -> smallest id
