@@ -6428,6 +6428,40 @@ _BEST_REPS_ORACLE = (
 )
 
 
+def _q_host_boilerplate(spark, sf_dir):
+    """Host-scoped boilerplate removal (operators/curation.py::
+    host_boilerplate_dedup): a per-host NAV line (df/host ≫ cap,
+    dropped), a unique body line (kept), and a cross-host PAIR line
+    whose corpus df is 2 but per-host df is 1 — kept, the exact case
+    the corpus-wide operator cannot express."""
+    from comic_text_detector_spark.operators.curation import (
+        host_boilerplate_dedup,
+    )
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    text = F.concat(
+        F.lit("NAV h"), s(i % 5),
+        F.lit("\nbody "), s(i),
+        F.lit("\nPAIR "), s(F.expr("doc_id div 2")),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        i.alias("doc_id"),
+        F.concat(F.lit("h"), s(i % 5)).alias("host"),
+        text.alias("text"),
+    )
+    return host_boilerplate_dedup(docs, max_doc_freq=2)
+
+
+_HOST_BOILERPLATE_ORACLE = (
+    "SELECT doc_id, 'h' || (doc_id % 5)::VARCHAR AS host,"
+    " 'body ' || doc_id::VARCHAR || chr(10) || 'PAIR ' ||"
+    " (doc_id // 2)::VARCHAR AS text,"
+    " CAST(3 AS BIGINT) AS n_lines_in, CAST(2 AS BIGINT) AS"
+    " n_lines_kept FROM documents"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6618,6 +6652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "host_boilerplate": _q_host_boilerplate,
         "best_representatives": _q_best_representatives,
         "term_dict": _q_term_dict,
         "vocab_drift": _q_vocab_drift,
@@ -8318,6 +8353,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "host_boilerplate": _HOST_BOILERPLATE_ORACLE,
         "best_representatives": _BEST_REPS_ORACLE,
         "term_dict": _TERM_DICT_ORACLE,
         "vocab_drift": _VOCAB_DRIFT_ORACLE,

@@ -2323,3 +2323,85 @@ def score_shards(
         .alias("shard"),
     )
     return df.join(broadcast(mapping), s == F.col("__sc")).drop("__sc")
+
+
+def host_boilerplate_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    host_col: str = "host",
+    sep: str = "\n",
+    max_doc_freq: int = 2,
+    broadcast_freq: bool = False,
+) -> DataFrame:
+    """HOST-SCOPED boilerplate line removal — the per-site sibling of
+    ``line_freq_dedup``: a nav bar repeated on every page of ONE site
+    is boilerplate even when its corpus-wide document frequency stays
+    tiny (a 30-page blog's menu never crosses a corpus threshold that
+    catches 'subscribe now'). Frequencies are counted per (host, line)
+    and a line is dropped only where IT is boilerplate — the same
+    sentence surviving on another host is untouched (trafilatura's
+    site-level dedup behavior).
+
+    Output (id, host, text, n_lines_in, n_lines_kept); empties survive
+    with text='' and whitespace-only lines are exempt, both exactly as
+    in the corpus-wide operator.
+
+    Scale shape: the frequency aggregate and the join-back both key on
+    (host, line-hash) — co-partitioned, one exchange each; unlike the
+    corpus-wide variant the violator build side grows with the number
+    of HOSTS (every site has nav lines), so the default is a shuffled
+    equi-join — the (host, h) key is Zipf-flat (hot boilerplate is hot
+    only within its host) and AQE splits any residual skew; set
+    ``broadcast_freq=True`` only for bounded-host corpora."""
+    import re
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.col(host_col).alias("host"),
+        F.posexplode_outer(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep))
+        ).alias("pos", "line"),
+    ).withColumn("h", F.md5(F.col("line")))
+    freq = lines.groupBy("host", "h").agg(
+        F.count_distinct("id").alias("df")
+    )
+    boiler = freq.filter(F.col("df") > max_doc_freq)
+    if broadcast_freq:
+        boiler = F.broadcast(boiler)
+    kept = lines.join(boiler, ["host", "h"], "left").withColumn(
+        "keep",
+        F.col("df").isNull() | (F.trim(F.col("line")) == ""),
+    )
+    return (
+        kept.groupBy("id", "host")
+        .agg(
+            F.count(F.when(F.col("line").isNotNull(), 1)).alias(
+                "n_lines_in"
+            ),
+            F.count(
+                F.when(F.col("keep") & F.col("line").isNotNull(), 1)
+            ).alias("n_lines_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("host").alias(host_col),
+            "text",
+            F.col("n_lines_in").cast("bigint").alias("n_lines_in"),
+            F.col("n_lines_kept").cast("bigint").alias("n_lines_kept"),
+        )
+    )

@@ -1848,3 +1848,40 @@ def test_score_shards_repartition_invariant(spark):
     a = sorted(map(tuple, score_shards(df, "q", 5).collect()))
     b = sorted(map(tuple, score_shards(df.repartition(7), "q", 5).collect()))
     assert a == b
+
+
+def test_host_boilerplate_dedup(spark):
+    from comic_text_detector_spark.operators.curation import (
+        host_boilerplate_dedup,
+    )
+
+    rows = [
+        (1, "a.com", "MENU\narticle one"),
+        (2, "a.com", "MENU\narticle two"),
+        (3, "a.com", "MENU\narticle three"),
+        # same literal line on b.com appears only once THERE: kept
+        (4, "b.com", "MENU\nsomething else"),
+        (5, "b.com", "just text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {
+        r.doc_id: (r.text, r.n_lines_in, r.n_lines_kept)
+        for r in host_boilerplate_dedup(df, max_doc_freq=2).collect()
+    }
+    # MENU is boilerplate on a.com (df 3 > 2) but NOT on b.com (df 1)
+    assert got[1] == ("article one", 2, 1)
+    assert got[4] == ("MENU\nsomething else", 2, 2)
+    assert got[5] == ("just text", 1, 1)
+
+
+def test_host_boilerplate_empty_survives(spark):
+    from comic_text_detector_spark.operators.curation import (
+        host_boilerplate_dedup,
+    )
+
+    rows = [(i, "h", "NAV") for i in range(4)] + [(9, "h", "")]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {r.doc_id: r.text
+           for r in host_boilerplate_dedup(df, max_doc_freq=2).collect()}
+    # all-boilerplate docs survive as '' rather than vanishing
+    assert got[0] == "" and got[9] == "" and len(got) == 5
