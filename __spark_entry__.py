@@ -6462,6 +6462,51 @@ _HOST_BOILERPLATE_ORACLE = (
 )
 
 
+def _q_cooccur_pmi(spark, sf_dir):
+    """Document-level PMI co-occurrence for a probe term
+    (operators/stats.py::cooccur_pmi): planted strong/weak/absent
+    association arms, micro-exact ln quantization."""
+    from comic_text_detector_spark.operators.stats import cooccur_pmi
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    text = (
+        F.when(i % 4 == 0, F.concat(F.lit("probe buddy w"), s(i % 3)))
+        .when(i % 4 == 1, F.concat(F.lit("probe w"), s(i % 3)))
+        .when(i % 4 == 2, F.concat(F.lit("buddy w"), s(i % 3)))
+        .otherwise(F.concat(F.lit("w"), s(i % 3), F.lit(" only")))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        i.alias("doc_id"), text.alias("text")
+    )
+    return cooccur_pmi(docs, "probe", top_k=10, min_pairs=2)
+
+
+_COOCCUR_PMI_ORACLE = (
+    "WITH docs AS (SELECT doc_id AS id, CASE doc_id % 4"
+    " WHEN 0 THEN 'probe buddy w' || (doc_id % 3)::VARCHAR"
+    " WHEN 1 THEN 'probe w' || (doc_id % 3)::VARCHAR"
+    " WHEN 2 THEN 'buddy w' || (doc_id % 3)::VARCHAR"
+    " ELSE 'w' || (doc_id % 3)::VARCHAR || ' only' END AS text"
+    " FROM documents), "
+    "occ AS (SELECT DISTINCT id, w FROM (SELECT id,"
+    " unnest(string_split(text, ' ')) AS w FROM docs) WHERE w <> ''), "
+    "n AS (SELECT count(DISTINCT id) AS nd FROM docs), "
+    "p AS (SELECT id FROM occ WHERE w = 'probe'), "
+    "np AS (SELECT count(*) AS c FROM p), "
+    "pc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_pair FROM occ"
+    " WHERE id IN (SELECT id FROM p) AND w <> 'probe' GROUP BY w"
+    " HAVING count(*) >= 2), "
+    "dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS n_term FROM occ"
+    " GROUP BY w) "
+    "SELECT w AS term, n_pair, n_term, CAST(round(ln("
+    " CAST(n_pair * (SELECT nd FROM n) AS DOUBLE)"
+    " / CAST((SELECT c FROM np) * n_term AS DOUBLE)) * 1000000.0)"
+    " AS BIGINT) AS pmi_micro FROM pc JOIN dfq USING (w)"
+    " ORDER BY pmi_micro DESC, term ASC LIMIT 10"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6652,6 +6697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "cooccur_pmi": _q_cooccur_pmi,
         "host_boilerplate": _q_host_boilerplate,
         "best_representatives": _q_best_representatives,
         "term_dict": _q_term_dict,
@@ -8353,6 +8399,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "cooccur_pmi": _COOCCUR_PMI_ORACLE,
         "host_boilerplate": _HOST_BOILERPLATE_ORACLE,
         "best_representatives": _BEST_REPS_ORACLE,
         "term_dict": _TERM_DICT_ORACLE,

@@ -393,3 +393,76 @@ def vocab_drift(
     return scored.orderBy(
         F.desc("llr_micro"), F.col("term").asc()
     ).limit(int(top_k))
+
+
+def cooccur_pmi(
+    docs: DataFrame,
+    probe: str,
+    top_k: int = 20,
+    min_pairs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level PMI co-occurrence for a probe term — the query-
+    expansion / corpus-audit tool ("what does this corpus associate
+    with X"): (term, n_pair, n_term, pmi_micro) for the ``top_k``
+    terms by pointwise mutual information with ``probe``, ranked
+    (pmi desc, term asc).
+
+        pmi(t, w) = ln( n_tw · N / (n_t · n_w) )
+
+    over BINARY per-document occurrence. ``min_pairs`` floors n_tw —
+    raw PMI's rare-pair pathology (a hapax co-occurring once scores
+    maximal) is cut before ranking, the standard fix. The probe itself
+    is excluded. Micro-quantized from one double tree (exact bigint
+    operands into one ln), engine-portable.
+
+    Scale shape: one distinct (id, term) projection; probe-doc ids are
+    a filter of it; co-occurrence counts = one id-keyed join of probe
+    docs to their terms + one term aggregate; per-term dfs join in on
+    the (small) co-occurring-term set. Two scalars (N, n_probe) reach
+    the driver; TakeOrdered(top_k) ends it."""
+    if not probe:
+        raise ValueError("probe term must be non-empty")
+    if top_k < 1 or min_pairs < 1:
+        raise ValueError("need top_k >= 1 and min_pairs >= 1")
+    occ = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    probe_ids = occ.filter(F.col("w") == probe).select("id")
+    n_probe = probe_ids.count()
+    if n_probe == 0:
+        raise ValueError(f"probe term {probe!r} occurs in no document")
+    pair_counts = (
+        occ.join(probe_ids, "id", "left_semi")
+        .filter(F.col("w") != probe)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_pairs))
+    )
+    dfreq = occ.groupBy("w").agg(F.count("*").cast("long").alias("n_term"))
+    scored = pair_counts.join(dfreq, "w").select(
+        F.col("w").alias("term"),
+        "n_pair",
+        "n_term",
+        F.round(
+            F.log(
+                (F.col("n_pair") * F.lit(int(n_docs))).cast("double")
+                / (F.lit(int(n_probe)) * F.col("n_term")).cast("double")
+            )
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("pmi_micro"),
+    )
+    return scored.orderBy(
+        F.desc("pmi_micro"), F.col("term").asc()
+    ).limit(int(top_k))

@@ -172,3 +172,42 @@ def test_vocab_drift_guards(spark):
         vocab_drift(docs, empty)
     with pytest.raises(ValueError):
         vocab_drift(docs, docs, top_k=0)
+
+
+def test_cooccur_pmi(spark):
+    import math
+
+    from comic_text_detector_spark.operators.stats import cooccur_pmi
+
+    docs = spark.createDataFrame(
+        [
+            (1, "probe buddy noise"),
+            (2, "probe buddy"),
+            (3, "probe stray"),
+            (4, "buddy alone"),
+            (5, "noise everywhere noise"),
+            (6, "noise again"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = cooccur_pmi(docs, "probe", top_k=5, min_pairs=2).collect()
+    by = {r.term: r for r in rows}
+    # 'stray' co-occurs once: cut by min_pairs; probe excluded
+    assert "stray" not in by and "probe" not in by
+    # buddy: n_pair=2, n_term=3, N=6, n_probe=3
+    assert by["buddy"].n_pair == 2 and by["buddy"].n_term == 3
+    assert by["buddy"].pmi_micro == round(math.log(2 * 6 / (3 * 3)) * 1e6)
+    # buddy associates stronger than noise (pmi ordering)
+    assert rows[0].term == "buddy"
+
+
+def test_cooccur_pmi_guards(spark):
+    import pytest
+
+    from comic_text_detector_spark.operators.stats import cooccur_pmi
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        cooccur_pmi(docs, "missing")
+    with pytest.raises(ValueError):
+        cooccur_pmi(docs, "")
