@@ -6507,6 +6507,39 @@ _COOCCUR_PMI_ORACLE = (
 )
 
 
+def _q_recency_blend(spark, sf_dir):
+    """Integer half-life freshness blend (operators/retrieval.py::
+    recency_blend): ages spanning 0..2999 days so both the shift decay
+    and the >62-half-life wrap clamp fire; pure bigint shifts."""
+    from comic_text_detector_spark.operators.retrieval import recency_blend
+
+    i = F.col("doc_id")
+    scored = _t(spark, sf_dir, "documents").select(
+        i.alias("doc_id"),
+        F.date_sub(
+            F.lit("2026-01-01").cast("date"),
+            ((i * 37) % 3000).cast("int"),
+        )
+        .cast("timestamp")
+        .alias("warc_ts"),
+        (((i * 11) % 997) * 1000).cast("long").alias("score_micro"),
+    )
+    return recency_blend(
+        scored, ref_date="2026-01-01", halflife_days=30,
+        base_micro=1_000_000,
+    ).select("doc_id", "score_micro", "blended_micro")
+
+
+_RECENCY_BLEND_ORACLE = (
+    "SELECT doc_id,"
+    " CAST(((doc_id * 11) % 997) * 1000 AS BIGINT) AS score_micro,"
+    " CAST(((doc_id * 11) % 997) * 1000 + CASE WHEN"
+    " ((doc_id * 37) % 3000) // 30 <= 62"
+    " THEN 1000000 >> (((doc_id * 37) % 3000) // 30) ELSE 0 END"
+    " AS BIGINT) AS blended_micro FROM documents"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6697,6 +6730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "recency_blend": _q_recency_blend,
         "cooccur_pmi": _q_cooccur_pmi,
         "host_boilerplate": _q_host_boilerplate,
         "best_representatives": _q_best_representatives,
@@ -8399,6 +8433,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "recency_blend": _RECENCY_BLEND_ORACLE,
         "cooccur_pmi": _COOCCUR_PMI_ORACLE,
         "host_boilerplate": _HOST_BOILERPLATE_ORACLE,
         "best_representatives": _BEST_REPS_ORACLE,

@@ -1142,3 +1142,41 @@ def merge_postings_delta(
 
     merged_blocks = merged_in.mapInPandas(kernel, out_schema)
     return untouched.unionByName(merged_blocks)
+
+
+def recency_blend(
+    scored: DataFrame,
+    ts_col: str = "warc_ts",
+    ref_date: str = "2026-01-01",
+    halflife_days: int = 30,
+    base_micro: int = 1_000_000,
+    score_col: str = "score_micro",
+) -> DataFrame:
+    """Freshness-blended ranking: append ``blended_micro = score_micro
+    + (base_micro >> (age_days div halflife_days))`` — an exact
+    integer half-life decay (each elapsed half-life HALVES the bonus
+    via one bigint shift, no float ``pow`` anywhere), the news-search
+    blend where yesterday's adequate match outranks 2019's perfect
+    one only while the relevance gap is smaller than the freshness
+    bonus.
+
+    ``age_days`` = whole days from the row's ``ts_col`` to
+    ``ref_date`` (pass the query date explicitly — determinism
+    discipline forbids now()); negative ages (future timestamps —
+    clock-skewed servers are routine in crawls) clamp to 0, shifts
+    past 62 to 0 bonus. One codegen projection, zero shuffles."""
+    if halflife_days < 1 or base_micro < 0:
+        raise ValueError("need halflife_days >= 1 and base_micro >= 0")
+    shift_sql = (
+        f"int(greatest(datediff(date'{ref_date}',"
+        f" cast({ts_col} as date)), 0) div {int(halflife_days)})"
+    )
+    # shiftright wraps its count mod 64 (Java >>), so an un-guarded
+    # 64-half-life-old doc would get the FULL bonus back — clamp first
+    bonus = F.when(
+        F.expr(shift_sql) <= 62,
+        F.expr(f"shiftright({int(base_micro)}L, {shift_sql})"),
+    ).otherwise(F.lit(0).cast("long"))
+    return scored.withColumn(
+        "blended_micro", (F.col(score_col) + bonus).cast("long")
+    )

@@ -658,3 +658,32 @@ def test_merge_postings_delta_untouched_blocks(spark):
     assert got[("quiet", 1)] == base[("quiet", 1)]
     # alpha gained a posting: tail block re-encoded
     assert got[("alpha", 1)][0] == 1 and got[("alpha", 1)][1] == 50
+
+
+def test_recency_blend(spark):
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.operators.retrieval import recency_blend
+
+    df = spark.createDataFrame(
+        [
+            ("fresh", "2025-12-31", 100),
+            ("month", "2025-12-01", 100),
+            ("year", "2025-01-05", 100),
+            ("ancient", "1970-01-01", 100),
+            ("future", "2026-06-01", 100),  # clock skew: clamps to age 0
+        ],
+        "id string, warc_ts string, score_micro long",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    got = {
+        r.id: r.blended_micro
+        for r in recency_blend(
+            df, ref_date="2026-01-01", halflife_days=30,
+            base_micro=1_000_000,
+        ).collect()
+    }
+    assert got["fresh"] == 100 + 1_000_000  # age 1, shift 0
+    assert got["month"] == 100 + 500_000    # age 31, one half-life
+    assert got["year"] == 100 + (1_000_000 >> (361 // 30))
+    assert got["ancient"] == 100            # shift > 62: zero, NOT wrapped
+    assert got["future"] == 100 + 1_000_000
