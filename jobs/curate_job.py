@@ -50,6 +50,14 @@ def main(argv: list[str], spark=None) -> int:
         "(CCNet-style boilerplate removal) before the quality floor",
     )
     p.add_argument(
+        "--max-host-line-doc-freq",
+        type=int,
+        default=0,
+        help="if > 0, also drop lines occurring in more than this many "
+        "docs OF THE SAME HOST (per-site nav/footer boilerplate the "
+        "corpus-wide threshold never reaches)",
+    )
+    p.add_argument(
         "--min-logit",
         type=float,
         default=None,
@@ -285,6 +293,36 @@ def main(argv: list[str], spark=None) -> int:
         clean = clean.drop(args.text_col, "n_lines_in", "n_lines_kept").join(
             deduped, args.id_col
         )
+
+    # optional stage 1b2: HOST-scoped boilerplate removal — per-site nav
+    # and footer lines whose corpus-wide df never crosses the 1b cap;
+    # the host is derived from the url id (same regexp as detect_traps)
+    if args.max_host_line_doc_freq > 0:
+        from comic_text_detector_spark.operators.curation import (
+            host_boilerplate_dedup,
+        )
+
+        hosted = clean.withColumn(
+            "__host",
+            F.regexp_extract(
+                F.col(args.id_col), "^[a-zA-Z]+://([^/?#]+)", 1
+            ),
+        )
+        hdeduped = host_boilerplate_dedup(
+            hosted,
+            args.id_col,
+            args.text_col,
+            host_col="__host",
+            max_doc_freq=args.max_host_line_doc_freq,
+        ).select(
+            args.id_col,
+            F.col("text").alias(args.text_col),
+            F.col("n_lines_in").alias("n_host_lines_in"),
+            F.col("n_lines_kept").alias("n_host_lines_kept"),
+        )
+        clean = clean.drop(
+            args.text_col, "n_host_lines_in", "n_host_lines_kept"
+        ).join(hdeduped, args.id_col)
 
     # optional stage 1c: span-level exact-substring dedup — find cross-doc
     # verbatim passages and cut them (n_cut_spans/n_chars_cut become audit

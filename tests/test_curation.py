@@ -1885,3 +1885,35 @@ def test_host_boilerplate_empty_survives(spark):
            for r in host_boilerplate_dedup(df, max_doc_freq=2).collect()}
     # all-boilerplate docs survive as '' rather than vanishing
     assert got[0] == "" and got[9] == "" and len(got) == 5
+
+
+def test_curate_job_host_boilerplate_stage(spark, tmp_path):
+    """--max-host-line-doc-freq strips per-site nav lines whose
+    corpus-wide df never crosses the 1b threshold, and re-curation
+    stays duplicate-column-safe."""
+    from jobs import curate_job
+
+    rows = []
+    for i in range(4):
+        rows.append(
+            (f"http://siteA/{i}", "SITEA NAV\n" + f"unique body {i} "
+             + "filler words here", "en")
+        )
+    rows.append(("http://siteB/0", "SITEA NAV\nother page", "en"))
+    docs = spark.createDataFrame(rows, "url string, text string, lang string")
+    corpus, bench = str(tmp_path / "c"), str(tmp_path / "b")
+    docs.write.parquet(corpus)
+    spark.createDataFrame([("zz qq ww",)], "text string").write.parquet(bench)
+    out = str(tmp_path / "out")
+    assert curate_job.main(
+        ["--input", corpus, "--output", out, "--benchmark", bench,
+         "--rates", '{"en": 1.0}', "--max-host-line-doc-freq", "2"],
+        spark=spark,
+    ) == 0
+    got = {r.url: r for r in spark.read.parquet(f"{out}/curated").collect()}
+    # dropped on siteA (4 docs share it there), kept on siteB (df 1)
+    assert all("SITEA NAV" not in got[f"http://siteA/{i}"].text
+               for i in range(4))
+    assert "SITEA NAV" in got["http://siteB/0"].text
+    assert got["http://siteA/0"].n_host_lines_in == 2
+    assert got["http://siteA/0"].n_host_lines_kept == 1
