@@ -6540,6 +6540,28 @@ _RECENCY_BLEND_ORACLE = (
 )
 
 
+def _q_release_manifest(spark, sf_dir):
+    """Corpus release manifest (operators/stats.py::release_manifest)
+    over the REAL documents table grouped by source: doc/token/char
+    counts plus the order-insensitive additive md5 checksum."""
+    from comic_text_detector_spark.operators.stats import release_manifest
+
+    return release_manifest(
+        _t(spark, sf_dir, "documents"), ["source"]
+    )
+
+
+_RELEASE_MANIFEST_ORACLE = (
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(len(list_filter(string_split(coalesce(text, ''), ' '),"
+    " w -> w <> ''))) AS BIGINT) AS n_tokens,"
+    " CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,"
+    " sum(CAST(('0x' || substr(md5(doc_id::VARCHAR || chr(31) ||"
+    " coalesce(text, '')), 1, 8))::BIGINT AS DECIMAL(38, 0)))"
+    " AS checksum_add FROM documents GROUP BY source"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6730,6 +6752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "release_manifest": _q_release_manifest,
         "recency_blend": _q_recency_blend,
         "cooccur_pmi": _q_cooccur_pmi,
         "host_boilerplate": _q_host_boilerplate,
@@ -8433,6 +8456,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "release_manifest": _RELEASE_MANIFEST_ORACLE,
         "recency_blend": _RECENCY_BLEND_ORACLE,
         "cooccur_pmi": _COOCCUR_PMI_ORACLE,
         "host_boilerplate": _HOST_BOILERPLATE_ORACLE,

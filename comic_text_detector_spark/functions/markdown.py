@@ -107,9 +107,11 @@ def markdown_outline(
 ) -> DataFrame:
     """ATX headings: (url, line_idx, level, text).
 
-    * ``line_idx`` — the line's position in the document (stable,
-      shuffle-free ordinal; consumers needing a dense heading ordinal
-      window over it).
+    * ``line_idx`` — a stable shuffle-free ordinal encoded as
+      ``prose_chunk_pos · 100000 + line_pos_within_chunk``: monotone in
+      document order for chunks under 100k lines (beyond that, ordering
+      across chunks can interleave — still deterministic, and consumers
+      needing a dense heading ordinal window over it either way).
     * ``level`` — length of the leading ``#`` run (1-6; a 7+ run is
       not a heading and emits nothing).
     * ``text`` — remainder with the optional ATX closing ``#`` run and

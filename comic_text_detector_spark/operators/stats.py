@@ -466,3 +466,55 @@ def cooccur_pmi(
     return scored.orderBy(
         F.desc("pmi_micro"), F.col("term").asc()
     ).limit(int(top_k))
+
+
+def release_manifest(
+    docs: DataFrame,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus release manifest: one row per group (split, source,
+    shard…) with (n_docs, n_tokens, n_chars, checksum_add) — the
+    artifact a corpus release ships so a consumer can verify their
+    copy without re-reading ours.
+
+    ``checksum_add`` is an ORDER-INSENSITIVE additive content hash:
+    Σ md5_long(id ‖ '\\x1f' ‖ text) as DECIMAL(38,0) — exact at any
+    corpus size (no bigint overflow under ANSI mode, no float), equal
+    across engines and partitionings, and any single changed/missing/
+    extra document shifts it. An additive 32-bit-per-row hash is drift
+    DETECTION, not cryptography — collisions are ~2⁻³², fine for
+    manifest verification, documented as such.
+
+    One map-side-combinable aggregate; nothing else."""
+    from .dedup import md5_long
+
+    payload = F.concat_ws(
+        "\x1f", F.col(id_col).cast("string"),
+        F.coalesce(F.col(text_col).cast("string"), F.lit("")),
+    )
+    toks = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col).cast("string"), F.lit("")), " "),
+            lambda w: w != "",
+        )
+    )
+    return (
+        docs.select(
+            *[F.col(c) for c in group_cols],
+            F.lit(1).alias("__d"),
+            toks.cast("long").alias("__t"),
+            F.length(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+            .cast("long")
+            .alias("__c"),
+            md5_long(payload).cast("decimal(38,0)").alias("__h"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+            F.sum("__c").cast("long").alias("n_chars"),
+            F.sum("__h").cast("decimal(38,0)").alias("checksum_add"),
+        )
+    )

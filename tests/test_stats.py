@@ -211,3 +211,36 @@ def test_cooccur_pmi_guards(spark):
         cooccur_pmi(docs, "missing")
     with pytest.raises(ValueError):
         cooccur_pmi(docs, "")
+
+
+def test_release_manifest(spark):
+    from comic_text_detector_spark.operators.stats import release_manifest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "train", "a b c"),
+            (2, "train", "d  e"),   # double space: empty token dropped
+            (3, "val", ""),
+        ],
+        "doc_id long, split string, text string",
+    )
+    got = {r.split: r for r in release_manifest(docs, ["split"]).collect()}
+    assert (got["train"].n_docs, got["train"].n_tokens) == (2, 5)
+    assert got["train"].n_chars == 5 + 4
+    assert (got["val"].n_docs, got["val"].n_tokens, got["val"].n_chars) == (
+        1, 0, 0,
+    )
+    # any single-document change shifts the checksum
+    docs2 = spark.createDataFrame(
+        [(1, "train", "a b C"), (2, "train", "d  e"), (3, "val", "")],
+        "doc_id long, split string, text string",
+    )
+    got2 = {r.split: r for r in release_manifest(docs2, ["split"]).collect()}
+    assert got2["train"].checksum_add != got["train"].checksum_add
+    assert got2["val"].checksum_add == got["val"].checksum_add
+    # order/partitioning-insensitive
+    got3 = {
+        r.split: r
+        for r in release_manifest(docs.repartition(5), ["split"]).collect()
+    }
+    assert got3["train"].checksum_add == got["train"].checksum_add
