@@ -6562,6 +6562,51 @@ _RELEASE_MANIFEST_ORACLE = (
 )
 
 
+def _q_bag_dedup(spark, sf_dir):
+    """Scrambled-duplicate groups (operators/dedup.py::
+    bag_dedup_groups): per 3-doc group an original, a word
+    permutation, and a case variant all share one bag; a
+    multiplicity-changed arm stays out."""
+    from comic_text_detector_spark.operators.dedup import bag_dedup_groups
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    g = F.expr("doc_id div 4")
+    arm = i % 4
+    text = (
+        F.when(arm == 0, F.concat(F.lit("alpha beta gamma g"), s(g)))
+        .when(arm == 1, F.concat(F.lit("g"), s(g), F.lit(" gamma beta alpha")))
+        .when(arm == 2, F.concat(F.lit("Beta ALPHA gamma  g"), s(g)))
+        .otherwise(F.concat(F.lit("alpha alpha beta gamma g"), s(g)))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        i.alias("doc_id"), text.alias("text")
+    )
+    return bag_dedup_groups(docs)
+
+
+# arms 0/1/2 of each complete group share the sorted lowercased bag
+# 'alpha beta g{g} gamma'; arm 3's double 'alpha' differs. Groups with
+# fewer than 3 present members (the tail) shrink accordingly — the
+# oracle rebuilds the bag generically instead of hard-coding 3.
+_BAG_DEDUP_ORACLE = (
+    "WITH d AS (SELECT doc_id AS id, doc_id // 4 AS g, doc_id % 4 AS arm"
+    " FROM documents), "
+    "t AS (SELECT id, CASE arm"
+    " WHEN 0 THEN 'alpha beta gamma g' || g::VARCHAR"
+    " WHEN 1 THEN 'g' || g::VARCHAR || ' gamma beta alpha'"
+    " WHEN 2 THEN 'Beta ALPHA gamma  g' || g::VARCHAR"
+    " ELSE 'alpha alpha beta gamma g' || g::VARCHAR END AS text FROM d), "
+    "k AS (SELECT id, md5(array_to_string(list_sort(list_filter("
+    " regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')), ' '))"
+    " AS bag_md5, CAST(len(list_filter(regexp_split_to_array("
+    " lower(text), '\\s+'), w -> w <> '')) AS BIGINT) AS n_toks FROM t) "
+    "SELECT bag_md5, CAST(count(*) AS BIGINT) AS n_docs,"
+    " max(n_toks) AS n_tokens, list_sort(list(id)) AS ids FROM k"
+    " GROUP BY bag_md5 HAVING count(*) >= 2"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6752,6 +6797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "bag_dedup_groups": _q_bag_dedup,
         "release_manifest": _q_release_manifest,
         "recency_blend": _q_recency_blend,
         "cooccur_pmi": _q_cooccur_pmi,
@@ -8456,6 +8502,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "bag_dedup_groups": _BAG_DEDUP_ORACLE,
         "release_manifest": _RELEASE_MANIFEST_ORACLE,
         "recency_blend": _RECENCY_BLEND_ORACLE,
         "cooccur_pmi": _COOCCUR_PMI_ORACLE,

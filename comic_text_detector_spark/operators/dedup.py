@@ -961,3 +961,47 @@ def containment_pairs(
         F.greatest(F.col("cont_a_milli"), F.col("cont_b_milli"))
         >= int(min_containment_milli)
     )
+
+
+def bag_dedup_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fold_case: bool = True,
+) -> DataFrame:
+    """Scrambled-duplicate groups: documents whose TOKEN MULTISETS are
+    identical — the spun-content signature (spam mills permute
+    sentences/words of a stolen article; exact-hash dedup misses every
+    permutation, minhash mostly keeps them since shingles change). The
+    group key is md5 over the SORTED token list (order-insensitive,
+    multiplicity-preserving), optionally case-folded.
+
+    Emits (bag_md5, n_docs, n_tokens, ids) for groups of ≥ 2 — an
+    audit relation; compose with ``keep_best_representatives`` (pairs
+    from consecutive ids) or anti-join directly for removal.
+
+    One projection (split → sort → hash, all JVM array exprs) + one
+    aggregate; ``ids`` is sorted for determinism and bounded by the
+    group (a pathological million-copy template still aggregates —
+    cap with a slice at the call site if ids lists must stay small)."""
+    t = F.col(text_col).cast("string")
+    if fold_case:
+        t = F.lower(t)
+    toks = F.filter(
+        F.split(F.coalesce(t, F.lit("")), r"\s+"), lambda w: w != ""
+    )
+    key = F.md5(F.array_join(F.array_sort(toks), " "))
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            key.alias("bag_md5"),
+            F.size(toks).cast("long").alias("n_toks"),
+        )
+        .groupBy("bag_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("n_toks").alias("n_tokens"),
+            F.array_sort(F.collect_list("id")).alias("ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -487,3 +487,22 @@ def test_containment_pairs_boilerplate_df_cap(spark):
         docs, n=3, max_df=2, min_containment_milli=500
     ).collect()
     assert got == []
+
+
+def test_bag_dedup_groups_catches_permutation(spark):
+    from comic_text_detector_spark.operators.dedup import bag_dedup_groups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "jumps fox brown quick the"),     # permutation: same bag
+            (3, "The quick  brown fox jumps"),    # case+spacing: same bag
+            (4, "the quick brown fox"),            # missing token: differs
+            (5, "the the quick brown fox jumps"),  # multiplicity: differs
+        ],
+        "doc_id long, text string",
+    )
+    groups = bag_dedup_groups(docs).collect()
+    assert len(groups) == 1
+    (g,) = groups
+    assert g.ids == [1, 2, 3] and g.n_docs == 3 and g.n_tokens == 5
