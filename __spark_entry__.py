@@ -6607,6 +6607,46 @@ _BAG_DEDUP_ORACLE = (
 )
 
 
+def _q_stitch_pagination(spark, sf_dir):
+    """Paginated-article stitching (operators/pagination.py::
+    stitch_pagination): per 4-doc group a 3-page rel-next chain plus a
+    solo page; the tail group may be partial — the oracle predicts the
+    chain composition from member existence."""
+    from comic_text_detector_spark.operators.pagination import (
+        stitch_pagination,
+    )
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    base = _t(spark, sf_dir, "documents")
+    pages = base.select(
+        F.concat(F.lit("p"), s(i)).alias("url"),
+        F.concat(F.lit("t"), s(i)).alias("text"),
+    )
+    nexts = base.filter(i % 4 < 2).select(
+        F.concat(F.lit("p"), s(i)).alias("url"),
+        F.concat(F.lit("p"), s(i + 1)).alias("next_url"),
+    )
+    return stitch_pagination(pages, nexts)
+
+
+_STITCH_PAGINATION_ORACLE = (
+    "WITH d AS (SELECT doc_id AS i, doc_id // 4 AS g, doc_id % 4 AS arm"
+    " FROM documents), "
+    "grp AS (SELECT g, bool_or(arm = 1) AS has1, bool_or(arm = 2) AS"
+    " has2 FROM d GROUP BY g) "
+    "SELECT 'p' || (4 * g)::VARCHAR AS root_url,"
+    " CAST(1 + CASE WHEN has1 THEN 1 ELSE 0 END"
+    " + CASE WHEN has1 AND has2 THEN 1 ELSE 0 END AS BIGINT) AS"
+    " n_pages, FALSE AS truncated,"
+    " 't' || (4 * g)::VARCHAR"
+    " || CASE WHEN has1 THEN chr(10) || 't' || (4 * g + 1)::VARCHAR"
+    " ELSE '' END"
+    " || CASE WHEN has1 AND has2 THEN chr(10) || 't' ||"
+    " (4 * g + 2)::VARCHAR ELSE '' END AS text FROM grp"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6797,6 +6837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "stitch_pagination": _q_stitch_pagination,
         "bag_dedup_groups": _q_bag_dedup,
         "release_manifest": _q_release_manifest,
         "recency_blend": _q_recency_blend,
@@ -8502,6 +8543,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "stitch_pagination": _STITCH_PAGINATION_ORACLE,
         "bag_dedup_groups": _BAG_DEDUP_ORACLE,
         "release_manifest": _RELEASE_MANIFEST_ORACLE,
         "recency_blend": _RECENCY_BLEND_ORACLE,
