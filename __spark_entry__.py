@@ -6647,6 +6647,49 @@ _STITCH_PAGINATION_ORACLE = (
 )
 
 
+def _q_pair_prf(spark, sf_dir):
+    """Pair-set eval harness (plans/eval.py::pair_prf): found pairs on
+    every 3rd doc (reversed orientation), truth on every 2nd — tp/fp/fn
+    and micro metrics replayed exactly."""
+    from comic_text_detector_spark.plans.eval import pair_prf
+
+    i = F.col("doc_id")
+    base = _t(spark, sf_dir, "documents")
+    found = base.filter(i % 3 == 0).select(
+        (i + 1).alias("id_a"), i.alias("id_b")  # reversed on purpose
+    )
+    truth = base.filter(i % 2 == 0).select(
+        i.alias("id_a"), (i + 1).alias("id_b")
+    )
+    return pair_prf(found, truth)
+
+
+_PAIR_PRF_ORACLE = (
+    "WITH f AS (SELECT DISTINCT doc_id AS pa, doc_id + 1 AS pb"
+    " FROM documents WHERE doc_id % 3 = 0), "
+    "t AS (SELECT DISTINCT doc_id AS pa, doc_id + 1 AS pb"
+    " FROM documents WHERE doc_id % 2 = 0), "
+    "j AS (SELECT f.pa IS NOT NULL AS inf, t.pa IS NOT NULL AS int_"
+    " FROM f FULL OUTER JOIN t ON f.pa = t.pa AND f.pb = t.pb), "
+    "a AS (SELECT CAST(count(CASE WHEN inf AND int_ THEN 1 END)"
+    " AS BIGINT) AS tp,"
+    " CAST(count(CASE WHEN inf AND NOT int_ THEN 1 END) AS BIGINT)"
+    " AS fp,"
+    " CAST(count(CASE WHEN NOT inf AND int_ THEN 1 END) AS BIGINT)"
+    " AS fn FROM j), "
+    "b AS (SELECT tp, fp, fn,"
+    " CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp)"
+    " ELSE 0 END AS p_micro,"
+    " CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn)"
+    " ELSE 0 END AS r_micro FROM a) "
+    "SELECT tp, fp, fn, CAST(p_micro AS BIGINT) AS p_micro,"
+    " CAST(r_micro AS BIGINT) AS r_micro,"
+    " CAST(CASE WHEN p_micro + r_micro > 0 THEN"
+    " (2 * p_micro * r_micro) // (p_micro + r_micro) ELSE 0 END"
+    " AS BIGINT) AS f1_micro FROM b"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6837,6 +6880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "pair_prf_eval": _q_pair_prf,
         "stitch_pagination": _q_stitch_pagination,
         "bag_dedup_groups": _q_bag_dedup,
         "release_manifest": _q_release_manifest,
@@ -8543,6 +8587,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "pair_prf_eval": _PAIR_PRF_ORACLE,
         "stitch_pagination": _STITCH_PAGINATION_ORACLE,
         "bag_dedup_groups": _BAG_DEDUP_ORACLE,
         "release_manifest": _RELEASE_MANIFEST_ORACLE,

@@ -191,3 +191,62 @@ def token_prf(
         F.expr("(2 * p_micro * r_micro) div (p_micro + r_micro)"),
     ).otherwise(F.lit(0).cast("long"))
     return out.select("*", f1.alias("f1_micro"))
+
+
+def pair_prf(
+    found: DataFrame,
+    truth: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Pair-set precision/recall/F1 — the tuning harness for every
+    candidate-pair generator in the engine (minhash bands, simhash
+    radius, containment thresholds, fuzzy blocking): run the operator
+    against a corpus with PLANTED duplicate pairs and read off what
+    the banding actually caught. One row: (tp, fp, fn, p_micro,
+    r_micro, f1_micro), metrics as exact ``div`` bigints (empty-side
+    zeros, same integer discipline as ``token_prf``).
+
+    Pairs are canonicalized to (least, greatest) on both sides, so
+    orientation never miscounts. Two distinct projections + one
+    full-outer join on the pair key + one global count — the global
+    aggregate is a single row, driver-safe by construction."""
+
+    def canon(df):
+        a, b = F.col(id_a), F.col(id_b)
+        return df.select(
+            F.least(a, b).alias("pa"), F.greatest(a, b).alias("pb")
+        ).distinct()
+
+    f = canon(found).withColumn("__f", F.lit(1))
+    t = canon(truth).withColumn("__t", F.lit(1))
+    j = f.join(t, ["pa", "pb"], "full_outer")
+    agg = j.agg(
+        F.count(F.when(F.col("__f").isNotNull() & F.col("__t").isNotNull(), 1))
+        .cast("long")
+        .alias("tp"),
+        F.count(F.when(F.col("__f").isNotNull() & F.col("__t").isNull(), 1))
+        .cast("long")
+        .alias("fp"),
+        F.count(F.when(F.col("__f").isNull() & F.col("__t").isNotNull(), 1))
+        .cast("long")
+        .alias("fn"),
+    )
+    m = int(micro)
+    p = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.expr(f"({m}L * tp) div (tp + fp)"),
+    ).otherwise(F.lit(0).cast("long"))
+    r = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.expr(f"({m}L * tp) div (tp + fn)"),
+    ).otherwise(F.lit(0).cast("long"))
+    out = agg.select(
+        "tp", "fp", "fn", p.alias("p_micro"), r.alias("r_micro")
+    )
+    f1 = F.when(
+        F.col("p_micro") + F.col("r_micro") > 0,
+        F.expr("(2 * p_micro * r_micro) div (p_micro + r_micro)"),
+    ).otherwise(F.lit(0).cast("long"))
+    return out.select("*", f1.alias("f1_micro"))

@@ -66,3 +66,29 @@ def test_fuzzy_pairs_length_prefilter(spark):
         [(0, "b", "ab"), (1, "b", "abcdefgh")], "id long, blk string, t string"
     )
     assert fuzzy_pairs_edit(df, ["blk"], text_col="t", max_dist=2).count() == 0
+
+
+def test_pair_prf(spark):
+    from comic_text_detector_spark.plans.eval import pair_prf
+
+    found = spark.createDataFrame(
+        [(1, 2), (3, 4), (6, 5)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(2, 1), (5, 6), (7, 8)], "id_a long, id_b long"
+    )
+    (r,) = pair_prf(found, truth).collect()
+    # (1,2) and (5,6) match despite orientation; (3,4) is fp; (7,8) fn
+    assert (r.tp, r.fp, r.fn) == (2, 1, 1)
+    assert r.p_micro == r.r_micro == 666666
+    assert r.f1_micro == 666666
+
+
+def test_pair_prf_empty_sides(spark):
+    from comic_text_detector_spark.plans.eval import pair_prf
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    (r,) = pair_prf(empty, pairs).collect()
+    assert (r.tp, r.fp, r.fn) == (0, 0, 1)
+    assert r.p_micro == r.r_micro == r.f1_micro == 0
