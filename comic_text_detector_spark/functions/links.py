@@ -194,10 +194,17 @@ def canonical_dedup(
     group representative)."""
     canon = F.col("canonical_url")
     own = F.col(url_col)
+    scheme = F.regexp_extract(own, r"^([a-zA-Z]+):", 1)
     scheme_host = F.regexp_extract(own, r"^([a-zA-Z]+://[^/?#]+)", 1)
     resolved = (
         F.when(canon.isNull(), own)
         .when(canon.rlike("^[a-zA-Z]+://"), canon)
+        .when(  # protocol-relative (//host/p): scheme alone, RFC 3986
+            # §4.2 network-path reference — prepending scheme_host
+            # would fabricate http://own//other/p
+            canon.startswith("//") & (scheme != ""),
+            F.concat(scheme, F.lit(":"), canon),
+        )
         .when(
             canon.startswith("/") & (scheme_host != ""),
             F.concat(scheme_host, canon),

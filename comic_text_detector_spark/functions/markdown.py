@@ -193,11 +193,16 @@ def markdown_to_text(
     One codegen projection, zero shuffles."""
     md = strip_fences(F.col(md_col).cast("string"))
     t = F.regexp_replace(md, LINK, "$2")  # image/link -> text/alt
-    # ATX markers: the lookahead keeps a 7+ run intact (it is literal
-    # text, not a heading — stripping 6 of its 7 #'s would mangle it)
-    t = F.regexp_replace(t, r"(?m)^[ \t]*#{1,6}(?=[ \t]|$)[ \t]*", "")
-    # ATX closing sequences ('## Sub ##' -> 'Sub'), CommonMark 4.2
-    t = F.regexp_replace(t, r"(?m)[ \t]#+[ \t]*$", "")
+    # ATX heading lines in ONE pass: leading marker run (1-6 #'s; a 7+
+    # run is literal text and stays intact) and the optional closing
+    # sequence ('## Sub ##' -> 'Sub', CommonMark 4.2) — anchored to
+    # HEADING lines only, so prose like 'see footnote #' keeps its
+    # trailing hashes
+    t = F.regexp_replace(
+        t,
+        r"(?m)^[ \t]*#{1,6}(?:[ \t]+([^\n]*?))?(?:[ \t]+#+)?[ \t]*$",
+        "$1",
+    )
     t = F.regexp_replace(t, r"[*_`]+", "")  # emphasis / inline code
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return df.select(F.col(url_col).alias("url"), t.alias("text"))

@@ -2307,7 +2307,14 @@ def score_shards(
     curriculum shard."""
     from pyspark.sql.functions import broadcast
 
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     s = F.col(score_col)
+    # NULL scores are DROPPED (documented, not silent): an unscored row
+    # has no place in a score curriculum, and a NULL group entering the
+    # histogram would inflate every real score's cumulative offset
+    # while the equi-join back dropped the rows anyway.
+    df = df.filter(s.isNotNull())
     hist = df.groupBy(s.alias("__sc")).agg(F.count("*").alias("__n"))
     order = F.col("__sc").asc() if ascending else F.col("__sc").desc()
     w = Window.orderBy(order)

@@ -39,11 +39,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# attribute names are SPACE-ANCHORED (`( [^>]*)? rel=`) so a
+# data-rel="next"/data-href can never satisfy the match — the same
+# convention links.py documents for CANON_A/HREF
 REL_NEXT_A = (
-    '(?is)<(?:link|a)\\s[^>]*rel="next"[^>]*href="([^">]*)"'
+    '(?is)<(?:link|a)( [^>]*)? rel="next"( [^>]*)? href="([^">]*)"'
 )
 REL_NEXT_B = (
-    '(?is)<(?:link|a)\\s[^>]*href="([^">]*)"[^>]*rel="next"'
+    '(?is)<(?:link|a)( [^>]*)? href="([^">]*)"( [^>]*)? rel="next"'
 )
 
 
@@ -52,16 +55,23 @@ def extract_rel_next(
 ) -> DataFrame:
     """(url, next_url) for every page declaring a rel-next; pages
     without one emit nothing. Pure regexp column exprs."""
+    from comic_text_detector_spark.functions.links import decode_entities
+
     h = F.col(html_col).cast("string")
     raw = F.coalesce(
-        F.nullif(F.regexp_extract(h, REL_NEXT_A, 1), F.lit("")),
-        F.nullif(F.regexp_extract(h, REL_NEXT_B, 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, REL_NEXT_A, 3), F.lit("")),
+        F.nullif(F.regexp_extract(h, REL_NEXT_B, 2), F.lit("")),
     )
-    decoded = F.replace(raw, F.lit("&amp;"), F.lit("&"))
+    decoded = decode_entities(raw)  # THE shared definition (links.py)
     url = F.col(url_col)
+    scheme = F.regexp_extract(url, r"^([a-zA-Z]+):", 1)
     scheme_host = F.regexp_extract(url, r"^([a-zA-Z]+://[^/?#]+)", 1)
     nxt = (
         F.when(decoded.rlike("^[a-zA-Z]+://"), decoded)
+        .when(  # protocol-relative: resolve against the scheme alone
+            decoded.startswith("//") & (scheme != ""),
+            F.concat(scheme, F.lit(":"), decoded),
+        )
         .when(
             decoded.startswith("/") & (scheme_host != ""),
             F.concat(scheme_host, decoded),
@@ -136,7 +146,7 @@ def stitch_pagination(
         F.col(text_col).cast("string").alias("t"),
     )
     joined = members.join(texts, "member", "left")
-    return (
+    stitched = (
         joined.groupBy("root")
         .agg(
             F.count(F.when(F.col("t").isNotNull(), 1))
@@ -169,3 +179,22 @@ def stitch_pagination(
             "text",
         )
     )
+    # ROOTLESS cycles (a→b→a with no entry page) have no root and would
+    # otherwise VANISH — a silent corpus loss, since the union-back
+    # recipe above treats every edge participant as consumed. Surface
+    # each orphan member as its own single-page truncated row instead.
+    participants = (
+        e.select(F.col("src").alias("member"))
+        .unionByName(e.select(F.col("dst").alias("member")))
+        .distinct()
+    )
+    orphans = participants.join(
+        members.select("member").distinct(), "member", "left_anti"
+    )
+    orphan_rows = orphans.join(texts, "member").select(
+        F.col("member").alias("root_url"),
+        F.lit(1).cast("long").alias("n_pages"),
+        F.lit(True).alias("truncated"),
+        F.col("t").alias("text"),
+    )  # inner join: ghost urls with no corpus page carry no content
+    return stitched.unionByName(orphan_rows)

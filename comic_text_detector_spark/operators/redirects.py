@@ -32,9 +32,14 @@ from pyspark.sql import functions as F
 
 
 def _resolve_location(url: Column, loc: Column) -> Column:
+    scheme = F.regexp_extract(url, r"^([a-zA-Z]+):", 1)
     scheme_host = F.regexp_extract(url, r"^([a-zA-Z]+://[^/?#]+)", 1)
     return (
         F.when(loc.rlike("^[a-zA-Z]+://"), loc)
+        .when(  # protocol-relative (RFC 3986 §4.2): scheme alone
+            loc.startswith("//") & (scheme != ""),
+            F.concat(scheme, F.lit(":"), loc),
+        )
         .when(
             loc.startswith("/") & (scheme_host != ""),
             F.concat(scheme_host, loc),

@@ -1172,9 +1172,13 @@ def recency_blend(
         f" cast({ts_col} as date)), 0) div {int(halflife_days)})"
     )
     # shiftright wraps its count mod 64 (Java >>), so an un-guarded
-    # 64-half-life-old doc would get the FULL bonus back — clamp first
+    # 64-half-life-old doc would get the FULL bonus back — clamp first.
+    # NULL/unparseable timestamps earn NO bonus (greatest(NULL, 0)
+    # skips nulls and would otherwise hand corrupt rows the FULL
+    # freshness boost): no evidence of freshness = no bonus.
     bonus = F.when(
-        F.expr(shift_sql) <= 62,
+        F.col(ts_col).cast("date").isNotNull()
+        & (F.expr(shift_sql) <= 62),
         F.expr(f"shiftright({int(base_micro)}L, {shift_sql})"),
     ).otherwise(F.lit(0).cast("long"))
     return scored.withColumn(

@@ -1917,3 +1917,20 @@ def test_curate_job_host_boilerplate_stage(spark, tmp_path):
     assert "SITEA NAV" in got["http://siteB/0"].text
     assert got["http://siteA/0"].n_host_lines_in == 2
     assert got["http://siteA/0"].n_host_lines_kept == 1
+
+
+def test_score_shards_null_scores_dropped_cleanly(spark):
+    import pytest
+
+    from comic_text_detector_spark.operators.curation import score_shards
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, 1), (3, 2), (4, 3), (5, 4)],
+        "id long, q long",
+    )
+    got = {r.id: r.shard for r in score_shards(df, "q", 4).collect()}
+    # NULLs dropped (documented), and they must NOT inflate offsets:
+    # the four real scores still land in four distinct shards
+    assert got == {2: 0, 3: 1, 4: 2, 5: 3}
+    with pytest.raises(ValueError):
+        score_shards(df, "q", 0)

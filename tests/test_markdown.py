@@ -101,3 +101,12 @@ def test_lang_guess(spark):
     assert got["s"][0] == "sql"
     assert got["none"] == ("", 0)
     assert got["tie"][0] == "python"
+
+
+def test_to_text_prose_trailing_hashes_survive(spark):
+    md = "# H\nsee footnote #\nrated ###\n## Sub ##\n"
+    (row,) = markdown_to_text(_df(spark, md)).collect()
+    # heading markers and closing runs go; PROSE hashes stay
+    assert "see footnote #" in row.text
+    assert "rated ###" in row.text
+    assert "Sub" in row.text and "Sub ##" not in row.text

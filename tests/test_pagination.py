@@ -80,3 +80,40 @@ def test_stitch_pagination_branch_determinism(spark):
     )
     (row,) = stitch_pagination(pages, nexts).collect()
     assert row.text == "a\nb" and row.n_pages == 2
+
+
+def test_extract_rel_next_boundary_and_protocol_relative(spark):
+    df = spark.createDataFrame(
+        [
+            # data-rel must NOT fabricate an edge
+            ("http://s/d", '<a data-rel="next" href="http://t/x">t</a>'),
+            # data-href swallowed by an unanchored regex would mis-pick
+            ("http://s/e",
+             '<a data-href="http://bad/x" rel="next" href="/ok">n</a>'),
+            # protocol-relative resolves against the scheme alone
+            ("https://s/f", '<link rel="next" href="//cdn.s.com/f2">'),
+            # entity decode shares links.py's definition (&apos; too)
+            ("http://s/g", '<link rel="next" href="/p?q=a&apos;b">'),
+        ],
+        "url string, html string",
+    )
+    got = {r.url: r.next_url for r in extract_rel_next(df).collect()}
+    assert "http://s/d" not in got
+    assert got["http://s/e"] == "http://s/ok"
+    assert got["https://s/f"] == "https://cdn.s.com/f2"
+    assert got["http://s/g"] == "http://s/p?q=a'b"
+
+
+def test_stitch_rootless_cycle_surfaces(spark):
+    # a->b->a with no entry: both pages must SURVIVE as single-page
+    # truncated rows, not vanish
+    pages = spark.createDataFrame(
+        [("a", "one"), ("b", "two")], "url string, text string"
+    )
+    nexts = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "url string, next_url string"
+    )
+    got = {r.root_url: r for r in stitch_pagination(pages, nexts).collect()}
+    assert set(got) == {"a", "b"}
+    assert all(r.truncated and r.n_pages == 1 for r in got.values())
+    assert got["a"].text == "one" and got["b"].text == "two"

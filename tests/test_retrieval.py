@@ -687,3 +687,20 @@ def test_recency_blend(spark):
     assert got["year"] == 100 + (1_000_000 >> (361 // 30))
     assert got["ancient"] == 100            # shift > 62: zero, NOT wrapped
     assert got["future"] == 100 + 1_000_000
+
+
+def test_recency_blend_null_ts_gets_no_bonus(spark):
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.operators.retrieval import recency_blend
+
+    df = spark.createDataFrame(
+        [("ok", "2025-12-31", 100), ("corrupt", None, 100)],
+        "id string, warc_ts string, score_micro long",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    got = {r.id: r.blended_micro for r in recency_blend(
+        df, ref_date="2026-01-01", halflife_days=30,
+        base_micro=1_000_000,
+    ).collect()}
+    assert got["ok"] == 100 + 1_000_000
+    assert got["corrupt"] == 100  # no evidence of freshness = no bonus
