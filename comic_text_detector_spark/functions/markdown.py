@@ -240,7 +240,9 @@ def code_lang_guess(
     out = df.select("*", *counts)
     best = F.lit("")
     best_n = F.lit(0)
-    # walk in REVERSE priority so earlier names win ties via strict >
+    # walk in REVERSE priority with a >= takeover: the last writer for
+    # a tied count is the EARLIEST name in LANG_MARKERS, so priority
+    # order wins ties
     for name, _ in reversed(LANG_MARKERS):
         n = F.col(f"_n_{name}")
         take = n >= F.greatest(best_n, F.lit(1))

@@ -922,9 +922,19 @@ def containment_pairs(
             F.array_distinct(shingles(F.col(text_col).cast("string"), n))
         ).alias("kg"),
     )
-    dfreq = sh.groupBy("kg").agg(F.count("*").alias("df"))
+    from pyspark import StorageLevel
+
+    # the shingle explode and its df aggregate feed THREE consumers
+    # (sizes, the pair join's two sides) — persist once so the explode
+    # runs once, the same economy bucket_pairs applies to its
+    # annotated frame
+    dfreq = sh.groupBy("kg").agg(F.count("*").alias("df")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     informative = dfreq.filter(F.col("df") <= max_df).select("kg")
-    kept = sh.join(informative, "kg", "left_semi")
+    kept = sh.join(informative, "kg", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = kept.groupBy("id").agg(F.count("*").alias("n_sh"))
     # only shingles shared by >= 2 docs can produce a pair
     shared = kept.join(
