@@ -6690,6 +6690,50 @@ _PAIR_PRF_ORACLE = (
 )
 
 
+def _q_registered_domains(spark, sf_dir):
+    """eTLD+1 registered-domain extraction (functions/links.py::
+    registered_domain): generic .com, two-level co.uk/com.au, IPv4
+    pass-through, single-label pass-through arms."""
+    from comic_text_detector_spark.functions.links import registered_domain
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    g = F.expr("doc_id div 5")
+    host = (
+        F.when(i % 5 == 0, F.concat(F.lit("s"), s(i), F.lit(".ex"), s(g),
+                                    F.lit(".com")))
+        .when(i % 5 == 1, F.concat(F.lit("b"), s(i), F.lit(".sh"), s(g),
+                                   F.lit(".co.uk")))
+        .when(i % 5 == 2, F.concat(F.lit("10.0.0."), s(i % 250)))
+        .when(i % 5 == 3, F.concat(F.lit("single"), s(i % 7)))
+        .otherwise(F.concat(F.lit("w.ex"), s(g), F.lit(".com.au")))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        i.alias("doc_id"),
+        host.alias("host"),
+        registered_domain(host).alias("rd"),
+    )
+
+
+_REGISTERED_DOMAINS_ORACLE = (
+    "SELECT doc_id, CASE doc_id % 5"
+    " WHEN 0 THEN 's' || doc_id::VARCHAR || '.ex' ||"
+    " (doc_id // 5)::VARCHAR || '.com'"
+    " WHEN 1 THEN 'b' || doc_id::VARCHAR || '.sh' ||"
+    " (doc_id // 5)::VARCHAR || '.co.uk'"
+    " WHEN 2 THEN '10.0.0.' || (doc_id % 250)::VARCHAR"
+    " WHEN 3 THEN 'single' || (doc_id % 7)::VARCHAR"
+    " ELSE 'w.ex' || (doc_id // 5)::VARCHAR || '.com.au' END AS host,"
+    " CASE doc_id % 5"
+    " WHEN 0 THEN 'ex' || (doc_id // 5)::VARCHAR || '.com'"
+    " WHEN 1 THEN 'sh' || (doc_id // 5)::VARCHAR || '.co.uk'"
+    " WHEN 2 THEN '10.0.0.' || (doc_id % 250)::VARCHAR"
+    " WHEN 3 THEN 'single' || (doc_id % 7)::VARCHAR"
+    " ELSE 'ex' || (doc_id // 5)::VARCHAR || '.com.au' END AS rd"
+    " FROM documents"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": _q_extract_roundtrip,
@@ -6880,6 +6924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "readability_docs": _q_readability,
         "extract_headings": _q_extract_headings,
+        "registered_domains": _q_registered_domains,
         "pair_prf_eval": _q_pair_prf,
         "stitch_pagination": _q_stitch_pagination,
         "bag_dedup_groups": _q_bag_dedup,
@@ -8587,6 +8632,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _DOC_KEYWORDS_ORACLE,
         "readability_docs": _READABILITY_ORACLE,
         "extract_headings": _EXTRACT_HEADINGS_ORACLE,
+        "registered_domains": _REGISTERED_DOMAINS_ORACLE,
         "pair_prf_eval": _PAIR_PRF_ORACLE,
         "stitch_pagination": _STITCH_PAGINATION_ORACLE,
         "bag_dedup_groups": _BAG_DEDUP_ORACLE,

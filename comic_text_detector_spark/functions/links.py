@@ -320,3 +320,55 @@ def extract_hreflang(
         )
         .filter(F.col("hreflang").isNotNull() & F.col("href").isNotNull())
     )
+
+
+# the common two-level public suffixes (ICANN country-code second-level
+# registrations — public-suffix-list-derived subset, public knowledge).
+# Deliberately a HEURISTIC CORE, not the full PSL: the full list is a
+# moving data file; this covers the high-traffic tail and the function
+# documents the trade. Extend via the `extra_suffixes` parameter.
+TWO_LEVEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.mx", "org.mx", "gob.mx",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "co.kr", "or.kr", "go.kr", "ac.kr",
+    "com.tw", "org.tw", "gov.tw",
+    "com.sg", "org.sg", "edu.sg",
+    "co.za", "org.za", "gov.za",
+    "com.ar", "com.tr", "com.hk", "com.my", "com.ph", "com.vn",
+    "com.eg", "com.sa", "com.ua", "com.pl", "co.th", "co.id",
+    "co.nz", "org.nz", "govt.nz",
+    "com.co", "com.pe", "com.ve", "com.uy", "com.ec",
+]
+
+
+def registered_domain(host: Column, extra_suffixes: list[str] | None = None) -> Column:
+    """eTLD+1-style registered domain of a lowercased host — the grain
+    at which site-level signals should aggregate when subdomain farms
+    are in play (every *.blogspot-style tenant host is a distinct HOST
+    but one registrant; host-grain quality/split/dedup then leak or
+    fragment).
+
+    Heuristic contract (documented, not hidden): two-level public
+    suffixes come from the COMMON core above (+ ``extra_suffixes``);
+    an uncovered exotic suffix degrades to the generic last-2-labels
+    rule — deterministic and conservative, never a crash. IPv4
+    literals and single-label hosts pass through unchanged."""
+    sufs = list(TWO_LEVEL_SUFFIXES) + [
+        s.lower() for s in (extra_suffixes or [])
+    ]
+    h = F.lower(host)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    is_ip = h.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    return (
+        F.when(is_ip | (n <= 2), h)
+        .when(last2.isin(sufs) & (n >= 3), last3)
+        .otherwise(last2)
+    )

@@ -267,3 +267,39 @@ def test_extract_hreflang(spark):
         "en": "https://e/en",
         "de-de": "https://e/de?a=1&b=2",  # lowercased + entity-decoded
     }
+
+
+def test_registered_domain(spark):
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.functions.links import registered_domain
+
+    rows = [
+        ("a.b.example.com",), ("x.blog.co.uk",), ("10.0.0.1",),
+        ("localhost",), ("sub.example.com.au",), ("EXAMPLE.ORG",),
+        ("deep.sub.weird.zz",),
+    ]
+    df = spark.createDataFrame(rows, "host string")
+    got = {r.host: r.rd for r in df.select(
+        "host", registered_domain(F.col("host")).alias("rd")
+    ).collect()}
+    assert got["a.b.example.com"] == "example.com"
+    assert got["x.blog.co.uk"] == "blog.co.uk"
+    assert got["10.0.0.1"] == "10.0.0.1"       # IPv4 passes through
+    assert got["localhost"] == "localhost"
+    assert got["sub.example.com.au"] == "example.com.au"
+    assert got["EXAMPLE.ORG"] == "example.org"
+    # uncovered exotic suffix degrades to last-2 (documented heuristic)
+    assert got["deep.sub.weird.zz"] == "weird.zz"
+
+
+def test_registered_domain_extra_suffixes(spark):
+    from pyspark.sql import functions as F
+
+    from comic_text_detector_spark.functions.links import registered_domain
+
+    df = spark.createDataFrame([("a.b.github.io",)], "host string")
+    (r,) = df.select(registered_domain(
+        F.col("host"), extra_suffixes=["github.io"]
+    ).alias("rd")).collect()
+    assert r.rd == "b.github.io"
