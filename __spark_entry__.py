@@ -6358,6 +6358,37 @@ _VOCAB_DRIFT_ORACLE = (
 )
 
 
+def _q_char_entropy(spark, sf_dir):
+    """Per-document character-distribution quality signals over the
+    REAL documents table (operators/stats.py::char_entropy): exact char
+    / distinct counts, top-char fraction, and Shannon entropy of the
+    char unigram distribution via the micro-quantized xlx ladder — the
+    gibberish / encoding-noise / key-mash detector."""
+    from comic_text_detector_spark.operators.stats import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+_CHAR_ENTROPY_ORACLE = (
+    "WITH chars AS (SELECT doc_id AS id,"
+    " unnest(string_split(coalesce(text, ''), '')) AS ch"
+    " FROM documents), "
+    "cc AS (SELECT id, ch, CAST(count(*) AS BIGINT) AS c FROM chars"
+    " WHERE ch <> '' GROUP BY id, ch), "
+    "per AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_chars,"
+    " CAST(count(*) AS BIGINT) AS n_distinct,"
+    " CAST(max(c) AS BIGINT) AS top,"
+    " CAST(sum(CAST(round(" + _xlx_sql("c") + " * 1e6) AS BIGINT))"
+    " AS BIGINT) AS sxlx"
+    " FROM cc GROUP BY id) "
+    "SELECT id AS doc_id, n_chars, n_distinct,"
+    " top * 1000000 // n_chars AS top_char_frac_micro,"
+    " (CAST(round(" + _xlx_sql("n_chars")
+    + " * 1e6) AS BIGINT) - sxlx) // n_chars AS entropy_micro"
+    " FROM per"
+)
+
+
 def _q_term_dict(spark, sf_dir):
     """Scalable dense-id dictionary (operators/layout.py::dense_ids)
     over index document frequencies: ids 0..|V|−1 by (df desc, term
@@ -6935,6 +6966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_representatives": _q_best_representatives,
         "term_dict": _q_term_dict,
         "vocab_drift": _q_vocab_drift,
+        "char_entropy_docs": _q_char_entropy,
         "postings_merge": _q_postings_merge,
         "diversify_topk": _q_diversify_topk,
         "containment_pairs": _q_containment_pairs,
@@ -8643,6 +8675,7 @@ def oracle_sql() -> dict[str, str]:
         "best_representatives": _BEST_REPS_ORACLE,
         "term_dict": _TERM_DICT_ORACLE,
         "vocab_drift": _VOCAB_DRIFT_ORACLE,
+        "char_entropy_docs": _CHAR_ENTROPY_ORACLE,
         "diversify_topk": _DIVERSIFY_ORACLE,
         "containment_pairs": _CONTAINMENT_ORACLE,
         "snippet_window": _SNIPPET_WINDOW_ORACLE,

@@ -518,3 +518,66 @@ def release_manifest(
             F.sum("__h").cast("decimal(38,0)").alias("checksum_add"),
         )
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-distribution quality signals: exact char
+    count, distinct-char count, most-common-character fraction, and the
+    Shannon entropy of the character unigram distribution — the classic
+    gibberish / encoding-noise / key-mash detector at the character
+    grain (natural prose sits near a language's entropy ceiling,
+    base64/hex blobs above it, 'aaaa…' keyboard spam at 0; the filter
+    Gopher-style pipelines apply beside the word-level repetition
+    signals in functions/textstats.py).
+
+    Emits (id_col, n_chars, n_distinct, top_char_frac_micro,
+    entropy_micro). entropy (nats) = ln n − (Σ c·ln c)/n, computed as
+    (xlx_micro(n) − Σ xlx_micro(c)) div n: every xlx atom is one ``ln``
+    over an exact bigint and is micro-quantized BEFORE the per-doc sum,
+    so the sum is exact bigint addition — partitioning- and
+    engine-independent (the same contract as ``vocab_drift``'s G²
+    ladder). top_char_frac_micro = (max c · 10^6) div n, exact. NULL /
+    zero-length texts yield no row (drop-not-fake; the '' filter also
+    aligns Spark's split('','')=[] with DuckDB's ['']). Splitting is
+    per code point in both engines; the micro grain stays exact for
+    docs under ~400 MB (n·ln n·10^6 < 2^53).
+
+    Reference analog: the per-pixel probability histogram the seg head
+    thresholds before mask refinement (reference basemodel.py forward)
+    recast as a per-document character-distribution statistic.
+
+    Scale shape: one explode (≈ corpus chars — the same fan-out every
+    token op here pays), one map-side-combinable (id, ch) aggregate,
+    then one id-keyed aggregate bounded by alphabet size per doc. No
+    joins, nothing on the driver."""
+    chars = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "")
+        ).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("__id", "ch").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per = counts.groupBy("__id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("__top"),
+        F.sum(F.round(_xlx(F.col("c")) * F.lit(1e6)).cast("long"))
+        .cast("long")
+        .alias("__sxlx"),
+    )
+    staged = per.withColumn(
+        "__xn", F.round(_xlx(F.col("n_chars")) * F.lit(1e6)).cast("long")
+    )
+    return staged.select(
+        F.col("__id").alias(id_col),
+        "n_chars",
+        "n_distinct",
+        F.expr("__top * 1000000 div n_chars").alias("top_char_frac_micro"),
+        F.expr("(__xn - __sxlx) div n_chars").alias("entropy_micro"),
+    )

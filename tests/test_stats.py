@@ -244,3 +244,53 @@ def test_release_manifest(spark):
         for r in release_manifest(docs.repartition(5), ["split"]).collect()
     }
     assert got3["train"].checksum_add == got["train"].checksum_add
+
+
+def test_char_entropy_closed_form(spark):
+    import math
+
+    from comic_text_detector_spark.operators.stats import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),     # single symbol: entropy exactly 0
+            (2, "abab"),     # two equiprobable symbols: ln 2
+            (3, "abcd"),     # four equiprobable symbols: ln 4
+            (4, "aab"),      # skew: top fraction 2/3
+            (5, ""),         # empty: no row (drop-not-fake)
+            (6, None),       # null: no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+
+    assert got[1].n_chars == 4 and got[1].n_distinct == 1
+    assert got[1].top_char_frac_micro == 1_000_000
+    assert got[1].entropy_micro == 0
+
+    # replay the exact micro ladder for the uniform arms
+    def ladder(n, counts):
+        sxlx = sum(round(c * math.log(c) * 1e6) for c in counts)
+        xn = round(n * math.log(n) * 1e6)
+        return (xn - sxlx) // n
+
+    assert got[2].entropy_micro == ladder(4, [2, 2])  # ~= ln2 * 1e6
+    assert abs(got[2].entropy_micro - round(math.log(2) * 1e6)) <= 1
+    assert got[3].n_distinct == 4
+    assert got[3].entropy_micro == ladder(4, [1, 1, 1, 1])
+    assert abs(got[3].entropy_micro - round(math.log(4) * 1e6)) <= 1
+
+    assert got[4].top_char_frac_micro == 2_000_000 // 3
+    # skewed arm is strictly between the degenerate and uniform arms
+    assert 0 < got[4].entropy_micro < got[3].entropy_micro
+
+
+def test_char_entropy_repartition_invariant(spark):
+    from comic_text_detector_spark.operators.stats import char_entropy
+
+    rows = [(i, ("ab" * (i % 5 + 1)) + "xyz"[: i % 3]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, char_entropy(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, char_entropy(df.repartition(13)).collect()))
+    assert a == b
