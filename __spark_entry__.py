@@ -6389,6 +6389,35 @@ _CHAR_ENTROPY_ORACLE = (
 )
 
 
+def _q_token_entropy(spark, sf_dir):
+    """Per-document word-unigram entropy over the REAL documents table
+    (operators/stats.py::token_entropy): the vocabulary-diversity spam
+    signal beside char_entropy, same exact-micro xlx ladder."""
+    from comic_text_detector_spark.operators.stats import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+_TOKEN_ENTROPY_ORACLE = (
+    "WITH toks AS (SELECT doc_id AS id,"
+    " unnest(string_split(coalesce(text, ''), ' ')) AS tok"
+    " FROM documents), "
+    "cc AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS c FROM toks"
+    " WHERE tok <> '' GROUP BY id, tok), "
+    "per AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens,"
+    " CAST(count(*) AS BIGINT) AS n_distinct,"
+    " CAST(max(c) AS BIGINT) AS top,"
+    " CAST(sum(CAST(round(" + _xlx_sql("c") + " * 1e6) AS BIGINT))"
+    " AS BIGINT) AS sxlx"
+    " FROM cc GROUP BY id) "
+    "SELECT id AS doc_id, n_tokens, n_distinct,"
+    " top * 1000000 // n_tokens AS top_token_frac_micro,"
+    " (CAST(round(" + _xlx_sql("n_tokens")
+    + " * 1e6) AS BIGINT) - sxlx) // n_tokens AS entropy_micro"
+    " FROM per"
+)
+
+
 def _q_term_dict(spark, sf_dir):
     """Scalable dense-id dictionary (operators/layout.py::dense_ids)
     over index document frequencies: ids 0..|V|−1 by (df desc, term
@@ -6967,6 +6996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_dict": _q_term_dict,
         "vocab_drift": _q_vocab_drift,
         "char_entropy_docs": _q_char_entropy,
+        "token_entropy_docs": _q_token_entropy,
         "postings_merge": _q_postings_merge,
         "diversify_topk": _q_diversify_topk,
         "containment_pairs": _q_containment_pairs,
@@ -8676,6 +8706,7 @@ def oracle_sql() -> dict[str, str]:
         "term_dict": _TERM_DICT_ORACLE,
         "vocab_drift": _VOCAB_DRIFT_ORACLE,
         "char_entropy_docs": _CHAR_ENTROPY_ORACLE,
+        "token_entropy_docs": _TOKEN_ENTROPY_ORACLE,
         "diversify_topk": _DIVERSIFY_ORACLE,
         "containment_pairs": _CONTAINMENT_ORACLE,
         "snippet_window": _SNIPPET_WINDOW_ORACLE,

@@ -581,3 +581,55 @@ def char_entropy(
         F.expr("__top * 1000000 div n_chars").alias("top_char_frac_micro"),
         F.expr("(__xn - __sxlx) div n_chars").alias("entropy_micro"),
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document WORD-unigram entropy — ``char_entropy``'s companion
+    at the vocabulary grain: keyword-stuffed / tag-farm / template spam
+    repeats a tiny vocabulary, so its token entropy collapses even when
+    the character distribution looks like normal prose. Low
+    top_token_frac + high entropy is healthy text; the inverse is the
+    spam corner pipelines cut.
+
+    Emits (id_col, n_tokens, n_distinct, top_token_frac_micro,
+    entropy_micro) under the identical exact-micro xlx ladder as
+    ``char_entropy`` (see that docstring for the determinism contract);
+    tokens are the same whitespace-split, ''-filtered grain every token
+    op here uses, so all-whitespace / empty / NULL texts yield no row.
+
+    Scale shape: one explode (≈ corpus tokens), one map-side-combinable
+    (id, token) aggregate, one id-keyed aggregate bounded by per-doc
+    vocabulary. No joins, nothing on the driver."""
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("__id", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per = counts.groupBy("__id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("__top"),
+        F.sum(F.round(_xlx(F.col("c")) * F.lit(1e6)).cast("long"))
+        .cast("long")
+        .alias("__sxlx"),
+    )
+    staged = per.withColumn(
+        "__xn", F.round(_xlx(F.col("n_tokens")) * F.lit(1e6)).cast("long")
+    )
+    return staged.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "n_distinct",
+        F.expr("__top * 1000000 div n_tokens").alias(
+            "top_token_frac_micro"
+        ),
+        F.expr("(__xn - __sxlx) div n_tokens").alias("entropy_micro"),
+    )

@@ -294,3 +294,29 @@ def test_char_entropy_repartition_invariant(spark):
     a = sorted(map(tuple, char_entropy(df.coalesce(1)).collect()))
     b = sorted(map(tuple, char_entropy(df.repartition(13)).collect()))
     assert a == b
+
+
+def test_token_entropy_closed_form(spark):
+    import math
+
+    from comic_text_detector_spark.operators.stats import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy buy buy buy"),        # stuffed: entropy 0
+            (2, "the cat sat on a mat"),   # 6 distinct: ln 6
+            (3, "a b a b"),                # two equiprobable: ln 2
+            (4, "   "),                    # whitespace-only: no row
+            (5, None),                     # null: no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in token_entropy(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_tokens == 4 and got[1].n_distinct == 1
+    assert got[1].top_token_frac_micro == 1_000_000
+    assert got[1].entropy_micro == 0
+    assert got[2].n_distinct == 6
+    assert abs(got[2].entropy_micro - round(math.log(6) * 1e6)) <= 1
+    assert abs(got[3].entropy_micro - round(math.log(2) * 1e6)) <= 1
+    assert got[3].top_token_frac_micro == 500_000
