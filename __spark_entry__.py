@@ -86,14 +86,14 @@ def _q_nodes_content_chars(spark, sf_dir):
 
 
 def _q_asof_latest_event(spark, sf_dir):
+    # max_by over a (ts, event_id) struct == the old row_number()=1 window
+    # ordered ts DESC, event_id DESC: struct ordering compares ts first
+    # (nulls smallest, matching DESC NULLS LAST) then event_id. The
+    # aggregate does partial (map-side) reduction and needs no sort, where
+    # the window paid two sorts around its exchange.
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id")
     )
 
 

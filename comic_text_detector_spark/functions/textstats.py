@@ -367,16 +367,21 @@ def kgram_fingerprints(
     gram positions, md5, filter, distinct count per doc. An identical-text
     pair shares its full fingerprint set; heavy overlap → near-dup.
     """
-    grams = df.select(
+    # The 1/16 nibble selection runs INSIDE the array (filter before the
+    # explode) so the generator emits ~1/16th of the rows; the md5 work per
+    # gram is unchanged but row-at-a-time explode/filter/partial-agg
+    # traffic drops 16x. Survivor set (and therefore the aggregate) is
+    # identical to filtering after the explode.
+    sel = df.select(
         F.col(id_col),
-        F.posexplode(
+        F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(length(`{text_col}`) - {k - 1}, 1)),"
-                f" i -> md5(substring(`{text_col}`, i, {k})))"
+                f"filter(transform(sequence(1, greatest(length(`{text_col}`) - {k - 1}, 1)),"
+                f" i -> md5(substring(`{text_col}`, i, {k}))),"
+                f" h -> endswith(h, '{select_nibble}'))"
             )
-        ).alias("pos", "gram_hash"),
+        ).alias("gram_hash"),
     )
-    sel = grams.filter(F.col("gram_hash").endswith(select_nibble))
     return sel.groupBy(id_col).agg(
         F.count_distinct("gram_hash").alias("n_fingerprints"),
         F.min("gram_hash").alias("min_fingerprint"),

@@ -169,7 +169,11 @@ def minhash_signatures(
     for i in range(num_hashes):
         a, b = _mh_consts(i)
         aggs.append(
-            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
+            # a, b > 0 and h >= 0 (already folded to 31 bits), so a*h + b is
+            # non-negative and plain % equals pmod at half the modulo ops
+            # (pmod expands to ((x % n) + n) % n) — 64 of these per shingle
+            # row makes the saving visible in the signature stage.
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(
                 f"mh{i}"
             )
         )

@@ -65,17 +65,24 @@ def cosine_topk(
     """(query_id, rank, neighbor_id, cos) for the k nearest corpus rows per
     query (self-matches excluded). Deterministic tie-break: cos desc then
     neighbor id asc."""
+    # Norms are hoisted out of the join: each side computes sqrt(sum x^2)
+    # ONCE per row instead of once per (query, neighbor) pair — the
+    # higher-order array folds are interpreted (not codegen'd), so at
+    # |corpus| x |queries| pairs this removes 2/3 of the lambda
+    # evaluations. cos stays bit-identical: the per-pair expression is the
+    # same _dot / (norm_a * norm_b) IEEE arithmetic, just with the two
+    # norm factors computed upstream.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
