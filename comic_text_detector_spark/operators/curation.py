@@ -287,6 +287,13 @@ def robots_filter(
     r = rules.select(
         F.lower(F.col(host_col)).alias("__host"),
         rx.alias("__rx"),
+        # plain-prefix rules (no '*', no '$' anchor — the overwhelming
+        # majority of real robots directives) take a literal startswith,
+        # because `rlike` with a non-literal pattern recompiles the regex
+        # for every (path, rule) row; semantics are identical (the regex
+        # for such a rule is the fully-escaped pattern anchored at '^')
+        (~anch & ~F.col(prefix_col).contains("*")).alias("__simple"),
+        body.alias("__body"),
         F.length(F.replace(body, F.lit("*"), F.lit(""))).alias("__spec"),
         F.col(allow_col).alias("__allow"),
     )
@@ -296,7 +303,10 @@ def robots_filter(
         .join(F.broadcast(r), "__host", "left")
         .withColumn(
             "__hit",
-            F.col("__rx").isNotNull() & F.expr("__path rlike __rx"),
+            F.col("__rx").isNotNull()
+            & F.when(
+                F.col("__simple"), F.col("__path").startswith(F.col("__body"))
+            ).otherwise(F.expr("__path rlike __rx")),
         )
         .groupBy("__host", "__path")
         .agg(
