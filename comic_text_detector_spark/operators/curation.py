@@ -450,6 +450,8 @@ def substring_dup_spans(
             f"cast(conv(substring(md5(x.h), 1, 8), 16, 10) as bigint)"
             f" % {select_mod} = 0)"
         )
+    from pyspark import StorageLevel
+
     pos = (
         df.select(
             F.col(id_col).alias("id"),
@@ -460,12 +462,23 @@ def substring_dup_spans(
             ).alias("g"),
         )
         .select("id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
-        .persist()
+        # DISK_ONLY: the position table is corpus-scale; memory-backed
+        # unroll would compete with the frequency aggregate's execution
+        # memory in the very stage that materializes the cache (observed
+        # AGGREGATE_OUT_OF_MEMORY at the 3M-doc curate scale on an 8 GB
+        # local-mode heap)
+        .persist(StorageLevel.DISK_ONLY)
     )
+    # "appears in >= 2 distinct docs" == min(id) != max(id): unlike
+    # count_distinct(id), whose partial aggregate expands its hash state
+    # to (h, id) pairs — corpus-scale map-side state that OOMed the
+    # 3M-doc curate run — min/max keep ONE entry per gram hash and the
+    # null/single-doc cases agree (nulls are ignored by both forms; a
+    # single-doc gram has min == max).
     shared = (
         pos.groupBy("h")
-        .agg(F.count_distinct("id").alias("ndocs"))
-        .filter(F.col("ndocs") >= 2)
+        .agg(F.min("id").alias("__i0"), F.max("id").alias("__i1"))
+        .filter(F.col("__i0") != F.col("__i1"))
         .select("h")
     )
     hits = pos.join(shared, "h").select("id", "p")

@@ -58,7 +58,13 @@ def get_spark(
         # output compression: zstd ~30-40% smaller than snappy at similar
         # decode speed — at 100 TB that is tens of TB of storage/IO saved
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Local-mode driver hosts ALL executor threads: 8g across 32
+        # task slots is 256 MB per concurrent task, which corpus-scale
+        # aggregates (span-dedup position frequencies at sf1.0) overflow.
+        # 16g on the 128 GiB sandbox keeps the same unified-memory model
+        # with headroom; real clusters size executor memory separately
+        # and the knob stays SPARK_DRIVER_MEM either way.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
