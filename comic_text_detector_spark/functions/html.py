@@ -221,9 +221,14 @@ _SCAN = re.compile(
     re.S | re.I,
 )
 
-# quote-aware single-tag matcher for the slow path
+# quote-aware single-tag matcher for the slow path. The body is an ATOMIC
+# group ((?>...)): the plain/quoted alternatives are then committed left to
+# right exactly once — deterministic HTML5-style quote pairing. Without it,
+# a tag mixing both quote styles with no closing '>' lets the backtracker
+# re-pair quote spans combinatorially (a crafted ~200-byte document took
+# >100 s in one task — a decode-bomb-class DoS on the tokenizer).
 _TAG_SLOW = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']+|\"[^\"]*\"|'[^']*')*)>", re.S
+    r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?>(?:[^>\"']+|\"[^\"]*\"|'[^']*')*))>", re.S
 )
 
 # one-lookup tag classification for the hot loop:

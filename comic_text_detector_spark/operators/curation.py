@@ -443,11 +443,15 @@ def substring_dup_spans(
         f" i -> struct(i as p, md5(substring(`{text_col}`, i, {k})) as h))"
     )
     if select_mod > 1:
-        # identical survivor set to the old post-explode filter:
-        # md5_long(h, 8) % select_mod == 0, spelled as a SQL lambda
+        # 1-in-mod winnow by the gram's OWN md5 prefix (classic winnowing
+        # selection). Selecting on x.h directly instead of a second
+        # md5(x.h) digest halves the md5 work of the position build — the
+        # dominant cost of the whole operator (one md5 per character
+        # position of the corpus) — while staying engine-portable
+        # (DuckDB: ('0x'||substr(h,1,8))::BIGINT % mod = 0).
         gram_structs = (
             f"filter({gram_structs}, x -> "
-            f"cast(conv(substring(md5(x.h), 1, 8), 16, 10) as bigint)"
+            f"cast(conv(substring(x.h, 1, 8), 16, 10) as bigint)"
             f" % {select_mod} = 0)"
         )
     from pyspark import StorageLevel

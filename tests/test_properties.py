@@ -56,6 +56,28 @@ def test_extract_invariants_on_random_html(frags):
         assert text == ""
 
 
+def test_tokenize_mixed_quote_tag_is_linear_time():
+    """Regression: a tag mixing both quote styles with no closing '>' used
+    to send the slow-path matcher into exponential backtracking (a ~220
+    byte crafted document took >100 s). The atomic-group body must keep
+    this linear."""
+    import time
+
+    doc = (
+        b'<uncloseda b  c\t\nd</td>&amp;<!-- c --><p title=\'a>b\'>'
+        b'<!-- c --><p a="1" b=\'2\'><unclosed<unclosed&bogus;'
+        b'<p a="un>bal</p>&bogus;<p/>><p/><unclosed<x-y><nav>'
+        b'<title>t</title></li></ul><div><!-- c --></x-y>'
+        b'<P CLASS=X></nav><td>'
+    )
+    t0 = time.time()
+    tokenize(doc)
+    # long unclosed mixed-quote run: worst-case shape at 100x the length
+    t1 = time.time()
+    tokenize(b'<p a="x' + b"ab'c" * 5000 + b" no close ever")
+    assert time.time() - t0 < 5.0 and time.time() - t1 < 5.0
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.text(max_size=200))
 def test_escape_unescape_roundtrip(t):
