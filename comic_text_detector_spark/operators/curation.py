@@ -165,6 +165,13 @@ def line_freq_dedup(
     the hot hashes. Empty documents and documents whose every line is
     boilerplate survive with text='' (the row is not lost — losing it
     would silently shrink the corpus).
+
+    (An r6 rewrite that decided drops on narrow rows and reassembled
+    per-row via an id-keyed join measured 3.6x SLOWER here: in any corpus
+    where most docs carry at least one boilerplate line the dropped-
+    positions frame is corpus-sized, so the join sorts and reshuffles the
+    full text — strictly worse than this shape's single map-combined
+    line exchange. Kept as measured evidence, not a TODO.)
     """
     import re
 
@@ -241,12 +248,17 @@ def robots_filter(
     the literal octets the caller stored.
 
     Shape: rules tables are tiny next to a crawl (one row per directive),
-    so the DECISION is computed per distinct (host, path) — broadcast join
-    against the rules, max over (literal-length, allow) structs; the
-    per-row regex evaluation happens only on this bounded decisions frame
-    — and the crawl joins the decision table back on its own derived key.
-    Duplicate url rows each keep their own row (a per-row window would
-    collapse them); the only full-width shuffle is the final keyed join.
+    so the per-host rule GROUP collapses to one array row and broadcast-
+    joins onto the crawl; the decision is then a per-row array fold
+    (startswith fast path for plain-prefix rules, regexp_like otherwise)
+    and the allowed rows survive a plain filter. ZERO exchanges of the
+    crawl: the previous decisions-per-distinct-(host,path) formulation
+    paid a distinct, a groupBy, and a full-width join-back — three
+    corpus-scale shuffles, the last one carrying every payload column —
+    for a decision that crawl urls (mostly unique paths) never actually
+    shared. Rules-per-host is bounded by the robots.txt size, so the
+    per-row fold is O(rules) with the same total rule-evaluation count
+    the distinct path had. Duplicate url rows each keep their own row.
 
     Rows with a null url are DROPPED explicitly (they have no host to
     match, and a null join key would silently vanish in the join-back
@@ -297,41 +309,40 @@ def robots_filter(
         F.length(F.replace(body, F.lit("*"), F.lit(""))).alias("__spec"),
         F.col(allow_col).alias("__allow"),
     )
-    decisions = (
-        u.select("__host", "__path")
-        .distinct()
-        .join(F.broadcast(r), "__host", "left")
-        .withColumn(
-            "__hit",
-            F.col("__rx").isNotNull()
-            & F.when(
-                F.col("__simple"), F.col("__path").startswith(F.col("__body"))
-            ).otherwise(F.expr("__path rlike __rx")),
-        )
-        .groupBy("__host", "__path")
-        .agg(
-            # most literal octets wins; on equal specificity allow wins
-            # (RFC 9309 §2.2.2); no matching rule → allowed
-            F.max(
-                F.when(
-                    F.col("__hit"),
-                    F.struct(
-                        F.col("__spec").alias("l"),
-                        F.col("__allow").alias("a"),
-                    ),
-                )
-            ).alias("__best")
-        )
-        .select(
-            "__host",
-            "__path",
-            F.coalesce(F.col("__best.a"), F.lit(True)).alias("__allowed"),
+    # one array row per host (bounded by the robots.txt size), broadcast
+    # onto the crawl; the decision is a per-row fold over that array — no
+    # distinct, no groupBy, no join-back, so the crawl's payload columns
+    # never cross an exchange
+    rh = r.groupBy("__host").agg(
+        F.collect_list(
+            F.struct("__simple", "__body", "__rx", "__spec", "__allow")
+        ).alias("__rules")
+    )
+    pathc = F.col("__path")
+    hits = F.filter(
+        F.col("__rules"),
+        # null __rx (null rule pattern) yields a null predicate, which
+        # filter() treats as false — same exclusion the old
+        # rx.isNotNull() guard enforced
+        lambda x: F.when(
+            x["__simple"], pathc.startswith(x["__body"])
+        ).otherwise(F.regexp_like(pathc, x["__rx"])),
+    )
+    # most literal octets wins; on equal specificity allow wins
+    # (RFC 9309 §2.2.2); no matching rule (or no rules for the host:
+    # null array) → allowed
+    best = F.array_max(
+        F.transform(
+            hits,
+            lambda x: F.struct(
+                x["__spec"].alias("l"), x["__allow"].alias("a")
+            ),
         )
     )
     return (
-        u.join(decisions, ["__host", "__path"])
-        .filter(F.col("__allowed"))
-        .drop("__host", "__path", "__allowed")
+        u.join(F.broadcast(rh), "__host", "left")
+        .filter(F.coalesce(best["a"], F.lit(True)))
+        .drop("__host", "__path", "__rules")
     )
 
 
