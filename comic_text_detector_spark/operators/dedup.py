@@ -183,9 +183,13 @@ def minhash_signatures(
             # non-negative and plain % equals pmod at half the modulo ops
             # (pmod expands to ((x % n) + n) % n) — 64 of these per shingle
             # row makes the saving visible in the signature stage.
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(
-                f"mh{i}"
-            )
+            # ONE parsed-expr py4j call per aggregate instead of ~8 Column-
+            # builder round trips: this query is rebuilt per bench trial,
+            # and the 64-aggregate construction alone was ~0.4 s of
+            # driver-side wall (the JVM parses the small SQL strings in
+            # microseconds; literals keep the same int/bigint types, so
+            # the aggregate tree and its results are unchanged).
+            F.expr(f"min((h * {a} + {b}) % {_MERSENNE}) AS mh{i}")
         )
     return ex.groupBy("id").agg(*aggs)
 
@@ -356,21 +360,23 @@ def banded_signatures(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
 
-    def _band_hash(b: int):
-        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+    # the whole banded array is ONE parsed expression (a single py4j round
+    # trip) — the per-band Column-builder formulation cost ~0.15 s of
+    # driver wall per query build; the parsed tree and its values are
+    # identical
+    def _band_hash_sql(b: int) -> str:
+        cols = [f"mh{b * rows_per_band + j}" for j in range(rows_per_band)]
         if hash_fn == "md5":
-            return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
-        return F.xxhash64(*cols)
+            casts = ", ".join(f"cast({c} as string)" for c in cols)
+            return f"md5(concat_ws(',', {casts}))"
+        return f"xxhash64({', '.join(cols)})"
 
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            _band_hash(b).alias("band_hash"),
-        )
+    bands_sql = ", ".join(
+        f"struct({b} as band_id, {_band_hash_sql(b)} as band_hash)"
         for b in range(bands)
-    ]
+    )
     return sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("tb")
+        "id", F.explode(F.expr(f"array({bands_sql})")).alias("tb")
     ).select(
         "id",
         F.col("tb.band_id").alias("band_id"),
