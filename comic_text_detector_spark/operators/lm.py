@@ -436,9 +436,37 @@ def lm_token_mlp(
     n_total = unigrams.agg(F.sum("c").alias("n")).collect()[0].n
     if not n_total:
         raise ValueError("empty language model (no unigram mass)")
-    toks = _tokens(docs, id_col, text_col)
-    wnd = Window.partitionBy("id").orderBy("pos")
-    pairs = toks.withColumn("prev", F.lag("w").over(wnd))
+    # (prev, w) pairs derived ARRAY-SIDE at tokenization: the previous
+    # non-empty token is just the preceding element of the filtered token
+    # array, so the lag(w) window — a full exchange + sort of the token
+    # stream by doc — is unnecessary. The filtered array materializes in
+    # its OWN projection first (Catalyst does not CSE lambda trees:
+    # referencing the array expression inside the shift lambda would
+    # re-evaluate the whole tokenization per element, measured 5x
+    # slower); with it bound, F.get is O(1) and the pair stream is
+    # exchange-free. Measured 7.1 s -> 4.6 s on the 320k-doc curate
+    # corpus, token-for-token identical scores.
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    ta = F.filter(
+        F.transform(words, lambda w, i: F.struct(i.alias("pos"), w.alias("w"))),
+        lambda x: x["w"] != "",
+    )
+    base = docs.select(F.col(id_col).alias("id"), ta.alias("__ta"))
+    tac = F.col("__ta")
+    pairs_arr = F.transform(
+        tac,
+        lambda x, j: F.struct(
+            x["pos"].alias("pos"),
+            x["w"].alias("w"),
+            F.when(j > 0, F.get(tac, j - 1)["w"]).alias("prev"),
+        ),
+    )
+    pairs = base.select("id", F.explode(pairs_arr).alias("__t")).select(
+        "id",
+        F.col("__t.pos").alias("pos"),
+        F.col("__t.w").alias("w"),
+        F.col("__t.prev").alias("prev"),
+    )
     j = (
         pairs.join(unigrams.withColumnRenamed("c", "cw"), "w", "left")
         .join(
