@@ -439,51 +439,49 @@ def substring_dup_spans(
     """
     if merge_gap is None:
         merge_gap = k
-    # (p, h) gram structs built and winnowed INSIDE the array (the
-    # select_mod filter used to run after the explode, so every discarded
-    # position still paid generator + filter row traffic), then the
-    # surviving positions persist: the frequency pass and the join-back
-    # both consume this frame, and without the cache the whole
-    # md5-per-position subtree executes twice (the plan audit showed two
-    # Generate+Scan branches — no exchange reuse, since the frequency side
-    # aggregates before its exchange). Long-lived sessions issuing many
-    # calls should spark.catalog.clearCache() after consuming the result,
-    # same discipline as dedup.bucket_pairs.
-    gram_structs = (
-        f"transform(sequence(1, length(`{text_col}`) - {k - 1}),"
-        f" i -> struct(i as p, md5(substring(`{text_col}`, i, {k})) as h))"
-    )
-    if select_mod > 1:
-        # 1-in-mod winnow by the gram's OWN md5 prefix (classic winnowing
-        # selection). Selecting on x.h directly instead of a second
-        # md5(x.h) digest halves the md5 work of the position build — the
-        # dominant cost of the whole operator (one md5 per character
-        # position of the corpus) — while staying engine-portable
-        # (DuckDB: ('0x'||substr(h,1,8))::BIGINT % mod = 0).
-        gram_structs = (
-            f"filter({gram_structs}, x -> "
-            f"cast(conv(substring(x.h, 1, 8), 16, 10) as bigint)"
-            f" % {select_mod} = 0)"
-        )
+    # Position build: explode the position SEQUENCE (ints only), then
+    # compute the gram md5 and the winnow filter as whole-stage-codegen
+    # projections. The md5 stays a per-position cost either way, but
+    # codegen'd md5+filter beat the array-side interpreted-lambda
+    # formulation by ~20% once the winnow became single-digest (measured
+    # 12.7 s → 10.2 s on the 320k-doc curate corpus; within one codegen
+    # stage the carried text column is a streamed reference, never a
+    # per-row copy — it is projected away before the persist boundary).
+    # The winnow selects 1-in-mod by the gram's OWN md5 prefix (classic
+    # winnowing), engine-portable (DuckDB:
+    # ('0x'||substr(h,1,8))::BIGINT % mod = 0). The surviving positions
+    # persist: the frequency pass and the join-back both consume this
+    # frame, and without the cache the whole md5-per-position subtree
+    # executes twice. Long-lived sessions issuing many calls should
+    # spark.catalog.clearCache() after consuming the result, same
+    # discipline as dedup.bucket_pairs.
     from pyspark import StorageLevel
 
-    pos = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.when(F.length(text_col) >= k, F.expr(gram_structs)).otherwise(
-                    F.array().cast("array<struct<p:int,h:string>>")
-                )
-            ).alias("g"),
-        )
-        .select("id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
-        # DISK_ONLY: the position table is corpus-scale; memory-backed
-        # unroll would compete with the frequency aggregate's execution
-        # memory in the very stage that materializes the cache (observed
-        # AGGREGATE_OUT_OF_MEMORY at the 3M-doc curate scale on an 8 GB
-        # local-mode heap)
-        .persist(StorageLevel.DISK_ONLY)
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__t"),
+        F.explode(
+            F.when(
+                F.length(text_col) >= k,
+                F.expr(f"sequence(1, length(`{text_col}`) - {k - 1})"),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
+    ).select(
+        "id", "p", F.md5(F.expr(f"substring(__t, p, {k})")).alias("h")
     )
+    if select_mod > 1:
+        pos = pos.filter(
+            F.expr(
+                f"cast(conv(substring(h, 1, 8), 16, 10) as bigint)"
+                f" % {select_mod} = 0"
+            )
+        )
+    # DISK_ONLY: the position table is corpus-scale; memory-backed
+    # unroll would compete with the frequency aggregate's execution
+    # memory in the very stage that materializes the cache (observed
+    # AGGREGATE_OUT_OF_MEMORY at the 3M-doc curate scale on an 8 GB
+    # local-mode heap)
+    pos = pos.persist(StorageLevel.DISK_ONLY)
     # "appears in >= 2 distinct docs" == min(id) != max(id): unlike
     # count_distinct(id), whose partial aggregate expands its hash state
     # to (h, id) pairs — corpus-scale map-side state that OOMed the
@@ -496,7 +494,13 @@ def substring_dup_spans(
         .filter(F.col("__i0") != F.col("__i1"))
         .select("h")
     )
-    hits = pos.join(shared, "h").select("id", "p")
+    # SHUFFLE_HASH on the shared-gram side: the join-back's build side is
+    # the duplicated-gram hash list — far smaller than the position table
+    # but (in heavily-duplicated corpora) above the broadcast threshold,
+    # so the planner's default sort-merge paid a full sort of BOTH sides.
+    # Hashing the small side skips both sorts (measured 9.8 s → 7.1 s on
+    # the 320k-doc curate corpus); strategy hint only, same rows.
+    hits = pos.join(shared.hint("shuffle_hash"), "h").select("id", "p")
     # Run assembly: ONE groupBy(id) with a map-side-combined collect_list,
     # then a per-doc array_sort + aggregate fold that walks the sorted
     # positions and emits (start, end, count) islands. The previous

@@ -933,7 +933,14 @@ def containment_pairs(
     candidate join linear in corpus size; the recall trade is
     documented, not hidden: containment within dropped-boilerplate
     space is invisible). The pair aggregate and both size joins key on
-    ids. Same discipline as ``bucket_pairs``' star+chain cap."""
+    ids. Same discipline as ``bucket_pairs``' star+chain cap.
+
+    Cache discipline (same note as ``bucket_pairs``): two corpus-scale
+    frames (the shingle df table and the kept-shingle relation) stay
+    persisted so the plan's three consumers share one materialization; a
+    DataFrame-returning operator cannot unpersist before its caller
+    evaluates the result, so long-lived sessions issuing repeated calls
+    should ``spark.catalog.clearCache()`` after consuming the output."""
     if n < 1 or max_df < 2:
         raise ValueError("need n >= 1 and max_df >= 2")
     sh = docs.select(
