@@ -434,27 +434,43 @@ def substring_dup_spans(
     set ``select_mod`` ≈ k to winnow positions by hash (1/select_mod of
     the grams survive): resolution drops to ~select_mod chars — pass
     ``merge_gap ≈ k + select_mod`` and treat min_len as approximate —
-    while both explode volumes shrink by the same factor. The gram hash
-    is md5 (portable), so the whole pipeline is oracle-checkable.
+    while both explode volumes shrink by the same factor. The gram
+    BUCKET hash is md5 (portable), so at select_mod=1 the whole pipeline
+    is oracle-checkable; the winnow SELECTION hash (select_mod>1 only)
+    is engine-fast xxhash64 — selection needs only content-determinism,
+    and the approximate winnowed mode has no exact-replay contract.
     """
     if merge_gap is None:
         merge_gap = k
-    # Position build: explode the position SEQUENCE (ints only), then
-    # compute the gram md5 and the winnow filter as whole-stage-codegen
-    # projections. The md5 stays a per-position cost either way, but
-    # codegen'd md5+filter beat the array-side interpreted-lambda
-    # formulation by ~20% once the winnow became single-digest (measured
-    # 12.7 s → 10.2 s on the 320k-doc curate corpus; within one codegen
-    # stage the carried text column is a streamed reference, never a
-    # per-row copy — it is projected away before the persist boundary).
-    # The winnow selects 1-in-mod by the gram's OWN md5 prefix (classic
-    # winnowing), engine-portable (DuckDB:
-    # ('0x'||substr(h,1,8))::BIGINT % mod = 0). The surviving positions
-    # persist: the frequency pass and the join-back both consume this
-    # frame, and without the cache the whole md5-per-position subtree
-    # executes twice. Long-lived sessions issuing many calls should
-    # spark.catalog.clearCache() after consuming the result, same
-    # discipline as dedup.bucket_pairs.
+    # Position build: explode the position SEQUENCE (ints only), then run
+    # the winnow filter and the gram digest as whole-stage-codegen
+    # projections (codegen beat the array-side interpreted-lambda
+    # formulation in every measured variant; within one codegen stage the
+    # carried text column is a streamed reference, never a per-row copy —
+    # it is projected away before the persist boundary).
+    #
+    # The winnow selects 1-in-mod by a content hash of the gram so the
+    # same passage selects the same positions in every document — but the
+    # SELECTION hash is xxhash64 (one JVM intrinsic), not md5: selection
+    # only needs determinism, and digesting every position with md5 just
+    # to throw 7/8 away cost ~1/3 of the whole build (measured 9.0 s →
+    # 6.0 s on the 320k-doc curate corpus). The md5 — the portable bucket
+    # key — is computed for SURVIVORS only. With select_mod=1 (every
+    # declared oracle query) no filter exists and the md5-per-position
+    # plan is byte-identical to before.
+    #
+    # The persisted/shuffled gram key is unhex(md5): 16 raw bytes instead
+    # of the 32-char hex string. unhex of an md5 digest is injective, so
+    # grouping and joining on the binary value forms EXACTLY the same
+    # groups — no collision risk, same rows — while the frequency pass
+    # and the join-back move half the key bytes (measured 18.1 s →
+    # 13.3 s for the two legs, identical 8.7M-row hit set).
+    #
+    # The surviving positions persist: the frequency pass and the
+    # join-back both consume this frame, and without the cache the whole
+    # digest-per-position subtree executes twice. Long-lived sessions
+    # issuing many calls should spark.catalog.clearCache() after
+    # consuming the result, same discipline as dedup.bucket_pairs.
     from pyspark import StorageLevel
 
     pos = df.select(
@@ -466,26 +482,16 @@ def substring_dup_spans(
                 F.expr(f"sequence(1, length(`{text_col}`) - {k - 1})"),
             ).otherwise(F.array().cast("array<int>"))
         ).alias("p"),
-    ).select(
-        "id", "p", F.md5(F.expr(f"substring(__t, p, {k})")).alias("h")
     )
     if select_mod > 1:
         pos = pos.filter(
             F.expr(
-                f"cast(conv(substring(h, 1, 8), 16, 10) as bigint)"
-                f" % {select_mod} = 0"
+                f"pmod(xxhash64(substring(__t, p, {k})), {select_mod}) = 0"
             )
         )
-    # The persisted/shuffled gram key is unhex(md5): 16 raw bytes instead
-    # of the 32-char hex string. unhex of an md5 digest is injective, so
-    # grouping and joining on the binary value is EXACTLY the same
-    # partition — no collision risk, same rows — while the frequency
-    # pass and the join-back move half the key bytes (measured 18.1 s →
-    # 13.3 s for the two legs on the 320k-doc curate corpus, identical
-    # 8,722,252 hit rows). The winnow filter above still reads the hex
-    # prefix; the declared oracle replays hex-string semantics in DuckDB
-    # and only the output rows are compared, which are unchanged.
-    pos = pos.select("id", "p", F.unhex("h").alias("h"))
+    pos = pos.select(
+        "id", "p", F.unhex(F.md5(F.expr(f"substring(__t, p, {k})"))).alias("h")
+    )
     # DISK_ONLY: the position table is corpus-scale; memory-backed
     # unroll would compete with the frequency aggregate's execution
     # memory in the very stage that materializes the cache (observed
