@@ -72,24 +72,47 @@ def cosine_topk(
     # evaluations. cos stays bit-identical: the per-pair expression is the
     # same _dot / (norm_a * norm_b) IEEE arithmetic, just with the two
     # norm factors computed upstream.
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    ).withColumn("qn", _norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-    ).withColumn("cn", _norm(F.col("cv")))
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    # Parsed-SQL construction (same expression trees as the _dot/_norm
+    # Column builders, which stay the API for other callers): this query
+    # is rebuilt inside the frozen bench's timed region, and the
+    # lambda-by-lambda py4j construction alone cost ~140 ms per build vs
+    # ~60 ms parsed. Output bit-identical (collected doubles compared at
+    # the bit level).
+    _sum = "(acc, v) -> acc + v"
+    q = queries.selectExpr(
+        f"`{id_col}` as query_id",
+        f"transform(`{vec_col}`, x -> cast(x as double)) as qv",
+    ).selectExpr(
+        "query_id",
+        "qv",
+        "sqrt(aggregate(transform(qv, x -> x * x),"
+        f" cast(0.0 as double), {_sum})) as qn",
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
+    c = corpus.selectExpr(
+        f"`{id_col}` as neighbor_id",
+        f"transform(`{vec_col}`, x -> cast(x as double)) as cv",
+    ).selectExpr(
+        "neighbor_id",
+        "cv",
+        "sqrt(aggregate(transform(cv, x -> x * x),"
+        f" cast(0.0 as double), {_sum})) as cn",
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).selectExpr(
+        "*",
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y),"
+        f" cast(0.0 as double), {_sum}) / (qn * cn) as cos",
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        scored.selectExpr(
+            "query_id",
+            "neighbor_id",
+            "cos",
+            "row_number() over (partition by query_id"
+            " order by cos desc, neighbor_id asc) as rank",
+        )
+        .where(f"rank <= {int(k)}")
         .select("query_id", "rank", "neighbor_id", "cos")
     )
 
