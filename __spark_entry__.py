@@ -109,18 +109,34 @@ def _q_asof_latest_event(spark, sf_dir):
 def _q_w3_sessionize_events(spark, sf_dir):
     # ts is TIMESTAMP_NTZ in the parquet; epoch micros of the naive value
     # (DuckDB epoch_us semantics) == unix_micros of the value read as UTC.
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    #
+    # n_sessions == 1 + (number of gaps > 30 min between consecutive
+    # events in (ts_us, event_id) order). The old lag-window + running-sum
+    # + max formulation paid a full per-user sort exchange; this computes
+    # the same count with ONE map-side-combined collect_list + array_sort
+    # + fold (the span-dedup island-assembly shape). array_sort on the
+    # (ts_us, event_id) struct is exactly the window's ordering, and the
+    # null-gap case folds to +0 just as the old when().otherwise(0) did —
+    # results verified identical at sf0.1 and a 10x probe. Per-user
+    # arrays are bounded by events-per-user (~100 at bench scales); for
+    # an unbounded-user stream keep the window form.
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "named_struct('ts_us', unix_micros(cast(ts as timestamp)),"
+        " 'event_id', event_id) as e",
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    flag = F.when(
-        F.col("ts_us") - F.lag("ts_us").over(w) > 1800 * 1_000_000, 1
-    ).otherwise(0)
-    sess = ev.withColumn("sid", F.sum(flag).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
-    ))
-    return sess.groupBy("user_id").agg(
-        (F.max("sid") + 1).cast("bigint").alias("n_sessions")
+    return ev.groupBy("user_id").agg(
+        F.expr(
+            "cast(aggregate("
+            " array_sort(collect_list(e)),"
+            " named_struct('prev', cast(null as bigint),"
+            "              'n', cast(0 as bigint)),"
+            " (acc, x) -> named_struct("
+            "   'prev', x.ts_us,"
+            "   'n', acc.n + IF(acc.prev IS NOT NULL"
+            "                   AND x.ts_us - acc.prev > 1800000000, 1, 0)),"
+            " acc -> acc.n + 1) as bigint) as n_sessions"
+        )
     )
 
 
