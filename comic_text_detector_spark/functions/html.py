@@ -275,11 +275,14 @@ def tokenize(html_bytes: bytes | str) -> list[Node]:
         return []
     # str input is accepted so the Arrow batch layer can decode utf-8
     # straight from the record-batch buffers (plans/extract.py) without
-    # materializing an intermediate bytes object per document.
+    # materializing an intermediate bytes object per document. The check
+    # is inverted (str first) so bytes-like inputs that are NOT bytes —
+    # bytearray from a collected Spark BinaryType row, memoryview — keep
+    # hitting .decode exactly as before.
     s = (
-        html_bytes.decode("utf-8", errors="replace")
-        if isinstance(html_bytes, bytes)
-        else html_bytes
+        html_bytes
+        if isinstance(html_bytes, str)
+        else html_bytes.decode("utf-8", errors="replace")
     )
     parts = _SCAN.split(s)
     # parts = [text, g1 (rawtext name), g2 (closing), g3 (name), g4 (body),

@@ -185,7 +185,9 @@ def _decode_html(arr: pa.Array) -> list[str | None]:
     object first — measured ~1 µs/doc slower on bench-shaped pages).
     Null cells stay ``None`` (the tokenizer's one-bad-row contract)."""
     code = _OFFSET_CODE.get(arr.type)
-    if code is None or arr.null_count:
+    if code is None or arr.null_count or len(arr) == 0:
+        # unknown layout / null cells / empty array (whose offsets buffer
+        # may be absent): the plain per-cell path
         return [
             None if b is None else b.decode("utf-8", "replace")
             for b in arr.to_pylist()
